@@ -1,0 +1,129 @@
+"""Grid-bucketed spatial join (SURVEY.md J2) — the one join Catalyst
+lacks natively.
+
+The zonal-statistics contract requires assigning raster cells (or
+points) to boundary features (queue/extract_check.py:92-110 — every
+extract row is one boundary feature). Strategy, 100 TB-first:
+
+1. **Bucket**: both sides get integer grid-bucket keys at a coarse
+   resolution — boundaries *explode* to every bucket their bbox covers,
+   points map to exactly one bucket. This turns the spatial predicate
+   into a plain equi-join Catalyst can shuffle/broadcast/AQE-plan.
+2. **Refine**: within a bucket, exact containment. For axis-aligned
+   rectangle boundaries (the synthetic-fixture case, FIXTURES.md §2)
+   refinement is 4 native comparisons — whole-stage codegen, no Python.
+   For general polygons the refinement is a vectorized Pandas UDF over
+   WKT (shapely), gated behind an import-try since the geo stack isn't
+   in every image.
+
+The bucket fan-out factor is bounded: a boundary covering B buckets
+appears B times on the build side, but the build side (boundary
+features) is tiny next to the probe side (cells/points), and usually
+broadcast — so no shuffle of the big side at all beyond its scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def bucket_points(
+    points: DataFrame, lon: str, lat: str, bucket_size: float
+) -> DataFrame:
+    return points.withColumn(
+        "bucket_x", F.floor(F.col(lon) / F.lit(bucket_size)).cast("long")
+    ).withColumn("bucket_y", F.floor(F.col(lat) / F.lit(bucket_size)).cast("long"))
+
+
+def explode_boundary_buckets(
+    boundaries: DataFrame,
+    minx: str = "minx",
+    miny: str = "miny",
+    maxx: str = "maxx",
+    maxy: str = "maxy",
+    bucket_size: float = 1.0,
+) -> DataFrame:
+    """One row per (feature, covered bucket). ``sequence`` + ``explode``
+    keeps the fan-out inside the JVM."""
+    bx0 = F.floor(F.col(minx) / F.lit(bucket_size)).cast("long")
+    bx1 = F.floor(F.col(maxx) / F.lit(bucket_size)).cast("long")
+    by0 = F.floor(F.col(miny) / F.lit(bucket_size)).cast("long")
+    by1 = F.floor(F.col(maxy) / F.lit(bucket_size)).cast("long")
+    return (
+        boundaries.withColumn("bucket_x", F.explode(F.sequence(bx0, bx1)))
+        .withColumn("bucket_y", F.explode(F.sequence(by0, by1)))
+    )
+
+
+def spatial_join_rect(
+    points: DataFrame,
+    boundaries: DataFrame,
+    lon: str = "lon",
+    lat: str = "lat",
+    bucket_size: float = 1.0,
+    broadcast_boundaries: bool = True,
+) -> DataFrame:
+    """Points-in-rectangles join: bucket equi-join + exact native
+    refinement. Containment convention: min-edge inclusive, max-edge
+    exclusive, so rectangle tilings assign every point exactly once.
+    """
+    p = bucket_points(points, lon, lat, bucket_size)
+    b = explode_boundary_buckets(boundaries, bucket_size=bucket_size)
+    if broadcast_boundaries:
+        b = F.broadcast(b)
+    joined = p.join(b, ["bucket_x", "bucket_y"])
+    refined = joined.filter(
+        (F.col(lon) >= F.col("minx"))
+        & (F.col(lon) < F.col("maxx"))
+        & (F.col(lat) >= F.col("miny"))
+        & (F.col(lat) < F.col("maxy"))
+    )
+    return refined.drop("bucket_x", "bucket_y")
+
+
+def spatial_join_wkt(
+    points: DataFrame,
+    boundaries: DataFrame,
+    lon: str = "lon",
+    lat: str = "lat",
+    geom: str = "geom_wkt",
+    bucket_size: float = 1.0,
+) -> DataFrame:
+    """General polygon containment: bucket on the polygon bbox, then
+    exact point-in-polygon refinement in an Arrow-batched Pandas UDF.
+
+    Requires shapely (not bundled in this container); the bucketing
+    plumbing is real and tested via the rectangle path, the exact
+    kernel raises until the geo stack is present.
+    """
+    try:
+        from shapely import wkt as _wkt  # noqa: F401
+    except ImportError as e:  # pragma: no cover - geo stack not bundled
+        raise NotImplementedError(
+            "polygon refinement needs shapely; bucketed-join plumbing is "
+            "covered by spatial_join_rect"
+        ) from e
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("boolean")
+    def _contains(geom_s: pd.Series, lon_s: pd.Series, lat_s: pd.Series) -> pd.Series:
+        from shapely import wkt
+        from shapely.geometry import Point
+
+        geoms = {g: wkt.loads(g) for g in geom_s.unique()}
+        return pd.Series(
+            [
+                geoms[g].contains(Point(x, y))
+                for g, x, y in zip(geom_s, lon_s, lat_s)
+            ]
+        )
+
+    p = bucket_points(points, lon, lat, bucket_size)
+    b = F.broadcast(explode_boundary_buckets(boundaries, bucket_size=bucket_size))
+    joined = p.join(b, ["bucket_x", "bucket_y"])
+    return joined.filter(_contains(F.col(geom), F.col(lon), F.col(lat))).drop(
+        "bucket_x", "bucket_y"
+    )

@@ -1,0 +1,111 @@
+"""MSR allocation, grid-bucketed spatial join, and cache idempotency."""
+
+import math
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from det_module_spark.operators.msr import (
+    apply_release_filters,
+    even_split_allocation,
+    msr_surface,
+)
+from det_module_spark.operators.spatial import spatial_join_rect
+from det_module_spark.plans.cache import CacheManifest
+
+
+@pytest.fixture(scope="module")
+def locations(spark):
+    rows = [
+        # project A: 100.0 over 2 locations, 2002-2004
+        Row(project_id="A", lon=0.01, lat=0.01, donors="France",
+            ad_sector_names="Education", start_year=2002, end_year=2004,
+            total_commitments=100.0),
+        Row(project_id="A", lon=0.07, lat=0.01, donors="France",
+            ad_sector_names="Education", start_year=2002, end_year=2004,
+            total_commitments=100.0),
+        # project B: 90.0 over 3 locations, 1999-2001
+        Row(project_id="B", lon=0.01, lat=0.01, donors="Japan",
+            ad_sector_names="Health", start_year=1999, end_year=2001,
+            total_commitments=90.0),
+        Row(project_id="B", lon=0.07, lat=0.07, donors="Japan",
+            ad_sector_names="Health", start_year=1999, end_year=2001,
+            total_commitments=90.0),
+        Row(project_id="B", lon=0.12, lat=0.01, donors="Japan",
+            ad_sector_names="Health", start_year=1999, end_year=2001,
+            total_commitments=90.0),
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_even_split_allocation(locations):
+    alloc = even_split_allocation(locations)
+    rows = alloc.collect()
+    by_project = {}
+    for r in rows:
+        by_project.setdefault(r["project_id"], []).append(r)
+    assert all(math.isclose(r["allocated"], 50.0) for r in by_project["A"])
+    assert all(math.isclose(r["allocated"], 30.0) for r in by_project["B"])
+    assert all(r["potential"] == r["total_commitments"] for r in rows)
+
+
+def test_msr_surface_triple(locations):
+    surface = msr_surface(even_split_allocation(locations))
+    cells = {(r["cell_x"], r["cell_y"]): r for r in surface.collect()}
+    # lon 0.01 -> cell 0; lon 0.07 -> cell 1; lon 0.12 -> cell 2 at res 0.05
+    assert set(cells) == {(0, 0), (1, 0), (1, 1), (2, 0)}
+    c00 = cells[(0, 0)]
+    assert math.isclose(c00["sum"], 50.0 + 30.0)
+    assert math.isclose(c00["potential"], 100.0 + 90.0)
+    assert math.isclose(c00["reliability"], 80.0 / 190.0)
+
+
+def test_year_overlap_filter(locations):
+    # interval overlap semantics (templates/aid_data.txt:5)
+    assert apply_release_filters(locations, years=(2001, 2002)).count() == 5
+    assert apply_release_filters(locations, years=(2005, 2010)).count() == 0
+    assert apply_release_filters(locations, donors=["France"]).count() == 2
+    assert (
+        apply_release_filters(locations, commitments=(95.0, 200.0)).count() == 2
+    )
+
+
+def test_spatial_join_rect(spark):
+    points = spark.createDataFrame(
+        [Row(pid=i, lon=x, lat=y) for i, (x, y) in enumerate(
+            [(0.5, 0.5), (1.5, 0.5), (2.5, 2.5), (9.9, 9.9), (10.1, 0.5)]
+        )]
+    )
+    # two rectangles tiling [0,2)x[0,10) and [2,10)x[0,10)
+    bounds = spark.createDataFrame(
+        [
+            Row(asdf_id=1, minx=0.0, miny=0.0, maxx=2.0, maxy=10.0),
+            Row(asdf_id=2, minx=2.0, miny=0.0, maxx=10.0, maxy=10.0),
+        ]
+    )
+    joined = spatial_join_rect(points, bounds, bucket_size=1.0)
+    got = {(r["pid"], r["asdf_id"]) for r in joined.collect()}
+    # every in-bounds point assigned exactly once; 10.1 is outside
+    assert got == {(0, 1), (1, 1), (2, 2), (3, 2)}
+
+
+def test_cache_round_trip_and_idempotency(spark, tmp_path):
+    cache = CacheManifest(spark, str(tmp_path / "cache"))
+    items = spark.createDataFrame(
+        [Row(spec_hash="h1", dataset="d1"), Row(spec_hash="h2", dataset="d2")]
+    )
+    # empty manifest: everything is missing
+    assert cache.missing(items).count() == 2
+    result = spark.createDataFrame([Row(asdf_id=1, exfield_0=4.2)])
+    cache.put("h1", "extract", result)
+    # second pass: only h2 missing; h1 readable and complete
+    missing = cache.missing(items).collect()
+    assert [r["spec_hash"] for r in missing] == ["h2"]
+    assert cache.completed(items).count() == 1
+    assert cache.get("h1").collect()[0]["exfield_0"] == 4.2
+    # re-put is idempotent (reference: find-then-update-else-insert,
+    # extract_check.py:165-183)
+    cache.put("h1", "extract", result)
+    assert cache.missing(items).count() == 1
+    assert cache.read().filter(F.col("spec_hash") == "h1").count() == 1

@@ -1,0 +1,105 @@
+"""Local stand-in for the driver's correctness gate.
+
+Runs every ``queries()`` entry from ``__spark_entry__`` at a given sf
+and compares against ``oracle_sql()`` via DuckDB: row count, sorted
+column names, dtypes-compatible, and exact order-insensitive values.
+
+Usage: python tools/check_parity.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+
+def canon(df, float_exact=True):
+    """pandas frame -> sorted-rows, sorted-cols list of tuples."""
+    df = df[sorted(df.columns)]
+    rows = []
+    for row in df.itertuples(index=False):
+        vals = []
+        for v in row:
+            if isinstance(v, float):
+                if math.isnan(v):
+                    v = "NaN"
+            vals.append(v)
+        rows.append(tuple(vals))
+    return sorted(rows, key=lambda r: tuple(str(x) for x in r))
+
+
+def main():
+    import duckdb
+
+    import __spark_entry__ as mod
+    from det_module_spark.session import get_spark
+    from det_module_spark.sources.tables import TABLES
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    spark = get_spark("parity-check")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE OR REPLACE VIEW {t} AS "
+            f"SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    qs = mod.queries()
+    oracles = mod.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir).toPandas()
+        except Exception as e:
+            failures.append(name)
+            print(f"FAIL  {name}: spark error: {e}")
+            continue
+        if name not in oracles:
+            print(f"skip  {name}: no oracle (rows={len(sdf)})")
+            continue
+        try:
+            odf = con.execute(oracles[name]).fetchdf()
+        except Exception as e:
+            failures.append(name)
+            print(f"FAIL  {name}: duckdb error: {e}")
+            continue
+
+        problems = []
+        if len(sdf) != len(odf):
+            problems.append(f"rows {len(sdf)} != {len(odf)}")
+        if sorted(sdf.columns) != sorted(odf.columns):
+            problems.append(f"cols {sorted(sdf.columns)} != {sorted(odf.columns)}")
+        if not problems:
+            a, b = canon(sdf), canon(odf)
+            n_bad = sum(1 for x, y in zip(a, b) if x != y)
+            if n_bad:
+                problems.append(f"{n_bad}/{len(a)} rows differ")
+                for x, y in list(zip(a, b))[:2000]:
+                    if x != y:
+                        problems.append(f"  spark={x}")
+                        problems.append(f"  duck ={y}")
+                        break
+        dt = time.time() - t0
+        if problems:
+            failures.append(name)
+            print(f"FAIL  {name} ({dt:.1f}s): " + "; ".join(problems))
+        else:
+            print(f"ok    {name} ({dt:.1f}s, rows={len(sdf)})")
+
+    print()
+    if failures:
+        print(f"{len(failures)} FAILURES: {failures}")
+        sys.exit(1)
+    print("all queries match the oracle")
+
+
+if __name__ == "__main__":
+    main()
