@@ -20,6 +20,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from det_module_spark.operators.extract_types import zonal_extract
+from det_module_spark.operators.merge import MergeItem, merge_extracts
+from det_module_spark.operators.msr import even_split_allocation, msr_surface
+from det_module_spark.operators.queue import get_requests, two_phase_poll
 from det_module_spark.sources.tables import load_table
 
 # ---------------------------------------------------------------------------
@@ -47,6 +50,19 @@ WITH cells AS (
 CATEGORIES = ["A", "N", "R"]
 
 
+def _pround(col, digits: int):
+    """Parity-safe rounding: ``floor(x*10^d + 0.5) / 10^d`` — the same
+    IEEE op sequence in Spark and DuckDB. (Spark's ``round`` rounds the
+    *shortest decimal repr* via BigDecimal; DuckDB rounds the binary
+    double — they disagree on values like 34961.215.)"""
+    scale = F.lit(float(10**digits))
+    return F.floor(col * scale + F.lit(0.5)) / scale
+
+
+def _pround_sql(expr: str, digits: int) -> str:
+    return f"FLOOR(({expr}) * 1e{digits} + 0.5) / 1e{digits}"
+
+
 def _cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return li.select(
@@ -69,7 +85,7 @@ def _zonal(extract_type: str, round_to: int | None = None):
             val_cols = [c for c in out.columns if c != "asdf_id"]
             out = out.select(
                 "asdf_id",
-                *[F.round(F.col(f"`{c}`"), round_to).alias(c) for c in val_cols],
+                *[_pround(F.col(f"`{c}`"), round_to).alias(c) for c in val_cols],
             )
         return out
 
@@ -78,6 +94,246 @@ def _zonal(extract_type: str, round_to: int | None = None):
 
 def _zonal_sql(agg_exprs: str) -> str:
     return f"{CELLS_SQL} SELECT asdf_id, {agg_exprs} FROM cells GROUP BY asdf_id"
+
+
+# ---------------------------------------------------------------------------
+# Relational operator inventory (SURVEY.md §2.1-§2.3, §2.5-§2.8) mapped
+# onto the TPC-H-ish tables. orders stands in for the request queue.
+# ---------------------------------------------------------------------------
+
+
+def q_queue_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # S1/O1: status filter -> priority desc, FIFO asc, limit
+    # (request_tools.py:110-129) + explicit unique tiebreak
+    orders = load_table(spark, sf_dir, "orders")
+    out = get_requests(
+        orders, "O",
+        limit=20,
+        status_col="o_orderstatus",
+        priority_col="o_orderpriority",
+        submit_time_col="o_orderdate",
+        tiebreak_col="o_orderkey",
+    )
+    return out.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("submit_date"),
+    )
+
+
+def q_two_phase_poll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # O3: status -1 batch strictly before status 0 batch
+    # (processing.py:121-123)
+    orders = load_table(spark, sf_dir, "orders")
+    return two_phase_poll(
+        orders, "F", "O",
+        limit=10,
+        status_col="o_orderstatus",
+        priority_col="o_orderpriority",
+        submit_time_col="o_orderdate",
+        tiebreak_col="o_orderkey",
+    ).select("poll_phase", "o_orderkey", "o_orderpriority")
+
+
+def q_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # S2/S3: point lookup with projection (request_tools.py:97-147)
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+           FROM orders
+           WHERE o_orderkey = (SELECT MIN(o_orderkey) FROM orders)"""
+    )
+
+
+def q_release_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # P3: membership + range predicates, all pushed to the scan
+    # (request_tools.py:352-359, doc_test.py:24-47)
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            F.col("l_returnflag").isin("A", "R")
+            & (F.col("l_shipdate") >= F.lit("1994-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp"))
+            & F.col("l_quantity").between(10, 20)
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            _pround(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        )
+    )
+
+
+def q_catalog_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # J4: broadcast enrichment join against small catalog dims
+    # (documentation_tool.py:344-352)
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            _pround(F.sum("c_acctbal"), 2).alias("sum_acctbal"),
+        )
+    )
+
+
+def q_wide_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # J1 + P6/P7: multi-item merge with all three rename cases
+    # (request_tools.py:617-708)
+    cells = _cells(spark, sf_dir)
+    base = zonal_extract(cells, "mean").withColumn(
+        "zone_name", F.concat(F.lit("zone_"), F.col("asdf_id").cast("string"))
+    )
+    rel = zonal_extract(cells, "reliability")
+    cat = zonal_extract(cells, "categorical", categories=CATEGORIES)
+    return merge_extracts(
+        [
+            MergeItem(base, "udel_precip_v401_sum", "1998", "mean"),
+            MergeItem(rel, "aiddata_v3", "0123456789abcdef", "reliability"),
+            MergeItem(cat, "landcover", "2000", "categorical"),
+        ]
+    )
+
+
+def q_cache_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # E2: requested − cached as a left-anti join (SURVEY.md §2.7)
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cached = li.filter(
+        F.col("l_shipdate") > F.lit("1998-08-01").cast("timestamp")
+    ).select(F.col("l_orderkey").alias("o_orderkey"))
+    return orders.join(cached, "o_orderkey", "left_anti").select("o_orderkey")
+
+
+def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    big = li.filter(F.col("l_quantity") > 49).select(
+        F.col("l_orderkey").alias("o_orderkey")
+    )
+    return orders.join(big, "o_orderkey", "left_semi").select(
+        "o_orderkey", "o_totalprice"
+    )
+
+
+def q_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # §2.7 ordered union-distinct of key domains
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return cust.union(supp).distinct()
+
+
+def q_except_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # custkeys that ordered, minus those in overdraft
+    ordered = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    overdrawn = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") < 0)
+        .select(F.col("c_custkey").alias("custkey"))
+    )
+    return ordered.distinct().exceptAll(overdrawn).distinct()
+
+
+def q_intersect_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey")
+    )
+    ordered = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return cust.intersect(ordered)
+
+
+def q_msr_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # J3 + §2.4 MSR: even-split allocation -> 0.05° grid ->
+    # sum/potential/reliability surfaces (request_tools.py:373-380)
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    locs = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        F.col("l_orderkey").alias("project_id"),
+        ((F.col("l_partkey") % 720) * F.lit(0.5) - F.lit(180.0)).alias("lon"),
+        ((F.col("l_suppkey") % 360) * F.lit(0.5) - F.lit(90.0)).alias("lat"),
+        F.col("o_totalprice").alias("total_commitments"),
+    )
+    surf = msr_surface(even_split_allocation(locs))
+    return surf.select(
+        "cell_x",
+        "cell_y",
+        _pround(F.col("sum"), 2).alias("sum"),
+        _pround(F.col("potential"), 2).alias("potential"),
+        _pround(F.col("reliability"), 6).alias("reliability"),
+    )
+
+
+def q_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # F2-F12: hash prefixes, split/substring/concat naming algebra
+    part = load_table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.substring(F.md5("p_name"), 1, 7).alias("name_hash7"),
+        F.element_at(F.split("p_type", " "), -1).alias("type_last"),
+        F.regexp_replace("p_brand", "#", "_").alias("brand_key"),
+        F.concat_ws(".", "p_brand", "p_type").alias("dotted"),
+        F.col("p_type").startswith("ECONOMY").cast("int").alias("is_economy"),
+        F.col("p_type").endswith("STEEL").cast("int").alias("is_steel"),
+        F.upper(F.substring("p_name", 1, 5)).alias("name5"),
+    )
+
+
+def q_temporal_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # O2/F4/F11: temporal labels sorted as ints, descending
+    # (documentation_tool.py:317-326)
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_set(F.year("ts")), asc=False),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        ).alias("years_desc")
+    )
+
+
+def q_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # §2.5: rank-1-per-group pattern (majority/minority machinery)
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_orderpriority", "rn", "o_orderkey", "o_totalprice")
+    )
+
+
+def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 500)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.asc("o_orderdate"), F.asc("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        _pround(F.sum("o_totalprice").over(w), 2).alias("running_total"),
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -109,6 +365,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zonal_percentile_25": _zonal("percentile_25"),
         "zonal_var": _zonal("var", round_to=2),
         "zonal_mode": _zonal("mode"),
+        # --- §2.1-2.3, 2.5-2.8 relational inventory ---
+        "queue_scan": q_queue_scan,
+        "two_phase_poll": q_two_phase_poll,
+        "point_lookup": q_point_lookup,
+        "release_filters": q_release_filters,
+        "catalog_join": q_catalog_join,
+        "wide_merge": q_wide_merge,
+        "cache_anti_join": q_cache_anti_join,
+        "semi_join": q_semi_join,
+        "union_distinct": q_union_distinct,
+        "except_distinct": q_except_distinct,
+        "intersect_distinct": q_intersect_distinct,
+        "msr_pipeline": q_msr_pipeline,
+        "scalar_functions": q_scalar_functions,
+        "temporal_sort": q_temporal_sort,
+        "window_topk": q_window_topk,
+        "window_running": q_window_running,
     }
 
 
@@ -145,7 +418,7 @@ QUALIFY ROW_NUMBER() OVER (
             "SUM(value) AS exfield_sum, SUM(potential) AS exfield_potential, "
             "SUM(value) / SUM(potential) AS exfield_reliability"
         ),
-        "zonal_std": _zonal_sql("ROUND(STDDEV_SAMP(value), 4) AS exfield_0"),
+        "zonal_std": _zonal_sql(_pround_sql("STDDEV_SAMP(value)", 4) + " AS exfield_0"),
         "zonal_median": _zonal_sql("MEDIAN(value) AS exfield_0"),
         "zonal_majority": freq_sql.format(dir="DESC"),
         "zonal_minority": freq_sql.format(dir="ASC"),
@@ -154,6 +427,152 @@ QUALIFY ROW_NUMBER() OVER (
         "zonal_percentile_25": _zonal_sql(
             "QUANTILE_CONT(value, 0.25) AS exfield_0"
         ),
-        "zonal_var": _zonal_sql("ROUND(VAR_SAMP(value), 2) AS exfield_0"),
+        "zonal_var": _zonal_sql(_pround_sql("VAR_SAMP(value)", 2) + " AS exfield_0"),
         "zonal_mode": freq_sql.format(dir="DESC"),
+        "queue_scan": """
+            SELECT o_orderkey, o_orderpriority,
+                   strftime(o_orderdate, '%Y-%m-%d') AS submit_date
+            FROM orders WHERE o_orderstatus = 'O'
+            ORDER BY o_orderpriority DESC, o_orderdate ASC, o_orderkey ASC
+            LIMIT 20
+        """,
+        "two_phase_poll": """
+            (SELECT 0 AS poll_phase, o_orderkey, o_orderpriority
+             FROM orders WHERE o_orderstatus = 'F'
+             ORDER BY o_orderpriority DESC, o_orderdate, o_orderkey LIMIT 10)
+            UNION ALL
+            (SELECT 1 AS poll_phase, o_orderkey, o_orderpriority
+             FROM orders WHERE o_orderstatus = 'O'
+             ORDER BY o_orderpriority DESC, o_orderdate, o_orderkey LIMIT 10)
+        """,
+        "point_lookup": """
+            SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+            FROM orders
+            WHERE o_orderkey = (SELECT MIN(o_orderkey) FROM orders)
+        """,
+        "release_filters": """
+            SELECT l_returnflag,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   FLOOR(SUM(l_extendedprice) * 1e2 + 0.5) / 1e2 AS sum_price
+            FROM lineitem
+            WHERE l_returnflag IN ('A', 'R')
+              AND l_shipdate >= TIMESTAMP '1994-01-01'
+              AND l_shipdate < TIMESTAMP '1996-01-01'
+              AND l_quantity BETWEEN 10 AND 20
+            GROUP BY l_returnflag
+        """,
+        "catalog_join": """
+            SELECT r_name,
+                   CAST(COUNT(*) AS BIGINT) AS n_customers,
+                   FLOOR(SUM(c_acctbal) * 1e2 + 0.5) / 1e2 AS sum_acctbal
+            FROM customer
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name
+        """,
+        "wide_merge": CELLS_SQL
+        + """,
+            m AS (SELECT asdf_id, AVG(value) AS v FROM cells GROUP BY asdf_id),
+            r AS (SELECT asdf_id, SUM(value) AS s, SUM(potential) AS p
+                  FROM cells GROUP BY asdf_id),
+            c AS (SELECT asdf_id,
+                         COUNT(*) FILTER (WHERE category='A') AS ca,
+                         COUNT(*) FILTER (WHERE category='N') AS cn,
+                         COUNT(*) FILTER (WHERE category='R') AS cr
+                  FROM cells GROUP BY asdf_id)
+            SELECT m.asdf_id,
+                   m.v AS "udel_precip_v401_sum.1998.mean",
+                   r.s AS "aiddata_v3.0123456.sum",
+                   r.p AS "aiddata_v3.0123456.potential",
+                   r.s / r.p AS "aiddata_v3.0123456.reliability",
+                   c.ca AS "landcover.2000.categorical_A",
+                   c.cn AS "landcover.2000.categorical_N",
+                   c.cr AS "landcover.2000.categorical_R",
+                   'zone_' || CAST(m.asdf_id AS VARCHAR) AS zone_name
+            FROM m JOIN r USING (asdf_id) JOIN c USING (asdf_id)
+        """,
+        "cache_anti_join": """
+            SELECT o_orderkey FROM orders
+            WHERE NOT EXISTS (
+              SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate > TIMESTAMP '1998-08-01')
+        """,
+        "semi_join": """
+            SELECT o_orderkey, o_totalprice FROM orders
+            WHERE EXISTS (
+              SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_quantity > 49)
+        """,
+        "union_distinct": """
+            SELECT c_nationkey AS nationkey FROM customer
+            UNION
+            SELECT s_nationkey AS nationkey FROM supplier
+        """,
+        "except_distinct": """
+            SELECT DISTINCT o_custkey AS custkey FROM orders
+            EXCEPT
+            SELECT c_custkey AS custkey FROM customer WHERE c_acctbal < 0
+        """,
+        "intersect_distinct": """
+            SELECT DISTINCT c_custkey AS custkey FROM customer
+            INTERSECT
+            SELECT DISTINCT o_custkey AS custkey FROM orders
+        """,
+        "msr_pipeline": """
+            WITH locs AS (
+              SELECT l_orderkey AS project_id,
+                     (l_partkey % 720) * 0.5 - 180.0 AS lon,
+                     (l_suppkey % 360) * 0.5 - 90.0 AS lat,
+                     o_totalprice AS total_commitments
+              FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+            cnt AS (SELECT project_id, COUNT(*) AS n
+                    FROM locs GROUP BY project_id),
+            alloc AS (
+              SELECT locs.*, total_commitments / n AS allocated
+              FROM locs JOIN cnt USING (project_id))
+            SELECT CAST(FLOOR(lon / 0.05) AS BIGINT) AS cell_x,
+                   CAST(FLOOR(lat / 0.05) AS BIGINT) AS cell_y,
+                   FLOOR(SUM(allocated) * 1e2 + 0.5) / 1e2 AS "sum",
+                   FLOOR(SUM(total_commitments) * 1e2 + 0.5) / 1e2 AS potential,
+                   FLOOR(SUM(allocated) / SUM(total_commitments) * 1e6 + 0.5)
+                     / 1e6 AS reliability
+            FROM alloc GROUP BY 1, 2
+        """,
+        "scalar_functions": """
+            SELECT p_partkey,
+                   substring(md5(p_name), 1, 7) AS name_hash7,
+                   string_split(p_type, ' ')[-1] AS type_last,
+                   replace(p_brand, '#', '_') AS brand_key,
+                   concat_ws('.', p_brand, p_type) AS dotted,
+                   CAST(starts_with(p_type, 'ECONOMY') AS INT) AS is_economy,
+                   CAST(ends_with(p_type, 'STEEL') AS INT) AS is_steel,
+                   upper(substring(p_name, 1, 5)) AS name5
+            FROM part
+        """,
+        "temporal_sort": """
+            SELECT event_type,
+                   array_to_string(
+                     list_sort(list(DISTINCT EXTRACT(year FROM ts)), 'DESC'),
+                     ',') AS years_desc
+            FROM events GROUP BY event_type
+        """,
+        "window_topk": """
+            SELECT o_orderpriority, rn, o_orderkey, o_totalprice FROM (
+              SELECT o_orderpriority, o_orderkey, o_totalprice,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY o_orderpriority
+                       ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+              FROM orders) t
+            WHERE rn <= 3
+        """,
+        "window_running": """
+            SELECT o_custkey, o_orderkey,
+                   FLOOR(SUM(o_totalprice) OVER (
+                     PARTITION BY o_custkey
+                     ORDER BY o_orderdate ASC, o_orderkey ASC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     * 1e2 + 0.5) / 1e2 AS running_total
+            FROM orders WHERE o_custkey < 500
+        """,
     }

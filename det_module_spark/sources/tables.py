@@ -28,10 +28,24 @@ TABLES = [
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one table. Accepts both ``<dir>/<name>.parquet`` (driver
-    testdata) and ``<dir>/<name>/`` (partitioned production layout)."""
+    testdata) and ``<dir>/<name>/`` (partitioned production layout).
+
+    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark's vectorized
+    reader rejects; it is read as raw nanos (legacy conf) and converted
+    to a microsecond TimestampType column with integer arithmetic
+    (``div`` — double division would lose precision above 2^53 ns).
+    """
     single = os.path.join(sf_dir, f"{name}.parquet")
     root = os.path.join(sf_dir, name)
     path = single if os.path.exists(single) else root
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        from pyspark.sql import functions as F
+
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
     return spark.read.parquet(path)
 
 
