@@ -19,10 +19,32 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from det_module_spark.operators.dedup import (
+    MINHASH_A,
+    MINHASH_B,
+    MINHASH_P,
+    exact_dedup,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+)
 from det_module_spark.operators.extract_types import zonal_extract
 from det_module_spark.operators.merge import MergeItem, merge_extracts
 from det_module_spark.operators.msr import even_split_allocation, msr_surface
+from det_module_spark.operators.multimodal import (
+    decode_features,
+    frame_sample_plan,
+    media_from_documents,
+)
 from det_module_spark.operators.queue import get_requests, two_phase_poll
+from det_module_spark.operators.similarity import cosine_topk, lsh_topk
+from det_module_spark.operators.text import (
+    LANG_PROFILES,
+    doc_fingerprint,
+    lang_id,
+    quality_features,
+)
 from det_module_spark.sources.tables import load_table
 
 # ---------------------------------------------------------------------------
@@ -336,6 +358,114 @@ def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# LLM-data-pipeline extensions (BASELINE.json north star): dedup,
+# similarity search, text analysis, multimodal columns.
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # exact dedup by content-prefix key (url/doc-head style)
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_dedup(docs, F.md5(F.substring("text", 1, 24)))
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    out = quality_features(docs)
+    return out.select(
+        "doc_id",
+        F.col("q_n_chars").cast("long").alias("q_n_chars"),
+        F.col("q_n_tokens").cast("long").alias("q_n_tokens"),
+        _pround(F.col("q_mean_token_len"), 6).alias("q_mean_token_len"),
+        _pround(F.col("q_stopword_ratio"), 6).alias("q_stopword_ratio"),
+        _pround(F.col("q_distinct_ratio"), 6).alias("q_distinct_ratio"),
+    )
+
+
+def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    out = lang_id(docs)
+    return out.select(
+        "doc_id",
+        "lang_pred",
+        *[
+            F.col(f"score_{lg}").cast("long").alias(f"score_{lg}")
+            for lg in sorted(LANG_PROFILES)
+        ],
+    )
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return doc_fingerprint(docs)
+
+
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_signatures(docs, num_hashes=16)
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # rows-only driver check (LSH banding); exactness of the underlying
+    # signatures is oracle-checked by q_minhash_signatures
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs, num_hashes=16)
+    return minhash_lsh_pairs(sigs, bands=8, rows=2)
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.12)
+    return pairs.select(
+        "id_a", "id_b", _pround(F.col("jaccard"), 6).alias("jaccard")
+    )
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash(docs, bits=16)
+
+
+def q_similarity_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = cosine_topk(emb.filter(F.col("vec_id") < 10), emb, k=5)
+    return out.select(
+        "query_id", "rank", "neighbor_id", _pround(F.col("cos"), 6).alias("cos")
+    )
+
+
+def q_similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # rows-only driver check: approximate path (bucketed); recall vs the
+    # exact path is asserted in tests/test_llm_ops.py
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = lsh_topk(
+        emb.filter(F.col("vec_id") < 10), emb, k=5, n_planes=4, n_tables=8
+    )
+    return out.select(
+        "query_id", "rank", "neighbor_id", _pround(F.col("cos"), 6).alias("cos")
+    )
+
+
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # binary media columns through the Arrow-batched decode kernel
+    docs = load_table(spark, sf_dir, "documents")
+    media = media_from_documents(docs)
+    return decode_features(media).select(
+        "media_id", "kind", "n_bytes", "content_md5"
+    )
+
+
+def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    media = media_from_documents(docs)
+    frames = frame_sample_plan(media, every_ms=1000)
+    return frames.groupBy("media_id").agg(
+        F.count(F.lit(1)).alias("n_frames"),
+        F.max("frame_ts_ms").alias("last_frame_ts_ms"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the reliability zonal extract (the aid-data triple) at
     sf0.001; driver checks rows>0."""
@@ -382,7 +512,144 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temporal_sort": q_temporal_sort,
         "window_topk": q_window_topk,
         "window_running": q_window_running,
+        # --- LLM-data-pipeline extensions ---
+        "dedup_exact": q_dedup_exact,
+        "text_quality": q_text_quality,
+        "text_lang_id": q_text_lang_id,
+        "doc_fingerprint": q_doc_fingerprint,
+        "minhash_signatures": q_minhash_signatures,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_simhash": q_dedup_simhash,
+        "similarity_cosine_topk": q_similarity_cosine_topk,
+        "similarity_lsh_topk": q_similarity_lsh_topk,
+        "multimodal_decode": q_multimodal_decode,
+        "multimodal_frame_sample": q_multimodal_frame_sample,
     }
+
+
+# --- programmatic oracle builders (constants shared with the engine) ---
+
+_SHINGLES_SQL = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, greatest(len(l) - 1, 2)),
+                               i -> array_to_string(list_slice(l, i, i + 2), ' ')
+                )) AS shingle
+  FROM toks)
+"""
+
+
+def _minhash_sql(num_hashes: int = 16) -> str:
+    mins = ",\n      ".join(
+        f"MIN((CAST({MINHASH_A[j]} AS BIGINT) * h + {MINHASH_B[j]})"
+        f" % {MINHASH_P}) AS mh_{j}"
+        for j in range(num_hashes)
+    )
+    return (
+        _SHINGLES_SQL
+        + f""",
+    hashed AS (
+      SELECT doc_id,
+             CAST(concat('0x', substr(md5(shingle), 1, 15)) AS BIGINT)
+               % {MINHASH_P} AS h
+      FROM sh)
+    SELECT doc_id, {mins}
+    FROM hashed GROUP BY doc_id
+    """
+    )
+
+
+def _jaccard_sql(threshold: float = 0.12, max_df: int = 1000) -> str:
+    return (
+        _SHINGLES_SQL
+        + f""",
+    keep AS (SELECT shingle FROM sh GROUP BY shingle
+             HAVING COUNT(*) <= {max_df}),
+    sh2 AS (SELECT doc_id, shingle FROM sh JOIN keep USING (shingle)),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh2 GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+      FROM sh2 a JOIN sh2 b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT id_a, id_b,
+           FLOOR(CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter)
+                 * 1e6 + 0.5) / 1e6 AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter) >= {threshold}
+    """
+    )
+
+
+def _simhash_sql(bits: int = 16) -> str:
+    votes = ",\n      ".join(
+        f"SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS v_{i}"
+        for i in range(bits)
+    )
+    pack = " + ".join(
+        f"(CASE WHEN v_{i} > 0 THEN 1 ELSE 0 END) * {2**i}" for i in range(bits)
+    )
+    return f"""
+    WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                FROM documents),
+    tk2 AS (SELECT doc_id,
+                   CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) AS h
+            FROM tk WHERE length(tok) > 0),
+    votes AS (SELECT doc_id, {votes} FROM tk2 GROUP BY doc_id)
+    SELECT doc_id, CAST({pack} AS BIGINT) AS simhash FROM votes
+    """
+
+
+def _lang_id_sql() -> str:
+    langs = sorted(LANG_PROFILES)
+    scores = ",\n      ".join(
+        "len(list_filter(string_split(text, ' '), x -> x IN ({words})))"
+        " AS score_{lang}".format(
+            words=", ".join(f"'{w}'" for w in LANG_PROFILES[lang]), lang=lang
+        )
+        for lang in langs
+    )
+    best = "greatest(" + ", ".join(f"score_{lg}" for lg in langs) + ")"
+    case = " ".join(
+        f"WHEN score_{lg} = {best} THEN '{lg}'" for lg in langs
+    )
+    return f"""
+    WITH scored AS (SELECT doc_id, {scores} FROM documents)
+    SELECT doc_id,
+           CASE WHEN {best} = 0 THEN 'und' {case} END AS lang_pred,
+           {", ".join(f"score_{lg}" for lg in langs)}
+    FROM scored
+    """
+
+
+_COS64 = (
+    "list_sum(list_transform(range(1, 65),"
+    " i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+)
+
+
+def _cosine_sql() -> str:
+    dot = _COS64.format(a="qv", b="cv")
+    nq = f"sqrt({_COS64.format(a='qv', b='qv')})"
+    nc = f"sqrt({_COS64.format(a='cv', b='cv')})"
+    return f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+               FROM embeddings WHERE vec_id < 10),
+    c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+    s AS (SELECT query_id, neighbor_id, {dot} / ({nq} * {nc}) AS cos
+          FROM c, q WHERE query_id <> neighbor_id),
+    r AS (SELECT query_id, neighbor_id, cos,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY cos DESC, neighbor_id ASC) AS rnk
+          FROM s)
+    SELECT query_id, CAST(rnk AS INT) AS rank, neighbor_id,
+           FLOOR(cos * 1e6 + 0.5) / 1e6 AS cos
+    FROM r WHERE rnk <= 5
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -574,5 +841,58 @@ QUALIFY ROW_NUMBER() OVER (
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                      * 1e2 + 0.5) / 1e2 AS running_total
             FROM orders WHERE o_custkey < 500
+        """,
+        "dedup_exact": """
+            SELECT md5(substr(text, 1, 24)) AS content_key,
+                   MIN(doc_id) AS keep_id,
+                   COUNT(*) AS n_dups
+            FROM documents GROUP BY 1
+        """,
+        "text_quality": """
+            WITH t AS (
+              SELECT doc_id, text,
+                     CAST(length(text) AS BIGINT) AS q_n_chars,
+                     CAST(len(string_split(text, ' ')) AS BIGINT) AS q_n_tokens,
+                     len(list_filter(string_split(text, ' '),
+                         x -> x IN ('the','a','of','and','to','in','is',
+                                    'that','it','for'))) AS stop_hits,
+                     len(list_distinct(string_split(text, ' '))) AS n_distinct
+              FROM documents)
+            SELECT doc_id, q_n_chars, q_n_tokens,
+                   FLOOR(CAST(q_n_chars - q_n_tokens + 1 AS DOUBLE)
+                         / q_n_tokens * 1e6 + 0.5) / 1e6 AS q_mean_token_len,
+                   FLOOR(CAST(stop_hits AS DOUBLE) / q_n_tokens * 1e6 + 0.5)
+                     / 1e6 AS q_stopword_ratio,
+                   FLOOR(CAST(n_distinct AS DOUBLE) / q_n_tokens * 1e6 + 0.5)
+                     / 1e6 AS q_distinct_ratio
+            FROM t
+        """,
+        "text_lang_id": _lang_id_sql(),
+        "doc_fingerprint": """
+            SELECT doc_id,
+                   md5(array_to_string(
+                     list_sort(list_distinct(string_split(text, ' '))), ' '))
+                     AS fingerprint
+            FROM documents
+        """,
+        "minhash_signatures": _minhash_sql(16),
+        "dedup_ngram_jaccard": _jaccard_sql(0.12),
+        "dedup_simhash": _simhash_sql(16),
+        "similarity_cosine_topk": _cosine_sql(),
+        "multimodal_decode": """
+            SELECT doc_id AS media_id,
+                   CASE CAST(doc_id % 3 AS INT)
+                     WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                     ELSE 'video' END AS kind,
+                   CAST(strlen(text) AS INTEGER) AS n_bytes,
+                   md5(text) AS content_md5
+            FROM documents
+        """,
+        "multimodal_frame_sample": """
+            SELECT doc_id AS media_id,
+                   CAST((n_chars * 10) // 1000 + 1 AS BIGINT) AS n_frames,
+                   CAST(((n_chars * 10) // 1000) * 1000 AS BIGINT)
+                     AS last_frame_ts_ms
+            FROM documents WHERE doc_id % 3 = 2
         """,
     }

@@ -1,0 +1,227 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Designed 100 TB-first:
+
+- **exact**: hash-groupBy on a content key — one shuffle on the hash,
+  map-side partial aggregation;
+- **n-gram Jaccard**: exact pairwise similarity via a shingle
+  self-join. Correct but O(sum freq²) over shingles — the *verifier*,
+  not the scale path; always cap shingle document-frequency first
+  (a shingle in 10k docs contributes 10⁸ pairs and zero signal);
+- **MinHash + LSH banding**: the scale path. Signatures are one
+  groupBy over shingle hashes (k univeral-hash mins computed as
+  Column expressions — no Python); banding turns candidate generation
+  into an equi-join on (band, bucket). Tunable (bands × rows) to the
+  target Jaccard threshold;
+- **SimHash**: per-token hash bits weighted-summed to one integer per
+  doc; near-dups differ in ≤ h bits (hamming via xor+bit_count). Band
+  on bit-slices for candidate generation at scale.
+
+All hash functions are derived from md5 (stable everywhere) rather
+than engine-private hashes, so results are reproducible across
+engines and across cluster sizes.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from det_module_spark.operators.text import word_shingles
+
+# Mersenne prime 2^31-1: (a*h+b) % P stays under 2^62 for a,b,h < 2^31,
+# so the arithmetic never overflows 64-bit in any engine.
+MINHASH_P = 2_147_483_647
+
+# Deterministic universal-hash family (seeded once; embedded verbatim
+# in SQL oracles so cross-engine runs agree).
+_rng = random.Random(0x5EED)
+MINHASH_A: list[int] = [_rng.randrange(1, MINHASH_P) for _ in range(64)]
+MINHASH_B: list[int] = [_rng.randrange(0, MINHASH_P) for _ in range(64)]
+
+
+def stable_hash64(col: Column) -> Column:
+    """Stable 60-bit integer from md5 — engine-independent (unlike
+    xxhash64/murmur which differ between engines)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def exact_dedup(
+    df: DataFrame, key: Column, id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact dedup on a content key: keep the smallest id per key,
+    report group size. One hash-aggregate shuffle."""
+    return (
+        df.select(key.alias("content_key"), F.col(id_col))
+        .groupBy("content_key")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_dups"),
+        )
+    )
+
+
+def shingle_hashes(
+    df: DataFrame, id_col: str = "doc_id", text: str = "text", n: int = 3
+) -> DataFrame:
+    sh = word_shingles(df, id_col, text, n)
+    return sh.select(
+        id_col, (stable_hash64(F.col("shingle")) % MINHASH_P).alias("h")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    max_shingle_df: int = 1000,
+) -> DataFrame:
+    """Exact pairwise n-gram Jaccard ≥ threshold via shingle self-join.
+
+    ``max_shingle_df`` drops ubiquitous shingles before the join —
+    the standard guard against the quadratic blowup (stop-shingles
+    carry no dedup signal anyway).
+    """
+    sh = word_shingles(df, id_col, text, n).select(
+        F.col(id_col).alias("id"), "shingle"
+    )
+    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_"))
+    sh = sh.join(
+        F.broadcast(freq.filter(F.col("df_") <= max_shingle_df)), "shingle"
+    ).select("id", "shingle")
+
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    out = (
+        inter.join(F.broadcast(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a")), "id_a")
+        .join(F.broadcast(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b")), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double")
+            / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text: str = "text",
+    n: int = 3,
+    num_hashes: int = 16,
+) -> DataFrame:
+    """k-min signature per document: sig_j = min((a_j*h + b_j) mod P).
+
+    One aggregation — k mins computed together in a single groupBy
+    over the shingle-hash table; no per-hash passes, no Python.
+    """
+    if num_hashes > len(MINHASH_A):
+        raise ValueError(f"num_hashes <= {len(MINHASH_A)}")
+    hashed = shingle_hashes(df, id_col, text, n)
+    aggs = [
+        F.min(
+            (F.lit(MINHASH_A[j]) * F.col("h") + F.lit(MINHASH_B[j])) % MINHASH_P
+        ).alias(f"mh_{j}")
+        for j in range(num_hashes)
+    ]
+    return hashed.groupBy(id_col).agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = 4,
+    rows: int = 4,
+) -> DataFrame:
+    """LSH banding: docs sharing any band bucket become candidate
+    pairs. Candidate generation is ``bands`` equi-self-joins on a tiny
+    (id, band, bucket) table — the only joins in the pipeline; exact
+    verification (Jaccard or signature agreement) runs on candidates
+    only."""
+    band_rows = []
+    for b in range(bands):
+        cols = [F.col(f"mh_{b * rows + r}").cast("string") for r in range(rows)]
+        band_rows.append(
+            signatures.select(
+                F.col(id_col).alias("id"),
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws(",", *cols)).alias("bucket"),
+            )
+        )
+    buckets = band_rows[0]
+    for br in band_rows[1:]:
+        buckets = buckets.unionByName(br)
+    a, b_ = buckets.alias("a"), buckets.alias("b")
+    return (
+        a.join(
+            b_,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def simhash(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text: str = "text",
+    bits: int = 16,
+) -> DataFrame:
+    """Per-document SimHash: tokens vote +1/−1 on each bit of their
+    stable hash; the sign vector packs into one integer. Entirely
+    Column arithmetic: explode tokens → one groupBy with ``bits``
+    conditional sums → pack."""
+    toks = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text), " ")).alias("tok")
+    ).filter(F.length("tok") > 0)
+    h = stable_hash64(F.col("tok"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v_{i}")
+        for i in range(bits)
+    ]
+    per_doc = toks.groupBy(id_col).agg(*votes)
+    packed = None
+    for i in range(bits):
+        bit = F.when(F.col(f"v_{i}") > 0, F.lit(1)).otherwise(F.lit(0)) * F.lit(
+            2**i
+        )
+        packed = bit if packed is None else packed + bit
+    return per_doc.select(id_col, packed.cast("long").alias("simhash"))
+
+
+def simhash_pairs(
+    hashes: DataFrame, id_col: str = "doc_id", max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup candidates: hamming(simhash_a, simhash_b) ≤ h via
+    xor + bit_count. All-pairs here (exact); at scale, band the hash
+    into (h+1) bit-slices first — any pair within h bits must agree
+    exactly on at least one slice (pigeonhole), turning this into an
+    equi-join too."""
+    a = hashes.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"))
+    b = hashes.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

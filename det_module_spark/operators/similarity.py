@@ -1,0 +1,200 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths, as a production vector pipeline would have:
+
+- **brute-force cosine top-k** — the exactness baseline. Queries are
+  broadcast against the corpus; the dot product is a
+  ``zip_with``+``aggregate`` Column expression (codegen, no Python).
+  Cost O(|Q|·|C|·d): right answer for |Q| small or as the re-rank
+  stage;
+- **random-hyperplane LSH** — the scale path. Each vector gets a
+  b-bit signature (sign of ⟨v, plane⟩ per plane); candidates share a
+  bucket, then exact cosine re-ranks candidates only. Plane
+  components are derived deterministically from md5, so signatures
+  are reproducible across runs and engines.
+
+At 100 TB the corpus side never shuffles: signatures are a
+projection; the bucket join shuffles only (bucket, id, vec) with
+bounded bucket sizes (tune n_planes to data density).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    Output: (query_id, rank, neighbor_id, cos) — ties broken by
+    neighbor id so results are total-ordered and reproducible.
+    """
+    from pyspark.sql import Window
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos", cosine(F.col("qv"), F.col("cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cos")
+    )
+
+
+def _plane_value(plane: int, dim: int) -> float:
+    """Deterministic pseudo-random plane component in [-1, 1): 13 hex
+    chars of md5("rhp:plane:dim") scaled. Stable across runs, engines,
+    and cluster sizes — no RNG state to ship."""
+    import hashlib
+
+    h = int(hashlib.md5(f"rhp:{plane}:{dim}".encode()).hexdigest()[:13], 16)
+    return h / float(16**13) * 2.0 - 1.0
+
+
+def _plane_matrix(n_planes: int, n_tables: int, dim: int):
+    """(dim, n_tables*n_planes) hyperplane matrix, columns grouped by
+    table. Built once on the driver (a few KB), broadcast inside the
+    UDF closure."""
+    import numpy as np
+
+    cols = []
+    for t in range(n_tables):
+        for p in range(n_planes):
+            pid = t * 1000 + p
+            cols.append([_plane_value(pid, d) for d in range(dim)])
+    return np.asarray(cols, dtype=np.float64).T
+
+
+def rhp_signatures_udf(n_planes: int, n_tables: int, dim: int):
+    """Arrow-batched signature kernel: one numpy matmul per batch
+    computes every table's signature for every row — sign bits packed
+    per table into an array<long>.
+
+    A pure Column-expression formulation needs tables×planes×dim
+    (≈2000) expression terms per row, which blows past JVM codegen
+    limits and falls back to interpreted eval (~20× slower measured);
+    dense linear algebra is the one case where the vectorized Python
+    path beats codegen.
+    """
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    planes = _plane_matrix(n_planes, n_tables, dim)
+    weights = np.power(2.0, np.arange(n_planes))
+
+    @pandas_udf("array<long>")
+    def sigs(vecs: pd.Series) -> pd.Series:
+        mat = np.stack(vecs.to_numpy()).astype(np.float64)  # (n, dim)
+        bits = (mat @ planes) > 0  # (n, tables*planes)
+        out = []
+        for row in bits.reshape(len(mat), n_tables, n_planes):
+            out.append((row @ weights).astype(np.int64).tolist())
+        return pd.Series(out)
+
+    return sigs
+
+
+def lsh_buckets(
+    df: DataFrame,
+    id_name: str,
+    id_col: str,
+    vec_col: str,
+    n_planes: int,
+    n_tables: int,
+    dim: int,
+) -> DataFrame:
+    """(id, vec, table, bucket) rows — one signature per hash table.
+    AND within a table (n_planes bits), OR across tables: standard LSH
+    amplification. Candidate recall for cosine-θ neighbors is
+    1 − (1 − (1 − θ/π)^planes)^tables. One Arrow pass computes all
+    tables; ``posexplode`` fans out to (table, bucket) rows."""
+    sigs = rhp_signatures_udf(n_planes, n_tables, dim)
+    with_sigs = df.select(
+        F.col(id_col).alias(id_name),
+        F.col(vec_col).alias(f"{id_name}_v"),
+        sigs(F.col(vec_col)).alias("sigs"),
+    )
+    return with_sigs.select(
+        id_name,
+        f"{id_name}_v",
+        F.posexplode("sigs").alias("table", "bucket"),
+    )
+
+
+def lsh_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 4,
+    n_tables: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate top-k: multi-table hyperplane LSH candidates, exact
+    cosine re-rank on candidates only. Recall measured against
+    cosine_topk in tests; tune (n_planes, n_tables) to data density —
+    more planes → smaller buckets, more tables → higher recall.
+
+    At scale the corpus bucket table is computed once (a projection),
+    persisted, and reused across query batches; the join touches only
+    matching buckets."""
+    from pyspark.sql import Window
+
+    q = lsh_buckets(queries, "query_id", id_col, vec_col, n_planes, n_tables, dim)
+    c = lsh_buckets(corpus, "neighbor_id", id_col, vec_col, n_planes, n_tables, dim)
+    cand = (
+        c.join(F.broadcast(q), ["table", "bucket"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "query_id_v", "neighbor_id", "neighbor_id_v")
+        .distinct()
+        .withColumn("cos", cosine(F.col("query_id_v"), F.col("neighbor_id_v")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cos")
+    )

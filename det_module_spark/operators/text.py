@@ -1,0 +1,115 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+North-star extensions beyond the reference surface (BASELINE.json):
+language-ID, quality scoring, token counting, shingling, document
+fingerprinting. Everything here is a native Column expression —
+split/filter/transform/aggregate lambdas run inside codegen; there is
+no Python in the row path, so these scale to 100 TB document sets
+limited only by the scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Small per-language stopword profiles for the n-gram/stopword
+# heuristic language identifier. Deliberately tiny: lang-id at scale is
+# a scoring pass, not a model.
+LANG_PROFILES: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "that", "it", "for"],
+    "fr": ["le", "la", "les", "de", "des", "et", "un", "une", "que", "est"],
+    "de": ["der", "die", "das", "und", "ein", "eine", "ist", "nicht", "mit", "zu"],
+    "es": ["el", "la", "los", "de", "y", "un", "una", "que", "es", "en"],
+    "zh": ["的", "是", "了", "在", "和", "有", "我", "不", "这", "人"],
+}
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization (the reference's CSV-era convention —
+    no locale-dependent behavior, deterministic everywhere)."""
+    return F.split(text, " ")
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """Sub-word-ish token count: split on whitespace AND on
+    letter/digit boundaries — a cheap deterministic proxy for BPE
+    token counts used for budget estimates."""
+    return F.size(F.split(text, r"\s+|(?<=[a-z])(?=[0-9])|(?<=[0-9])(?=[a-z])"))
+
+
+def stopword_hits(text: Column, words: list[str]) -> Column:
+    return F.size(F.filter(tokens(text), lambda t: t.isin(*words)))
+
+
+def quality_features(df: DataFrame, text: str = "text") -> DataFrame:
+    """Per-document quality features: char/token counts, mean token
+    length, stopword ratio, distinct-token ratio. The composite
+    ``quality_score`` mirrors common pretraining-data filters
+    (length + lexical diversity + stopword presence)."""
+    t = F.col(text)
+    toks = tokens(t)
+    n_tok = F.size(toks)
+    n_distinct = F.size(F.array_distinct(toks))
+    stop = stopword_hits(t, LANG_PROFILES["en"])
+    return df.select(
+        "*",
+        F.length(t).alias("q_n_chars"),
+        n_tok.alias("q_n_tokens"),
+        (
+            (F.length(t) - n_tok + 1).cast("double") / n_tok
+        ).alias("q_mean_token_len"),
+        (stop.cast("double") / n_tok).alias("q_stopword_ratio"),
+        (n_distinct.cast("double") / n_tok).alias("q_distinct_ratio"),
+    )
+
+
+def lang_id(df: DataFrame, text: str = "text", out: str = "lang_pred") -> DataFrame:
+    """Stopword-profile language identification: score = profile hits
+    per language, argmax with deterministic (score desc, lang asc)
+    tie-break. One projection, no shuffle."""
+    t = F.col(text)
+    scores = [
+        stopword_hits(t, words).alias(f"score_{lang}")
+        for lang, words in sorted(LANG_PROFILES.items())
+    ]
+    scored = df.select("*", *scores)
+    best = F.greatest(*[F.col(f"score_{lang}") for lang in sorted(LANG_PROFILES)])
+    pred = F.lit(None).cast("string")
+    # first lang (asc) achieving the max wins; all-zero scores -> 'und'
+    for lang in sorted(LANG_PROFILES, reverse=True):
+        pred = F.when(F.col(f"score_{lang}") == best, F.lit(lang)).otherwise(pred)
+    pred = F.when(best == 0, F.lit("und")).otherwise(pred)
+    return scored.withColumn(out, pred)
+
+
+def word_shingles(
+    df: DataFrame, id_col: str = "doc_id", text: str = "text", n: int = 3
+) -> DataFrame:
+    """Distinct word n-gram shingles per document: (id, shingle) rows.
+    ``transform(sequence(...))`` builds the n-grams JVM-side; explode
+    fans out. This is the input to Jaccard / MinHash dedup."""
+    toks = tokens(F.col(text))
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+        lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+    )
+    return (
+        df.select(F.col(id_col), F.explode(F.array_distinct(grams)).alias("shingle"))
+        .filter(F.length("shingle") > 0)
+    )
+
+
+def doc_fingerprint(
+    df: DataFrame, id_col: str = "doc_id", text: str = "text"
+) -> DataFrame:
+    """Order-insensitive bag-of-words fingerprint: md5 over the sorted
+    distinct token set. Two documents with the same vocabulary collide
+    — the cheap first-pass near-dup key."""
+    toks = tokens(F.col(text))
+    fp = F.md5(F.array_join(F.array_sort(F.array_distinct(toks)), " "))
+    return df.select(id_col, fp.alias("fingerprint"))

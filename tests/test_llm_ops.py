@@ -1,0 +1,167 @@
+"""Dedup / similarity / text / multimodal operator semantics."""
+
+import math
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from det_module_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_pairs,
+)
+from det_module_spark.operators.multimodal import (
+    decode_features,
+    frame_sample_plan,
+    media_from_documents,
+)
+from det_module_spark.operators.similarity import cosine_topk, lsh_topk
+from det_module_spark.operators.text import (
+    doc_fingerprint,
+    lang_id,
+    quality_features,
+    word_shingles,
+)
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog"),
+    (1, "the quick brown fox jumps over the lazy cat"),  # near-dup of 0
+    (2, "completely different words about spark engines here"),
+    (3, "dog lazy the over jumps fox brown quick the"),  # same bag as 0
+    (4, "der hund ist nicht mit der katze und das haus"),  # German
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in DOCS]
+    )
+
+
+def test_exact_dedup_groups(spark):
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in [(0, "aaa"), (1, "bbb"), (2, "aaa")]]
+    )
+    out = {r["keep_id"]: r["n_dups"] for r in exact_dedup(df, F.md5("text")).collect()}
+    assert out == {0: 2, 1: 1}
+
+
+def test_word_shingles(docs):
+    sh = word_shingles(docs.filter("doc_id = 0"), n=3).collect()
+    grams = {r["shingle"] for r in sh}
+    assert "the quick brown" in grams and "the lazy dog" in grams
+    # 9 tokens -> 7 trigrams, all distinct here
+    assert len(grams) == 7
+
+
+def test_ngram_jaccard_finds_near_dup(docs):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, threshold=0.3).collect()
+    }
+    # docs 0/1 share 6 of 8 distinct trigrams -> jaccard 0.75
+    assert math.isclose(pairs[(0, 1)], 6 / 8)
+    assert all(a == 0 and b == 1 for (a, b) in pairs)
+
+
+def test_minhash_lsh_recalls_near_dup(docs):
+    sigs = minhash_signatures(docs, num_hashes=16)
+    pairs = {
+        (r["id_a"], r["id_b"]) for r in minhash_lsh_pairs(sigs, bands=8, rows=2).collect()
+    }
+    assert (0, 1) in pairs  # 0.75 jaccard must survive 8x2 banding
+    assert (2, 4) not in pairs  # nothing shared
+
+
+def test_minhash_signature_stability(docs):
+    a = minhash_signatures(docs, num_hashes=8).orderBy("doc_id").collect()
+    b = minhash_signatures(docs.repartition(7), num_hashes=8).orderBy("doc_id").collect()
+    assert a == b  # partitioning-independent
+
+
+def test_simhash_near_dup_distance(docs):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_pairs(simhash(docs, bits=16), max_hamming=16).collect()
+    }
+    # near-dup pair is closer than unrelated pair
+    assert pairs[(0, 1)] < pairs[(2, 4)]
+    # identical bag of words (docs 0,3: same tokens, re-ordered,
+    # multiset differs by one 'the') stays very close
+    assert pairs[(0, 3)] <= 2
+
+
+def test_quality_features(docs):
+    row = (
+        quality_features(docs.filter("doc_id = 0")).collect()[0]
+    )
+    assert row["q_n_tokens"] == 9
+    assert row["q_n_chars"] == len(DOCS[0][1])
+    assert math.isclose(row["q_stopword_ratio"], 2 / 9)  # 'the' twice
+    assert math.isclose(row["q_distinct_ratio"], 8 / 9)
+
+
+def test_lang_id(docs):
+    preds = {r["doc_id"]: r["lang_pred"] for r in lang_id(docs).collect()}
+    assert preds[0] == "en"
+    assert preds[4] == "de"
+
+
+def test_doc_fingerprint_order_insensitive(docs):
+    fps = {r["doc_id"]: r["fingerprint"] for r in doc_fingerprint(docs).collect()}
+    assert fps[0] == fps[3]  # same token set, different order
+    assert fps[0] != fps[1]
+
+
+def test_cosine_topk_exact(spark):
+    rows = [
+        Row(vec_id=0, embedding=[1.0, 0.0, 0.0]),
+        Row(vec_id=1, embedding=[0.9, 0.1, 0.0]),
+        Row(vec_id=2, embedding=[0.0, 1.0, 0.0]),
+        Row(vec_id=3, embedding=[0.0, 0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(rows)
+    out = cosine_topk(df.filter("vec_id = 0"), df, k=2).collect()
+    assert [r["neighbor_id"] for r in out] == [1, 2]
+    assert out[0]["rank"] == 1
+    assert math.isclose(out[0]["cos"], 0.9 / math.sqrt(0.82), rel_tol=1e-9)
+
+
+def test_lsh_topk_recall(spark, sf_dir):
+    from det_module_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = cosine_topk(queries, emb, k=3).collect()
+    approx = lsh_topk(queries, emb, k=3, n_planes=4, n_tables=8).collect()
+    exact_set = {(r["query_id"], r["neighbor_id"]) for r in exact}
+    approx_set = {(r["query_id"], r["neighbor_id"]) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    # 8 tables x 4 planes: OR-amplified recall; must beat random chance
+    # by a wide margin (random candidate sets would recall ~tables/16)
+    assert recall >= 0.5, f"LSH recall {recall} too low"
+
+
+def test_multimodal_decode_and_frames(spark):
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=t, lang="en", source="s", n_chars=len(t)) for i, t in DOCS]
+    )
+    media = media_from_documents(docs)
+    assert media.schema["content"].dataType.typeName() == "binary"
+    dec = {r["media_id"]: r for r in decode_features(media).collect()}
+    assert dec[0]["n_bytes"] == len(DOCS[0][1])
+    assert len(dec[0]["feature"]) == 8
+    import hashlib
+
+    assert dec[0]["content_md5"] == hashlib.md5(DOCS[0][1].encode()).hexdigest()
+    # frame sampling: one media row is 'video' (doc_id % 3 == 2)
+    frames = frame_sample_plan(media, every_ms=100).collect()
+    vids = {r["media_id"] for r in frames}
+    assert vids == {2}
+    n = len([r for r in frames if r["media_id"] == 2])
+    assert n == (len(DOCS[2][1]) * 10) // 100 + 1
