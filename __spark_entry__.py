@@ -46,6 +46,12 @@ from det_module_spark.operators.text import (
     quality_features,
 )
 from det_module_spark.sources.tables import load_table
+from det_module_spark.streaming.windows import (
+    flatten_window,
+    session_agg,
+    sliding_agg,
+    tumbling_agg,
+)
 
 # ---------------------------------------------------------------------------
 # The synthetic zonal cell table (stands in for raster-cells-joined-to-
@@ -466,6 +472,44 @@ def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Event-time windows (§2.10). Same builders run streaming with a
+# watermark; here they run batch for the oracle gate.
+# ---------------------------------------------------------------------------
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # hour-window alignment is timezone-relative; pin UTC for parity
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return load_table(spark, sf_dir, "events")
+
+
+def q_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = flatten_window(tumbling_agg(_events(spark, sf_dir), "1 hour"))
+    return out.select(
+        "window_start", "window_end", "event_type", "n_events",
+        _pround(F.col("sum_value"), 4).alias("sum_value"),
+    )
+
+
+def q_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = flatten_window(
+        sliding_agg(_events(spark, sf_dir), "2 hours", "1 hour")
+    )
+    return out.select(
+        "window_start", "window_end", "event_type", "n_events",
+        _pround(F.col("sum_value"), 4).alias("sum_value"),
+    )
+
+
+def q_events_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = flatten_window(session_agg(_events(spark, sf_dir), "30 minutes"))
+    return out.select(
+        "window_start", "window_end", "user_id", "n_events",
+        _pround(F.col("sum_value"), 4).alias("sum_value"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the reliability zonal extract (the aid-data triple) at
     sf0.001; driver checks rows>0."""
@@ -525,6 +569,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_lsh_topk": q_similarity_lsh_topk,
         "multimodal_decode": q_multimodal_decode,
         "multimodal_frame_sample": q_multimodal_frame_sample,
+        # --- event-time windows (§2.10) ---
+        "events_tumbling": q_events_tumbling,
+        "events_sliding": q_events_sliding,
+        "events_session": q_events_session,
     }
 
 
@@ -894,5 +942,52 @@ QUALIFY ROW_NUMBER() OVER (
                    CAST(((n_chars * 10) // 1000) * 1000 AS BIGINT)
                      AS last_frame_ts_ms
             FROM documents WHERE doc_id % 3 = 2
+        """,
+        "events_tumbling": """
+            SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+                     AS window_start,
+                   strftime(date_trunc('hour', ts) + INTERVAL 1 HOUR,
+                            '%Y-%m-%d %H:%M:%S') AS window_end,
+                   event_type,
+                   COUNT(*) AS n_events,
+                   FLOOR(SUM(value) * 1e4 + 0.5) / 1e4 AS sum_value
+            FROM events GROUP BY 1, 2, 3
+        """,
+        "events_sliding": """
+            WITH starts AS (
+              SELECT ts, event_type, value,
+                     unnest([date_trunc('hour', ts) - INTERVAL 1 HOUR,
+                             date_trunc('hour', ts)]) AS w_start
+              FROM events)
+            SELECT strftime(w_start, '%Y-%m-%d %H:%M:%S') AS window_start,
+                   strftime(w_start + INTERVAL 2 HOUR, '%Y-%m-%d %H:%M:%S')
+                     AS window_end,
+                   event_type,
+                   COUNT(*) AS n_events,
+                   FLOOR(SUM(value) * 1e4 + 0.5) / 1e4 AS sum_value
+            FROM starts GROUP BY 1, 2, 3
+        """,
+        "events_session": """
+            WITH ordered AS (
+              SELECT user_id, ts, value,
+                     CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id
+                                                  ORDER BY ts)
+                            >= INTERVAL 30 MINUTE
+                          OR LAG(ts) OVER (PARTITION BY user_id
+                                           ORDER BY ts) IS NULL
+                          THEN 1 ELSE 0 END AS is_new
+              FROM events),
+            islands AS (
+              SELECT user_id, ts, value,
+                     SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                       ROWS UNBOUNDED PRECEDING) AS sess
+              FROM ordered)
+            SELECT strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+                   strftime(MAX(ts) + INTERVAL 30 MINUTE,
+                            '%Y-%m-%d %H:%M:%S') AS window_end,
+                   user_id,
+                   COUNT(*) AS n_events,
+                   FLOOR(SUM(value) * 1e4 + 0.5) / 1e4 AS sum_value
+            FROM islands GROUP BY user_id, sess
         """,
     }

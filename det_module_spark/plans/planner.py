@@ -44,6 +44,7 @@ ITEM_SCHEMA = T.StructType(
         T.StructField("data", T.StringType(), False),
         T.StructField("temporal", T.StringType(), True),
         T.StructField("extract_type", T.StringType(), True),
+        T.StructField("source", T.StringType(), False),  # 'release' | 'raster'
         T.StructField("spec_hash", T.StringType(), False),
     ]
 )
@@ -58,6 +59,7 @@ class Item:
     data: str
     temporal: str | None
     extract_type: str | None
+    source: str  # 'release' (MSR-derived, method-named exfields) | 'raster'
     spec_hash: str
 
 
@@ -77,7 +79,8 @@ def expand_request(request: dict[str, Any], msr_version: str = "0.1") -> list[It
         spec = msr_spec(dataset, normalize_filters(raw.get("filters")), msr_version)
         h = spec_hash(spec)
         items.append(
-            Item(rid, "msr", None, dataset, f"{dataset}_{h}", None, None, h)
+            Item(rid, "msr", None, dataset, f"{dataset}_{h}", None, None,
+                 "release", h)
         )
         etype = effective_extract_type(dataset)
         ex_spec = {
@@ -89,7 +92,8 @@ def expand_request(request: dict[str, Any], msr_version: str = "0.1") -> list[It
         items.append(
             Item(
                 rid, "extract", boundary, dataset, f"{dataset}_{h}",
-                h, validate_extract_type(etype), spec_hash(ex_spec),
+                h, validate_extract_type(etype), "release",
+                spec_hash(ex_spec),
             )
         )
 
@@ -107,7 +111,8 @@ def expand_request(request: dict[str, Any], msr_version: str = "0.1") -> list[It
                 items.append(
                     Item(
                         rid, "extract", boundary, name, f["name"],
-                        temporal, validate_extract_type(etype), spec_hash(ex_spec),
+                        temporal, validate_extract_type(etype), "raster",
+                        spec_hash(ex_spec),
                     )
                 )
 

@@ -1,0 +1,129 @@
+"""Request-output sinks (SURVEY.md K1-K4, K9).
+
+The reference ships each completed request as a bundle: merged wide
+CSV + request JSON dump + PDF documentation + source artifacts, zipped
+(queue/request_tools.py:516-613). Re-founded:
+
+- merged CSV: single-file contract (K1, request_tools.py:698-703);
+- request JSON: ``indent=4`` dump (K2, request_tools.py:553-558);
+- documentation: the PDF builder (K3, documentation_tool.py) needs
+  reportlab — not bundled — so the same content renders as a
+  deterministic text report, with the PDF path gated behind an
+  import-try;
+- zip packaging (K4, request_tools.py:602-606).
+
+All driver-side: the bundle is one row per boundary feature — tiny by
+construction regardless of input scale.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+from typing import Any
+
+from pyspark.sql import DataFrame
+
+from det_module_spark.operators.merge import MergeItem, renamed_exfields
+
+
+def write_merged_csv(merged: DataFrame, out_dir: str, name: str = "results.csv") -> str:
+    """K1 — single CSV with header; exact-'' NA semantics on the way
+    out (nulls write as empty string)."""
+    tmp = os.path.join(out_dir, "_csv_tmp")
+    (
+        merged.coalesce(1)
+        .write.mode("overwrite")
+        .option("header", True)
+        .option("nullValue", "")
+        .option("emptyValue", "")
+        .csv(tmp)
+    )
+    part = next(
+        f for f in os.listdir(tmp) if f.startswith("part-") and f.endswith(".csv")
+    )
+    final = os.path.join(out_dir, name)
+    shutil.move(os.path.join(tmp, part), final)
+    shutil.rmtree(tmp)
+    return final
+
+
+def write_request_json(request: dict[str, Any], out_dir: str) -> str:
+    """K2 — request_details.json, indent=4 (request_tools.py:553-558)."""
+    path = os.path.join(out_dir, "request_details.json")
+    with open(path, "w") as f:
+        json.dump(request, f, indent=4, sort_keys=True)
+    return path
+
+
+def build_documentation(
+    request: dict[str, Any],
+    merge_items: list[MergeItem],
+    out_dir: str,
+    catalog: dict[str, dict] | None = None,
+) -> str:
+    """K3 — per-request documentation: request info, timeline, and the
+    column-name dictionary produced by the naming algebra (the
+    reference's DocBuilder overview section,
+    queue/documentation_tool.py:246-339). Text report; PDF rendering
+    plugs in when reportlab is available."""
+    lines: list[str] = []
+    lines.append("DATA EXTRACTION REQUEST DOCUMENTATION")
+    lines.append("=" * 38)
+    lines.append(f"request id: {request.get('_id', '')}")
+    lines.append(f"name:       {request.get('custom_name', '')}")
+    boundary = request.get("boundary", {})
+    lines.append(f"boundary:   {boundary.get('name', '')} ({boundary.get('title', '')})")
+    lines.append(f"generated:  {time.strftime('%Y-%m-%d %H:%M:%S', time.gmtime(0))}")
+    lines.append("")
+    lines.append("RESULT COLUMNS  (<dataset>.<filter>.<method>)")
+    lines.append("-" * 38)
+    lines.append("asdf_id: unique feature id within the boundary dataset")
+    for mi in merge_items:
+        for _, out_name in renamed_exfields(mi):
+            lines.append(f"{out_name}: {mi.extract_type} extract of {mi.dataset}")
+    if catalog:
+        lines.append("")
+        lines.append("DATASET METADATA")
+        lines.append("-" * 38)
+        seen = set()
+        for mi in merge_items:
+            if mi.dataset in seen:  # dedup by name (documentation_tool.py:466-472)
+                continue
+            seen.add(mi.dataset)
+            meta = catalog.get(mi.dataset, {})
+            lines.append(f"{mi.dataset}: {meta.get('title', 'n/a')}")
+
+    try:  # pragma: no cover - reportlab not bundled
+        import reportlab  # noqa: F401
+
+        raise NotImplementedError("PDF rendering hook: plug DocBuilder here")
+    except ImportError:
+        path = os.path.join(out_dir, "documentation.txt")
+        with open(path, "w") as f:
+            f.write("\n".join(lines) + "\n")
+        return path
+
+
+def package_bundle(out_dir: str) -> str:
+    """K4 — zip the bundle directory (request_tools.py:602-606)."""
+    return shutil.make_archive(out_dir, "zip", out_dir)
+
+
+def write_request_bundle(
+    request: dict[str, Any],
+    merged: DataFrame,
+    merge_items: list[MergeItem],
+    out_dir: str,
+    catalog: dict[str, dict] | None = None,
+) -> dict[str, str]:
+    os.makedirs(out_dir, exist_ok=True)
+    artifacts = {
+        "csv": write_merged_csv(merged, out_dir),
+        "json": write_request_json(request, out_dir),
+        "doc": build_documentation(request, merge_items, out_dir, catalog),
+    }
+    artifacts["zip"] = package_bundle(out_dir)
+    return artifacts
