@@ -45,7 +45,9 @@ from det_module_spark.operators.text import (
     lang_id,
     quality_features,
 )
+from det_module_spark.operators.spatial import spatial_join_rect
 from det_module_spark.sources.tables import load_table
+from det_module_spark.sources.vector import rect_boundaries
 from det_module_spark.streaming.windows import (
     flatten_window,
     session_agg,
@@ -472,6 +474,28 @@ def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_zonal_spatial_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # J2 + §2.4 composed: raster cells -> grid-bucketed spatial join
+    # against a rectangle-tiled boundary layer -> zonal mean.
+    # 200x200 cells at 0.05°, 10x10 boundary features over [0,10)².
+    cells = spark.range(200 * 200).select(
+        (F.col("id") % 200).alias("cell_x"),
+        (F.col("id") / 200).cast("long").alias("cell_y"),
+    )
+    points = cells.select(
+        (F.col("cell_x") * F.lit(0.05) + F.lit(0.025)).alias("lon"),
+        (F.col("cell_y") * F.lit(0.05) + F.lit(0.025)).alias("lat"),
+        ((F.col("cell_x") * 7 + F.col("cell_y") * 13) % 100)
+        .cast("double")
+        .alias("value"),
+    )
+    bounds = rect_boundaries(spark, n_x=10, n_y=10)
+    joined = spatial_join_rect(points, bounds, bucket_size=1.0)
+    return zonal_extract(joined, "mean").select(
+        F.col("asdf_id").cast("int").alias("asdf_id"), "exfield_0"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Event-time windows (§2.10). Same builders run streaming with a
 # watermark; here they run batch for the oracle gate.
@@ -569,6 +593,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_lsh_topk": q_similarity_lsh_topk,
         "multimodal_decode": q_multimodal_decode,
         "multimodal_frame_sample": q_multimodal_frame_sample,
+        "zonal_spatial_join": q_zonal_spatial_join,
         # --- event-time windows (§2.10) ---
         "events_tumbling": q_events_tumbling,
         "events_sliding": q_events_sliding,
@@ -613,9 +638,13 @@ def _jaccard_sql(threshold: float = 0.12, max_df: int = 1000) -> str:
     return (
         _SHINGLES_SQL
         + f""",
-    keep AS (SELECT shingle FROM sh GROUP BY shingle
+    shh AS (SELECT doc_id,
+                   CAST(concat('0x', substr(md5(shingle), 1, 15)) AS BIGINT)
+                     AS shingle
+            FROM sh),
+    keep AS (SELECT shingle FROM shh GROUP BY shingle
              HAVING COUNT(*) <= {max_df}),
-    sh2 AS (SELECT doc_id, shingle FROM sh JOIN keep USING (shingle)),
+    sh2 AS (SELECT doc_id, shingle FROM shh JOIN keep USING (shingle)),
     sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh2 GROUP BY doc_id),
     inter AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
@@ -942,6 +971,20 @@ QUALIFY ROW_NUMBER() OVER (
                    CAST(((n_chars * 10) // 1000) * 1000 AS BIGINT)
                      AS last_frame_ts_ms
             FROM documents WHERE doc_id % 3 = 2
+        """,
+        "zonal_spatial_join": """
+            WITH cells AS (
+              SELECT i % 200 AS cell_x, i // 200 AS cell_y
+              FROM range(40000) t(i)),
+            pts AS (
+              SELECT cell_x * 0.05 + 0.025 AS lon,
+                     cell_y * 0.05 + 0.025 AS lat,
+                     CAST((cell_x * 7 + cell_y * 13) % 100 AS DOUBLE) AS value
+              FROM cells)
+            SELECT CAST(CAST(FLOOR(lat) AS INT) * 10
+                        + CAST(FLOOR(lon) AS INT) AS INT) AS asdf_id,
+                   AVG(value) AS exfield_0
+            FROM pts GROUP BY 1
         """,
         "events_tumbling": """
             SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')

@@ -85,9 +85,15 @@ def ngram_jaccard_pairs(
     ``max_shingle_df`` drops ubiquitous shingles before the join —
     the standard guard against the quadratic blowup (stop-shingles
     carry no dedup signal anyway).
+
+    The join key is the 60-bit stable hash of the shingle, not the
+    string: an 8-byte shuffle key instead of a ~20-40 byte string
+    (collision odds at 10⁹ distinct shingles: ~1e-4 — and identical
+    in any engine that shares the hash, so results stay comparable).
     """
     sh = word_shingles(df, id_col, text, n).select(
-        F.col(id_col).alias("id"), "shingle"
+        F.col(id_col).alias("id"),
+        stable_hash64(F.col("shingle")).alias("shingle"),
     )
     freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_"))
     sh = sh.join(

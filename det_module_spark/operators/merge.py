@@ -24,12 +24,14 @@ passthrough attributes (request_tools.py:630, 690-695).
 
 The reference aligns rows *positionally* (same CSV row order); this
 engine replaces that with an explicit equi-join on ``asdf_id`` — the
-declared-unique key (templates/column_info.txt:2) — which is both
-correct under any row order and shuffle-free after the first join when
-all sides share the ``asdf_id`` partitioning. Each extract side is one
-row per boundary feature, so Catalyst broadcast-joins them; a merge of
-hundreds of items stays a linear chain of broadcast hash joins, never a
-wide shuffle.
+declared-unique key (templates/column_info.txt:2) — correct under any
+row order. The join is FULL OUTER (per-item missing features surface
+as nulls instead of silently misaligning, which the reference's
+positional scheme would do), so it plans as sort-merge; every side is
+one row per boundary feature and already hash-partitioned on
+``asdf_id`` by its zonal aggregation, so the join chain reuses that
+partitioning — one small shuffle per side, no data-volume-sized
+shuffle anywhere.
 """
 
 from __future__ import annotations

@@ -80,27 +80,30 @@ class CacheManifest:
         return os.path.join(self.root, "results", spec_hash)
 
     def put(self, spec_hash: str, kind: str, df: DataFrame) -> str:
-        """Write a result and commit its manifest row (upsert — the
-        reference's idempotent enqueue, extract_check.py:165-183).
-        Append-with-dedup keeps this a pure-parquet MERGE substitute;
-        on Delta the same operation is MERGE INTO."""
-        path = self.result_path(spec_hash)
-        df.write.mode("overwrite").parquet(path)
-        row = self.spark.createDataFrame(
-            [
-                (
-                    spec_hash,
-                    kind,
-                    STATUS_DONE,
-                    True,
-                    path,
-                    0,
-                )
-            ],
-            schema=MANIFEST_SCHEMA,
-        )
+        """Write one result + commit its manifest row. See put_many."""
+        return self.put_many([(spec_hash, kind, df)])[0]
+
+    def put_many(
+        self, entries: list[tuple[str, str, DataFrame]]
+    ) -> list[str]:
+        """Write results, then commit ALL manifest rows in one upsert
+        (the reference's idempotent enqueue, extract_check.py:165-183,
+        batched). Results are written before the manifest commit, so a
+        crash mid-batch leaves at worst uncommitted artifacts — never
+        a phantom cache hit. One manifest rewrite per batch instead of
+        per item; on Delta the same operation is a single MERGE INTO."""
+        paths = []
+        rows = []
+        for spec_hash, kind, df in entries:
+            path = self.result_path(spec_hash)
+            df.write.mode("overwrite").parquet(path)
+            paths.append(path)
+            rows.append((spec_hash, kind, STATUS_DONE, True, path, 0))
+        new = self.spark.createDataFrame(rows, schema=MANIFEST_SCHEMA)
+        hashes = {e[0] for e in entries}
         merged = (
-            self.read().filter(F.col("spec_hash") != spec_hash).unionByName(row)
+            self.read().filter(~F.col("spec_hash").isin(list(hashes)))
+            .unionByName(new)
         )
         # tiny table: rewrite-in-place is safe and atomic-enough locally;
         # production target is Delta MERGE INTO.
@@ -108,7 +111,7 @@ class CacheManifest:
         merged.coalesce(1).write.mode("overwrite").parquet(tmp)
         final = self.spark.read.schema(MANIFEST_SCHEMA).parquet(tmp)
         final.coalesce(1).write.mode("overwrite").parquet(self.manifest_path)
-        return path
+        return paths
 
     def get(self, spec_hash: str) -> DataFrame:
         return self.spark.read.parquet(self.result_path(spec_hash))

@@ -96,8 +96,10 @@ class Engine:
             # EXPLAIN-style: report the plan, touch nothing
             return RunResult(STATUS_WAITING if missing else STATUS_DONE, items, missing)
 
-        for item in missing:
-            self.cache.put(item.spec_hash, item.kind, self._execute(item))
+        if missing:
+            self.cache.put_many(
+                [(i.spec_hash, i.kind, self._execute(i)) for i in missing]
+            )
 
         merge_items = [
             MergeItem(
