@@ -19,10 +19,12 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from det_module_spark.operators.asof import asof_join
 from det_module_spark.operators.dedup import (
     MINHASH_A,
     MINHASH_B,
     MINHASH_P,
+    embedding_near_dup_pairs,
     exact_dedup,
     minhash_lsh_pairs,
     minhash_signatures,
@@ -44,6 +46,7 @@ from det_module_spark.operators.text import (
     doc_fingerprint,
     lang_id,
     quality_features,
+    tfidf_top_terms,
 )
 from det_module_spark.operators.spatial import spatial_join_rect
 from det_module_spark.sources.tables import load_table
@@ -496,6 +499,53 @@ def q_zonal_spatial_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # as-of join: for every click, the latest view at-or-before it per
+    # user (trades/quotes pattern); composition of union+window
+    ev = _events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", "value"
+    )
+    out = asof_join(clicks, views, key="user_id", ts="ts", value_cols=["value"])
+    return out.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+        F.date_format("asof_ts", "yyyy-MM-dd HH:mm:ss").alias("view_ts"),
+        F.col("asof_value").alias("view_value"),
+    )
+
+
+def q_rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # multi-level aggregation: ROLLUP(returnflag, linestatus)
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("l_quantity").alias("sum_qty"),
+    )
+
+
+def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = embedding_near_dup_pairs(
+        emb, threshold=0.35, probe=emb.filter(F.col("vec_id") < 100)
+    )
+    return pairs.select(
+        "id_a", "id_b", _pround(F.col("cos"), 6).alias("cos")
+    )
+
+
+def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    out = tfidf_top_terms(docs, k=3)
+    return out.select(
+        "doc_id", "rank", "term", _pround(F.col("score"), 6).alias("score")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Event-time windows (§2.10). Same builders run streaming with a
 # watermark; here they run batch for the oracle gate.
@@ -594,6 +644,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode": q_multimodal_decode,
         "multimodal_frame_sample": q_multimodal_frame_sample,
         "zonal_spatial_join": q_zonal_spatial_join,
+        "asof_join": q_asof_join,
+        "rollup_agg": q_rollup_agg,
+        "dedup_embedding_cosine": q_dedup_embedding_cosine,
+        "text_tfidf": q_text_tfidf,
         # --- event-time windows (§2.10) ---
         "events_tumbling": q_events_tumbling,
         "events_sliding": q_events_sliding,
@@ -985,6 +1039,61 @@ QUALIFY ROW_NUMBER() OVER (
                         + CAST(FLOOR(lon) AS INT) AS INT) AS asdf_id,
                    AVG(value) AS exfield_0
             FROM pts GROUP BY 1
+        """,
+        "asof_join": """
+            WITH clicks AS (SELECT event_id, user_id, ts FROM events
+                            WHERE event_type = 'click'),
+            views AS (SELECT user_id, ts, MAX(value) AS value FROM events
+                      WHERE event_type = 'view' GROUP BY user_id, ts)
+            SELECT c.event_id, c.user_id,
+                   strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+                   strftime(v.ts, '%Y-%m-%d %H:%M:%S') AS view_ts,
+                   v.value AS view_value
+            FROM clicks c
+            ASOF LEFT JOIN views v
+              ON c.user_id = v.user_id AND c.ts >= v.ts
+        """,
+        "rollup_agg": """
+            SELECT l_returnflag, l_linestatus,
+                   COUNT(*) AS n_rows,
+                   SUM(l_quantity) AS sum_qty
+            FROM lineitem
+            GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        """,
+        "dedup_embedding_cosine": f"""
+            WITH a AS (SELECT vec_id AS id_a, embedding AS va
+                       FROM embeddings WHERE vec_id < 100),
+            b AS (SELECT vec_id AS id_b, embedding AS vb FROM embeddings),
+            p AS (SELECT id_a, id_b,
+                         {_COS64.format(a='va', b='vb')}
+                         / (sqrt({_COS64.format(a='va', b='va')})
+                            * sqrt({_COS64.format(a='vb', b='vb')})) AS cos
+                  FROM b, a WHERE id_a < id_b)
+            SELECT id_a, id_b, FLOOR(cos * 1e6 + 0.5) / 1e6 AS cos
+            FROM p WHERE cos >= 0.35
+        """,
+        "text_tfidf": """
+            WITH terms AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS term
+              FROM documents),
+            terms2 AS (SELECT doc_id, term FROM terms WHERE length(term) > 0),
+            tf AS (SELECT doc_id, term, COUNT(*) AS tf
+                   FROM terms2 GROUP BY doc_id, term),
+            docfreq AS (SELECT term, COUNT(DISTINCT doc_id) AS df_
+                        FROM terms2 GROUP BY term),
+            n AS (SELECT COUNT(*) AS n_docs FROM documents),
+            scored AS (
+              SELECT doc_id, term,
+                     tf * ln(CAST(n_docs + 1 AS DOUBLE) / (df_ + 1)) AS score
+              FROM tf JOIN docfreq USING (term), n),
+            ranked AS (
+              SELECT doc_id, term, score,
+                     ROW_NUMBER() OVER (PARTITION BY doc_id
+                                        ORDER BY score DESC, term ASC) AS rnk
+              FROM scored)
+            SELECT doc_id, CAST(rnk AS INT) AS rank, term,
+                   FLOOR(score * 1e6 + 0.5) / 1e6 AS score
+            FROM ranked WHERE rnk <= 3
         """,
         "events_tumbling": """
             SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')

@@ -183,6 +183,35 @@ def minhash_lsh_pairs(
     )
 
 
+def embedding_near_dup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    probe: DataFrame | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (id_a < id_b, cos ≥ τ).
+
+    Exact verifier path: broadcast the (optionally restricted) probe
+    side against the corpus and evaluate cosine in codegen. The scale
+    path for all-pairs dedup is LSH bucketing
+    (similarity.lsh_buckets) to generate candidates, then this exact
+    predicate on candidates only."""
+    from det_module_spark.operators.similarity import cosine
+
+    a = (probe if probe is not None else embeddings).select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")
+    )
+    b = embeddings.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        b.crossJoin(F.broadcast(a))
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", cosine(F.col("va"), F.col("vb")))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
+    )
+
+
 def simhash(
     df: DataFrame,
     id_col: str = "doc_id",

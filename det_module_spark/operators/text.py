@@ -104,6 +104,40 @@ def word_shingles(
     )
 
 
+def tfidf_top_terms(
+    df: DataFrame, k: int = 3, id_col: str = "doc_id", text: str = "text"
+) -> DataFrame:
+    """Top-k TF-IDF terms per document.
+
+    tf = term count within the doc; idf = ln((N+1)/(df+1)) (smoothed);
+    ties broken (score desc, term asc) so output is total-ordered.
+    Three hash aggregations + one small window — no Python. The
+    document count N is a driver-side scalar (one count job), matching
+    the SQL scalar-subquery formulation.
+    """
+    from pyspark.sql import Window
+
+    n_docs = df.count()
+    terms = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text))).alias("term")
+    ).filter(F.length("term") > 0)
+    tf = terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    docfreq = terms.groupBy("term").agg(
+        F.count_distinct(id_col).alias("df_")
+    )
+    scored = tf.join(F.broadcast(docfreq), "term").withColumn(
+        "score",
+        F.col("tf")
+        * F.log((F.lit(float(n_docs + 1))) / (F.col("df_") + 1)),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "rank", "term", "score")
+    )
+
+
 def doc_fingerprint(
     df: DataFrame, id_col: str = "doc_id", text: str = "text"
 ) -> DataFrame:

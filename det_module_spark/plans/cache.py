@@ -92,6 +92,8 @@ class CacheManifest:
         crash mid-batch leaves at worst uncommitted artifacts — never
         a phantom cache hit. One manifest rewrite per batch instead of
         per item; on Delta the same operation is a single MERGE INTO."""
+        if not entries:
+            return []
         paths = []
         rows = []
         for spec_hash, kind, df in entries:
