@@ -499,6 +499,15 @@ def q_zonal_spatial_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_zonal_salted_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # skew-immune two-stage aggregation; must equal the plain mean
+    from det_module_spark.operators.skew import salted_mean
+
+    cells = _cells(spark, sf_dir)
+    out = salted_mean(cells, "asdf_id", "value", n_salts=16)
+    return out.select("asdf_id", F.col("mean_value").alias("exfield_0"))
+
+
 def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # as-of join: for every click, the latest view at-or-before it per
     # user (trades/quotes pattern); composition of union+window
@@ -644,6 +653,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode": q_multimodal_decode,
         "multimodal_frame_sample": q_multimodal_frame_sample,
         "zonal_spatial_join": q_zonal_spatial_join,
+        "zonal_salted_mean": q_zonal_salted_mean,
         "asof_join": q_asof_join,
         "rollup_agg": q_rollup_agg,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
@@ -1040,6 +1050,7 @@ QUALIFY ROW_NUMBER() OVER (
                    AVG(value) AS exfield_0
             FROM pts GROUP BY 1
         """,
+        "zonal_salted_mean": _zonal_sql("AVG(value) AS exfield_0"),
         "asof_join": """
             WITH clicks AS (SELECT event_id, user_id, ts FROM events
                             WHERE event_type = 'click'),

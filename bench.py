@@ -23,6 +23,9 @@ def main() -> None:
     sf = float(m.group(1)) if m else -1.0
 
     spark = get_spark("det-module-spark-bench")
+    # untimed warmup: JVM/codegen/Arrow initialization shouldn't be
+    # attributed to whichever query happens to run first
+    spark.range(1000).selectExpr("sum(id)").collect()
 
     qs = entry_mod.queries()
     timings: dict[str, float] = {}

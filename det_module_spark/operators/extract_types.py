@@ -97,6 +97,19 @@ EXTRACT_TYPES: dict[str, ExtractType] = {
         ExtractType("var", "v", False, _single(lambda v, w, p: F.var_samp(v))),
         # 'mode' is an alias of majority in the reference roadmap
         ExtractType("mode", "O", False, two_phase=True),
+        # --- engine extensions: sketch-based scale variants. At 100 TB
+        # an exact distinct count of a high-cardinality column shuffles
+        # every distinct value; HLL/KLL sketches are mergeable
+        # fixed-size state. No DuckDB oracle (different sketches) —
+        # verified against the exact types within tolerance in tests.
+        ExtractType(
+            "approx_unique", "U", False,
+            _single(lambda v, w, p: F.approx_count_distinct(v)),
+        ),
+        ExtractType(
+            "approx_median", "D", False,
+            _single(lambda v, w, p: F.percentile_approx(v, F.lit(0.5), F.lit(10000))),
+        ),
     ]
 }
 
