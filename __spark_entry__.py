@@ -499,6 +499,63 @@ def q_zonal_spatial_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # binned interval join: lineitems shipped within 7 days of each
+    # order's date, for the first 500 orders
+    from det_module_spark.operators.rangejoin import range_join
+
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") < 2000
+    )
+    ranges = orders.select(
+        "o_orderkey",
+        F.col("o_orderdate").alias("r_start"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 7 DAYS")).alias("r_end"),
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_shipdate")
+    joined = range_join(
+        li, ranges, "l_shipdate", "r_start", "r_end",
+        bin_size=7 * 86400,
+    )
+    return joined.groupBy("o_orderkey").agg(
+        F.count(F.lit(1)).alias("n_shipped")
+    )
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # iterative connected components over near-dup pairs -> total
+    # dedup assignment (singletons keep their own cluster)
+    from det_module_spark.operators.graph import dedup_clusters
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.12)
+    return dedup_clusters(pairs, all_ids=docs).select(
+        "id", "cluster", F.col("is_canonical").cast("int").alias("is_canonical")
+    )
+
+
+def q_window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 300)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+def q_cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("l_quantity").alias("sum_qty"),
+    )
+
+
 def q_zonal_salted_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     # skew-immune two-stage aggregation; must equal the plain mean
     from det_module_spark.operators.skew import salted_mean
@@ -654,6 +711,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_frame_sample": q_multimodal_frame_sample,
         "zonal_spatial_join": q_zonal_spatial_join,
         "zonal_salted_mean": q_zonal_salted_mean,
+        "range_join": q_range_join,
+        "dedup_clusters": q_dedup_clusters,
+        "window_lag_lead": q_window_lag_lead,
+        "cube_agg": q_cube_agg,
         "asof_join": q_asof_join,
         "rollup_agg": q_rollup_agg,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
@@ -722,6 +783,51 @@ def _jaccard_sql(threshold: float = 0.12, max_df: int = 1000) -> str:
     JOIN sizes sa ON sa.doc_id = id_a
     JOIN sizes sb ON sb.doc_id = id_b
     WHERE CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter) >= {threshold}
+    """
+    )
+
+
+def _clusters_sql(threshold: float = 0.12, max_df: int = 1000) -> str:
+    """Recursive-CTE connected components over the Jaccard pair graph —
+    the oracle for the engine's iterative label-propagation."""
+    return (
+        _SHINGLES_SQL
+        + f""",
+    shh AS (SELECT doc_id,
+                   CAST(concat('0x', substr(md5(shingle), 1, 15)) AS BIGINT)
+                     AS shingle
+            FROM sh),
+    keep AS (SELECT shingle FROM shh GROUP BY shingle
+             HAVING COUNT(*) <= {max_df}),
+    sh2 AS (SELECT doc_id, shingle FROM shh JOIN keep USING (shingle)),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh2 GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+      FROM sh2 a JOIN sh2 b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    pairs AS (
+      SELECT id_a, id_b FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter)
+            >= {threshold}),
+    edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+              UNION
+              SELECT id_b AS a, id_a AS b FROM pairs),
+    reach AS (
+      WITH RECURSIVE r(a, b) AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.a, e.b FROM r JOIN edges e ON r.b = e.a)
+      SELECT * FROM r),
+    comp AS (SELECT a AS id, LEAST(MIN(b), a) AS cluster
+             FROM reach GROUP BY a)
+    SELECT doc_id AS id,
+           COALESCE(comp.cluster, doc_id) AS cluster,
+           CAST(doc_id = COALESCE(comp.cluster, doc_id) AS INT)
+             AS is_canonical
+    FROM documents LEFT JOIN comp ON comp.id = doc_id
     """
     )
 
@@ -1051,6 +1157,32 @@ QUALIFY ROW_NUMBER() OVER (
             FROM pts GROUP BY 1
         """,
         "zonal_salted_mean": _zonal_sql("AVG(value) AS exfield_0"),
+        "range_join": """
+            SELECT o_orderkey, COUNT(*) AS n_shipped
+            FROM (SELECT o_orderkey, o_orderdate,
+                         o_orderdate + INTERVAL 7 DAY AS r_end
+                  FROM orders WHERE o_orderkey < 2000) r
+            JOIN lineitem
+              ON l_shipdate >= o_orderdate AND l_shipdate < r_end
+            GROUP BY o_orderkey
+        """,
+        "dedup_clusters": _clusters_sql(0.12),
+        "window_lag_lead": """
+            SELECT o_custkey, o_orderkey,
+                   LAG(o_totalprice) OVER w AS prev_price,
+                   LEAD(o_totalprice) OVER w AS next_price,
+                   CAST(NTILE(4) OVER w AS INT) AS quartile
+            FROM orders WHERE o_custkey < 300
+            WINDOW w AS (PARTITION BY o_custkey
+                         ORDER BY o_orderdate, o_orderkey)
+        """,
+        "cube_agg": """
+            SELECT l_returnflag, l_linestatus,
+                   COUNT(*) AS n_rows,
+                   SUM(l_quantity) AS sum_qty
+            FROM lineitem
+            GROUP BY CUBE (l_returnflag, l_linestatus)
+        """,
         "asof_join": """
             WITH clicks AS (SELECT event_id, user_id, ts FROM events
                             WHERE event_type = 'click'),

@@ -1,0 +1,74 @@
+"""Connected components / dedup clustering and binned range join."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from det_module_spark.operators.graph import connected_components, dedup_clusters
+from det_module_spark.operators.rangejoin import range_join
+
+
+def test_connected_components_chain_and_islands(spark):
+    # chain 1-2-3-4 (diameter 3, needs >1 iteration), island 10-11,
+    # self-contained pair 20-21
+    edges = spark.createDataFrame(
+        [Row(id_a=a, id_b=b) for a, b in [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21)]]
+    )
+    comp = {r["id"]: r["component"] for r in connected_components(edges).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+
+
+def test_dedup_clusters_with_singletons(spark):
+    pairs = spark.createDataFrame([Row(id_a=5, id_b=7)])
+    all_ids = spark.createDataFrame([Row(doc_id=i) for i in [3, 5, 7, 9]])
+    out = {r["id"]: (r["cluster"], r["is_canonical"])
+           for r in dedup_clusters(pairs, all_ids).collect()}
+    assert out[5] == (5, True)
+    assert out[7] == (5, False)
+    assert out[3] == (3, True)   # singleton keeps own cluster
+    assert out[9] == (9, True)
+    # dedup keep-set = canonicals
+    assert sorted(k for k, v in out.items() if v[1]) == [3, 5, 9]
+
+
+def test_range_join_numeric(spark):
+    points = spark.createDataFrame([Row(x=i) for i in range(20)])
+    ranges = spark.createDataFrame(
+        [
+            Row(rid=1, lo=3, hi=6),     # matches 3,4,5
+            Row(rid=2, lo=5, hi=15),    # matches 5..14 (spans bins)
+            Row(rid=3, lo=100, hi=110), # matches nothing
+        ]
+    )
+    out = range_join(points, ranges, "x", "lo", "hi", bin_size=4)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["rid"], set()).add(r["x"])
+    assert got[1] == {3, 4, 5}
+    assert got[2] == set(range(5, 15))
+    assert 3 not in got
+
+
+def test_range_join_inclusive_end(spark):
+    points = spark.createDataFrame([Row(x=i) for i in range(10)])
+    ranges = spark.createDataFrame([Row(rid=1, lo=2, hi=4)])
+    excl = range_join(points, ranges, "x", "lo", "hi", bin_size=3)
+    incl = range_join(points, ranges, "x", "lo", "hi", bin_size=3, inclusive_end=True)
+    assert {r["x"] for r in excl.collect()} == {2, 3}
+    assert {r["x"] for r in incl.collect()} == {2, 3, 4}
+
+
+def test_range_join_timestamps(spark):
+    points = spark.createDataFrame(
+        [Row(ts=dt.datetime(2024, 1, 1) + dt.timedelta(days=i)) for i in range(10)]
+    )
+    ranges = spark.createDataFrame(
+        [Row(rid=1,
+             lo=dt.datetime(2024, 1, 3),
+             hi=dt.datetime(2024, 1, 6))]
+    )
+    out = range_join(points, ranges, "ts", "lo", "hi", bin_size=86400)
+    days = sorted(r["ts"].day for r in out.collect())
+    assert days == [3, 4, 5]
