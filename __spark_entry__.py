@@ -624,6 +624,42 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "events")
 
 
+def q_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # day-level aggregate derived from hour-level partials (continuous
+    # aggregate pattern) — must equal aggregating raw events directly
+    from det_module_spark.operators.rollup_time import (
+        finalize,
+        rollup_from_partials,
+        time_rollup,
+    )
+
+    ev = _events(spark, sf_dir)
+    hourly = time_rollup(ev, "hour")
+    daily = finalize(rollup_from_partials(hourly, "day"))
+    # mean derived from the ROUNDED sum: partial-cascade and direct
+    # aggregation differ in float accumulation order, so dividing the
+    # canonicalized sum keeps the mean bit-identical across engines
+    return daily.select(
+        F.date_format("bucket", "yyyy-MM-dd").alias("day"),
+        "event_type",
+        F.col("n").alias("n_events"),
+        _pround(F.col("sum_v"), 4).alias("sum_value"),
+        "min_v",
+        "max_v",
+        _pround(_pround(F.col("sum_v"), 4) / F.col("n"), 6).alias("mean_value"),
+    )
+
+
+def q_zonal_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # multi-percentile profile per feature (p25/p50/p75)
+    cells = _cells(spark, sf_dir)
+    return cells.groupBy("asdf_id").agg(
+        F.percentile("value", F.lit(0.25)).alias("p25"),
+        F.percentile("value", F.lit(0.5)).alias("p50"),
+        F.percentile("value", F.lit(0.75)).alias("p75"),
+    )
+
+
 def q_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = flatten_window(tumbling_agg(_events(spark, sf_dir), "1 hour"))
     return out.select(
@@ -719,6 +755,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_agg": q_rollup_agg,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "text_tfidf": q_text_tfidf,
+        "hypertable_rollup": q_hypertable_rollup,
+        "zonal_percentiles": q_zonal_percentiles,
         # --- event-time windows (§2.10) ---
         "events_tumbling": q_events_tumbling,
         "events_sliding": q_events_sliding,
@@ -1238,6 +1276,22 @@ QUALIFY ROW_NUMBER() OVER (
                    FLOOR(score * 1e6 + 0.5) / 1e6 AS score
             FROM ranked WHERE rnk <= 3
         """,
+        "hypertable_rollup": """
+            SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+                   event_type,
+                   COUNT(value) AS n_events,
+                   FLOOR(SUM(value) * 1e4 + 0.5) / 1e4 AS sum_value,
+                   MIN(value) AS min_v,
+                   MAX(value) AS max_v,
+                   FLOOR((FLOOR(SUM(value) * 1e4 + 0.5) / 1e4)
+                         / COUNT(value) * 1e6 + 0.5) / 1e6 AS mean_value
+            FROM events GROUP BY 1, 2
+        """,
+        "zonal_percentiles": _zonal_sql(
+            "QUANTILE_CONT(value, 0.25) AS p25, "
+            "QUANTILE_CONT(value, 0.5) AS p50, "
+            "QUANTILE_CONT(value, 0.75) AS p75"
+        ),
         "events_tumbling": """
             SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
                      AS window_start,
