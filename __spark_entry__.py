@@ -40,7 +40,7 @@ from det_module_spark.operators.multimodal import (
     media_from_documents,
 )
 from det_module_spark.operators.queue import get_requests, two_phase_poll
-from det_module_spark.operators.similarity import cosine_topk, lsh_topk
+from det_module_spark.operators.similarity import cosine_topk, ivf_topk, lsh_topk
 from det_module_spark.operators.text import (
     LANG_PROFILES,
     doc_fingerprint,
@@ -458,6 +458,18 @@ def q_similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # rows-only driver check: IVF-partitioned ANN (recall vs exact
+    # asserted in tests)
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = ivf_topk(
+        emb.filter(F.col("vec_id") < 10), emb, k=5, n_cells=16, n_probe=4
+    )
+    return out.select(
+        "query_id", "rank", "neighbor_id", _pround(F.col("cos"), 6).alias("cos")
+    )
+
+
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     # binary media columns through the Arrow-batched decode kernel
     docs = load_table(spark, sf_dir, "documents")
@@ -743,6 +755,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "similarity_cosine_topk": q_similarity_cosine_topk,
         "similarity_lsh_topk": q_similarity_lsh_topk,
+        "similarity_ivf_topk": q_similarity_ivf_topk,
         "multimodal_decode": q_multimodal_decode,
         "multimodal_frame_sample": q_multimodal_frame_sample,
         "zonal_spatial_join": q_zonal_spatial_join,

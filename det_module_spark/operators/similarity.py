@@ -163,6 +163,109 @@ def lsh_buckets(
     )
 
 
+def ivf_assign(
+    df: DataFrame,
+    centroids,  # np.ndarray (k, dim)
+    id_name: str,
+    id_col: str,
+    vec_col: str,
+    n_probe: int = 1,
+):
+    """Assign each vector to its ``n_probe`` nearest centroid cells —
+    one Arrow-batched matmul, same kernel shape as the LSH signatures."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    c = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+
+    @pandas_udf("array<int>")
+    def cells(vecs: pd.Series) -> pd.Series:
+        mat = np.stack(vecs.to_numpy()).astype(np.float64)
+        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        sims = mat @ c.T  # (n, k)
+        top = np.argsort(-sims, axis=1)[:, :n_probe].astype(np.int32)
+        return pd.Series(list(top))
+
+    out = df.select(
+        F.col(id_col).alias(id_name),
+        F.col(vec_col).alias(f"{id_name}_v"),
+        cells(F.col(vec_col)).alias("cells"),
+    )
+    return out.select(
+        id_name, f"{id_name}_v", F.explode("cells").alias("cell")
+    )
+
+
+def ivf_fit_centroids(
+    corpus: DataFrame,
+    k: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample: int = 2000,
+    iterations: int = 5,
+):
+    """Deterministic mini k-means on a driver-side sample (numpy).
+
+    At 100 TB the *fit* stays a sample (centroid quality needs ~1000
+    points per cell, not the full corpus); only the *assignment* pass
+    touches every row, and that is distributed (ivf_assign). The
+    sample is ordered by id — a bare ``limit`` returns different rows
+    under different partitionings, which would make the index
+    non-reproducible."""
+    import numpy as np
+
+    rows = corpus.select(id_col, vec_col).orderBy(id_col).limit(sample).collect()
+    rows = [(r[1],) for r in rows]
+    x = np.asarray([r[0] for r in rows], dtype=np.float64)
+    x = x / np.linalg.norm(x, axis=1, keepdims=True)
+    # deterministic init: evenly spaced sample points
+    idx = np.linspace(0, len(x) - 1, k).astype(int)
+    c = x[idx].copy()
+    for _ in range(iterations):
+        assign = np.argmax(x @ c.T, axis=1)
+        for j in range(k):
+            members = x[assign == j]
+            if len(members):
+                m = members.mean(axis=0)
+                c[j] = m / (np.linalg.norm(m) or 1.0)
+    return c
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    n_probe: int = 4,
+) -> DataFrame:
+    """IVF approximate top-k: corpus partitioned into centroid cells
+    (one assignment each); queries probe their ``n_probe`` nearest
+    cells; exact cosine re-ranks candidates. The corpus cell
+    assignment is computed once and persistable — at scale it lives as
+    a partition column, so a probe reads only matching partitions
+    (partition pruning does the candidate selection)."""
+    from pyspark.sql import Window
+
+    cents = ivf_fit_centroids(corpus, k=n_cells, id_col=id_col, vec_col=vec_col)
+    c = ivf_assign(corpus, cents, "neighbor_id", id_col, vec_col, n_probe=1)
+    q = ivf_assign(queries, cents, "query_id", id_col, vec_col, n_probe=n_probe)
+    cand = (
+        c.join(F.broadcast(q), "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "query_id_v", "neighbor_id", "neighbor_id_v")
+        .distinct()
+        .withColumn("cos", cosine(F.col("query_id_v"), F.col("neighbor_id_v")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cos")
+    )
+
+
 def lsh_topk(
     queries: DataFrame,
     corpus: DataFrame,

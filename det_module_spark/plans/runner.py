@@ -47,6 +47,7 @@ class RunResult:
     missing: list[Item]
     merged: DataFrame | None = None
     artifacts: dict[str, str] = field(default_factory=dict)
+    error: str | None = None
 
 
 class Engine:
@@ -59,12 +60,16 @@ class Engine:
         cell_source: Callable[[Item], DataFrame],
         release_source: Callable[[Item], DataFrame] | None = None,
         categories: list[str] | None = None,
+        notify: Callable[[str, dict], None] | None = None,
     ):
         self.spark = spark
         self.cache = CacheManifest(spark, cache_root)
         self.cell_source = cell_source
         self.release_source = release_source
         self.categories = categories
+        # K8 notification hook (the reference's email sink,
+        # request_tools.py:193-326, is out-of-engine; this is its seam)
+        self.notify = notify or (lambda event, payload: None)
 
     def _execute(self, item: Item) -> DataFrame:
         if item.kind == "msr":
@@ -96,10 +101,16 @@ class Engine:
             # EXPLAIN-style: report the plan, touch nothing
             return RunResult(STATUS_WAITING if missing else STATUS_DONE, items, missing)
 
-        if missing:
-            self.cache.put_many(
-                [(i.spec_hash, i.kind, self._execute(i)) for i in missing]
-            )
+        try:
+            if missing:
+                self.cache.put_many(
+                    [(i.spec_hash, i.kind, self._execute(i)) for i in missing]
+                )
+        except Exception as e:  # noqa: BLE001 - E4 error state
+            # reference parity: failed requests land in status −2 with
+            # nothing partially merged (processing.py:144-216)
+            self.notify("error", {"request_id": request.get("_id"), "error": str(e)})
+            return RunResult(STATUS_ERROR, items, missing, error=str(e))
 
         merge_items = [
             MergeItem(
@@ -112,4 +123,5 @@ class Engine:
             if i.kind == "extract"
         ]
         merged = merge_extracts(merge_items) if merge_items else None
+        self.notify("complete", {"request_id": request.get("_id")})
         return RunResult(STATUS_DONE, items, missing, merged)

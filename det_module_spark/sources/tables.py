@@ -53,6 +53,35 @@ def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load_table(spark, sf_dir, t) for t in TABLES}
 
 
+def write_partitioned(
+    df: DataFrame, path: str, partition_by: list[str], mode: str = "overwrite"
+) -> None:
+    """Partitioned parquet layout: queries filtering on the partition
+    columns prune whole directories (verified via PartitionFilters in
+    the scan node). The 100 TB default for fact tables — partition by
+    low-cardinality time/dataset keys, never by high-cardinality ids."""
+    df.write.mode(mode).partitionBy(*partition_by).parquet(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_by: str,
+    n_buckets: int = 32,
+    sort_by: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed table: pre-shuffles data by join key at write time so
+    later joins/aggregations on that key are exchange-free (both sides
+    bucketed by the same key and count -> zero-shuffle sort-merge
+    join). This is the 'pay the shuffle once' strategy for fact-fact
+    joins repeated across a workload."""
+    w = df.write.mode(mode).bucketBy(n_buckets, bucket_by)
+    if sort_by:
+        w = w.sortBy(sort_by)
+    w.format("parquet").saveAsTable(table)
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every table as a temp view so ``spark.sql`` sees the
     same names the DuckDB oracle does."""
