@@ -418,8 +418,6 @@ def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # rows-only driver check (LSH banding); exactness of the underlying
-    # signatures is oracle-checked by q_minhash_signatures
     docs = load_table(spark, sf_dir, "documents")
     sigs = minhash_signatures(docs, num_hashes=16)
     return minhash_lsh_pairs(sigs, bands=8, rows=2)
@@ -838,6 +836,31 @@ def _jaccard_sql(threshold: float = 0.12, max_df: int = 1000) -> str:
     )
 
 
+def _minhash_lsh_sql(num_hashes: int = 16, bands: int = 8, rows: int = 2) -> str:
+    """LSH banding over the (already oracle-matched) signature table:
+    band bucket = md5 of the comma-joined signature slice; candidate
+    pairs share any (band, bucket)."""
+    band_selects = []
+    for b in range(bands):
+        cols = ", ".join(
+            f"CAST(mh_{b * rows + r} AS VARCHAR)" for r in range(rows)
+        )
+        band_selects.append(
+            f"SELECT doc_id, {b} AS band,"
+            f" md5(concat_ws(',', {cols})) AS bucket FROM sigs"
+        )
+    bands_sql = "\n      UNION ALL ".join(band_selects)
+    return (
+        f"WITH sigs AS ({_minhash_sql(num_hashes)}),\n"
+        f"    bkts AS ({bands_sql})\n"
+        """
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bkts a JOIN bkts b
+      ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    """
+    )
+
+
 def _clusters_sql(threshold: float = 0.12, max_df: int = 1000) -> str:
     """Recursive-CTE connected components over the Jaccard pair graph —
     the oracle for the engine's iterative label-propagation."""
@@ -1174,6 +1197,7 @@ QUALIFY ROW_NUMBER() OVER (
             FROM documents
         """,
         "minhash_signatures": _minhash_sql(16),
+        "dedup_minhash_lsh": _minhash_lsh_sql(16, bands=8, rows=2),
         "dedup_ngram_jaccard": _jaccard_sql(0.12),
         "dedup_simhash": _simhash_sql(16),
         "similarity_cosine_topk": _cosine_sql(),
