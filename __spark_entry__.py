@@ -298,12 +298,22 @@ def q_msr_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("l_suppkey") % 360) * F.lit(0.5) - F.lit(90.0)).alias("lat"),
         F.col("o_totalprice").alias("total_commitments"),
     )
-    surf = msr_surface(even_split_allocation(locs))
+    # fixed-point money: quantize allocations to integer cents before
+    # aggregation. price/n quotients sum with accumulation-order LSB
+    # noise (engine-dependent); integer-cent sums are exact in IEEE
+    # doubles (< 2^53), so every downstream value is bit-identical
+    # regardless of partitioning or engine. This is also the correct
+    # at-scale practice for monetary aggregation.
+    alloc = even_split_allocation(locs)
+    cents = alloc.withColumn(
+        "allocated", F.floor(F.col("allocated") * 100 + F.lit(0.5))
+    ).withColumn("potential", F.floor(F.col("potential") * 100 + F.lit(0.5)))
+    surf = msr_surface(cents)
     return surf.select(
         "cell_x",
         "cell_y",
-        _pround(F.col("sum"), 2).alias("sum"),
-        _pround(F.col("potential"), 2).alias("potential"),
+        (F.col("sum") / 100).alias("sum"),
+        (F.col("potential") / 100).alias("potential"),
         _pround(F.col("reliability"), 6).alias("reliability"),
     )
 
@@ -670,6 +680,43 @@ def q_zonal_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # semi-structured column: parse the JSON props payload and
+    # aggregate on an extracted field
+    ev = _events(spark, sf_dir)
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("k").alias("n_with_k"),
+            F.sum("k").alias("sum_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+def q_text_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # fuzzy matching primitives: levenshtein between consecutive doc
+    # prefixes + a regexp extraction
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.substring("text", 1, 30).alias("head"), "text"
+    )
+    nxt = docs.select(
+        (F.col("doc_id") - 1).alias("doc_id"), F.col("head").alias("next_head")
+    )
+    return (
+        docs.join(nxt, "doc_id")
+        .select(
+            "doc_id",
+            F.levenshtein("head", "next_head").alias("edit_dist"),
+            F.regexp_extract("text", r"([a-z]+) ([a-z]+)", 2).alias(
+                "second_word"
+            ),
+        )
+    )
+
+
 def q_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = flatten_window(tumbling_agg(_events(spark, sf_dir), "1 hour"))
     return out.select(
@@ -768,6 +815,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_tfidf": q_text_tfidf,
         "hypertable_rollup": q_hypertable_rollup,
         "zonal_percentiles": q_zonal_percentiles,
+        "events_json_extract": q_events_json_extract,
+        "text_edit_distance": q_text_edit_distance,
         # --- event-time windows (§2.10) ---
         "events_tumbling": q_events_tumbling,
         "events_sliding": q_events_sliding,
@@ -1117,13 +1166,15 @@ QUALIFY ROW_NUMBER() OVER (
             cnt AS (SELECT project_id, COUNT(*) AS n
                     FROM locs GROUP BY project_id),
             alloc AS (
-              SELECT locs.*, total_commitments / n AS allocated
+              SELECT locs.*,
+                     FLOOR(total_commitments / n * 100 + 0.5) AS alloc_cents,
+                     FLOOR(total_commitments * 100 + 0.5) AS pot_cents
               FROM locs JOIN cnt USING (project_id))
             SELECT CAST(FLOOR(lon / 0.05) AS BIGINT) AS cell_x,
                    CAST(FLOOR(lat / 0.05) AS BIGINT) AS cell_y,
-                   FLOOR(SUM(allocated) * 1e2 + 0.5) / 1e2 AS "sum",
-                   FLOOR(SUM(total_commitments) * 1e2 + 0.5) / 1e2 AS potential,
-                   FLOOR(SUM(allocated) / SUM(total_commitments) * 1e6 + 0.5)
+                   SUM(alloc_cents) / 100 AS "sum",
+                   SUM(pot_cents) / 100 AS potential,
+                   FLOOR(SUM(alloc_cents) / SUM(pot_cents) * 1e6 + 0.5)
                      / 1e6 AS reliability
             FROM alloc GROUP BY 1, 2
         """,
@@ -1329,6 +1380,24 @@ QUALIFY ROW_NUMBER() OVER (
             "QUANTILE_CONT(value, 0.5) AS p50, "
             "QUANTILE_CONT(value, 0.75) AS p75"
         ),
+        "events_json_extract": """
+            SELECT event_type,
+                   COUNT(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                     AS n_with_k,
+                   CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                        AS BIGINT) AS sum_k,
+                   MAX(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                     AS max_k
+            FROM events GROUP BY event_type
+        """,
+        "text_edit_distance": """
+            SELECT d.doc_id,
+                   levenshtein(substr(d.text, 1, 30), substr(n.text, 1, 30))
+                     AS edit_dist,
+                   regexp_extract(d.text, '([a-z]+) ([a-z]+)', 2)
+                     AS second_word
+            FROM documents d JOIN documents n ON n.doc_id = d.doc_id + 1
+        """,
         "events_tumbling": """
             SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
                      AS window_start,
