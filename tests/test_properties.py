@@ -1,0 +1,101 @@
+"""Property-based tests (SURVEY.md §5.2.5) with hypothesis.
+
+Driver-side pure functions get real property coverage; Spark-backed
+properties use a few deterministic cases (a hypothesis-driven Spark
+job per example would be minutes per test).
+"""
+
+import json
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from det_module_spark.functions.hashing import canonical_json, spec_hash
+from det_module_spark.plans.spec import normalize_filters
+
+json_scalars = st.one_of(
+    st.none(),
+    st.booleans(),
+    st.integers(min_value=-(2**31), max_value=2**31),
+    st.text(max_size=20),
+)
+json_values = st.recursive(
+    json_scalars,
+    lambda children: st.one_of(
+        st.lists(children, max_size=4),
+        st.dictionaries(st.text(max_size=8), children, max_size=4),
+    ),
+    max_leaves=10,
+)
+
+
+@given(st.dictionaries(st.text(max_size=8), json_values, max_size=6))
+@settings(max_examples=200, deadline=None)
+def test_spec_hash_key_order_invariant(d):
+    shuffled = dict(reversed(list(d.items())))
+    assert spec_hash(d) == spec_hash(shuffled)
+    # canonicalization round-trips to an equal object
+    assert json.loads(canonical_json(d)) == json.loads(json.dumps(d))
+
+
+@given(st.dictionaries(st.text(max_size=8), json_values, max_size=6))
+@settings(max_examples=100, deadline=None)
+def test_spec_hash_injective_on_canonical_form(d):
+    # same canonical string <=> same hash (sha1 collision aside)
+    assert spec_hash(json.loads(canonical_json(d))) == spec_hash(d)
+
+
+@given(
+    st.dictionaries(
+        st.sampled_from(["donors", "years", "sectors"]),
+        st.lists(
+            st.one_of(st.sampled_from(["All", "None", "x", "y"]), st.none()),
+            max_size=4,
+        ),
+        max_size=3,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_normalize_filters_idempotent_and_noop_free(filters):
+    out = normalize_filters(filters)
+    # idempotent
+    assert normalize_filters(out) == out
+    # no surviving entry contains a no-op marker
+    for v in out.values():
+        assert not any(x in ("All", "None", None) for x in v)
+    # entries without markers survive untouched
+    for k, v in filters.items():
+        if v and not any(x in ("All", "None", None) for x in v):
+            assert out[k] == v
+
+
+def test_simhash_banded_equals_allpairs(spark):
+    """Pigeonhole banding is lossless vs the all-pairs verifier."""
+    from pyspark.sql import Row
+
+    from det_module_spark.operators.dedup import (
+        simhash,
+        simhash_banded_pairs,
+        simhash_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=0, text="the quick brown fox jumps over the lazy dog"),
+            Row(doc_id=1, text="the quick brown fox jumps over the lazy cat"),
+            Row(doc_id=2, text="totally different content entirely here now"),
+            Row(doc_id=3, text="the quick brown fox leaps over the lazy dog"),
+            Row(doc_id=4, text="dog lazy the over jumps fox brown quick the"),
+        ]
+    )
+    hashes = simhash(docs, bits=16)
+    for h in (0, 2, 5):
+        exact = {
+            (r["id_a"], r["id_b"], r["hamming"])
+            for r in simhash_pairs(hashes, max_hamming=h).collect()
+        }
+        banded = {
+            (r["id_a"], r["id_b"], r["hamming"])
+            for r in simhash_banded_pairs(hashes, max_hamming=h).collect()
+        }
+        assert banded == exact, f"banding lost pairs at h={h}"
