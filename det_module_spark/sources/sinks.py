@@ -69,6 +69,15 @@ def build_documentation(
     reference's DocBuilder overview section,
     queue/documentation_tool.py:246-339). Text report; PDF rendering
     plugs in when reportlab is available."""
+    import textwrap
+
+    def wrap(text: str) -> list[str]:
+        # 80-char wrap incl. breaking long unbroken tokens (reference
+        # parity: queue/documentation_tool.py:393-406 word-wrap)
+        return textwrap.wrap(
+            text, width=80, break_long_words=True, break_on_hyphens=False
+        ) or [""]
+
     lines: list[str] = []
     lines.append("DATA EXTRACTION REQUEST DOCUMENTATION")
     lines.append("=" * 38)
@@ -83,7 +92,9 @@ def build_documentation(
     lines.append("asdf_id: unique feature id within the boundary dataset")
     for mi in merge_items:
         for _, out_name in renamed_exfields(mi):
-            lines.append(f"{out_name}: {mi.extract_type} extract of {mi.dataset}")
+            lines.extend(
+                wrap(f"{out_name}: {mi.extract_type} extract of {mi.dataset}")
+            )
     if catalog:
         lines.append("")
         lines.append("DATASET METADATA")
