@@ -680,6 +680,14 @@ def q_zonal_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # one-pass per-column profiling of the customer table
+    from det_module_spark.operators.profile import profile_table
+
+    cust = load_table(spark, sf_dir, "customer")
+    return profile_table(cust, ["c_custkey", "c_name", "c_nationkey", "c_mktsegment"])
+
+
 def q_events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     # semi-structured column: parse the JSON props payload and
     # aggregate on an extracted field
@@ -817,6 +825,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zonal_percentiles": q_zonal_percentiles,
         "events_json_extract": q_events_json_extract,
         "text_edit_distance": q_text_edit_distance,
+        "profile_table": q_profile_table,
         # --- event-time windows (§2.10) ---
         "events_tumbling": q_events_tumbling,
         "events_sliding": q_events_sliding,
@@ -1380,6 +1389,37 @@ QUALIFY ROW_NUMBER() OVER (
             "QUANTILE_CONT(value, 0.5) AS p50, "
             "QUANTILE_CONT(value, 0.75) AS p75"
         ),
+        "profile_table": """
+            SELECT 'c_custkey' AS "column", COUNT(*) AS n_rows,
+                   CAST(SUM(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_nulls,
+                   COUNT(DISTINCT c_custkey) AS n_distinct,
+                   CAST(MIN(c_custkey) AS VARCHAR) AS min_str,
+                   CAST(MAX(c_custkey) AS VARCHAR) AS max_str
+            FROM customer
+            UNION ALL
+            SELECT 'c_name', COUNT(*),
+                   CAST(SUM(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT),
+                   COUNT(DISTINCT c_name),
+                   MIN(c_name), MAX(c_name)
+            FROM customer
+            UNION ALL
+            SELECT 'c_nationkey', COUNT(*),
+                   CAST(SUM(CASE WHEN c_nationkey IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT),
+                   COUNT(DISTINCT c_nationkey),
+                   CAST(MIN(c_nationkey) AS VARCHAR),
+                   CAST(MAX(c_nationkey) AS VARCHAR)
+            FROM customer
+            UNION ALL
+            SELECT 'c_mktsegment', COUNT(*),
+                   CAST(SUM(CASE WHEN c_mktsegment IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT),
+                   COUNT(DISTINCT c_mktsegment),
+                   MIN(c_mktsegment), MAX(c_mktsegment)
+            FROM customer
+        """,
         "events_json_extract": """
             SELECT event_type,
                    COUNT(CAST(json_extract_string(props, '$.k') AS BIGINT))
