@@ -576,6 +576,58 @@ def q_cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_zonal_weighted_spatial(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # hard-list (b): coverage-weighted zonal semantics with real
+    # geometry — cell/boundary overlap fractions feeding weighted_*
+    from det_module_spark.operators.geometry import rect_coverage_fraction
+
+    cells = spark.range(200 * 200).select(
+        (F.col("id") % 200).alias("cell_x"),
+        (F.col("id") / 200).cast("long").alias("cell_y"),
+    )
+    cells = cells.select(
+        (F.col("cell_x") * F.lit(0.05)).alias("minx"),
+        (F.col("cell_y") * F.lit(0.05)).alias("miny"),
+        ((F.col("cell_x") * 7 + F.col("cell_y") * 13) % 100)
+        .cast("double")
+        .alias("value"),
+    )
+    # 4 boundary rects with grid-UNaligned edges -> fractional coverage
+    bounds = spark.createDataFrame(
+        [
+            (0, 0.52, 0.52, 4.48, 4.48),
+            (1, 4.52, 0.52, 9.48, 4.48),
+            (2, 0.52, 4.52, 4.48, 9.48),
+            (3, 4.52, 4.52, 9.48, 9.48),
+        ],
+        "asdf_id INT, bminx DOUBLE, bminy DOUBLE, bmaxx DOUBLE, bmaxy DOUBLE",
+    )
+    joined = cells.crossJoin(F.broadcast(bounds)).withColumn(
+        "coverage",
+        rect_coverage_fraction(
+            F.col("minx"), F.col("miny"), F.lit(0.05),
+            F.col("bminx"), F.col("bminy"), F.col("bmaxx"), F.col("bmaxy"),
+        ),
+    ).filter(F.col("coverage") > 0)
+    out = zonal_extract(joined, "weighted_mean")
+    wsum = zonal_extract(joined, "weighted_sum").withColumnRenamed(
+        "exfield_0", "wsum"
+    )
+    wcnt = zonal_extract(joined, "weighted_count").withColumnRenamed(
+        "exfield_0", "wcnt"
+    )
+    return (
+        out.join(wsum, "asdf_id")
+        .join(wcnt, "asdf_id")
+        .select(
+            "asdf_id",
+            _pround(F.col("exfield_0"), 6).alias("wmean"),
+            _pround(F.col("wsum"), 2).alias("wsum"),
+            _pround(F.col("wcnt"), 4).alias("wcnt"),
+        )
+    )
+
+
 def q_zonal_salted_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     # skew-immune two-stage aggregation; must equal the plain mean
     from det_module_spark.operators.skew import salted_mean
@@ -813,6 +865,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_frame_sample": q_multimodal_frame_sample,
         "zonal_spatial_join": q_zonal_spatial_join,
         "zonal_salted_mean": q_zonal_salted_mean,
+        "zonal_weighted_spatial": q_zonal_weighted_spatial,
         "range_join": q_range_join,
         "dedup_clusters": q_dedup_clusters,
         "window_lag_lead": q_window_lag_lead,
@@ -1292,6 +1345,34 @@ QUALIFY ROW_NUMBER() OVER (
             FROM pts GROUP BY 1
         """,
         "zonal_salted_mean": _zonal_sql("AVG(value) AS exfield_0"),
+        "zonal_weighted_spatial": """
+            WITH cells AS (
+              SELECT (i % 200) * 0.05 AS minx,
+                     (i // 200) * 0.05 AS miny,
+                     CAST(((i % 200) * 7 + (i // 200) * 13) % 100 AS DOUBLE)
+                       AS value
+              FROM range(40000) t(i)),
+            bounds AS (
+              SELECT * FROM (VALUES
+                (0, 0.52, 0.52, 4.48, 4.48),
+                (1, 4.52, 0.52, 9.48, 4.48),
+                (2, 0.52, 4.52, 4.48, 9.48),
+                (3, 4.52, 4.52, 9.48, 9.48))
+                b(asdf_id, bminx, bminy, bmaxx, bmaxy)),
+            cov AS (
+              SELECT asdf_id, value,
+                     GREATEST(LEAST(minx + 0.05, bmaxx) - GREATEST(minx, bminx), 0.0)
+                     * GREATEST(LEAST(miny + 0.05, bmaxy) - GREATEST(miny, bminy), 0.0)
+                     / (0.05 * 0.05) AS coverage
+              FROM cells, bounds),
+            covf AS (SELECT * FROM cov WHERE coverage > 0)
+            SELECT CAST(asdf_id AS INT) AS asdf_id,
+                   FLOOR(SUM(value * coverage) / SUM(coverage) * 1e6 + 0.5)
+                     / 1e6 AS wmean,
+                   FLOOR(SUM(value * coverage) * 1e2 + 0.5) / 1e2 AS wsum,
+                   FLOOR(SUM(coverage) * 1e4 + 0.5) / 1e4 AS wcnt
+            FROM covf GROUP BY asdf_id
+        """,
         "range_join": """
             SELECT o_orderkey, COUNT(*) AS n_shipped
             FROM (SELECT o_orderkey, o_orderdate,
