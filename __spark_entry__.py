@@ -732,6 +732,22 @@ def q_zonal_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_queue_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # F10: human-readable stage timeline with the '---' guard for
+    # zero/invalid timestamps (documentation_tool.py:55-64)
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 1000)
+    # synthesize an 'invalid' marker deterministically
+    ts = F.when(F.col("o_orderkey") % 7 == 0, F.lit(None)).otherwise(
+        F.col("o_orderdate")
+    )
+    return orders.select(
+        "o_orderkey",
+        F.coalesce(F.date_format(ts, "yyyy-MM-dd HH:mm:ss"), F.lit("---")).alias(
+            "submit_stamp"
+        ),
+    )
+
+
 def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     # one-pass per-column profiling of the customer table
     from det_module_spark.operators.profile import profile_table
@@ -879,6 +895,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_json_extract": q_events_json_extract,
         "text_edit_distance": q_text_edit_distance,
         "profile_table": q_profile_table,
+        "queue_timeline": q_queue_timeline,
         # --- event-time windows (§2.10) ---
         "events_tumbling": q_events_tumbling,
         "events_sliding": q_events_sliding,
@@ -1470,6 +1487,15 @@ QUALIFY ROW_NUMBER() OVER (
             "QUANTILE_CONT(value, 0.5) AS p50, "
             "QUANTILE_CONT(value, 0.75) AS p75"
         ),
+        "queue_timeline": """
+            SELECT o_orderkey,
+                   COALESCE(
+                     strftime(CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                                   ELSE o_orderdate END,
+                              '%Y-%m-%d %H:%M:%S'),
+                     '---') AS submit_stamp
+            FROM orders WHERE o_orderkey < 1000
+        """,
         "profile_table": """
             SELECT 'c_custkey' AS "column", COUNT(*) AS n_rows,
                    CAST(SUM(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END)

@@ -82,6 +82,33 @@ def spatial_join_rect(
     return refined.drop("bucket_x", "bucket_y")
 
 
+def spatial_join_polygon(
+    points: DataFrame,
+    boundaries: DataFrame,
+    lon: str = "lon",
+    lat: str = "lat",
+    ring_col: str = "ring",
+    bucket_size: float = 1.0,
+) -> DataFrame:
+    """Points-in-polygons join with NO geo library: bucket equi-join on
+    the polygon bbox (must be present as minx/miny/maxx/maxy), then
+    exact even-odd ray-cast refinement as a Column expression
+    (operators/geometry.point_in_polygon). Handles concave rings.
+
+    Same shuffle topology as the rectangle path — the big point side
+    is scan+bucket-project only; polygons broadcast with their vertex
+    arrays."""
+    from det_module_spark.operators.geometry import point_in_polygon
+
+    p = bucket_points(points, lon, lat, bucket_size)
+    b = F.broadcast(explode_boundary_buckets(boundaries, bucket_size=bucket_size))
+    joined = p.join(b, ["bucket_x", "bucket_y"])
+    refined = joined.filter(
+        point_in_polygon(F.col(lon), F.col(lat), F.col(ring_col))
+    )
+    return refined.drop("bucket_x", "bucket_y")
+
+
 def spatial_join_wkt(
     points: DataFrame,
     boundaries: DataFrame,

@@ -111,3 +111,23 @@ def test_coverage_feeds_weighted_zonal(spark):
     out = zonal_extract(withw, "weighted_mean").collect()
     # (10*1 + 20*0.5) / (1 + 0.5) = 20/1.5
     assert abs(out[0]["exfield_0"] - 20.0 / 1.5) < 1e-12
+
+
+def test_spatial_join_polygon(spark):
+    """Bucketed join + ray-cast refinement on a concave boundary."""
+    from det_module_spark.operators.spatial import spatial_join_polygon
+
+    ring = F.array(
+        *[F.struct(F.lit(x).alias("x"), F.lit(y).alias("y")) for x, y in L_SHAPE]
+    )
+    bounds = spark.createDataFrame(
+        [Row(asdf_id=1, minx=0.0, miny=0.0, maxx=4.0, maxy=4.0)]
+    ).withColumn("ring", ring)
+    points = spark.createDataFrame(
+        [Row(pid=0, lon=1.0, lat=1.0),   # inside lower arm
+         Row(pid=1, lon=3.0, lat=3.0),   # in the bbox but in the notch
+         Row(pid=2, lon=1.0, lat=3.0),   # inside upper arm
+         Row(pid=3, lon=5.0, lat=5.0)]   # outside bbox entirely
+    )
+    got = {r["pid"] for r in spatial_join_polygon(points, bounds).collect()}
+    assert got == {0, 2}  # notch point excluded despite bbox-bucket hit
