@@ -684,6 +684,82 @@ def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # sliding context windows (32-token window, stride 24) — the
+    # chunking stage of an LLM pretraining pipeline
+    from det_module_spark.operators.chunking import chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = chunk_documents(docs, window=32, stride=24)
+    return out.select(
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.col("chunk_tokens").cast("long").alias("chunk_tokens"),
+        "chunk_text",
+    )
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # concat-then-chunk packing plan: 256-token bins per language shard
+    from det_module_spark.operators.chunking import pack_sequences
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = pack_sequences(docs, budget=256, part_col="lang")
+    return out.select(
+        "lang",
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("cum_before").cast("long").alias("cum_before"),
+        "bin_start",
+        "bin_end",
+        F.col("bin_offset").cast("long").alias("bin_offset"),
+    )
+
+
+def q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # 10% deterministic content-hash sample (partitioning-independent)
+    from det_module_spark.operators.sampling import hash_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return hash_sample(docs, F.col("doc_id"), 0.1).select(
+        "doc_id", "lang", "source"
+    )
+
+
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # language rebalancing: downsample en hard, keep fr fully
+    from det_module_spark.operators.sampling import stratified_hash_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = stratified_hash_sample(
+        docs,
+        F.col("doc_id"),
+        F.col("lang"),
+        {"en": 0.05, "fr": 1.0, "de": 0.5},
+        default_fraction=0.2,
+    )
+    return out.select("doc_id", "lang", "source")
+
+
+def q_term_doc_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # vocabulary heavy-hitters: terms in >= 50 documents
+    from det_module_spark.operators.text import term_doc_freq
+
+    docs = load_table(spark, sf_dir, "documents")
+    return term_doc_freq(docs, min_df=50)
+
+
+def q_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # wide -> long unpivot of the lineitem measure columns
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 200)
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        "metric",
+        "value",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Event-time windows (§2.10). Same builders run streaming with a
 # watermark; here they run batch for the oracle gate.
@@ -896,6 +972,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_edit_distance": q_text_edit_distance,
         "profile_table": q_profile_table,
         "queue_timeline": q_queue_timeline,
+        # --- LLM-pipeline: chunking / packing / sampling / vocab ---
+        "doc_chunks": q_doc_chunks,
+        "pack_sequences": q_pack_sequences,
+        "sample_hash": q_sample_hash,
+        "sample_stratified": q_sample_stratified,
+        "term_doc_freq": q_term_doc_freq,
+        "unpivot_metrics": q_unpivot_metrics,
         # --- event-time windows (§2.10) ---
         "events_tumbling": q_events_tumbling,
         "events_sliding": q_events_sliding,
@@ -1495,6 +1578,78 @@ QUALIFY ROW_NUMBER() OVER (
                               '%Y-%m-%d %H:%M:%S'),
                      '---') AS submit_stamp
             FROM orders WHERE o_orderkey < 1000
+        """,
+        "doc_chunks": """
+            WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l
+                          FROM documents),
+            meta AS (SELECT doc_id, l, len(l) AS n,
+                            1 + (greatest(len(l) - 32, 0) + 23) // 24
+                              AS n_chunks
+                     FROM toks),
+            ex AS (SELECT doc_id, l, n,
+                          unnest(range(0, n_chunks)) AS chunk_id
+                   FROM meta)
+            SELECT doc_id, chunk_id,
+                   least(32, n - chunk_id * 24) AS chunk_tokens,
+                   array_to_string(
+                     list_slice(l, chunk_id * 24 + 1, chunk_id * 24 + 32),
+                     ' ') AS chunk_text
+            FROM ex
+        """,
+        "pack_sequences": """
+            WITH t AS (SELECT lang, doc_id,
+                              len(string_split(text, ' ')) AS n_tokens
+                       FROM documents),
+            c AS (SELECT lang, doc_id, n_tokens,
+                         COALESCE(SUM(n_tokens) OVER (
+                           PARTITION BY lang ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING), 0) AS cum_before
+                  FROM t)
+            SELECT lang, doc_id, n_tokens, cum_before,
+                   cum_before // 256 AS bin_start,
+                   (cum_before + n_tokens - 1) // 256 AS bin_end,
+                   cum_before % 256 AS bin_offset
+            FROM c
+        """,
+        "sample_hash": """
+            SELECT doc_id, lang, source FROM documents
+            WHERE CAST(concat('0x',
+                    substr(md5(concat('s0:', CAST(doc_id AS VARCHAR))),
+                           1, 15)) AS BIGINT) % 1000000 < 100000
+        """,
+        "sample_stratified": """
+            SELECT doc_id, lang, source FROM documents
+            WHERE CAST(concat('0x',
+                    substr(md5(concat('s0:', CAST(doc_id AS VARCHAR))),
+                           1, 15)) AS BIGINT) % 1000000
+                  < CASE WHEN lang = 'en' THEN 50000
+                         WHEN lang = 'fr' THEN 1000000
+                         WHEN lang = 'de' THEN 500000
+                         ELSE 200000 END
+        """,
+        "term_doc_freq": """
+            SELECT term, COUNT(*) AS doc_freq
+            FROM (SELECT DISTINCT doc_id,
+                         unnest(string_split(text, ' ')) AS term
+                  FROM documents)
+            WHERE length(term) > 0
+            GROUP BY term HAVING COUNT(*) >= 50
+        """,
+        "unpivot_metrics": """
+            SELECT l_orderkey, l_linenumber,
+                   'l_quantity' AS metric, l_quantity AS value
+            FROM lineitem WHERE l_orderkey < 200
+            UNION ALL
+            SELECT l_orderkey, l_linenumber,
+                   'l_extendedprice', l_extendedprice
+            FROM lineitem WHERE l_orderkey < 200
+            UNION ALL
+            SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+            FROM lineitem WHERE l_orderkey < 200
+            UNION ALL
+            SELECT l_orderkey, l_linenumber, 'l_tax', l_tax
+            FROM lineitem WHERE l_orderkey < 200
         """,
         "profile_table": """
             SELECT 'c_custkey' AS "column", COUNT(*) AS n_rows,

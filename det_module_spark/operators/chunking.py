@@ -1,0 +1,118 @@
+"""Context-window chunking and sequence packing for LLM training data.
+
+Two pipeline stages every pretraining corpus goes through after
+cleaning/dedup:
+
+- **chunking**: split each document into fixed-size token windows with
+  overlap (sliding stride), so downstream training sees bounded
+  sequences with cross-boundary context preserved;
+- **packing**: lay the token stream end-to-end and cut it into
+  fixed-budget bins ("concat then chunk"), so no batch slot is wasted
+  on padding. The plan emitted here assigns each document its bin
+  span and offset.
+
+Both are pure Column arithmetic over the materialized token array —
+no Python in the row path, no shuffle for chunking (a projection +
+explode), and packing shuffles only on the partition key (one window
+per partition, scale-out across e.g. language/source shards).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from det_module_spark.operators.text import token_count, tokens
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text: str = "text",
+    window: int = 32,
+    stride: int = 24,
+) -> DataFrame:
+    """(id, chunk_id, chunk_tokens, chunk_text) sliding windows.
+
+    n_chunks = 1 + ceil(max(0, n_tokens - window) / stride), computed
+    with integer arithmetic ((extra + stride - 1) div stride) so the
+    count is exact in any engine. The final chunk may be short (the
+    tail); documents shorter than ``window`` yield exactly one chunk.
+    Tokens are materialized before the per-chunk lambda (interpreted
+    higher-order eval — see word_shingles).
+    """
+    if window < 1 or stride < 1:
+        raise ValueError("window and stride must be >= 1")
+    toks = F.col("__toks")
+    n = F.size(toks)
+    extra = F.greatest(n - window, F.lit(0))
+    n_chunks = (F.lit(1) + F.floor((extra + (stride - 1)) / stride)).cast("int")
+    base = df.select(
+        F.col(id_col), tokens(F.col(text)).alias("__toks")
+    ).select(
+        F.col(id_col),
+        F.col("__toks"),
+        F.size("__toks").alias("__n"),
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id"),
+    )
+    start = F.col("chunk_id") * stride
+    return base.select(
+        F.col(id_col),
+        "chunk_id",
+        F.least(F.lit(window), F.col("__n") - start).alias("chunk_tokens"),
+        F.array_join(F.slice(F.col("__toks"), start + 1, window), " ").alias(
+            "chunk_text"
+        ),
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget: int,
+    id_col: str = "doc_id",
+    text: str = "text",
+    part_col: str | None = "lang",
+) -> DataFrame:
+    """Concat-then-chunk packing plan: documents are laid end-to-end in
+    ``id_col`` order (within each ``part_col`` shard) and the stream is
+    cut every ``budget`` tokens. Emits, per document:
+
+    - ``cum_before``: tokens preceding it in its shard's stream,
+    - ``bin_start`` / ``bin_end``: the bins its tokens span (a document
+      may straddle a cut — standard pretraining packing),
+    - ``bin_offset``: position of its first token within bin_start.
+
+    All integer arithmetic (cumulative sums of token counts), so the
+    plan is engine-exact. The only shuffle is the window partition on
+    ``part_col``; at 100 TB the shard key keeps every partition's
+    running sum independent — there is deliberately no global order.
+    """
+    if budget < 1:
+        raise ValueError("budget must be >= 1")
+    tok = token_count(F.col(text))
+    keys = [part_col] if part_col else []
+    w = Window.partitionBy(*keys).orderBy(id_col)
+    base = df.select(
+        *( [F.col(part_col)] if part_col else [] ),
+        F.col(id_col),
+        tok.alias("n_tokens"),
+    ).withColumn(
+        "cum_before",
+        F.coalesce(
+            F.sum("n_tokens").over(
+                w.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    )
+    return base.select(
+        *keys,
+        id_col,
+        "n_tokens",
+        "cum_before",
+        F.floor(F.col("cum_before") / budget).cast("long").alias("bin_start"),
+        F.floor((F.col("cum_before") + F.col("n_tokens") - 1) / budget)
+        .cast("long")
+        .alias("bin_end"),
+        (F.col("cum_before") % budget).alias("bin_offset"),
+    )

@@ -1,0 +1,55 @@
+"""Deterministic sampling operators.
+
+``df.sample()`` is seed-stable only for a fixed partitioning — repartition
+the input and the sample changes, which is useless for reproducible
+corpus construction at scale. These operators derive the keep/drop
+decision from a content hash of a key column instead: the same row is
+kept in every run, on every cluster size, in every engine that can
+compute md5 (so the DuckDB oracle reproduces the exact sample).
+
+Cost model: a projection + filter — no shuffle, fully pushed into the
+scan stage; the filter prunes rows before anything downstream shuffles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from det_module_spark.operators.dedup import stable_hash64
+
+# hash-space resolution for fractions: 1e6 ≈ 4-digit precision on the
+# fraction, far below sampling noise at any real corpus size
+_RES = 1_000_000
+
+
+def _bucket(key: Column, seed: str) -> Column:
+    """Uniform bucket in [0, _RES) from md5(seed ':' key)."""
+    return stable_hash64(F.concat(F.lit(f"{seed}:"), key.cast("string"))) % _RES
+
+
+def hash_sample(
+    df: DataFrame, key: Column, fraction: float, seed: str = "s0"
+) -> DataFrame:
+    """Keep ~``fraction`` of rows, chosen by content hash of ``key``.
+    Deterministic across runs, partitionings, and engines."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError("fraction must be in [0, 1]")
+    return df.filter(_bucket(key, seed) < int(fraction * _RES))
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    key: Column,
+    stratum: Column,
+    fractions: dict[str, float],
+    default_fraction: float = 0.0,
+    seed: str = "s0",
+) -> DataFrame:
+    """Per-stratum deterministic sampling (e.g. language rebalancing:
+    keep 100% of low-resource languages, 10% of English). Strata not
+    named in ``fractions`` fall back to ``default_fraction``."""
+    cut = F.lit(int(default_fraction * _RES))
+    for value, frac in sorted(fractions.items()):
+        cut = F.when(stratum == value, int(frac * _RES)).otherwise(cut)
+    return df.filter(_bucket(key, seed) < cut)

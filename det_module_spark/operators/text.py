@@ -87,6 +87,31 @@ def lang_id(df: DataFrame, text: str = "text", out: str = "lang_pred") -> DataFr
     return scored.withColumn(out, pred)
 
 
+def term_doc_freq(
+    df: DataFrame,
+    min_df: int = 2,
+    id_col: str = "doc_id",
+    text: str = "text",
+) -> DataFrame:
+    """Vocabulary heavy-hitters: terms appearing in ≥ ``min_df``
+    distinct documents, with their document frequency. The building
+    block for stopword discovery and df-cap pruning (the guard
+    ngram_jaccard_pairs applies).
+
+    Shape: explode distinct per-doc terms → one hash aggregation.
+    Map-side partial counts make the shuffle proportional to the
+    vocabulary, not the corpus."""
+    terms = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(tokens(F.col(text)))).alias("term"),
+    ).filter(F.length("term") > 0)
+    return (
+        terms.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+        .filter(F.col("doc_freq") >= min_df)
+    )
+
+
 def word_shingles(
     df: DataFrame, id_col: str = "doc_id", text: str = "text", n: int = 3
 ) -> DataFrame:

@@ -1,0 +1,139 @@
+"""Chunking, packing, sampling, vocabulary heavy-hitters."""
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from det_module_spark.operators.chunking import chunk_documents, pack_sequences
+from det_module_spark.operators.sampling import (
+    hash_sample,
+    stratified_hash_sample,
+)
+from det_module_spark.operators.text import term_doc_freq
+
+
+def _doc(spark, doc_id, words, lang="en"):
+    return Row(doc_id=doc_id, text=" ".join(words), lang=lang)
+
+
+def test_chunk_boundaries(spark):
+    # 10 tokens, window 4, stride 3 -> chunks at offsets 0,3,6 (full)
+    # and 9 (tail of 1): n_chunks = 1 + ceil((10-4)/3) = 3
+    words = [f"w{i}" for i in range(10)]
+    df = spark.createDataFrame([_doc(spark, 1, words)])
+    out = {
+        r["chunk_id"]: r
+        for r in chunk_documents(df, window=4, stride=3).collect()
+    }
+    assert len(out) == 3
+    assert out[0]["chunk_text"] == "w0 w1 w2 w3"
+    assert out[1]["chunk_text"] == "w3 w4 w5 w6"
+    assert out[2]["chunk_text"] == "w6 w7 w8 w9"
+    assert all(out[i]["chunk_tokens"] == 4 for i in range(3))
+
+
+def test_chunk_short_doc_single_chunk(spark):
+    df = spark.createDataFrame([_doc(spark, 1, ["a", "b"])])
+    out = chunk_documents(df, window=4, stride=3).collect()
+    assert len(out) == 1
+    assert out[0]["chunk_text"] == "a b"
+    assert out[0]["chunk_tokens"] == 2
+
+
+def test_chunk_tail_shorter_than_window(spark):
+    # 6 tokens, window 4, stride 4: second chunk holds only 2 tokens
+    df = spark.createDataFrame([_doc(spark, 1, list("abcdef"))])
+    out = sorted(
+        chunk_documents(df, window=4, stride=4).collect(),
+        key=lambda r: r["chunk_id"],
+    )
+    assert [r["chunk_tokens"] for r in out] == [4, 2]
+    assert out[1]["chunk_text"] == "e f"
+
+
+def test_pack_sequences_spans_and_offsets(spark):
+    # token counts 100, 200, 50 with budget 128:
+    #   doc 1: cum 0   -> bins 0..0, offset 0
+    #   doc 2: cum 100 -> bins 0..2 (tokens 100..299), offset 100
+    #   doc 3: cum 300 -> bins 2..2, offset 44
+    rows = [
+        _doc(spark, 1, ["x"] * 100),
+        _doc(spark, 2, ["x"] * 200),
+        _doc(spark, 3, ["x"] * 50),
+    ]
+    df = spark.createDataFrame(rows)
+    out = {
+        r["doc_id"]: r
+        for r in pack_sequences(df, budget=128, part_col="lang").collect()
+    }
+    assert (out[1]["bin_start"], out[1]["bin_end"], out[1]["bin_offset"]) == (0, 0, 0)
+    assert (out[2]["bin_start"], out[2]["bin_end"], out[2]["bin_offset"]) == (0, 2, 100)
+    assert (out[3]["bin_start"], out[3]["bin_end"], out[3]["bin_offset"]) == (2, 2, 44)
+
+
+def test_pack_sequences_per_partition_streams(spark):
+    # each lang shard gets an independent token stream
+    rows = [
+        _doc(spark, 1, ["x"] * 10, "en"),
+        _doc(spark, 2, ["x"] * 10, "fr"),
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in pack_sequences(
+            spark.createDataFrame(rows), budget=8, part_col="lang"
+        ).collect()
+    }
+    assert out[1]["cum_before"] == 0
+    assert out[2]["cum_before"] == 0  # fr stream starts fresh
+
+
+def test_hash_sample_partitioning_independent(spark, sf_dir):
+    from det_module_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    a = {
+        r["doc_id"]
+        for r in hash_sample(docs, F.col("doc_id"), 0.3).select("doc_id").collect()
+    }
+    b = {
+        r["doc_id"]
+        for r in hash_sample(
+            docs.repartition(7), F.col("doc_id"), 0.3
+        ).select("doc_id").collect()
+    }
+    assert a == b and 0 < len(a) < docs.count()
+
+
+def test_hash_sample_nested_fractions(spark, sf_dir):
+    # a 10% sample is a strict subset of a 30% sample (same seed/key):
+    # the keep rule is bucket < cut, so cuts nest
+    from det_module_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    small = {r["doc_id"] for r in hash_sample(docs, F.col("doc_id"), 0.1).select("doc_id").collect()}
+    big = {r["doc_id"] for r in hash_sample(docs, F.col("doc_id"), 0.3).select("doc_id").collect()}
+    assert small <= big
+
+
+def test_stratified_sample_respects_fractions(spark):
+    rows = [
+        _doc(spark, i, ["x"], "en" if i % 2 == 0 else "fr") for i in range(400)
+    ]
+    df = spark.createDataFrame(rows)
+    out = stratified_hash_sample(
+        df, F.col("doc_id"), F.col("lang"), {"en": 0.0, "fr": 1.0}
+    ).collect()
+    langs = {r["lang"] for r in out}
+    assert langs == {"fr"} and len(out) == 200
+
+
+def test_term_doc_freq_distinct_per_doc(spark):
+    rows = [
+        _doc(spark, 1, ["apple", "apple", "apple", "pear"]),
+        _doc(spark, 2, ["apple", "kiwi"]),
+    ]
+    out = {
+        r["term"]: r["doc_freq"]
+        for r in term_doc_freq(spark.createDataFrame(rows), min_df=1).collect()
+    }
+    # repeated within one doc counts once
+    assert out == {"apple": 2, "pear": 1, "kiwi": 1}
