@@ -749,6 +749,22 @@ def q_term_doc_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return term_doc_freq(docs, min_df=50)
 
 
+def q_time_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # hypertable-style gap filling: dense hourly series per event type
+    # with LOCF-filled sums and gap markers
+    from det_module_spark.operators.timefill import time_fill_locf
+
+    ev = _events(spark, sf_dir)
+    out = time_fill_locf(ev, unit="hour")
+    return out.select(
+        "event_type",
+        F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+        F.col("n_events").cast("long").alias("n_events"),
+        "is_gap",
+        "filled_value",
+    )
+
+
 def q_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     # wide -> long unpivot of the lineitem measure columns
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 200)
@@ -979,6 +995,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_stratified": q_sample_stratified,
         "term_doc_freq": q_term_doc_freq,
         "unpivot_metrics": q_unpivot_metrics,
+        "time_fill": q_time_fill,
         # --- event-time windows (§2.10) ---
         "events_tumbling": q_events_tumbling,
         "events_sliding": q_events_sliding,
@@ -1635,6 +1652,34 @@ QUALIFY ROW_NUMBER() OVER (
                   FROM documents)
             WHERE length(term) > 0
             GROUP BY term HAVING COUNT(*) >= 50
+        """,
+        "time_fill": """
+            WITH b AS (
+              SELECT event_type, date_trunc('hour', ts) AS bucket,
+                     COUNT(*) AS n_events,
+                     FLOOR(SUM(value) * 1e4 + 0.5) / 1e4 AS sum_value
+              FROM events GROUP BY 1, 2),
+            bounds AS (SELECT event_type, MIN(bucket) AS lo,
+                              MAX(bucket) AS hi
+                       FROM b GROUP BY 1),
+            grid AS (SELECT event_type,
+                            unnest(generate_series(lo, hi,
+                                                   INTERVAL 1 HOUR))
+                              AS bucket
+                     FROM bounds),
+            j AS (SELECT g.event_type, g.bucket, b.n_events, b.sum_value
+                  FROM grid g
+                  LEFT JOIN b ON b.event_type = g.event_type
+                             AND b.bucket = g.bucket)
+            SELECT event_type,
+                   strftime(bucket, '%Y-%m-%d %H:%M:%S') AS bucket,
+                   COALESCE(n_events, 0) AS n_events,
+                   CAST(n_events IS NULL AS INT) AS is_gap,
+                   last_value(sum_value IGNORE NULLS) OVER (
+                     PARTITION BY event_type ORDER BY bucket
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS filled_value
+            FROM j
         """,
         "unpivot_metrics": """
             SELECT l_orderkey, l_linenumber,

@@ -1,0 +1,76 @@
+"""Time-series gap filling (hypertable-style `time_bucket_gapfill`).
+
+Dashboards and rollup consumers expect one row per (key, bucket) even
+for silent periods; raw event aggregation emits only buckets that saw
+events. This operator densifies the series and carries the last
+observation forward (LOCF):
+
+1. bucket-aggregate the raw events (one shuffle — the same shape as
+   any windowed rollup);
+2. per key, generate the full bucket grid between that key's first and
+   last bucket (``sequence`` + ``explode`` — a projection whose output
+   is bounded by keys × time-span, independent of event count);
+3. left-join actuals onto the grid and forward-fill with
+   ``last(value, ignorenulls=True)`` over an unbounded-preceding
+   window per key.
+
+Scale: the expensive input (raw events) is touched once, in step 1;
+steps 2-3 operate on the already-aggregated bucket table (keys ×
+buckets rows). The fill window partitions by key, so filling
+parallelizes across keys and never needs a global sort.
+
+Fill values are rounded BEFORE filling (round-the-inputs rule): LOCF
+copies the rounded bucket sum, so every engine fills bit-identical
+values.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def time_fill_locf(
+    events: DataFrame,
+    unit: str = "hour",
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    value_col: str = "value",
+    round_digits: int = 4,
+) -> DataFrame:
+    """Dense (key, bucket) series with gap rows marked and LOCF-filled.
+
+    Output: key, bucket (timestamp), n_events (0 on gaps), is_gap,
+    filled_value (last non-gap rounded sum at or before this bucket).
+    """
+    factor = 10 ** round_digits
+    b = events.groupBy(
+        F.col(key_col), F.date_trunc(unit, F.col(ts_col)).alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.floor(F.sum(value_col) * factor + F.lit(0.5)) / factor).alias(
+            "sum_value"
+        ),
+    )
+    bounds = b.groupBy(key_col).agg(
+        F.min("bucket").alias("lo"), F.max("bucket").alias("hi")
+    )
+    grid = bounds.select(
+        F.col(key_col),
+        F.explode(
+            F.sequence("lo", "hi", F.expr(f"INTERVAL 1 {unit}"))
+        ).alias("bucket"),
+    )
+    joined = grid.join(b, [key_col, "bucket"], "left")
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return joined.select(
+        F.col(key_col),
+        F.col("bucket"),
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        F.col("n_events").isNull().cast("int").alias("is_gap"),
+        F.last("sum_value", ignorenulls=True).over(w).alias("filled_value"),
+    )

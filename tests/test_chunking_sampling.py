@@ -137,3 +137,29 @@ def test_term_doc_freq_distinct_per_doc(spark):
     }
     # repeated within one doc counts once
     assert out == {"apple": 2, "pear": 1, "kiwi": 1}
+
+
+def test_time_fill_locf(spark):
+    import datetime
+
+    from det_module_spark.operators.timefill import time_fill_locf
+
+    def at(h):
+        return datetime.datetime(2024, 1, 1, h, 30)
+
+    rows = [
+        Row(ts=at(0), event_type="a", value=1.0),
+        Row(ts=at(0), event_type="a", value=2.0),
+        # hours 1-2 silent for 'a'
+        Row(ts=at(3), event_type="a", value=4.0),
+        Row(ts=at(5), event_type="b", value=7.0),
+    ]
+    out = time_fill_locf(spark.createDataFrame(rows), unit="hour").collect()
+    a = {r["bucket"].hour: r for r in out if r["event_type"] == "a"}
+    assert sorted(a) == [0, 1, 2, 3]          # dense grid, a's own span
+    assert (a[0]["n_events"], a[0]["is_gap"], a[0]["filled_value"]) == (2, 0, 3.0)
+    assert (a[1]["n_events"], a[1]["is_gap"], a[1]["filled_value"]) == (0, 1, 3.0)
+    assert (a[2]["n_events"], a[2]["is_gap"], a[2]["filled_value"]) == (0, 1, 3.0)
+    assert (a[3]["n_events"], a[3]["is_gap"], a[3]["filled_value"]) == (1, 0, 4.0)
+    b = [r for r in out if r["event_type"] == "b"]
+    assert len(b) == 1 and b[0]["filled_value"] == 7.0
