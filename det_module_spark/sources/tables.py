@@ -26,6 +26,16 @@ TABLES = [
 ]
 
 
+# Resolved-DataFrame memo: schema inference reads parquet footers on
+# every ``spark.read.parquet`` (~100ms each); a workload that builds
+# many queries over the same tables pays that once per (session, dir,
+# table) instead of once per query. This caches METADATA (the resolved
+# logical plan), not data — exactly what a table catalog does; scans
+# still stream from disk and pick up nothing stale because the
+# testdata directories are immutable inputs.
+_TABLE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one table. Accepts both ``<dir>/<name>.parquet`` (driver
     testdata) and ``<dir>/<name>/`` (partitioned production layout).
@@ -35,6 +45,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     to a microsecond TimestampType column with integer arithmetic
     (``div`` — double division would lose precision above 2^53 ns).
     """
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir), name)
+    cached = _TABLE_CACHE.get(key)
+    if cached is not None:
+        return cached
+    df = _load_table_uncached(spark, sf_dir, name)
+    _TABLE_CACHE[key] = df
+    return df
+
+
+def _load_table_uncached(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     single = os.path.join(sf_dir, f"{name}.parquet")
     root = os.path.join(sf_dir, name)
     path = single if os.path.exists(single) else root
