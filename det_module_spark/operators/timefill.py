@@ -52,6 +52,11 @@ def time_fill_locf(
             "sum_value"
         ),
     )
+    # the bucket table feeds two consumers (grid bounds and the join's
+    # actuals side); without materialization Spark re-derives it from a
+    # SECOND full scan of the raw events — the one table this operator
+    # must touch only once. keys × buckets rows, so this is tiny.
+    b = b.localCheckpoint(eager=True)
     bounds = b.groupBy(key_col).agg(
         F.min("bucket").alias("lo"), F.max("bucket").alias("hi")
     )
