@@ -765,6 +765,52 @@ def q_time_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # per-source duplication report over the exact-dedup groups: how
+    # many docs, how many survive, duplicate fraction (integer bps)
+    docs = load_table(spark, sf_dir, "documents")
+    key = F.md5(F.substring("text", 1, 24))
+    keyed = docs.select(F.col("source"), key.alias("content_key"))
+    groups = keyed.groupBy("source", "content_key").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return groups.groupBy("source").agg(
+        F.sum("n").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_unique"),
+        # basis points as integers: exact in every engine
+        F.floor(
+            (F.sum("n") - F.count(F.lit(1))) * 10000 / F.sum("n")
+        ).cast("long").alias("dup_bps"),
+    )
+
+
+def q_argmax_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # arg-max via struct max: per customer, the most expensive order.
+    # Ties (same price) break to the SMALLEST order key via the negated
+    # key in the comparator — deterministic, unlike bare max_by
+    orders = load_table(spark, sf_dir, "orders")
+    best = orders.groupBy("o_custkey").agg(
+        F.max(
+            F.struct(F.col("o_totalprice"), (-F.col("o_orderkey")).alias("nk"))
+        ).alias("b")
+    )
+    return best.select(
+        "o_custkey",
+        F.col("b.o_totalprice").alias("best_price"),
+        (-F.col("b.nk")).alias("best_order"),
+    )
+
+
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # PII-style scrubbing: mask digit runs in the raw props payload
+    # (regexp_replace is all-occurrences in both engines)
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    return ev.select(
+        "event_id",
+        F.regexp_replace(F.col("props"), "[0-9]+", "<NUM>").alias("props_clean"),
+    )
+
+
 def q_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     # wide -> long unpivot of the lineitem measure columns
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 200)
@@ -996,6 +1042,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_doc_freq": q_term_doc_freq,
         "unpivot_metrics": q_unpivot_metrics,
         "time_fill": q_time_fill,
+        "dedup_report": q_dedup_report,
+        "argmax_order": q_argmax_order,
+        "pii_redact": q_pii_redact,
         # --- event-time windows (§2.10) ---
         "events_tumbling": q_events_tumbling,
         "events_sliding": q_events_sliding,
@@ -1652,6 +1701,32 @@ QUALIFY ROW_NUMBER() OVER (
                   FROM documents)
             WHERE length(term) > 0
             GROUP BY term HAVING COUNT(*) >= 50
+        """,
+        "dedup_report": """
+            WITH g AS (
+              SELECT source, md5(substr(text, 1, 24)) AS content_key,
+                     COUNT(*) AS n
+              FROM documents GROUP BY 1, 2)
+            SELECT source, SUM(n) AS n_docs, COUNT(*) AS n_unique,
+                   CAST(FLOOR((SUM(n) - COUNT(*)) * 10000.0 / SUM(n))
+                        AS BIGINT) AS dup_bps
+            FROM g GROUP BY source
+        """,
+        "argmax_order": """
+            WITH m AS (SELECT o_custkey, MAX(o_totalprice) AS best_price
+                       FROM orders GROUP BY 1)
+            SELECT m.o_custkey, m.best_price,
+                   MIN(o.o_orderkey) AS best_order
+            FROM m JOIN orders o
+              ON o.o_custkey = m.o_custkey
+             AND o.o_totalprice = m.best_price
+            GROUP BY 1, 2
+        """,
+        "pii_redact": """
+            SELECT event_id,
+                   regexp_replace(props, '[0-9]+', '<NUM>', 'g')
+                     AS props_clean
+            FROM events WHERE event_id < 2000
         """,
         "time_fill": """
             WITH b AS (
