@@ -811,6 +811,43 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rolling_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # trailing 1-hour event-time window per type: RANGE frame over
+    # epoch seconds (time-based, not row-based — frame contents are
+    # partition-order-independent, so cross-engine exact)
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir).filter(F.col("event_id") < 3000)
+    sec = F.unix_timestamp("ts")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(sec)
+        .rangeBetween(-3600, 0)
+    )
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.count(F.lit(1)).over(w).alias("n_trailing_1h"),
+        _pround(F.sum("value").over(w), 4).alias("sum_trailing_1h"),
+    )
+
+
+def q_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # sketch path (no oracle — estimates are engine-specific; relative
+    # error vs exact is asserted in tests/test_skew_approx.py): HLL
+    # distinct + KLL-style quantiles in ONE pass over lineitem.
+    # At 100 TB these replace exact shuffles of distinct values with
+    # fixed-size mergeable sketch state.
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_partkey").alias("nd_partkey"),
+        F.approx_count_distinct("l_suppkey").alias("nd_suppkey"),
+        F.percentile_approx("l_extendedprice", [0.5, 0.95, 0.99], 10000).alias(
+            "price_quantiles"
+        ),
+    )
+
+
 def q_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     # wide -> long unpivot of the lineitem measure columns
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 200)
@@ -1045,6 +1082,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_report": q_dedup_report,
         "argmax_order": q_argmax_order,
         "pii_redact": q_pii_redact,
+        "rolling_range_window": q_rolling_range_window,
+        "approx_stats": q_approx_stats,
         # --- event-time windows (§2.10) ---
         "events_tumbling": q_events_tumbling,
         "events_sliding": q_events_sliding,
@@ -1819,6 +1858,16 @@ QUALIFY ROW_NUMBER() OVER (
                    regexp_extract(d.text, '([a-z]+) ([a-z]+)', 2)
                      AS second_word
             FROM documents d JOIN documents n ON n.doc_id = d.doc_id + 1
+        """,
+        "rolling_range_window": """
+            SELECT event_id, event_type,
+                   COUNT(*) OVER w AS n_trailing_1h,
+                   FLOOR(SUM(value) OVER w * 1e4 + 0.5) / 1e4
+                     AS sum_trailing_1h
+            FROM events WHERE event_id < 3000
+            WINDOW w AS (PARTITION BY event_type
+                         ORDER BY CAST(FLOOR(epoch(ts)) AS BIGINT)
+                         RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
         """,
         "events_tumbling": """
             SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
