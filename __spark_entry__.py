@@ -848,6 +848,70 @@ def q_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # benchmark decontamination: every 50th document plays the eval
+    # set; report per-corpus-doc trigram overlap against it. The
+    # benchmark shingle vocabulary is broadcast — no corpus-sized
+    # shuffle of shingles at any scale.
+    from det_module_spark.operators.decontaminate import contamination_report
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    corpus = docs.filter(F.col("doc_id") % 50 != 0)
+    return contamination_report(corpus, bench, n=3)
+
+
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Gopher-style repetition signals: duplicate-trigram fraction +
+    # top-token dominance per document
+    from det_module_spark.operators.text import repetition_features
+
+    return repetition_features(load_table(spark, sf_dir, "documents"))
+
+
+def q_histogram_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # fixed-width histogram: one hash agg, bin count independent of
+    # row count (map-side partials do the work inside the scan)
+    from det_module_spark.operators.profile import histogram
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return histogram(li, "l_extendedprice", 5000.0)
+
+
+def q_corr_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Pearson corr + sample covariance from EXACT integer moments
+    # (quantity is integer-valued; discount quantized to percent) —
+    # bit-identical across engines/partition orders, unlike F.corr
+    from det_module_spark.operators.profile import grouped_corr_exact
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.col("l_quantity").cast("long").alias("qty"),
+        F.floor(F.col("l_discount") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("disc"),
+    )
+    return grouped_corr_exact(li, "l_returnflag", "qty", "disc")
+
+
+def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Morton (Z-order) clustering key over two dimension columns —
+    # the write-time layout step that makes parquet min/max stats
+    # prune 2-D range predicates at 100 TB
+    from det_module_spark.operators.layout import morton_key
+
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 2000)
+    x = F.col("l_partkey") % 4096
+    y = F.col("l_suppkey") % 4096
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        x.alias("x"),
+        y.alias("y"),
+        morton_key(x, y).alias("zkey"),
+    )
+
+
 def q_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     # wide -> long unpivot of the lineitem measure columns
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 200)
@@ -1084,6 +1148,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact": q_pii_redact,
         "rolling_range_window": q_rolling_range_window,
         "approx_stats": q_approx_stats,
+        "decontaminate": q_decontaminate,
+        "text_repetition": q_text_repetition,
+        "histogram_price": q_histogram_price,
+        "corr_exact": q_corr_exact,
+        "zorder_key": q_zorder_key,
         # --- event-time windows (§2.10) ---
         "events_tumbling": q_events_tumbling,
         "events_sliding": q_events_sliding,
@@ -1102,6 +1171,12 @@ sh AS (
                 )) AS shingle
   FROM toks)
 """
+
+
+def _morton_oracle_expr() -> str:
+    from det_module_spark.operators.layout import morton_sql
+
+    return morton_sql("l_partkey % 4096", "l_suppkey % 4096")
 
 
 def _minhash_sql(num_hashes: int = 16) -> str:
@@ -1858,6 +1933,79 @@ QUALIFY ROW_NUMBER() OVER (
                    regexp_extract(d.text, '([a-z]+) ([a-z]+)', 2)
                      AS second_word
             FROM documents d JOIN documents n ON n.doc_id = d.doc_id + 1
+        """,
+        "decontaminate": _SHINGLES_SQL
+        + """,
+            bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 50 = 0),
+            corp AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 50 <> 0)
+            SELECT c.doc_id,
+                   COUNT(*) AS n_shingles,
+                   COUNT(b.shingle) AS n_overlap,
+                   CAST(COUNT(b.shingle) AS DOUBLE) / COUNT(*)
+                     AS overlap_frac,
+                   COUNT(b.shingle) >= 1 AS contaminated
+            FROM corp c LEFT JOIN bench b ON c.shingle = b.shingle
+            GROUP BY c.doc_id
+        """,
+        "text_repetition": """
+            WITH toks AS (
+              SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+            grams AS (
+              SELECT doc_id,
+                     unnest(list_transform(
+                       range(1, greatest(len(l) - 1, 2)),
+                       i -> array_to_string(list_slice(l, i, i + 2), ' ')
+                     )) AS g
+              FROM toks),
+            gs AS (
+              SELECT doc_id,
+                     1.0 - CAST(COUNT(DISTINCT g) AS DOUBLE) / COUNT(*)
+                       AS dup_gram_frac
+              FROM grams GROUP BY doc_id),
+            cnts AS (
+              SELECT doc_id, term, COUNT(*) AS cnt
+              FROM (SELECT doc_id, unnest(l) AS term FROM toks)
+              GROUP BY doc_id, term),
+            ts AS (
+              SELECT doc_id,
+                     CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+                     CAST(MAX(cnt) AS DOUBLE) / SUM(cnt) AS top_token_frac
+              FROM cnts GROUP BY doc_id)
+            SELECT gs.doc_id, ts.n_tokens, gs.dup_gram_frac,
+                   ts.top_token_frac
+            FROM gs JOIN ts USING (doc_id)
+        """,
+        "histogram_price": """
+            SELECT CAST(FLOOR(l_extendedprice / 5000.0) AS BIGINT) AS bin,
+                   CAST(FLOOR(l_extendedprice / 5000.0) AS BIGINT) * 5000.0
+                     AS bin_lo,
+                   COUNT(*) AS n_rows
+            FROM lineitem GROUP BY 1, 2
+        """,
+        "corr_exact": """
+            WITH q AS (
+              SELECT l_returnflag,
+                     CAST(l_quantity AS BIGINT) AS x,
+                     CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT) AS y
+              FROM lineitem),
+            m AS (
+              SELECT l_returnflag, COUNT(*) AS n,
+                     SUM(x) AS sx, SUM(y) AS sy, SUM(x*y) AS sxy,
+                     SUM(x*x) AS sxx, SUM(y*y) AS syy
+              FROM q GROUP BY l_returnflag)
+            SELECT l_returnflag, n,
+                   CAST(n*sxy - sx*sy AS DOUBLE) / n / (n - 1) AS cov_samp,
+                   CAST(n*sxy - sx*sy AS DOUBLE)
+                     / SQRT(CAST(n*sxx - sx*sx AS DOUBLE)
+                            * CAST(n*syy - sy*sy AS DOUBLE)) AS corr
+            FROM m
+        """,
+        "zorder_key": f"""
+            SELECT l_orderkey, l_linenumber,
+                   l_partkey % 4096 AS x,
+                   l_suppkey % 4096 AS y,
+                   {_morton_oracle_expr()} AS zkey
+            FROM lineitem WHERE l_orderkey < 2000
         """,
         "rolling_range_window": """
             SELECT event_id, event_type,

@@ -1,0 +1,64 @@
+"""Data-layout keys: Morton (Z-order) interleaving for multi-column
+clustering.
+
+At 100 TB, sorting a table by a single column only prunes scans that
+filter on that column. Writing files ordered by the Morton key of two
+(or more) dimension columns gives every file a tight min/max range on
+BOTH dimensions, so parquet row-group statistics prune 2-D range
+queries (the technique behind Delta/Iceberg ``ZORDER BY``). The key
+itself is pure integer bit arithmetic — codegen'd Column expressions,
+no shuffle beyond the final write-time sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# magic masks that spread a 16-bit value's bits into the even bit
+# positions of a 32-bit word (classic interleave-by-shifts)
+_SPREAD_STEPS = [
+    (8, 0x00FF00FF),
+    (4, 0x0F0F0F0F),
+    (2, 0x33333333),
+    (1, 0x55555555),
+]
+
+
+def spread_bits16(c: Column) -> Column:
+    """Spread the low 16 bits of ``c`` to even bit positions (bits of
+    the result at odd positions are 0)."""
+    c = c.cast("long").bitwiseAND(F.lit(0xFFFF))
+    for shift, mask in _SPREAD_STEPS:
+        c = c.bitwiseOR(F.shiftleft(c, shift)).bitwiseAND(F.lit(mask))
+    return c
+
+
+def morton_key(x: Column, y: Column) -> Column:
+    """Interleave the low 16 bits of ``x`` and ``y`` into a 32-bit
+    Z-order key: bit i of x lands at position 2i, bit i of y at 2i+1.
+    Lexicographic order on the key is Z-curve order on (x, y)."""
+    return spread_bits16(x).bitwiseOR(F.shiftleft(spread_bits16(y), 1))
+
+
+def zorder_by(df: DataFrame, x: str, y: str, key_col: str = "zkey") -> DataFrame:
+    """Return ``df`` with a Morton key column, range-repartitioned and
+    sorted by it — the write-time layout step: each output file covers
+    a contiguous Z-range, i.e. a small rectangle in (x, y) space, so
+    min/max file statistics prune 2-D predicates."""
+    keyed = df.withColumn(key_col, morton_key(F.col(x), F.col(y)))
+    return keyed.repartitionByRange(key_col).sortWithinPartitions(key_col)
+
+
+def morton_sql(x_expr: str, y_expr: str) -> str:
+    """The identical interleave as a SQL scalar expression (DuckDB /
+    ANSI bit operators) — used by the oracle so both engines compute
+    the key with the same arithmetic."""
+
+    def spread(e: str) -> str:
+        e = f"(({e}) & 65535)"
+        for shift, mask in _SPREAD_STEPS:
+            e = f"((({e} | ({e} << {shift})) & {mask}))"
+        return e
+
+    return f"({spread(x_expr)} | ({spread(y_expr)} << 1))"

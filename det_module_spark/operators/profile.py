@@ -13,6 +13,60 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def histogram(
+    df: DataFrame, col: str, bin_width: float, out_prefix: str = "bin"
+) -> DataFrame:
+    """Fixed-width histogram of a numeric column: one hash aggregation
+    keyed by ``floor(col / bin_width)``. Bin count is data-independent
+    (bounded by value range / width), so the shuffle is tiny at any
+    scale; map-side partial counts do the real work in the scan."""
+    b = F.floor(F.col(col) / F.lit(bin_width)).alias(out_prefix)
+    return (
+        df.groupBy(b)
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .select(
+            out_prefix,
+            (F.col(out_prefix) * F.lit(bin_width)).alias(f"{out_prefix}_lo"),
+            "n_rows",
+        )
+    )
+
+
+def grouped_corr_exact(
+    df: DataFrame, group: str, x: str, y: str
+) -> DataFrame:
+    """Pearson correlation + sample covariance per group from EXACT
+    integer moments.
+
+    ``x``/``y`` must be integer-valued columns (quantize floats to a
+    fixed decimal first — see ROUND_NOTES float-parity playbook): the
+    five sufficient statistics (Σx, Σy, Σxy, Σx², Σy²) then accumulate
+    exactly in int64, making the derived corr/cov bit-identical across
+    engines and partition orders — unlike ``F.corr``, whose float
+    accumulation order varies. One aggregation pass, map-side partials.
+    """
+    xl, yl = F.col(x).cast("long"), F.col(y).cast("long")
+    m = df.groupBy(group).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(xl).alias("sx"),
+        F.sum(yl).alias("sy"),
+        F.sum(xl * yl).alias("sxy"),
+        F.sum(xl * xl).alias("sxx"),
+        F.sum(yl * yl).alias("syy"),
+    )
+    # numerators stay integer (exact); cast to double only at the final
+    # divide/sqrt, whose IEEE results are deterministic given exact ints
+    cov_n = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    var_x = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    var_y = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    return m.select(
+        group,
+        "n",
+        (cov_n.cast("double") / F.col("n") / (F.col("n") - 1)).alias("cov_samp"),
+        (cov_n.cast("double") / F.sqrt(var_x * var_y)).alias("corr"),
+    )
+
+
 def profile_table(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
     """→ (column, n_rows, n_nulls, n_distinct, min_str, max_str), one
     row per profiled column. min/max are canonicalized to strings so

@@ -175,6 +175,61 @@ def tfidf_top_terms(
     )
 
 
+def repetition_features(
+    df: DataFrame, id_col: str = "doc_id", text: str = "text", n: int = 3
+) -> DataFrame:
+    """Per-document repetition signals (Gopher-style quality rules):
+
+    - ``dup_gram_frac``: fraction of word ``n``-grams that are repeats
+      (1 − distinct/total) — catches boilerplate and looping text;
+    - ``top_token_frac``: share of the document taken by its single
+      most frequent token — catches keyword-stuffed pages.
+
+    The gram part is pure Column expressions (no shuffle). The token
+    dominance needs per-(doc, term) counts — explode + two hash
+    aggregations keyed by doc id; map-side partials keep the shuffle
+    proportional to per-doc vocabulary. Both ratios are single IEEE
+    divisions of exact integers — bit-identical across engines.
+    """
+    toks = F.col("__toks")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + j + 1) for j in range(n)]
+        ),
+    )
+    gram_part = (
+        df.select(F.col(id_col), tokens(F.col(text)).alias("__toks"))
+        .select(
+            F.col(id_col),
+            F.size(grams).alias("__n_grams"),
+            F.size(F.array_distinct(grams)).alias("__n_distinct"),
+        )
+        .select(
+            F.col(id_col),
+            (
+                F.lit(1.0)
+                - F.col("__n_distinct").cast("double") / F.col("__n_grams")
+            ).alias("dup_gram_frac"),
+        )
+    )
+    term_part = (
+        df.select(F.col(id_col), F.explode(tokens(F.col(text))).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy(id_col)
+        .agg(
+            F.sum("cnt").alias("n_tokens"),
+            (F.max("cnt").cast("double") / F.sum("cnt")).alias(
+                "top_token_frac"
+            ),
+        )
+    )
+    return gram_part.join(term_part, id_col).select(
+        id_col, "n_tokens", "dup_gram_frac", "top_token_frac"
+    )
+
+
 def doc_fingerprint(
     df: DataFrame, id_col: str = "doc_id", text: str = "text"
 ) -> DataFrame:
