@@ -576,6 +576,47 @@ def q_cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # arbitrary grouping-set lattice (finer than cube/rollup): one
+    # shuffle produces all three granularities; grouping_id
+    # disambiguates the NULL-filled grouping columns
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupingSets(
+        [["o_orderstatus", "o_orderpriority"], ["o_orderstatus"], []],
+        "o_orderstatus",
+        "o_orderpriority",
+    ).agg(
+        F.grouping_id().alias("gid"),
+        F.count(F.lit(1)).alias("n_rows"),
+        # integer-cents sum: exact in int64, so the lattice levels are
+        # bit-identical across engines (float sums are not)
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+        ).alias("sum_price_cents"),
+    )
+
+
+def q_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # distribution window functions: percent_rank / cume_dist / ntile.
+    # o_orderkey tiebreak makes ntile's row numbering total-ordered,
+    # so bucket assignment is engine-independent
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") < 5000
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
 def q_zonal_weighted_spatial(spark: SparkSession, sf_dir: str) -> DataFrame:
     # hard-list (b): coverage-weighted zonal semantics with real
     # geometry — cell/boundary overlap fractions feeding weighted_*
@@ -1153,6 +1194,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "histogram_price": q_histogram_price,
         "corr_exact": q_corr_exact,
         "zorder_key": q_zorder_key,
+        "grouping_sets": q_grouping_sets,
+        "window_distribution": q_window_distribution,
         # --- event-time windows (§2.10) ---
         "events_tumbling": q_events_tumbling,
         "events_sliding": q_events_sliding,
@@ -1933,6 +1976,26 @@ QUALIFY ROW_NUMBER() OVER (
                    regexp_extract(d.text, '([a-z]+) ([a-z]+)', 2)
                      AS second_word
             FROM documents d JOIN documents n ON n.doc_id = d.doc_id + 1
+        """,
+        "grouping_sets": """
+            SELECT o_orderstatus, o_orderpriority,
+                   GROUPING(o_orderstatus, o_orderpriority) AS gid,
+                   COUNT(*) AS n_rows,
+                   CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                        AS BIGINT) AS sum_price_cents
+            FROM orders
+            GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                    (o_orderstatus), ())
+        """,
+        "window_distribution": """
+            SELECT o_orderkey, o_orderpriority,
+                   percent_rank() OVER w AS pct_rank,
+                   cume_dist() OVER w AS cume,
+                   ntile(4) OVER w AS quartile
+            FROM orders
+            WHERE o_orderkey < 5000
+            WINDOW w AS (PARTITION BY o_orderpriority
+                         ORDER BY o_totalprice, o_orderkey)
         """,
         "decontaminate": _SHINGLES_SQL
         + """,

@@ -91,3 +91,25 @@ def test_approx_variants_close_to_exact(spark):
     }
     for k in exact_m:
         assert abs(approx_m[k] - exact_m[k]) <= 20  # ~1% of the value range
+
+
+def test_approx_stats_query_error_bounds(spark, sf_dir):
+    """q_approx_stats (HLL distinct + approx quantiles on lineitem):
+    sketch estimates must land within published error bounds of the
+    exact values computed on the same data."""
+    import __spark_entry__ as mod
+
+    row = mod.q_approx_stats(spark, sf_dir).collect()[0]
+    li = mod.load_table(spark, sf_dir, "lineitem")
+    exact = li.agg(
+        F.count_distinct("l_partkey").alias("nd_p"),
+        F.count_distinct("l_suppkey").alias("nd_s"),
+        F.expr("percentile(l_extendedprice, array(0.5, 0.95, 0.99))").alias("q"),
+    ).collect()[0]
+    # HLL++ default rsd is 5%; assert a 2x cushion
+    assert abs(row.nd_partkey - exact.nd_p) / exact.nd_p < 0.10
+    assert abs(row.nd_suppkey - exact.nd_s) / exact.nd_s < 0.10
+    # percentile_approx accuracy 10000 -> rank error <= n/10000; on the
+    # price distribution that is well under 2% of the value
+    for got, want in zip(row.price_quantiles, exact.q):
+        assert abs(got - want) / want < 0.02

@@ -96,3 +96,26 @@ def test_csv_exact_na_semantics(spark, tmp_path):
     assert rows[2]["exfield_0"] is None  # empty -> null
     assert rows[2]["name"] == "null"  # literal string survives
     assert rows[3]["name"] is None  # quoted empty is still ''->null
+
+
+def test_orc_round_trip(spark, tmp_path):
+    """ORC source/sink (Spark-native columnar alternative to parquet):
+    schema and values survive a write/read round-trip, and predicate
+    pushdown reaches the ORC scan."""
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", None), (3, "a", -2.0)],
+        "id long, tag string, v double",
+    )
+    path = str(tmp_path / "t.orc")
+    df.write.orc(path)
+    back = spark.read.orc(path)
+    assert back.schema == df.schema
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+    plan = (
+        back.filter(F.col("id") > 1)
+        .select("tag")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters: [IsNotNull(id), GreaterThan(id,1)]" in plan
