@@ -953,6 +953,43 @@ def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # training-data mixing: oversample src0 2.5x, downsample src1 to
+    # half, drop src2, pass everything else through — one deterministic
+    # explode+filter, no shuffle, reproducible on any partitioning
+    from det_module_spark.operators.sampling import apply_mixture
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return apply_mixture(
+        docs,
+        F.col("doc_id"),
+        F.col("source"),
+        {"src0": 2.5, "src1": 0.5, "src2": 0.0},
+        default_rate=1.0,
+    )
+
+
+def q_quality_filter_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # per-source pass rates for the quality gate (length + repetition
+    # + token dominance) — the go/no-go dashboard before training
+    from det_module_spark.operators.text import repetition_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    feats = repetition_features(docs).join(
+        docs.select("doc_id", "source"), "doc_id"
+    )
+    pass_len = F.col("n_tokens").between(30, 5000)
+    pass_rep = F.col("dup_gram_frac") < 0.1
+    pass_dom = F.col("top_token_frac") < 0.12
+    return feats.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(pass_len.cast("long")).alias("n_pass_len"),
+        F.sum(pass_rep.cast("long")).alias("n_pass_rep"),
+        F.sum(pass_dom.cast("long")).alias("n_pass_dom"),
+        F.sum((pass_len & pass_rep & pass_dom).cast("long")).alias("n_pass_all"),
+    )
+
+
 def q_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     # wide -> long unpivot of the lineitem measure columns
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 200)
@@ -1196,6 +1233,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_key": q_zorder_key,
         "grouping_sets": q_grouping_sets,
         "window_distribution": q_window_distribution,
+        "mixture_sample": q_mixture_sample,
+        "quality_filter_report": q_quality_filter_report,
         # --- event-time windows (§2.10) ---
         "events_tumbling": q_events_tumbling,
         "events_sliding": q_events_sliding,
@@ -1976,6 +2015,67 @@ QUALIFY ROW_NUMBER() OVER (
                    regexp_extract(d.text, '([a-z]+) ([a-z]+)', 2)
                      AS second_word
             FROM documents d JOIN documents n ON n.doc_id = d.doc_id + 1
+        """,
+        "mixture_sample": """
+            WITH rated AS (
+              SELECT doc_id, source,
+                     CASE source WHEN 'src0' THEN 2500000
+                                 WHEN 'src1' THEN 500000
+                                 WHEN 'src2' THEN 0
+                                 ELSE 1000000 END AS rm
+              FROM documents),
+            cop AS (
+              SELECT doc_id, source, rm,
+                     unnest(range(0, rm // 1000000 + 1)) AS copy
+              FROM rated)
+            SELECT doc_id, source, copy FROM cop
+            WHERE copy < rm // 1000000
+               OR CAST(concat('0x',
+                    substr(md5(concat('s0:', CAST(doc_id AS VARCHAR), ':',
+                                      CAST(copy AS VARCHAR))), 1, 15))
+                  AS BIGINT) % 1000000 < rm % 1000000
+        """,
+        "quality_filter_report": """
+            WITH toks AS (
+              SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+            grams AS (
+              SELECT doc_id,
+                     unnest(list_transform(
+                       range(1, greatest(len(l) - 1, 2)),
+                       i -> array_to_string(list_slice(l, i, i + 2), ' ')
+                     )) AS g
+              FROM toks),
+            gs AS (
+              SELECT doc_id,
+                     1.0 - CAST(COUNT(DISTINCT g) AS DOUBLE) / COUNT(*)
+                       AS dup_gram_frac
+              FROM grams GROUP BY doc_id),
+            cnts AS (
+              SELECT doc_id, term, COUNT(*) AS cnt
+              FROM (SELECT doc_id, unnest(l) AS term FROM toks)
+              GROUP BY doc_id, term),
+            ts AS (
+              SELECT doc_id,
+                     CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+                     CAST(MAX(cnt) AS DOUBLE) / SUM(cnt) AS top_token_frac
+              FROM cnts GROUP BY doc_id),
+            feat AS (
+              SELECT d.source,
+                     ts.n_tokens BETWEEN 30 AND 5000 AS pass_len,
+                     gs.dup_gram_frac < 0.1 AS pass_rep,
+                     ts.top_token_frac < 0.12 AS pass_dom
+              FROM gs JOIN ts USING (doc_id)
+              JOIN documents d USING (doc_id))
+            SELECT source, COUNT(*) AS n_docs,
+                   CAST(SUM(CASE WHEN pass_len THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_pass_len,
+                   CAST(SUM(CASE WHEN pass_rep THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_pass_rep,
+                   CAST(SUM(CASE WHEN pass_dom THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_pass_dom,
+                   CAST(SUM(CASE WHEN pass_len AND pass_rep AND pass_dom
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_all
+            FROM feat GROUP BY source
         """,
         "grouping_sets": """
             SELECT o_orderstatus, o_orderpriority,

@@ -38,6 +38,63 @@ def hash_sample(
     return df.filter(_bucket(key, seed) < int(fraction * _RES))
 
 
+def mixture_plan(
+    available: dict[str, int], weights: dict[str, float], budget_rows: int
+) -> dict[str, float]:
+    """Training-data mixing: per-source sampling *rates* that realize a
+    target mixture ``weights`` within a total row ``budget``.
+
+    rate > 1 means the source is oversampled (repeated epochs), the
+    standard remedy when a high-weight source is small. Driver-side
+    arithmetic over per-source counts — the counts come from one
+    ``groupBy(source).count()`` over the corpus."""
+    total_w = sum(weights.values())
+    return {
+        s: budget_rows * (w / total_w) / max(available.get(s, 0), 1)
+        for s, w in weights.items()
+    }
+
+
+def apply_mixture(
+    df: DataFrame,
+    key: Column,
+    stratum: Column,
+    rates: dict[str, float],
+    default_rate: float = 1.0,
+    seed: str = "s0",
+    copy_col: str = "copy",
+) -> DataFrame:
+    """Materialize a mixture: each row appears ``floor(rate)`` times
+    plus one more with probability ``frac(rate)``, decided by content
+    hash of ``(key, copy index)`` — deterministic across runs,
+    partitionings, and engines (same property as ``hash_sample``).
+
+    Scale shape: a projection + ``explode(sequence(...))`` + filter —
+    no shuffle; output size is exactly ``sum(rate_s * n_s)`` rows in
+    expectation, and downstream shuffles see only surviving rows.
+    """
+    rmilli = F.lit(int(default_rate * _RES))
+    for value, rate in sorted(rates.items()):
+        if rate < 0:
+            raise ValueError(f"negative rate for {value!r}")
+        rmilli = F.when(stratum == value, int(rate * _RES)).otherwise(rmilli)
+    n_full = (rmilli / _RES).cast("long")
+    frac = rmilli % _RES
+    copy = F.col(copy_col)
+    return df.withColumn(
+        copy_col, F.explode(F.sequence(F.lit(0), n_full))
+    ).filter(
+        (copy < n_full)
+        | (
+            _bucket(
+                F.concat(key.cast("string"), F.lit(":"), copy.cast("string")),
+                seed,
+            )
+            < frac
+        )
+    )
+
+
 def stratified_hash_sample(
     df: DataFrame,
     key: Column,

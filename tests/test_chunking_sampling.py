@@ -163,3 +163,50 @@ def test_time_fill_locf(spark):
     assert (a[3]["n_events"], a[3]["is_gap"], a[3]["filled_value"]) == (1, 0, 4.0)
     b = [r for r in out if r["event_type"] == "b"]
     assert len(b) == 1 and b[0]["filled_value"] == 7.0
+
+
+def test_mixture_plan_rates():
+    from det_module_spark.operators.sampling import mixture_plan
+
+    rates = mixture_plan(
+        available={"a": 100, "b": 1000},
+        weights={"a": 0.5, "b": 0.5},
+        budget_rows=1000,
+    )
+    # a must be oversampled 5x to contribute half the 1000-row budget
+    assert rates["a"] == 5.0 and rates["b"] == 0.5
+
+
+def test_apply_mixture_copies_and_determinism(spark):
+    from det_module_spark.operators.sampling import apply_mixture
+
+    df = spark.createDataFrame(
+        [(i, "a" if i < 50 else "b") for i in range(100)],
+        "doc_id long, source string",
+    )
+    out = apply_mixture(
+        df,
+        F.col("doc_id"),
+        F.col("source"),
+        {"a": 3.0, "b": 0.4},
+        default_rate=1.0,
+    )
+    rows = out.collect()
+    per = {}
+    for r in rows:
+        per.setdefault(r.source, []).append((r.doc_id, r.copy))
+    # integral rate -> exactly 3 copies of every 'a' row
+    assert len(per["a"]) == 150
+    assert all(c in (0, 1, 2) for _, c in per["a"])
+    # fractional rate -> roughly 40% of 'b' rows, deterministic
+    assert 10 <= len(per["b"]) <= 30
+    again = apply_mixture(
+        df.repartition(7),
+        F.col("doc_id"),
+        F.col("source"),
+        {"a": 3.0, "b": 0.4},
+        default_rate=1.0,
+    ).collect()
+    assert sorted((r.doc_id, r.copy) for r in again) == sorted(
+        (r.doc_id, r.copy) for r in rows
+    )
