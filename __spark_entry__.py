@@ -953,6 +953,56 @@ def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_impute_group_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # group-mean imputation: nulls (synthesized on line 3 of every
+    # order) filled with the per-returnflag mean of observed values.
+    # Integer-valued measure -> exact window sums -> engine-exact fill
+    from det_module_spark.operators.cleaning import impute_group_mean
+
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 3000)
+    li = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_returnflag",
+        F.when(F.col("l_linenumber") == 3, None)
+        .otherwise(F.col("l_quantity"))
+        .alias("qty"),
+    )
+    return impute_group_mean(li, "qty", "l_returnflag", out="qty_filled")
+
+
+def q_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # per-type z-scores from exact integer moments (value quantized to
+    # cents); deterministic flag at |z| > 2.5
+    from det_module_spark.operators.cleaning import zscore_outliers
+
+    ev = _events(spark, sf_dir).filter(F.col("event_id") < 5000)
+    ev = ev.select(
+        "event_id",
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("v100"),
+    )
+    return zscore_outliers(ev, "v100", "event_type", threshold=2.5)
+
+
+def q_pivot_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # dynamic long->wide pivot with an explicit value list (no extra
+    # distinct-values job, stable output schema at any scale)
+    prios = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    orders = load_table(spark, sf_dir, "orders")
+    wide = (
+        orders.groupBy("o_orderstatus")
+        .pivot("o_orderpriority", prios)
+        .agg(F.count(F.lit(1)))
+    )
+    # absent combinations: pivot yields null, the oracle's FILTER
+    # count yields 0 — canonicalize to 0
+    return wide.select(
+        "o_orderstatus",
+        *[F.coalesce(F.col(f"`{p}`"), F.lit(0)).alias(p) for p in prios],
+    )
+
+
 def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     # training-data mixing: oversample src0 2.5x, downsample src1 to
     # half, drop src2, pass everything else through — one deterministic
@@ -1235,6 +1285,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_distribution": q_window_distribution,
         "mixture_sample": q_mixture_sample,
         "quality_filter_report": q_quality_filter_report,
+        "impute_group_mean": q_impute_group_mean,
+        "zscore_outliers": q_zscore_outliers,
+        "pivot_wide": q_pivot_wide,
         # --- event-time windows (§2.10) ---
         "events_tumbling": q_events_tumbling,
         "events_sliding": q_events_sliding,
@@ -2015,6 +2068,55 @@ QUALIFY ROW_NUMBER() OVER (
                    regexp_extract(d.text, '([a-z]+) ([a-z]+)', 2)
                      AS second_word
             FROM documents d JOIN documents n ON n.doc_id = d.doc_id + 1
+        """,
+        "impute_group_mean": """
+            WITH base AS (
+              SELECT l_orderkey, l_linenumber, l_returnflag,
+                     CASE WHEN l_linenumber = 3 THEN NULL
+                          ELSE l_quantity END AS qty
+              FROM lineitem WHERE l_orderkey < 3000)
+            SELECT l_orderkey, l_linenumber, l_returnflag, qty,
+                   COALESCE(qty, AVG(qty) OVER (PARTITION BY l_returnflag))
+                     AS qty_filled
+            FROM base
+        """,
+        "zscore_outliers": """
+            WITH base AS (
+              SELECT event_id, event_type,
+                     CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS v100
+              FROM events WHERE event_id < 5000),
+            m AS (
+              SELECT event_id, event_type, v100,
+                     CAST(COUNT(v100) OVER w AS DOUBLE) AS n,
+                     CAST(SUM(v100) OVER w AS DOUBLE) AS sx,
+                     CAST(SUM(v100 * v100) OVER w AS DOUBLE) AS sxx
+              FROM base
+              WINDOW w AS (PARTITION BY event_type)),
+            z AS (
+              SELECT event_id, event_type, v100,
+                     CASE WHEN n >= 2
+                           AND (n*sxx - sx*sx) / (n*(n-1)) > 0
+                          THEN (n * CAST(v100 AS DOUBLE) - sx) / n
+                               / SQRT((n*sxx - sx*sx) / (n*(n-1)))
+                     END AS zscore
+              FROM m)
+            SELECT event_id, event_type, v100, zscore,
+                   ABS(zscore) > 2.5 AS is_outlier
+            FROM z
+        """,
+        "pivot_wide": """
+            SELECT o_orderstatus,
+                   COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT')
+                     AS "1-URGENT",
+                   COUNT(*) FILTER (WHERE o_orderpriority = '2-HIGH')
+                     AS "2-HIGH",
+                   COUNT(*) FILTER (WHERE o_orderpriority = '3-MEDIUM')
+                     AS "3-MEDIUM",
+                   COUNT(*) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED')
+                     AS "4-NOT SPECIFIED",
+                   COUNT(*) FILTER (WHERE o_orderpriority = '5-LOW')
+                     AS "5-LOW"
+            FROM orders GROUP BY o_orderstatus
         """,
         "mixture_sample": """
             WITH rated AS (

@@ -1,0 +1,63 @@
+"""Data-cleaning operators: group-mean imputation and z-score outlier
+flagging.
+
+Both are single-shuffle window shapes (partition by the group key, no
+ordering — so no sort, just hash exchange + window aggregates), and
+both are engineered for cross-engine determinism: feed integer-valued
+(or integer-quantized) measures and every derived statistic is exact
+integer arithmetic until one final deterministic IEEE divide/sqrt —
+see the float-parity playbook in ROUND_NOTES.md.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def impute_group_mean(
+    df: DataFrame, value: str, group: str, out: str | None = None
+) -> DataFrame:
+    """Fill nulls in ``value`` with the mean of the non-null values in
+    the same ``group``. ``avg`` ignores nulls, so the fill value is the
+    observed-data mean. For integer-valued measures the window sum is
+    exact and the result is bit-identical across engines and partition
+    orders. Groups that are entirely null stay null."""
+    w = Window.partitionBy(group)
+    return df.withColumn(
+        out or value, F.coalesce(F.col(value), F.avg(value).over(w))
+    )
+
+
+def zscore_outliers(
+    df: DataFrame,
+    value: str,
+    group: str,
+    threshold: float = 3.0,
+    z_col: str = "zscore",
+    flag_col: str = "is_outlier",
+) -> DataFrame:
+    """Per-group z-score + outlier flag from exact integer moments.
+
+    ``value`` must be integer-valued (quantize floats first). The
+    window computes Σx and Σx² exactly in int64; sample variance and
+    the z-score are then derived in double with a fixed op order —
+    deterministic everywhere. Groups with n < 2 get z = null.
+
+    z = (n·x − Σx) / (n · sd)  with  sd² = (n·Σx² − (Σx)²) / (n(n−1))
+    the products are computed in double (exact-int inputs) so nothing
+    overflows int64 even at 100 TB group sizes.
+    """
+    v = F.col(value).cast("long")
+    w = Window.partitionBy(group)
+    n = F.sum(F.when(v.isNotNull(), 1).otherwise(0)).over(w).cast("double")
+    sx = F.sum(v).over(w).cast("double")
+    sxx = F.sum(v * v).over(w).cast("double")
+    var = (n * sxx - sx * sx) / (n * (n - 1))
+    z = F.when(
+        (n >= 2) & (var > 0),
+        (n * v.cast("double") - sx) / n / F.sqrt(var),
+    )
+    return df.withColumn(z_col, z).withColumn(
+        flag_col, F.abs(F.col(z_col)) > threshold
+    )
