@@ -65,3 +65,55 @@ def test_time_fill_no_event_rescan(spark, sf_dir):
     plan = _explain(time_fill_locf(ev, unit="hour"))
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 0
     assert "ExistingRDD" in plan
+
+
+def test_decontaminate_broadcasts_benchmark_vocab(spark, sf_dir):
+    """The corpus is never shuffled by shingle: the benchmark
+    vocabulary moves to the data (BroadcastExchange), and the only
+    hash exchanges are the benchmark DISTINCT and the per-doc count."""
+    import re
+
+    from det_module_spark.operators.decontaminate import contamination_report
+
+    docs = load_table(spark, sf_dir, "documents")
+    rep = contamination_report(
+        docs.filter(F.col("doc_id") % 50 != 0),
+        docs.filter(F.col("doc_id") % 50 == 0),
+    )
+    plan = _explain(rep)
+    assert "BroadcastExchange" in plan
+    hash_ex = re.findall(r"\(\d+\) Exchange hashpartitioning\(([a-z_]+)", plan)
+    assert all(k in ("shingle", "doc_id") for k in hash_ex)
+    # and never a corpus-sized shuffle: no exchange keyed by shingle
+    # on the corpus side (the only shingle exchange is the tiny
+    # benchmark distinct)
+    assert len([k for k in hash_ex if k == "shingle"]) <= 1
+
+
+def test_mixture_is_shuffle_free(spark, sf_dir):
+    from det_module_spark.operators.sampling import apply_mixture
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    out = apply_mixture(
+        docs, F.col("doc_id"), F.col("source"), {"src0": 2.5}, default_rate=1.0
+    )
+    plan = _explain(out)
+    assert "Exchange" not in plan
+
+
+def test_window_cleaning_single_exchange(spark, sf_dir):
+    """Imputation and z-scoring are one hash exchange each (the window
+    partition), with no sort: unordered windows skip the sort step."""
+    import re
+
+    from det_module_spark.operators.cleaning import impute_group_mean, zscore_outliers
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", F.col("l_quantity").alias("qty")
+    )
+    for out in (
+        impute_group_mean(li, "qty", "l_returnflag"),
+        zscore_outliers(li, "qty", "l_returnflag"),
+    ):
+        plan = _explain(out)
+        assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
