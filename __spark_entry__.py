@@ -953,6 +953,22 @@ def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # iterative algorithm showcase: 3 fixed-point PageRank rounds over
+    # the customer->supplier graph (edges via orders⋈lineitem). All
+    # integer arithmetic -> bit-identical to the oracle's unrolled CTEs
+    from det_module_spark.operators.graph import pagerank
+
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") < 5000
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = orders.join(li, orders.o_orderkey == li.l_orderkey).select(
+        F.col("o_custkey").alias("src"), F.col("l_suppkey").alias("dst")
+    )
+    return pagerank(edges, iterations=3)
+
+
 def q_impute_group_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     # group-mean imputation: nulls (synthesized on line 3 of every
     # order) filled with the per-returnflag mean of observed values.
@@ -1288,6 +1304,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "impute_group_mean": q_impute_group_mean,
         "zscore_outliers": q_zscore_outliers,
         "pivot_wide": q_pivot_wide,
+        "pagerank": q_pagerank,
         # --- event-time windows (§2.10) ---
         "events_tumbling": q_events_tumbling,
         "events_sliding": q_events_sliding,
@@ -1306,6 +1323,17 @@ sh AS (
                 )) AS shingle
   FROM toks)
 """
+
+
+def _pagerank_oracle() -> str:
+    from det_module_spark.operators.graph import pagerank_sql
+
+    return pagerank_sql(
+        """SELECT DISTINCT o_custkey AS src, l_suppkey AS dst
+           FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+           WHERE o_orderkey < 5000""",
+        iterations=3,
+    )
 
 
 def _morton_oracle_expr() -> str:
@@ -2069,6 +2097,7 @@ QUALIFY ROW_NUMBER() OVER (
                      AS second_word
             FROM documents d JOIN documents n ON n.doc_id = d.doc_id + 1
         """,
+        "pagerank": _pagerank_oracle(),
         "impute_group_mean": """
             WITH base AS (
               SELECT l_orderkey, l_linenumber, l_returnflag,

@@ -75,6 +75,107 @@ def connected_components(
     return labels
 
 
+def _idiv(a, b):
+    """Exact integer floor-division as Column arithmetic: (a - a%b)/b.
+    The numerator is an exact multiple of b, so the double division is
+    exact for |a| < 2^53 — unlike floor(a/b), whose pre-rounded double
+    quotient can land on the wrong side of an integer boundary."""
+    return ((a - a % b) / b).cast("long")
+
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+    scale: int = 10**12,
+) -> DataFrame:
+    """Fixed-point PageRank with damping 0.85: → (node, rank_fp) where
+    rank_fp is the rank in units of 1/``scale``.
+
+    ALL arithmetic is integer (ranks are scaled longs; shares are floor
+    divisions), so a fixed iteration count yields bit-identical results
+    on every engine and partition order — the property that lets an SQL
+    oracle (unrolled iterations) hash-match a distributed run. Dangling
+    nodes leak mass (standard simplification).
+
+    Scale shape per iteration: one join edge⋈rank (broadcastable when
+    the rank table is small; hash otherwise) + one aggregation keyed by
+    dst + one left join back to the node set. For long loops, lineage
+    is cut with ``localCheckpoint`` like connected_components; short
+    fixed counts skip it (measured: no win at 3 rounds) — at 1000
+    executors the cost per round is two shuffles of the edge list.
+    """
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    base = 15 * (scale // n) // 100  # (1-d) term, exact ints
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    ranks = nodes.withColumn("rank_fp", F.lit(scale // n))
+    for _ in range(iterations):
+        contrib = (
+            e.join(deg, "src")
+            .join(ranks.withColumnRenamed("node", "src"), "src")
+            .select("dst", _idiv(F.col("rank_fp"), F.col("outdeg")).alias("share"))
+            .groupBy("dst")
+            .agg(F.sum("share").alias("contrib"))
+        )
+        ranks = (
+            nodes.join(contrib, nodes.node == contrib.dst, "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + _idiv(F.lit(85) * F.coalesce("contrib", F.lit(0)), F.lit(100))
+                ).alias("rank_fp"),
+            )
+        )
+        # fixed small iteration counts keep lineage shallow; only
+        # checkpoint when the loop is long enough for plan growth to
+        # hurt (mirrors connected_components, which loops to fixpoint)
+        if iterations > 4:
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks
+
+
+def pagerank_sql(
+    edges_cte: str, iterations: int = 3, scale: int = 10**12
+) -> str:
+    """The identical fixed-point iteration as one SQL statement
+    (unrolled CTEs) for the DuckDB oracle. ``edges_cte`` must be a SQL
+    body producing columns (src, dst), already DISTINCT."""
+    sql = f"""
+WITH edges AS ({edges_cte}),
+nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+params AS (SELECT COUNT(*) AS n FROM nodes),
+deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+r0 AS (SELECT node, {scale} // (SELECT n FROM params) AS rank_fp FROM nodes)"""
+    prev = "r0"
+    for i in range(1, iterations + 1):
+        sql += f""",
+c{i} AS (
+  SELECT e.dst AS node, SUM(r.rank_fp // d.outdeg) AS contrib
+  FROM edges e JOIN deg d ON e.src = d.src
+  JOIN {prev} r ON e.src = r.node
+  GROUP BY e.dst),
+r{i} AS (
+  SELECT nodes.node,
+         15 * ({scale} // (SELECT n FROM params)) // 100
+         + 85 * COALESCE(c{i}.contrib, 0) // 100 AS rank_fp
+  FROM nodes LEFT JOIN c{i} ON nodes.node = c{i}.node)"""
+        prev = f"r{i}"
+    return sql + f"\nSELECT node, CAST(rank_fp AS BIGINT) AS rank_fp FROM {prev}"
+
+
 def dedup_clusters(
     pairs: DataFrame,
     all_ids: DataFrame | None = None,

@@ -72,3 +72,44 @@ def test_range_join_timestamps(spark):
     out = range_join(points, ranges, "ts", "lo", "hi", bin_size=86400)
     days = sorted(r["ts"].day for r in out.collect())
     assert days == [3, 4, 5]
+
+
+def test_pagerank_hand_computed(spark):
+    """3-node chain a->b->c plus c->a: hand-check one iteration of the
+    fixed-point arithmetic, and total mass conservation (no dangling
+    nodes here, so mass is preserved up to floor truncation)."""
+    from det_module_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1)], "src long, dst long"
+    )
+    B = 10**12
+    out = {r.node: r.rank_fp for r in pagerank(edges, iterations=1).collect()}
+    # symmetric cycle, outdeg 1 everywhere: every node keeps B//3
+    expect = 15 * (B // 3) // 100 + 85 * (B // 3) // 100
+    assert out == {1: expect, 2: expect, 3: expect}
+
+    # star: 2,3 -> 1; node 1 dangling (leaks), nodes 2,3 get base only
+    edges2 = spark.createDataFrame([(2, 1), (3, 1)], "src long, dst long")
+    out2 = {r.node: r.rank_fp for r in pagerank(edges2, iterations=1).collect()}
+    base = 15 * (B // 3) // 100
+    assert out2[2] == base and out2[3] == base
+    assert out2[1] == base + 85 * (2 * (B // 3)) // 100
+
+
+def test_pagerank_matches_unrolled_sql_oracle(spark):
+    """The Spark iteration and the unrolled-CTE SQL must agree bit-for-
+    bit on a random-ish graph (the determinism contract)."""
+    import duckdb
+
+    from det_module_spark.operators.graph import pagerank, pagerank_sql
+
+    edges = [(i % 17, (i * 7 + 3) % 13) for i in range(100)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.rank_fp for r in pagerank(df, iterations=3).collect()}
+    con = duckdb.connect()
+    con.execute("CREATE TABLE e (src BIGINT, dst BIGINT)")
+    con.executemany("INSERT INTO e VALUES (?, ?)", edges)
+    sql = pagerank_sql("SELECT DISTINCT src, dst FROM e", iterations=3)
+    want = dict(con.execute(sql).fetchall())
+    assert got == want
