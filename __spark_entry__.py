@@ -953,6 +953,59 @@ def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # CDC upsert/delete apply: last-writer-wins by sequence number
+    # (order keys as the log offsets), deterministic on any engine
+    from det_module_spark.operators.scd import cdc_apply
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.floor(F.col("c_acctbal") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("bal_cents"),
+    )
+    changes = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") < 2000
+    ).select(
+        F.col("o_custkey").alias("c_custkey"),
+        F.col("o_orderkey").alias("seq"),
+        F.when(F.col("o_orderstatus") == "F", "U")
+        .when(F.col("o_orderstatus") == "O", "I")
+        .otherwise("D")
+        .alias("op"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("bal_cents"),
+    )
+    return cdc_apply(cust, changes, "c_custkey", ["bal_cents"])
+
+
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # SCD Type-2 dimension versioning: every attribute change opens a new
+    # validity interval; order date + order key give the total order
+    from det_module_spark.operators.scd import scd2_history
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_mktsegment").alias("segment")
+    )
+    upd = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") < 2000
+    ).select(
+        F.col("o_custkey").alias("c_custkey"),
+        F.col("o_orderpriority").alias("segment"),
+        F.col("o_orderdate").alias("ts"),
+        F.col("o_orderkey").alias("seq"),
+    )
+    hist = scd2_history(cust, upd, "c_custkey", "segment", ts="ts", seq="seq")
+    return hist.select(
+        "c_custkey",
+        "segment",
+        F.date_format("valid_from", "yyyy-MM-dd").alias("valid_from"),
+        F.date_format("valid_to", "yyyy-MM-dd").alias("valid_to"),
+        "is_current",
+    )
+
+
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # iterative algorithm showcase: 3 fixed-point PageRank rounds over
     # the customer->supplier graph (edges via orders⋈lineitem). All
@@ -1305,6 +1358,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zscore_outliers": q_zscore_outliers,
         "pivot_wide": q_pivot_wide,
         "pagerank": q_pagerank,
+        "cdc_apply": q_cdc_apply,
+        "scd2_history": q_scd2_history,
         # --- event-time windows (§2.10) ---
         "events_tumbling": q_events_tumbling,
         "events_sliding": q_events_sliding,
@@ -2098,6 +2153,54 @@ QUALIFY ROW_NUMBER() OVER (
             FROM documents d JOIN documents n ON n.doc_id = d.doc_id + 1
         """,
         "pagerank": _pagerank_oracle(),
+        "cdc_apply": """
+            WITH snap AS (
+              SELECT c_custkey,
+                     CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_cents
+              FROM customer),
+            ch AS (
+              SELECT o_custkey AS c_custkey, o_orderkey AS seq,
+                     CASE o_orderstatus WHEN 'F' THEN 'U'
+                                        WHEN 'O' THEN 'I'
+                                        ELSE 'D' END AS op,
+                     CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)
+                       AS bal_cents
+              FROM orders WHERE o_orderkey < 2000),
+            latest AS (
+              SELECT * FROM ch
+              QUALIFY ROW_NUMBER() OVER (PARTITION BY c_custkey
+                                         ORDER BY seq DESC) = 1)
+            SELECT COALESCE(s.c_custkey, c.c_custkey) AS c_custkey,
+                   CASE WHEN c.op IS NOT NULL THEN c.bal_cents
+                        ELSE s.bal_cents END AS bal_cents
+            FROM snap s FULL OUTER JOIN latest c
+              ON s.c_custkey = c.c_custkey
+            WHERE c.op IS NULL OR c.op <> 'D'
+        """,
+        "scd2_history": """
+            WITH initial AS (
+              SELECT c_custkey, c_mktsegment AS segment,
+                     CAST(NULL AS TIMESTAMP) AS valid_from,
+                     CAST(NULL AS BIGINT) AS seq
+              FROM customer),
+            upd AS (
+              SELECT o_custkey AS c_custkey, o_orderpriority AS segment,
+                     o_orderdate AS valid_from, o_orderkey AS seq
+              FROM orders WHERE o_orderkey < 2000),
+            v AS (SELECT * FROM initial UNION ALL SELECT * FROM upd),
+            x AS (
+              SELECT c_custkey, segment, valid_from,
+                     LEAD(valid_from) OVER (
+                       PARTITION BY c_custkey
+                       ORDER BY valid_from ASC NULLS FIRST,
+                                seq ASC NULLS FIRST) AS valid_to
+              FROM v)
+            SELECT c_custkey, segment,
+                   strftime(valid_from, '%Y-%m-%d') AS valid_from,
+                   strftime(valid_to, '%Y-%m-%d') AS valid_to,
+                   valid_to IS NULL AS is_current
+            FROM x
+        """,
         "impute_group_mean": """
             WITH base AS (
               SELECT l_orderkey, l_linenumber, l_returnflag,

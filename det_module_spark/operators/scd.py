@@ -1,0 +1,98 @@
+"""Change-data-capture apply and SCD Type-2 history — the
+table-maintenance operators of a warehouse-grade pipeline.
+
+The reference's cache manifest is morally a CDC target (find-then-
+update-else-insert, extract_check.py:165-183); these operators give
+that pattern a general, declarative form. Both are deterministic by
+construction: last-writer-wins is decided by an explicit total order
+(sequence column with unique values per key), never by arrival order.
+
+Scale shape: one window (hash exchange + sort on the key) plus one
+join for ``cdc_apply``; one union + one window for ``scd2_history``.
+At 100 TB the change batch is typically ≪ the snapshot, so the join
+broadcasts; the snapshot itself is never shuffled by ``cdc_apply``
+when the join key equals the snapshot's bucketing key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def cdc_apply(
+    snapshot: DataFrame,
+    changes: DataFrame,
+    key: str,
+    value_cols: list[str],
+    seq: str = "seq",
+    op: str = "op",
+) -> DataFrame:
+    """Apply an I/U/D change batch to a snapshot: per key, the change
+    with the highest ``seq`` wins; 'D' removes the row, 'I'/'U' upsert
+    the change's ``value_cols``; untouched snapshot rows pass through.
+
+    ``seq`` must be unique per key (a log offset / commit LSN) — that
+    is what makes the result independent of partitioning and engine.
+    """
+    w = Window.partitionBy(key).orderBy(F.desc(seq))
+    latest = (
+        changes.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    s = snapshot.alias("s")
+    c = latest.alias("c")
+    joined = s.join(c, key, "full_outer")
+    # drop deleted keys; otherwise change values win over snapshot
+    out_cols = [F.col(key)] + [
+        F.when(F.col(f"c.{op}").isNotNull(), F.col(f"c.{v}"))
+        .otherwise(F.col(f"s.{v}"))
+        .alias(v)
+        for v in value_cols
+    ]
+    return joined.filter(
+        F.col(f"c.{op}").isNull() | (F.col(f"c.{op}") != "D")
+    ).select(*out_cols)
+
+
+def scd2_history(
+    initial: DataFrame,
+    updates: DataFrame,
+    key: str,
+    attr: str,
+    ts: str = "ts",
+    seq: str | None = None,
+) -> DataFrame:
+    """Slowly-changing-dimension Type 2: version every attribute change.
+
+    → (key, attr, valid_from, valid_to, is_current): the ``initial``
+    row opens with valid_from = NULL (beginning of time); each update
+    opens a new version at its ``ts`` and closes the previous one
+    (valid_to = next version's valid_from). Ties on ``ts`` are broken
+    by ``seq`` — pass one whenever ``ts`` is coarse (dates).
+
+    One union + one window per key (ordered, NULLS FIRST so the
+    initial row sorts before every update).
+    """
+    base = initial.select(
+        F.col(key),
+        F.col(attr),
+        F.lit(None).cast(updates.schema[ts].dataType).alias("valid_from"),
+        F.lit(None).cast("long").alias("__seq"),
+    )
+    upd = updates.select(
+        F.col(key),
+        F.col(attr),
+        F.col(ts).alias("valid_from"),
+        (F.col(seq) if seq else F.lit(0)).cast("long").alias("__seq"),
+    )
+    versions = base.unionByName(upd)
+    w = Window.partitionBy(key).orderBy(
+        F.asc_nulls_first("valid_from"), F.asc_nulls_first("__seq")
+    )
+    return (
+        versions.withColumn("valid_to", F.lead("valid_from").over(w))
+        .withColumn("is_current", F.lead("valid_from", 1).over(w).isNull())
+        .drop("__seq")
+    )
