@@ -117,3 +117,22 @@ def test_window_cleaning_single_exchange(spark, sf_dir):
     ):
         plan = _explain(out)
         assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+
+
+def test_join_strategy_hints(spark, sf_dir):
+    """The three physical join strategies are all reachable via hints —
+    the per-workload tuning surface at 100 TB: broadcast for dims,
+    shuffle-hash when one side is modest and sort is wasteful,
+    sort-merge for fact-fact."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cond = orders.o_orderkey == li.l_orderkey
+
+    bc = li.join(orders.hint("broadcast"), cond)
+    assert "BroadcastHashJoin" in _explain(bc)
+
+    sh = li.join(orders.hint("shuffle_hash"), cond)
+    assert "ShuffledHashJoin" in _explain(sh)
+
+    sm = li.join(orders.hint("merge"), cond)
+    assert "SortMergeJoin" in _explain(sm)
