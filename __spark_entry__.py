@@ -953,6 +953,30 @@ def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # term -> sorted posting list; serialized to CSV text so the
+    # cross-engine value hash sees a scalar, not an array object
+    from det_module_spark.operators.text import build_inverted_index
+
+    idx = build_inverted_index(load_table(spark, sf_dir, "documents"))
+    return idx.select(
+        "term",
+        F.concat_ws(",", F.col("postings")).alias("postings"),
+        "doc_freq",
+    )
+
+
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # perplexity-proxy quality scores: mean unigram log-prob under the
+    # corpus's own unigram LM (rounded — float-sum accumulation order)
+    from det_module_spark.operators.text import unigram_logprob
+
+    out = unigram_logprob(load_table(spark, sf_dir, "documents"))
+    return out.select(
+        "doc_id", "n_tokens", _pround(F.col("mean_logprob"), 6).alias("mean_logprob")
+    )
+
+
 def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     # CDC upsert/delete apply: last-writer-wins by sequence number
     # (order keys as the log offsets), deterministic on any engine
@@ -1360,6 +1384,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank": q_pagerank,
         "cdc_apply": q_cdc_apply,
         "scd2_history": q_scd2_history,
+        "inverted_index": q_inverted_index,
+        "unigram_logprob": q_unigram_logprob,
         # --- event-time windows (§2.10) ---
         "events_tumbling": q_events_tumbling,
         "events_sliding": q_events_sliding,
@@ -2153,6 +2179,34 @@ QUALIFY ROW_NUMBER() OVER (
             FROM documents d JOIN documents n ON n.doc_id = d.doc_id + 1
         """,
         "pagerank": _pagerank_oracle(),
+        "inverted_index": """
+            WITH t2 AS (
+              SELECT DISTINCT doc_id, term FROM (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                FROM documents)
+              WHERE length(term) > 0)
+            SELECT term,
+                   array_to_string(list_sort(list(doc_id)), ',') AS postings,
+                   COUNT(*) AS doc_freq
+            FROM t2 GROUP BY term
+        """,
+        "unigram_logprob": """
+            WITH t2 AS (
+              SELECT doc_id, term FROM (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                FROM documents)
+              WHERE length(term) > 0),
+            vocab AS (SELECT term, COUNT(*) AS cnt FROM t2 GROUP BY term),
+            total AS (SELECT SUM(cnt) AS tot FROM vocab),
+            scored AS (
+              SELECT doc_id,
+                     ln(CAST(cnt AS DOUBLE))
+                       - ln(CAST((SELECT tot FROM total) AS DOUBLE)) AS logp
+              FROM t2 JOIN vocab USING (term))
+            SELECT doc_id, COUNT(*) AS n_tokens,
+                   FLOOR(AVG(logp) * 1e6 + 0.5) / 1e6 AS mean_logprob
+            FROM scored GROUP BY doc_id
+        """,
         "cdc_apply": """
             WITH snap AS (
               SELECT c_custkey,

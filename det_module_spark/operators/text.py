@@ -175,6 +175,52 @@ def tfidf_top_terms(
     )
 
 
+def build_inverted_index(
+    df: DataFrame, id_col: str = "doc_id", text: str = "text"
+) -> DataFrame:
+    """Term → sorted posting list (+ document frequency). One explode
+    + one aggregation keyed by term; posting lists are sorted inside
+    the aggregation (``sort_array``), so output is canonical. At scale,
+    cap or shard postings of stop-like terms (df_cap via
+    ``term_doc_freq``) before materializing."""
+    terms = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(tokens(F.col(text)))).alias("term"),
+    ).filter(F.length("term") > 0)
+    return terms.groupBy("term").agg(
+        F.sort_array(F.collect_list(id_col)).alias("postings"),
+        F.count(F.lit(1)).alias("doc_freq"),
+    )
+
+
+def unigram_logprob(
+    df: DataFrame, id_col: str = "doc_id", text: str = "text"
+) -> DataFrame:
+    """Per-document mean unigram log-probability under the corpus's own
+    unigram model — the cheap stand-in for perplexity-based quality
+    filtering (docs far below the corpus-typical score are gibberish /
+    boilerplate candidates).
+
+    Two aggregations (vocab counts, then per-doc mean) + one broadcast
+    join of the vocabulary (bounded by vocab size, not corpus size).
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text))).alias("term")
+    ).filter(F.length("term") > 0)
+    vocab = toks.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    total = vocab.agg(F.sum("cnt")).collect()[0][0]
+    scored = toks.join(F.broadcast(vocab), "term").select(
+        id_col,
+        (F.log(F.col("cnt").cast("double")) - F.log(F.lit(float(total)))).alias(
+            "logp"
+        ),
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.avg("logp").alias("mean_logprob"),
+    )
+
+
 def repetition_features(
     df: DataFrame, id_col: str = "doc_id", text: str = "text", n: int = 3
 ) -> DataFrame:

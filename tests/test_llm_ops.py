@@ -165,3 +165,31 @@ def test_multimodal_decode_and_frames(spark):
     assert vids == {2}
     n = len([r for r in frames if r["media_id"] == 2])
     assert n == (len(DOCS[2][1]) * 10) // 100 + 1
+
+
+def test_inverted_index_tiny(spark):
+    from det_module_spark.operators.text import build_inverted_index
+
+    docs = spark.createDataFrame(
+        [(2, "b a"), (1, "a b a"), (3, "c")], "doc_id long, text string"
+    )
+    idx = {r.term: r for r in build_inverted_index(docs).collect()}
+    assert list(idx["a"].postings) == [1, 2] and idx["a"].doc_freq == 2
+    assert list(idx["b"].postings) == [1, 2]
+    assert list(idx["c"].postings) == [3] and idx["c"].doc_freq == 1
+
+
+def test_unigram_logprob_ranks_rare_lower(spark):
+    import math
+
+    from det_module_spark.operators.text import unigram_logprob
+
+    docs = spark.createDataFrame(
+        [(1, "x x x x"), (2, "x x x q")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in unigram_logprob(docs).collect()}
+    # corpus: x appears 7 times, q once, total 8
+    assert math.isclose(out[1].mean_logprob, math.log(7 / 8))
+    expect2 = (3 * math.log(7 / 8) + math.log(1 / 8)) / 4
+    assert math.isclose(out[2].mean_logprob, expect2)
+    assert out[2].mean_logprob < out[1].mean_logprob
