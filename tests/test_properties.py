@@ -99,3 +99,45 @@ def test_simhash_banded_equals_allpairs(spark):
             for r in simhash_banded_pairs(hashes, max_hamming=h).collect()
         }
         assert banded == exact, f"banding lost pairs at h={h}"
+
+
+def test_cdc_apply_is_idempotent(spark):
+    """Applying the same change batch twice equals applying it once —
+    the property that makes at-least-once delivery safe."""
+    from det_module_spark.operators.scd import cdc_apply
+
+    snap = spark.createDataFrame(
+        [(i, i * 10) for i in range(20)], "k long, v long"
+    )
+    changes = spark.createDataFrame(
+        [(k, 100 + k, "U" if k % 3 else "D", k * 7) for k in range(0, 20, 2)],
+        "k long, seq long, op string, v long",
+    )
+    once = cdc_apply(snap, changes, "k", ["v"])
+    # deletes already applied in `once` target missing keys on replay;
+    # replaying must not resurrect or change anything
+    twice = cdc_apply(once, changes, "k", ["v"])
+    assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
+
+
+def test_morton_preserves_quadrant_order(spark):
+    """Z-order property: if both coordinates of p are <= those of q
+    (dominance), then zkey(p) <= zkey(q)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from det_module_spark.operators.layout import morton_key
+
+    rng = random.Random(7)
+    pts = [(rng.randrange(1 << 16), rng.randrange(1 << 16)) for _ in range(300)]
+    rows = (
+        spark.createDataFrame(pts, "x long, y long")
+        .select("x", "y", morton_key(F.col("x"), F.col("y")).alias("z"))
+        .collect()
+    )
+    for i in range(0, 300, 7):
+        a = rows[i]
+        for b in rows:
+            if a.x <= b.x and a.y <= b.y:
+                assert a.z <= b.z
