@@ -953,6 +953,127 @@ def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cents(col: str):
+    # exact integer cents (float-parity playbook #4)
+    return F.floor(F.col(col) * 100 + F.lit(0.5)).cast("long")
+
+
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q1 pricing summary. Money in integer cents: disc_price =
+    # price_c*(100-disc_pct) is exact in units of 1e-4 dollars, so the
+    # sums are order-independent; averages divide the exact sums.
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02")
+    )
+    pc, dp, tp = (
+        _cents("l_extendedprice"),
+        _cents("l_discount"),  # discount in basis points /100 = pct
+        _cents("l_tax"),
+    )
+    q = F.col("l_quantity").cast("long")
+    base = li.select(
+        "l_returnflag",
+        "l_linestatus",
+        q.alias("qty"),
+        pc.alias("price_c"),
+        (pc * (F.lit(100) - dp)).alias("disc_c4"),
+        (pc * (F.lit(100) - dp) * (F.lit(100) + tp)).alias("charge_c6"),
+        dp.alias("disc_pct"),
+    )
+    g = base.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum("qty").alias("sum_qty"),
+        F.sum("price_c").alias("sum_base_price_c"),
+        F.sum("disc_c4").alias("sum_disc_price_c4"),
+        F.sum("charge_c6").alias("sum_charge_c6"),
+        F.count(F.lit(1)).alias("count_order"),
+        F.sum("disc_pct").alias("sum_disc_pct"),
+    )
+    return g.select(
+        "l_returnflag",
+        "l_linestatus",
+        "sum_qty",
+        "sum_base_price_c",
+        "sum_disc_price_c4",
+        "sum_charge_c6",
+        (F.col("sum_qty").cast("double") / F.col("count_order")).alias("avg_qty"),
+        (F.col("sum_base_price_c").cast("double") / F.col("count_order")).alias(
+            "avg_price_c"
+        ),
+        (F.col("sum_disc_pct").cast("double") / F.col("count_order")).alias(
+            "avg_disc_pct"
+        ),
+        "count_order",
+    )
+
+
+def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q3 shipping priority: 3-way join, revenue top-10 with a
+    # total order (revenue desc, orderdate, orderkey)
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1995-03-15")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1995-03-15")
+    )
+    rev = (_cents("l_extendedprice") * (F.lit(100) - _cents("l_discount"))).alias(
+        "rev_c4"
+    )
+    j = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select("l_orderkey", rev, "o_orderdate", "o_orderpriority")
+    )
+    return (
+        j.groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum("rev_c4").alias("revenue_c4"))
+        .select(
+            "l_orderkey",
+            "revenue_c4",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_orderpriority",
+        )
+        .orderBy(F.desc("revenue_c4"), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q5 local-supplier volume: 6-way join with two broadcast
+    # dims and co-located customer/supplier nation equality
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = load_table(spark, sf_dir, "nation")
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1993-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    rev = (_cents("l_extendedprice") * (F.lit(100) - _cents("l_discount"))).alias(
+        "rev_c4"
+    )
+    j = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .join(
+            supp,
+            (li.l_suppkey == supp.s_suppkey)
+            & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select(F.col("n_name"), rev)
+    )
+    return (
+        j.groupBy("n_name")
+        .agg(F.sum("rev_c4").alias("revenue_c4"))
+        .orderBy(F.desc("revenue_c4"), "n_name")
+    )
+
+
 def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     # term -> sorted posting list; serialized to CSV text so the
     # cross-engine value hash sees a scalar, not an array object
@@ -1386,6 +1507,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_history": q_scd2_history,
         "inverted_index": q_inverted_index,
         "unigram_logprob": q_unigram_logprob,
+        "tpch_q1": q_tpch_q1,
+        "tpch_q3": q_tpch_q3,
+        "tpch_q5": q_tpch_q5,
         # --- event-time windows (§2.10) ---
         "events_tumbling": q_events_tumbling,
         "events_sliding": q_events_sliding,
@@ -2179,6 +2303,61 @@ QUALIFY ROW_NUMBER() OVER (
             FROM documents d JOIN documents n ON n.doc_id = d.doc_id + 1
         """,
         "pagerank": _pagerank_oracle(),
+        "tpch_q1": """
+            WITH base AS (
+              SELECT l_returnflag, l_linestatus,
+                     CAST(l_quantity AS BIGINT) AS qty,
+                     CAST(FLOOR(l_extendedprice*100 + 0.5) AS BIGINT) AS pc,
+                     CAST(FLOOR(l_discount*100 + 0.5) AS BIGINT) AS dp,
+                     CAST(FLOOR(l_tax*100 + 0.5) AS BIGINT) AS tp
+              FROM lineitem
+              WHERE l_shipdate <= TIMESTAMP '1998-09-02')
+            SELECT l_returnflag, l_linestatus,
+                   CAST(SUM(qty) AS BIGINT) AS sum_qty,
+                   CAST(SUM(pc) AS BIGINT) AS sum_base_price_c,
+                   CAST(SUM(pc*(100-dp)) AS BIGINT) AS sum_disc_price_c4,
+                   CAST(SUM(pc*(100-dp)*(100+tp)) AS BIGINT) AS sum_charge_c6,
+                   CAST(SUM(qty) AS DOUBLE) / COUNT(*) AS avg_qty,
+                   CAST(SUM(pc) AS DOUBLE) / COUNT(*) AS avg_price_c,
+                   CAST(SUM(dp) AS DOUBLE) / COUNT(*) AS avg_disc_pct,
+                   COUNT(*) AS count_order
+            FROM base GROUP BY l_returnflag, l_linestatus
+        """,
+        "tpch_q3": """
+            SELECT l_orderkey,
+                   CAST(SUM(CAST(FLOOR(l_extendedprice*100 + 0.5) AS BIGINT)
+                        * (100 - CAST(FLOOR(l_discount*100 + 0.5) AS BIGINT)))
+                        AS BIGINT) AS revenue_c4,
+                   strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+                   o_orderpriority
+            FROM customer
+            JOIN orders ON c_custkey = o_custkey
+            JOIN lineitem ON l_orderkey = o_orderkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1995-03-15'
+              AND l_shipdate > TIMESTAMP '1995-03-15'
+            GROUP BY l_orderkey, o_orderdate, o_orderpriority
+            ORDER BY revenue_c4 DESC, o_orderdate, l_orderkey
+            LIMIT 10
+        """,
+        "tpch_q5": """
+            SELECT n_name,
+                   CAST(SUM(CAST(FLOOR(l_extendedprice*100 + 0.5) AS BIGINT)
+                        * (100 - CAST(FLOOR(l_discount*100 + 0.5) AS BIGINT)))
+                        AS BIGINT) AS revenue_c4
+            FROM customer
+            JOIN orders ON c_custkey = o_custkey
+            JOIN lineitem ON o_orderkey = l_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey
+                         AND c_nationkey = s_nationkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA'
+              AND o_orderdate >= TIMESTAMP '1993-01-01'
+              AND o_orderdate < TIMESTAMP '1997-01-01'
+            GROUP BY n_name
+            ORDER BY revenue_c4 DESC, n_name
+        """,
         "inverted_index": """
             WITH t2 AS (
               SELECT DISTINCT doc_id, term FROM (
