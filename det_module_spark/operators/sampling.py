@@ -35,7 +35,7 @@ def hash_sample(
     Deterministic across runs, partitionings, and engines."""
     if not 0.0 <= fraction <= 1.0:
         raise ValueError("fraction must be in [0, 1]")
-    return df.filter(_bucket(key, seed) < int(fraction * _RES))
+    return df.filter(_bucket(key, seed) < round(fraction * _RES))
 
 
 def mixture_plan(
@@ -73,11 +73,11 @@ def apply_mixture(
     no shuffle; output size is exactly ``sum(rate_s * n_s)`` rows in
     expectation, and downstream shuffles see only surviving rows.
     """
-    rmilli = F.lit(int(default_rate * _RES))
+    rmilli = F.lit(round(default_rate * _RES))
     for value, rate in sorted(rates.items()):
         if rate < 0:
             raise ValueError(f"negative rate for {value!r}")
-        rmilli = F.when(stratum == value, int(rate * _RES)).otherwise(rmilli)
+        rmilli = F.when(stratum == value, round(rate * _RES)).otherwise(rmilli)
     n_full = (rmilli / _RES).cast("long")
     frac = rmilli % _RES
     copy = F.col(copy_col)
@@ -106,7 +106,7 @@ def stratified_hash_sample(
     """Per-stratum deterministic sampling (e.g. language rebalancing:
     keep 100% of low-resource languages, 10% of English). Strata not
     named in ``fractions`` fall back to ``default_fraction``."""
-    cut = F.lit(int(default_fraction * _RES))
+    cut = F.lit(round(default_fraction * _RES))
     for value, frac in sorted(fractions.items()):
-        cut = F.when(stratum == value, int(frac * _RES)).otherwise(cut)
+        cut = F.when(stratum == value, round(frac * _RES)).otherwise(cut)
     return df.filter(_bucket(key, seed) < cut)
