@@ -1400,6 +1400,184 @@ def q_events_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q6 forecast revenue: pure scan→filter→agg. At 100 TB this
+    # is the pushdown benchmark — all predicates reach the parquet
+    # reader, no shuffle, one partial+final aggregate.
+    li = load_table(spark, sf_dir, "lineitem")
+    dp = _cents("l_discount")
+    sel = li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01"))
+        & (F.col("l_quantity") < 24)
+        & dp.between(5, 7)
+    )
+    return sel.agg(
+        F.sum(_cents("l_extendedprice") * dp).alias("revenue_c4"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q10 returned-item reporting: fact-fact shuffle join, then
+    # dim joins (nation broadcast), top-20 under a total order
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-10-01"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    rev = (_cents("l_extendedprice") * (F.lit(100) - _cents("l_discount"))).alias(
+        "rev_c4"
+    )
+    j = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            _cents("c_acctbal").alias("acctbal_c"),
+            "n_name",
+            rev,
+        )
+    )
+    return (
+        j.groupBy("c_custkey", "c_name", "acctbal_c", "n_name")
+        .agg(F.sum("rev_c4").alias("revenue_c4"))
+        .orderBy(F.desc("revenue_c4"), "c_custkey")
+        .limit(20)
+    )
+
+
+def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q18 large-volume customers: HAVING-filtered aggregate as
+    # the join build side (AQE sizes it at runtime; it shrinks to the
+    # few hot orders, so the orders join is broadcastable in practice)
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"))
+        .filter(F.col("sum_qty") > 300)
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    j = orders.join(big, orders.o_orderkey == big.l_orderkey).join(
+        cust, orders.o_custkey == cust.c_custkey
+    )
+    return (
+        j.select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            _cents("o_totalprice").alias("totalprice_c"),
+            "sum_qty",
+        )
+        .orderBy(F.desc("totalprice_c"), "o_orderkey")
+        .limit(100)
+    )
+
+
+def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # event-level sessionization (gap ≥ 30 min ⇒ new session): lag +
+    # running conditional sum — the labeling dual of the session_window
+    # aggregate (events_session). One shuffle keyed by user_id; at
+    # scale the windows run per-user-partition with no driver state.
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir)
+    base = ev.select(
+        "event_id", "user_id", F.unix_timestamp("ts").alias("ts_s")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_s", "event_id")
+    lagged = base.withColumn("prev_s", F.lag("ts_s").over(w))
+    is_new = F.when(
+        F.col("prev_s").isNull() | (F.col("ts_s") - F.col("prev_s") >= 1800), 1
+    ).otherwise(0)
+    return lagged.select(
+        "event_id",
+        "user_id",
+        F.sum(is_new)
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("session_seq"),
+    )
+
+
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # cohort × day-offset retention matrix: first-seen day per user,
+    # distinct active days, then distinct-user counts. The cohort
+    # table is ≤ #users rows — broadcastable at any corpus scale.
+    ev = _events(spark, sf_dir)
+    d = F.to_date("ts")
+    first = ev.groupBy("user_id").agg(F.min(d).alias("cohort_day"))
+    active = ev.select("user_id", d.alias("day")).distinct()
+    j = active.join(F.broadcast(first), "user_id")
+    return (
+        j.groupBy(
+            "cohort_day", F.datediff("day", "cohort_day").alias("day_offset")
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .select(
+            F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+            "day_offset",
+            "n_users",
+        )
+    )
+
+
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # signup→purchase funnel per user: conditional-min first signup,
+    # then earliest purchase at-or-after it. Two aggregations + one
+    # join on user_id; no event-order assumptions, so exact on any
+    # partitioning.
+    ev = _events(spark, sf_dir)
+    base = ev.select(
+        "user_id", "event_type", F.unix_timestamp("ts").alias("ts_s")
+    )
+    sign = base.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts_s"))).alias(
+            "signup_s"
+        )
+    )
+    pur = (
+        base.filter(F.col("event_type") == "purchase")
+        .join(sign, "user_id")
+        .filter(F.col("ts_s") >= F.col("signup_s"))
+        .groupBy("user_id")
+        .agg(F.min("ts_s").alias("first_purchase_s"))
+    )
+    return sign.join(pur, "user_id", "left").select(
+        "user_id",
+        "signup_s",
+        "first_purchase_s",
+        (F.col("first_purchase_s") - F.col("signup_s")).alias(
+            "secs_to_convert"
+        ),
+    )
+
+
+def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # per-key skew diagnostic for shuffle planning: row share of the
+    # hottest join keys in parts-per-million (exact integer floor
+    # division). The heavy-hitter list this emits is what a salting
+    # pass (zonal_salted_mean) or an AQE skew split keys off.
+    li = load_table(spark, sf_dir, "lineitem")
+    counts = li.groupBy("l_suppkey").agg(F.count(F.lit(1)).alias("n_rows"))
+    total = counts.agg(F.sum("n_rows").alias("total"))
+    j = counts.crossJoin(F.broadcast(total))
+    scaled = F.col("n_rows") * 1000000
+    ppm = ((scaled - scaled % F.col("total")) / F.col("total")).cast("long")
+    return (
+        j.select("l_suppkey", "n_rows", ppm.alias("share_ppm"))
+        .orderBy(F.desc("n_rows"), "l_suppkey")
+        .limit(20)
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the reliability zonal extract (the aid-data triple) at
     sf0.001; driver checks rows>0."""
@@ -1510,6 +1688,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
         "tpch_q5": q_tpch_q5,
+        "tpch_q6": q_tpch_q6,
+        "tpch_q10": q_tpch_q10,
+        "tpch_q18": q_tpch_q18,
+        # --- event analytics ---
+        "sessionize_events": q_sessionize_events,
+        "cohort_retention": q_cohort_retention,
+        "funnel_conversion": q_funnel_conversion,
+        "skew_report": q_skew_report,
         # --- event-time windows (§2.10) ---
         "events_tumbling": q_events_tumbling,
         "events_sliding": q_events_sliding,
@@ -2693,5 +2879,112 @@ QUALIFY ROW_NUMBER() OVER (
                    COUNT(*) AS n_events,
                    FLOOR(SUM(value) * 1e4 + 0.5) / 1e4 AS sum_value
             FROM islands GROUP BY user_id, sess
+        """,
+        "tpch_q6": """
+            SELECT CAST(SUM(CAST(FLOOR(l_extendedprice*100 + 0.5) AS BIGINT)
+                            * CAST(FLOOR(l_discount*100 + 0.5) AS BIGINT))
+                        AS BIGINT) AS revenue_c4,
+                   COUNT(*) AS n_lines
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1997-01-01'
+              AND l_quantity < 24
+              AND CAST(FLOOR(l_discount*100 + 0.5) AS BIGINT) BETWEEN 5 AND 7
+        """,
+        "tpch_q10": """
+            SELECT c_custkey, c_name,
+                   CAST(FLOOR(c_acctbal*100 + 0.5) AS BIGINT) AS acctbal_c,
+                   n_name,
+                   CAST(SUM(CAST(FLOOR(l_extendedprice*100 + 0.5) AS BIGINT)
+                        * (100 - CAST(FLOOR(l_discount*100 + 0.5) AS BIGINT)))
+                        AS BIGINT) AS revenue_c4
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            WHERE l_returnflag = 'R'
+              AND o_orderdate >= TIMESTAMP '1996-10-01'
+              AND o_orderdate < TIMESTAMP '1997-01-01'
+            GROUP BY c_custkey, c_name, acctbal_c, n_name
+            ORDER BY revenue_c4 DESC, c_custkey
+            LIMIT 20
+        """,
+        "tpch_q18": """
+            WITH big AS (
+              SELECT l_orderkey, SUM(CAST(l_quantity AS BIGINT)) AS sum_qty
+              FROM lineitem GROUP BY l_orderkey
+              HAVING SUM(CAST(l_quantity AS BIGINT)) > 300)
+            SELECT c_custkey, c_name, o_orderkey,
+                   strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+                   CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT)
+                     AS totalprice_c,
+                   CAST(sum_qty AS BIGINT) AS sum_qty
+            FROM big
+            JOIN orders ON o_orderkey = l_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            ORDER BY totalprice_c DESC, o_orderkey
+            LIMIT 100
+        """,
+        "sessionize_events": """
+            WITH b AS (
+              SELECT event_id, user_id,
+                     CAST(FLOOR(epoch(ts)) AS BIGINT) AS ts_s
+              FROM events),
+            l AS (
+              SELECT event_id, user_id, ts_s,
+                     LAG(ts_s) OVER (PARTITION BY user_id
+                                     ORDER BY ts_s, event_id) AS prev_s
+              FROM b)
+            SELECT event_id, user_id,
+                   CAST(SUM(CASE WHEN prev_s IS NULL
+                                   OR ts_s - prev_s >= 1800
+                                 THEN 1 ELSE 0 END)
+                        OVER (PARTITION BY user_id ORDER BY ts_s, event_id
+                              ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                     AS session_seq
+            FROM l
+        """,
+        "cohort_retention": """
+            WITH f AS (
+              SELECT user_id, MIN(date_trunc('day', ts)) AS cohort_day
+              FROM events GROUP BY user_id),
+            a AS (
+              SELECT DISTINCT user_id, date_trunc('day', ts) AS day
+              FROM events)
+            SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort_day,
+                   date_diff('day', cohort_day, day) AS day_offset,
+                   COUNT(DISTINCT a.user_id) AS n_users
+            FROM a JOIN f USING (user_id)
+            GROUP BY 1, 2
+        """,
+        "funnel_conversion": """
+            WITH b AS (
+              SELECT user_id, event_type,
+                     CAST(FLOOR(epoch(ts)) AS BIGINT) AS ts_s
+              FROM events),
+            s AS (
+              SELECT user_id,
+                     MIN(CASE WHEN event_type = 'signup' THEN ts_s END)
+                       AS signup_s
+              FROM b GROUP BY user_id),
+            p AS (
+              SELECT b.user_id, MIN(ts_s) AS first_purchase_s
+              FROM b JOIN s ON b.user_id = s.user_id
+              WHERE event_type = 'purchase' AND ts_s >= signup_s
+              GROUP BY b.user_id)
+            SELECT s.user_id, signup_s, first_purchase_s,
+                   first_purchase_s - signup_s AS secs_to_convert
+            FROM s LEFT JOIN p ON s.user_id = p.user_id
+        """,
+        "skew_report": """
+            WITH c AS (
+              SELECT l_suppkey, COUNT(*) AS n_rows
+              FROM lineitem GROUP BY l_suppkey),
+            t AS (SELECT SUM(n_rows) AS total FROM c)
+            SELECT l_suppkey, n_rows,
+                   CAST(n_rows * 1000000 // total AS BIGINT) AS share_ppm
+            FROM c, t
+            ORDER BY n_rows DESC, l_suppkey
+            LIMIT 20
         """,
     }
