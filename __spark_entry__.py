@@ -1578,6 +1578,65 @@ def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Flagship composition: the full training-corpus preparation flow
+    # as ONE dataflow — exact dedup → Gopher-style quality gate →
+    # benchmark decontamination → deterministic 50% sample → shard
+    # assignment. Every stage is an already-oracled operator; the
+    # composition itself is oracle-checked end-to-end. At scale each
+    # stage prunes before the next shuffles: dedup is one hash agg,
+    # the quality gate's shingle aggs run on survivors only, the
+    # benchmark vocabulary broadcasts, and the sample + shard are
+    # shuffle-free hash projections.
+    from det_module_spark.operators.decontaminate import contamination_report
+    from det_module_spark.operators.dedup import exact_dedup, stable_hash64
+    from det_module_spark.operators.sampling import hash_sample
+    from det_module_spark.operators.text import repetition_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 50 != 0)
+    bench = docs.filter(F.col("doc_id") % 50 == 0)  # held-out eval set
+
+    # 1. exact dedup on full-text hash: canonical doc carries the group
+    keep = exact_dedup(corpus, F.md5("text"), "doc_id").select(
+        F.col("keep_id").alias("doc_id"), "n_dups"
+    )
+    d1 = corpus.join(keep, "doc_id")
+
+    # 2. quality gate: length window + repetition thresholds
+    rep = repetition_features(d1)
+    d2 = (
+        d1.join(rep, "doc_id")
+        .filter(
+            F.col("n_tokens").between(30, 5000)
+            & (F.col("dup_gram_frac") < 0.1)
+            & (F.col("top_token_frac") < 0.12)
+        )
+        .select("doc_id", "text", "lang", "source", "n_dups", "n_tokens")
+    )
+    # d2 feeds two consumers (the contamination corpus side and the
+    # semi-join left); materialize once instead of re-running the
+    # dedup+quality subtree for each
+    d2 = d2.localCheckpoint(eager=False)
+
+    # 3. decontamination: drop docs where ≥ half the distinct trigrams
+    # appear in the bench (an absolute ≥1-overlap rule degenerates on
+    # a small shared vocabulary — every doc collides eventually)
+    cont = contamination_report(d2.select("doc_id", "text"), bench)
+    clean = cont.filter(F.col("overlap_frac") < 0.5).select("doc_id")
+    d3 = d2.join(clean, "doc_id", "left_semi")
+
+    # 4. deterministic content-hash sample + shard assignment
+    d4 = hash_sample(d3, F.col("doc_id"), 0.5, seed="cp")
+    shard = (
+        stable_hash64(F.concat(F.lit("shard:"), F.col("doc_id").cast("string")))
+        % 8
+    )
+    return d4.select(
+        "doc_id", "source", "lang", "n_tokens", "n_dups", shard.alias("shard")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the reliability zonal extract (the aid-data triple) at
     sf0.001; driver checks rows>0."""
@@ -1696,6 +1755,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohort_retention": q_cohort_retention,
         "funnel_conversion": q_funnel_conversion,
         "skew_report": q_skew_report,
+        # --- flagship composition ---
+        "corpus_pipeline": q_corpus_pipeline,
         # --- event-time windows (§2.10) ---
         "events_tumbling": q_events_tumbling,
         "events_sliding": q_events_sliding,
@@ -2986,5 +3047,77 @@ QUALIFY ROW_NUMBER() OVER (
             FROM c, t
             ORDER BY n_rows DESC, l_suppkey
             LIMIT 20
+        """,
+        "corpus_pipeline": """
+            WITH corpus AS (
+              SELECT * FROM documents WHERE doc_id % 50 <> 0),
+            keyed AS (SELECT doc_id, md5(text) AS ck FROM corpus),
+            keep AS (
+              SELECT ck, MIN(doc_id) AS doc_id, COUNT(*) AS n_dups
+              FROM keyed GROUP BY ck),
+            d1 AS (
+              SELECT c.*, k.n_dups
+              FROM corpus c JOIN keep k ON c.doc_id = k.doc_id),
+            toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM d1),
+            grams AS (
+              SELECT doc_id,
+                     unnest(list_transform(
+                       range(1, greatest(len(l) - 1, 2)),
+                       i -> array_to_string(list_slice(l, i, i + 2), ' ')
+                     )) AS g
+              FROM toks),
+            gs AS (
+              SELECT doc_id,
+                     1.0 - CAST(COUNT(DISTINCT g) AS DOUBLE) / COUNT(*)
+                       AS dup_gram_frac
+              FROM grams GROUP BY doc_id),
+            cnts AS (
+              SELECT doc_id, term, COUNT(*) AS cnt
+              FROM (SELECT doc_id, unnest(l) AS term FROM toks)
+              GROUP BY doc_id, term),
+            ts AS (
+              SELECT doc_id,
+                     CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+                     CAST(MAX(cnt) AS DOUBLE) / SUM(cnt) AS top_token_frac
+              FROM cnts GROUP BY doc_id),
+            d2 AS (
+              SELECT d1.doc_id, d1.text, d1.lang, d1.source, d1.n_dups,
+                     ts.n_tokens
+              FROM d1 JOIN gs USING (doc_id) JOIN ts USING (doc_id)
+              WHERE ts.n_tokens BETWEEN 30 AND 5000
+                AND gs.dup_gram_frac < 0.1
+                AND ts.top_token_frac < 0.12),
+            bsh AS (
+              SELECT DISTINCT
+                     unnest(list_transform(
+                       range(1, greatest(len(l) - 1, 2)),
+                       i -> array_to_string(list_slice(l, i, i + 2), ' ')
+                     )) AS shingle
+              FROM (SELECT string_split(text, ' ') AS l
+                    FROM documents WHERE doc_id % 50 = 0)),
+            csh AS (
+              SELECT DISTINCT doc_id,
+                     unnest(list_transform(
+                       range(1, greatest(len(l) - 1, 2)),
+                       i -> array_to_string(list_slice(l, i, i + 2), ' ')
+                     )) AS shingle
+              FROM (SELECT doc_id, string_split(text, ' ') AS l FROM d2)),
+            cstats AS (
+              SELECT c.doc_id, COUNT(*) AS n_sh, COUNT(b.shingle) AS n_ov
+              FROM csh c LEFT JOIN bsh b ON c.shingle = b.shingle
+              GROUP BY c.doc_id),
+            d3 AS (
+              SELECT d2.* FROM d2 JOIN cstats USING (doc_id)
+              WHERE CAST(n_ov AS DOUBLE) / n_sh < 0.5),
+            d4 AS (
+              SELECT * FROM d3
+              WHERE CAST(concat('0x',
+                      substr(md5(concat('cp:', CAST(doc_id AS VARCHAR))),
+                             1, 15)) AS BIGINT) % 1000000 < 500000)
+            SELECT doc_id, source, lang, n_tokens, n_dups,
+                   CAST(concat('0x',
+                     substr(md5(concat('shard:', CAST(doc_id AS VARCHAR))),
+                            1, 15)) AS BIGINT) % 8 AS shard
+            FROM d4
         """,
     }
