@@ -1637,6 +1637,509 @@ def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q2 shape (min-cost supplier per part, adapted: no partsupp
+    # table, so "cost" is the supplier's account balance and the
+    # part-supplier relation comes from observed lineitem shipments).
+    # Correlated-min subquery expressed as a per-part window min —
+    # one shuffle keyed by partkey; dims broadcast.
+    from pyspark.sql import Window
+
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") == "Brand#3") & (F.col("p_size") <= 10)
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    pairs = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    j = (
+        pairs.join(F.broadcast(part), pairs.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), pairs.l_suppkey == supp.s_suppkey)
+        .select("p_partkey", "p_name", "s_name", _cents("s_acctbal").alias("acctbal_c"))
+    )
+    w = Window.partitionBy("p_partkey")
+    return (
+        j.withColumn("min_acctbal_c", F.min("acctbal_c").over(w))
+        .filter(F.col("acctbal_c") == F.col("min_acctbal_c"))
+        .select("p_partkey", "p_name", "s_name", "acctbal_c")
+        .orderBy("acctbal_c", "p_partkey", "s_name")
+        .limit(100)
+    )
+
+
+def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q4 order-priority checking: EXISTS ⇒ left-semi join
+    # (adapted existence predicate: a returned line, since the test
+    # schema has no commit/receipt dates). Semi join shuffles only the
+    # distinct keys of the filtered fact — no row multiplication.
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01"))
+    )
+    returned = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    sel = orders.join(
+        returned, orders.o_orderkey == returned.l_orderkey, "left_semi"
+    )
+    return (
+        sel.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q7 volume shipping: two nation roles (supplier side vs
+    # customer side) from one broadcast dim, symmetric pair predicate,
+    # grouped by year. The big fact-fact joins shuffle on orderkey.
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") <= F.lit("1997-12-31"))
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    rev = (_cents("l_extendedprice") * (F.lit(100) - _cents("l_discount"))).alias(
+        "rev_c4"
+    )
+    j = (
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .filter(
+            (
+                (F.col("supp_nation") == "NATION_1")
+                & (F.col("cust_nation") == "NATION_2")
+            )
+            | (
+                (F.col("supp_nation") == "NATION_2")
+                & (F.col("cust_nation") == "NATION_1")
+            )
+        )
+        .select(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+            rev,
+        )
+    )
+    return (
+        j.groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(F.sum("rev_c4").alias("revenue_c4"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q8 national market share: CASE-conditioned sum over the
+    # same integer-cents measure, ratio of two exact longs (rounded
+    # identically on both engines only at the final divide).
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") <= F.lit("1997-12-31"))
+    )
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == "EUROPE"
+    )
+    n_c = nation.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_regionkey").alias("c_rk")
+    )
+    n_s = nation.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    rev = (_cents("l_extendedprice") * (F.lit(100) - _cents("l_discount"))).alias(
+        "rev_c4"
+    )
+    j = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n_c), F.col("c_nationkey") == F.col("c_nk"))
+        .join(F.broadcast(region), F.col("c_rk") == region.r_regionkey)
+        .join(F.broadcast(n_s), F.col("s_nationkey") == F.col("s_nk"))
+        .select(
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            rev,
+            "supp_nation",
+        )
+    )
+    g = j.groupBy("o_year").agg(
+        F.sum(
+            F.when(F.col("supp_nation") == "NATION_3", F.col("rev_c4")).otherwise(
+                F.lit(0)
+            )
+        ).alias("nation_rev_c4"),
+        F.sum("rev_c4").alias("total_rev_c4"),
+    )
+    return g.select(
+        "o_year",
+        _pround(
+            F.col("nation_rev_c4").cast("double")
+            / F.col("total_rev_c4").cast("double"),
+            6,
+        ).alias("mkt_share"),
+    ).orderBy("o_year")
+
+
+def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q9 product-type profit (adapted: no partsupp, so profit =
+    # discounted revenue) by supplier nation × order year, parts
+    # selected by name infix — LIKE pushdown on a broadcast dim.
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").contains("widget")
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders")
+    nation = load_table(spark, sf_dir, "nation")
+    rev = (_cents("l_extendedprice") * (F.lit(100) - _cents("l_discount"))).alias(
+        "amount_c4"
+    )
+    j = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            rev,
+        )
+    )
+    return (
+        j.groupBy("nation", "o_year")
+        .agg(F.sum("amount_c4").alias("sum_profit_c4"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q11 important stock (adapted: per-part shipped value from
+    # lineitem instead of partsupp inventory). HAVING against a scalar
+    # subquery = integer cross-multiplication vs a broadcast 1-row agg
+    # — no float threshold, no driver round-trip.
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_nationkey") == 5
+    )
+    val = (F.col("l_quantity").cast("long") * _cents("l_extendedprice")).alias(
+        "val_c"
+    )
+    sel = li.join(supp, li.l_suppkey == supp.s_suppkey, "left_semi").select(
+        "l_partkey", val
+    )
+    per_part = sel.groupBy("l_partkey").agg(F.sum("val_c").alias("value_c"))
+    total = sel.agg(F.sum("val_c").alias("total_c"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("value_c") * F.lit(1000) > F.col("total_c"))
+        .select("l_partkey", "value_c")
+        .orderBy(F.desc("value_c"), "l_partkey")
+    )
+
+
+def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q12 shipping-mode priority classes (adapted: grouped by
+    # l_linestatus; the schema has no shipmode). CASE-sum pivot over a
+    # fact-fact join.
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01"))
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    j = li.join(orders, li.l_orderkey == orders.o_orderkey)
+    high = F.when(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), F.lit(1)
+    ).otherwise(F.lit(0))
+    return (
+        j.groupBy("l_linestatus")
+        .agg(
+            F.sum(high).alias("high_line_count"),
+            F.sum(F.lit(1) - high).alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q13 customer order-count distribution: LEFT OUTER join so
+    # zero-order customers survive, two cascaded aggregations. The
+    # second groupBy is tiny (distinct counts), coalesced by AQE.
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") != "P"
+    )
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q14 promo revenue share: CASE-sum ratio over one month,
+    # exact integer numerator/denominator, one broadcast dim join.
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-09-01"))
+        & (F.col("l_shipdate") < F.lit("1996-10-01"))
+    )
+    part = load_table(spark, sf_dir, "part")
+    rev = _cents("l_extendedprice") * (F.lit(100) - _cents("l_discount"))
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey).select(
+        F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0)).alias(
+            "promo_c4"
+        ),
+        rev.alias("rev_c4"),
+    )
+    g = j.agg(
+        F.sum("promo_c4").alias("promo_c4"), F.sum("rev_c4").alias("total_c4")
+    )
+    return g.select(
+        _pround(
+            F.lit(100.0)
+            * F.col("promo_c4").cast("double")
+            / F.col("total_c4").cast("double"),
+            6,
+        ).alias("promo_revenue_pct")
+    )
+
+
+def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q15 top supplier: revenue view + scalar-max subquery kept
+    # distributed (1-row broadcast cross join, no collect; ties kept,
+    # as in the spec).
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01"))
+    )
+    rev = (_cents("l_extendedprice") * (F.lit(100) - _cents("l_discount"))).alias(
+        "rev_c4"
+    )
+    revenue = (
+        li.select("l_suppkey", rev)
+        .groupBy("l_suppkey")
+        .agg(F.sum("rev_c4").alias("total_revenue_c4"))
+    )
+    mx = revenue.agg(F.max("total_revenue_c4").alias("max_rev_c4"))
+    supp = load_table(spark, sf_dir, "supplier")
+    return (
+        revenue.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue_c4") == F.col("max_rev_c4"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue_c4")
+        .orderBy("s_suppkey")
+    )
+
+
+def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q16 supplier diversity per part class: NOT-IN subquery as
+    # a left-anti join (suppliers with negative balance stand in for
+    # the complaints predicate), distinct-count aggregate.
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35)
+    )
+    bad_supp = load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0
+    )
+    pairs = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+        .join(bad_supp, F.col("l_suppkey") == bad_supp.s_suppkey, "left_anti")
+    )
+    j = pairs.join(F.broadcast(part), pairs.l_partkey == part.p_partkey)
+    return (
+        j.groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q17 small-quantity-order revenue: the correlated avg
+    # subquery is a per-part aggregate joined back to the fact;
+    # `qty < 0.2*avg(qty)` cross-multiplied into exact integers
+    # (5*qty*cnt < sum_qty) so both engines compare identically.
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_brand") == "Brand#2"
+    )
+    stats = li.groupBy(F.col("l_partkey").alias("sp_partkey")).agg(
+        F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+        F.count(F.lit(1)).alias("cnt_qty"),
+    )
+    j = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(stats, li.l_partkey == F.col("sp_partkey"))
+        .filter(
+            F.col("l_quantity").cast("long") * F.lit(5) * F.col("cnt_qty")
+            < F.col("sum_qty")
+        )
+    )
+    return j.agg(
+        F.sum(_cents("l_extendedprice")).alias("total_price_c"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q19 discounted revenue: disjunction of conjunctive
+    # brand/size/quantity bands — Catalyst pushes the common part-side
+    # conjuncts into the broadcast dim, the OR evaluates post-join.
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    qty = F.col("l_quantity")
+    band = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 5)
+            & qty.between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(1, 10)
+            & qty.between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 15)
+            & qty.between(20, 30)
+        )
+    )
+    rev = _cents("l_extendedprice") * (F.lit(100) - _cents("l_discount"))
+    return j.filter(band).agg(
+        F.sum(rev).alias("revenue_c4"), F.count(F.lit(1)).alias("n_lines")
+    )
+
+
+def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q20 excess-inventory suppliers (adapted: shipped quantity
+    # from lineitem replaces partsupp availability): nested semi-join
+    # chain — parts by name infix → per-supplier shipped qty HAVING →
+    # semi join suppliers.
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01"))
+    )
+    red_parts = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").contains("red")
+    )
+    heavy = (
+        li.join(F.broadcast(red_parts), li.l_partkey == red_parts.p_partkey)
+        .groupBy("l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("qty"))
+        .filter(F.col("qty") > 100)
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    return (
+        supp.join(heavy, supp.s_suppkey == heavy.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name", _cents("s_acctbal").alias("acctbal_c"))
+        .orderBy("s_suppkey")
+    )
+
+
+def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q21 suppliers-who-kept-orders-waiting shape (adapted to
+    # l_returnflag: supplier S returned a line on a finished
+    # multi-supplier order, and NO other supplier returned one) —
+    # EXISTS → left-semi on (orderkey, other-supplier), NOT EXISTS →
+    # left-anti. Three passes over one narrow projection of lineitem.
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_returnflag"
+    )
+    orders_f = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    l1 = (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(orders_f, li.l_orderkey == orders_f.o_orderkey, "left_semi")
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("sk"))
+        .distinct()
+    )
+    others = li.select(
+        F.col("l_orderkey").alias("o_ok"), F.col("l_suppkey").alias("o_sk")
+    ).distinct()
+    others_r = (
+        li.filter(F.col("l_returnflag") == "R")
+        .select(
+            F.col("l_orderkey").alias("r_ok"), F.col("l_suppkey").alias("r_sk")
+        )
+        .distinct()
+    )
+    sel = l1.join(
+        others,
+        (F.col("ok") == F.col("o_ok")) & (F.col("sk") != F.col("o_sk")),
+        "left_semi",
+    ).join(
+        others_r,
+        (F.col("ok") == F.col("r_ok")) & (F.col("sk") != F.col("r_sk")),
+        "left_anti",
+    )
+    return (
+        sel.join(F.broadcast(supp), F.col("sk") == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(20)
+    )
+
+
+def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q22 global sales opportunity: scalar avg subquery turned
+    # into an exact integer cross-multiplication (bal*n > sum), NOT
+    # EXISTS as left-anti against orders, grouped by nation (the
+    # schema has no phone prefix).
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", _cents("c_acctbal").alias("bal_c")
+    )
+    pos = cust.filter(F.col("bal_c") > 0).agg(
+        F.sum("bal_c").alias("sum_pos"), F.count(F.lit(1)).alias("n_pos")
+    )
+    recent = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-07-01")
+    )
+    rich_idle = (
+        cust.crossJoin(F.broadcast(pos))
+        .filter(F.col("bal_c") * F.col("n_pos") > F.col("sum_pos"))
+        .join(recent, cust.c_custkey == recent.o_custkey, "left_anti")
+    )
+    return (
+        rich_idle.groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum("bal_c").alias("totacctbal_c"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the reliability zonal extract (the aid-data triple) at
     sf0.001; driver checks rows>0."""
@@ -1750,6 +2253,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q6": q_tpch_q6,
         "tpch_q10": q_tpch_q10,
         "tpch_q18": q_tpch_q18,
+        "tpch_q2": q_tpch_q2,
+        "tpch_q4": q_tpch_q4,
+        "tpch_q7": q_tpch_q7,
+        "tpch_q8": q_tpch_q8,
+        "tpch_q9": q_tpch_q9,
+        "tpch_q11": q_tpch_q11,
+        "tpch_q12": q_tpch_q12,
+        "tpch_q13": q_tpch_q13,
+        "tpch_q14": q_tpch_q14,
+        "tpch_q15": q_tpch_q15,
+        "tpch_q16": q_tpch_q16,
+        "tpch_q17": q_tpch_q17,
+        "tpch_q19": q_tpch_q19,
+        "tpch_q20": q_tpch_q20,
+        "tpch_q21": q_tpch_q21,
+        "tpch_q22": q_tpch_q22,
         # --- event analytics ---
         "sessionize_events": q_sessionize_events,
         "cohort_retention": q_cohort_retention,
@@ -2985,6 +3504,248 @@ QUALIFY ROW_NUMBER() OVER (
             JOIN customer ON o_custkey = c_custkey
             ORDER BY totalprice_c DESC, o_orderkey
             LIMIT 100
+        """,
+        "tpch_q2": """
+            WITH pairs AS (
+              SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+            j AS (
+              SELECT p_partkey, p_name, s_name,
+                     CAST(FLOOR(s_acctbal*100 + 0.5) AS BIGINT) AS acctbal_c
+              FROM pairs
+              JOIN part ON l_partkey = p_partkey
+              JOIN supplier ON l_suppkey = s_suppkey
+              WHERE p_brand = 'Brand#3' AND p_size <= 10)
+            SELECT p_partkey, p_name, s_name, acctbal_c
+            FROM (SELECT *, MIN(acctbal_c) OVER (PARTITION BY p_partkey)
+                         AS min_c FROM j)
+            WHERE acctbal_c = min_c
+            ORDER BY acctbal_c, p_partkey, s_name
+            LIMIT 100
+        """,
+        "tpch_q4": """
+            SELECT o_orderpriority, COUNT(*) AS order_count
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1996-04-01'
+              AND EXISTS (SELECT 1 FROM lineitem
+                          WHERE l_orderkey = o_orderkey
+                            AND l_returnflag = 'R')
+            GROUP BY o_orderpriority
+            ORDER BY o_orderpriority
+        """,
+        "tpch_q7": """
+            SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                   CAST(year(l_shipdate) AS BIGINT) AS l_year,
+                   CAST(SUM(CAST(FLOOR(l_extendedprice*100 + 0.5) AS BIGINT)
+                        * (100 - CAST(FLOOR(l_discount*100 + 0.5) AS BIGINT)))
+                        AS BIGINT) AS revenue_c4
+            FROM lineitem
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation n1 ON s_nationkey = n1.n_nationkey
+            JOIN nation n2 ON c_nationkey = n2.n_nationkey
+            WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01'
+                                 AND TIMESTAMP '1997-12-31'
+              AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+                OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+            GROUP BY supp_nation, cust_nation, l_year
+            ORDER BY supp_nation, cust_nation, l_year
+        """,
+        "tpch_q8": """
+            WITH j AS (
+              SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                     CAST(FLOOR(l_extendedprice*100 + 0.5) AS BIGINT)
+                       * (100 - CAST(FLOOR(l_discount*100 + 0.5) AS BIGINT))
+                       AS rev_c4,
+                     ns.n_name AS supp_nation
+              FROM lineitem
+              JOIN part ON l_partkey = p_partkey
+              JOIN orders ON l_orderkey = o_orderkey
+              JOIN customer ON o_custkey = c_custkey
+              JOIN supplier ON l_suppkey = s_suppkey
+              JOIN nation nc ON c_nationkey = nc.n_nationkey
+              JOIN region ON nc.n_regionkey = r_regionkey
+              JOIN nation ns ON s_nationkey = ns.n_nationkey
+              WHERE p_type = 'PROMO' AND r_name = 'EUROPE'
+                AND o_orderdate BETWEEN TIMESTAMP '1996-01-01'
+                                    AND TIMESTAMP '1997-12-31')
+            SELECT o_year,
+                   FLOOR(CAST(SUM(CASE WHEN supp_nation = 'NATION_3'
+                                       THEN rev_c4 ELSE 0 END) AS DOUBLE)
+                         / CAST(SUM(rev_c4) AS DOUBLE) * 1e6 + 0.5) / 1e6
+                     AS mkt_share
+            FROM j GROUP BY o_year ORDER BY o_year
+        """,
+        "tpch_q9": """
+            SELECT n_name AS nation,
+                   CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                   CAST(SUM(CAST(FLOOR(l_extendedprice*100 + 0.5) AS BIGINT)
+                        * (100 - CAST(FLOOR(l_discount*100 + 0.5) AS BIGINT)))
+                        AS BIGINT) AS sum_profit_c4
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN nation ON s_nationkey = n_nationkey
+            WHERE p_name LIKE '%widget%'
+            GROUP BY n_name, year(o_orderdate)
+            ORDER BY nation, o_year DESC
+        """,
+        "tpch_q11": """
+            WITH sel AS (
+              SELECT l_partkey,
+                     CAST(l_quantity AS BIGINT)
+                       * CAST(FLOOR(l_extendedprice*100 + 0.5) AS BIGINT)
+                       AS val_c
+              FROM lineitem
+              WHERE l_suppkey IN (SELECT s_suppkey FROM supplier
+                                  WHERE s_nationkey = 5))
+            SELECT l_partkey, CAST(SUM(val_c) AS BIGINT) AS value_c
+            FROM sel
+            GROUP BY l_partkey
+            HAVING SUM(val_c) * 1000 > (SELECT SUM(val_c) FROM sel)
+            ORDER BY value_c DESC, l_partkey
+        """,
+        "tpch_q12": """
+            SELECT l_linestatus,
+                   CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                            THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+                   CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                            THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1997-01-01'
+            GROUP BY l_linestatus ORDER BY l_linestatus
+        """,
+        "tpch_q13": """
+            SELECT c_count, COUNT(*) AS custdist
+            FROM (
+              SELECT c_custkey, COUNT(o_orderkey) AS c_count
+              FROM customer
+              LEFT OUTER JOIN orders ON c_custkey = o_custkey
+                                    AND o_orderstatus <> 'P'
+              GROUP BY c_custkey)
+            GROUP BY c_count
+            ORDER BY custdist DESC, c_count DESC
+        """,
+        "tpch_q14": """
+            SELECT FLOOR(100.0
+                     * CAST(SUM(CASE WHEN p_type = 'PROMO'
+                               THEN CAST(FLOOR(l_extendedprice*100 + 0.5) AS BIGINT)
+                                 * (100 - CAST(FLOOR(l_discount*100 + 0.5) AS BIGINT))
+                               ELSE 0 END) AS DOUBLE)
+                     / CAST(SUM(CAST(FLOOR(l_extendedprice*100 + 0.5) AS BIGINT)
+                          * (100 - CAST(FLOOR(l_discount*100 + 0.5) AS BIGINT)))
+                        AS DOUBLE) * 1e6 + 0.5) / 1e6 AS promo_revenue_pct
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE l_shipdate >= TIMESTAMP '1996-09-01'
+              AND l_shipdate < TIMESTAMP '1996-10-01'
+        """,
+        "tpch_q15": """
+            WITH revenue AS (
+              SELECT l_suppkey,
+                     CAST(SUM(CAST(FLOOR(l_extendedprice*100 + 0.5) AS BIGINT)
+                          * (100 - CAST(FLOOR(l_discount*100 + 0.5) AS BIGINT)))
+                          AS BIGINT) AS total_revenue_c4
+              FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                AND l_shipdate < TIMESTAMP '1996-04-01'
+              GROUP BY l_suppkey)
+            SELECT s_suppkey, s_name, total_revenue_c4
+            FROM supplier JOIN revenue ON s_suppkey = l_suppkey
+            WHERE total_revenue_c4 = (SELECT MAX(total_revenue_c4) FROM revenue)
+            ORDER BY s_suppkey
+        """,
+        "tpch_q16": """
+            SELECT p_brand, p_type, p_size,
+                   COUNT(DISTINCT l_suppkey) AS supplier_cnt
+            FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) pairs
+            JOIN part ON l_partkey = p_partkey
+            WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+              AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+              AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                                    WHERE s_acctbal < 0)
+            GROUP BY p_brand, p_type, p_size
+            ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+        """,
+        "tpch_q17": """
+            WITH stats AS (
+              SELECT l_partkey AS sp_partkey,
+                     SUM(CAST(l_quantity AS BIGINT)) AS sum_qty,
+                     COUNT(*) AS cnt_qty
+              FROM lineitem GROUP BY l_partkey)
+            SELECT CAST(SUM(CAST(FLOOR(l_extendedprice*100 + 0.5) AS BIGINT))
+                     AS BIGINT) AS total_price_c,
+                   COUNT(*) AS n_lines
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            JOIN stats ON l_partkey = sp_partkey
+            WHERE p_brand = 'Brand#2'
+              AND CAST(l_quantity AS BIGINT) * 5 * cnt_qty < sum_qty
+        """,
+        "tpch_q19": """
+            SELECT CAST(SUM(CAST(FLOOR(l_extendedprice*100 + 0.5) AS BIGINT)
+                        * (100 - CAST(FLOOR(l_discount*100 + 0.5) AS BIGINT)))
+                        AS BIGINT) AS revenue_c4,
+                   COUNT(*) AS n_lines
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5
+                   AND l_quantity BETWEEN 1 AND 11)
+               OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10
+                   AND l_quantity BETWEEN 10 AND 20)
+               OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+                   AND l_quantity BETWEEN 20 AND 30)
+        """,
+        "tpch_q20": """
+            SELECT s_suppkey, s_name,
+                   CAST(FLOOR(s_acctbal*100 + 0.5) AS BIGINT) AS acctbal_c
+            FROM supplier
+            WHERE s_suppkey IN (
+              SELECT l_suppkey FROM lineitem
+              JOIN part ON l_partkey = p_partkey
+              WHERE p_name LIKE '%red%'
+                AND l_shipdate >= TIMESTAMP '1996-01-01'
+                AND l_shipdate < TIMESTAMP '1997-01-01'
+              GROUP BY l_suppkey
+              HAVING SUM(CAST(l_quantity AS BIGINT)) > 100)
+            ORDER BY s_suppkey
+        """,
+        "tpch_q21": """
+            WITH l1 AS (
+              SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk
+              FROM lineitem
+              WHERE l_returnflag = 'R'
+                AND l_orderkey IN (SELECT o_orderkey FROM orders
+                                   WHERE o_orderstatus = 'F'))
+            SELECT s_name, COUNT(*) AS numwait
+            FROM l1 JOIN supplier ON sk = s_suppkey
+            WHERE EXISTS (SELECT 1 FROM lineitem l2
+                          WHERE l2.l_orderkey = ok AND l2.l_suppkey <> sk)
+              AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                              WHERE l3.l_orderkey = ok AND l3.l_suppkey <> sk
+                                AND l3.l_returnflag = 'R')
+            GROUP BY s_name
+            ORDER BY numwait DESC, s_name
+            LIMIT 20
+        """,
+        "tpch_q22": """
+            WITH cust AS (
+              SELECT c_custkey, c_nationkey,
+                     CAST(FLOOR(c_acctbal*100 + 0.5) AS BIGINT) AS bal_c
+              FROM customer),
+            pos AS (
+              SELECT SUM(bal_c) AS sum_pos, COUNT(*) AS n_pos
+              FROM cust WHERE bal_c > 0)
+            SELECT c_nationkey, COUNT(*) AS numcust,
+                   CAST(SUM(bal_c) AS BIGINT) AS totacctbal_c
+            FROM cust, pos
+            WHERE bal_c * n_pos > sum_pos
+              AND NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_custkey = c_custkey
+                                AND o_orderdate >= TIMESTAMP '2000-07-01')
+            GROUP BY c_nationkey
+            ORDER BY c_nationkey
         """,
         "sessionize_events": """
             WITH b AS (
