@@ -2140,6 +2140,131 @@ def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Entity resolution: all customer-name pairs within Levenshtein
+    # distance 1, via SymSpell deletion-neighborhood banding — one
+    # band-key shuffle + codegen levenshtein refinement, no cross join
+    # (the DuckDB oracle IS the quadratic cross join, so the parity
+    # check doubles as a losslessness proof at sf scale).
+    from det_module_spark.operators.fuzzyjoin import edit1_pairs
+
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return edit1_pairs(cust, "c_custkey", "c_name")
+
+
+def q_json_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Semi-structured shredding: parse the events.props JSON string
+    # ONCE per row with an explicit schema (from_json inside the scan
+    # stage — no per-field re-parse, no Python), then aggregate the
+    # typed field. Integer measures keep the sums exact.
+    from det_module_spark.operators.semistructured import shred_json
+
+    ev = _events(spark, sf_dir).select("event_id", "event_type", "props")
+    typed = shred_json(ev, "props", "k LONG")
+    return typed.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("k").alias("sum_k"),
+        F.min("k").alias("min_k"),
+        F.max("k").alias("max_k"),
+        F.sum(F.when(F.col("k") % 2 == 0, 1).otherwise(0)).alias("n_even"),
+    )
+
+
+def q_bigram_next(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Corpus bigram LM: top-3 next words per word with conditional
+    # log-prob. Ranking on exact integer counts (lexical tiebreak);
+    # one vocabulary-sized shuffle.
+    from det_module_spark.operators.text import bigram_next_words
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bigram_next_words(docs, k=3)
+
+
+def q_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Per-source distinctive vocabulary by smoothed log-odds (Monroe
+    # et al. style): which terms over-index in each source vs the rest.
+    from det_module_spark.operators.text import distinctive_terms
+
+    docs = load_table(spark, sf_dir, "documents")
+    return distinctive_terms(docs, group_col="source", k=5)
+
+
+def q_winsorize_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Robust cleaning: clip integer-cent prices to per-group [p05,p95]
+    # interpolated percentiles (rounded to ints pre-clip so downstream
+    # sums stay exact), then summarize clip impact per group.
+    from det_module_spark.operators.cleaning import winsorize
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", _cents("l_extendedprice").alias("price_c")
+    )
+    w = winsorize(li, "price_c", "l_returnflag", 0.05, 0.95)
+    return w.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("price_c_wins").alias("sum_wins_c"),
+        F.sum(F.when(F.col("clipped_low"), 1).otherwise(0)).alias("n_low"),
+        F.sum(F.when(F.col("clipped_high"), 1).otherwise(0)).alias("n_high"),
+        F.min("price_c_wins").alias("min_wins_c"),
+        F.max("price_c_wins").alias("max_wins_c"),
+    )
+
+
+def q_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Market-basket affinity: brand pairs co-purchased in >= 3 orders
+    # with exact-integer supports and one rounded lift division. Pair
+    # generation is a within-basket self-join keyed by order — output
+    # bounded by sum(k choose 2), never a global cross join.
+    from det_module_spark.operators.basket import basket_affinity
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    baskets = li.join(F.broadcast(part), li.l_partkey == part.p_partkey).select(
+        "l_orderkey", "p_brand"
+    )
+    return basket_affinity(baskets, "l_orderkey", "p_brand", min_support=3)
+
+
+def q_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Incremental materialized-view maintenance: a standing per-(day,
+    # type) rollup state plus a new batch's partial agg, merged by a
+    # full-outer join + element-wise combine — equal to a full
+    # recompute (the oracle computes it directly over all events).
+    # History is never rescanned; the merge shuffle is |state|+|delta|.
+    from det_module_spark.operators.incremental import (
+        merge_agg_state,
+        partial_agg,
+    )
+
+    ev = _events(spark, sf_dir).select(
+        "event_id",
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+        "event_type",
+        F.floor(F.col("value") * 10000 + F.lit(0.5)).cast("long").alias("v4"),
+    )
+    keys = ["day", "event_type"]
+    spec = dict(
+        sum_cols={"sum_v4": "v4"},
+        min_cols={"min_v4": "v4"},
+        max_cols={"max_v4": "v4"},
+    )
+    state = partial_agg(ev.filter(F.col("event_id") % 5 != 0), keys, **spec)
+    delta = partial_agg(ev.filter(F.col("event_id") % 5 == 0), keys, **spec)
+    return merge_agg_state(
+        state, delta, keys, ["sum_v4"], ["min_v4"], ["max_v4"]
+    )
+
+
+def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Vector aggregation: per-label centroid + per-component variance
+    # in exact fixed-point (components quantized to scaled longs, so
+    # Σq/Σq² are order-independent int sums). posexplode → one hash
+    # agg; shuffle ∝ labels × dim, not corpus.
+    from det_module_spark.operators.similarity import label_centroids
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return label_centroids(emb)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the reliability zonal extract (the aid-data triple) at
     sf0.001; driver checks rows>0."""
@@ -2276,6 +2401,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_report": q_skew_report,
         # --- flagship composition ---
         "corpus_pipeline": q_corpus_pipeline,
+        # --- entity resolution / semi-structured / LM / cleaning ---
+        "fuzzy_name_pairs": q_fuzzy_name_pairs,
+        "json_shred": q_json_shred,
+        "bigram_next": q_bigram_next,
+        "distinctive_terms": q_distinctive_terms,
+        "winsorize_prices": q_winsorize_prices,
+        "basket_pairs": q_basket_pairs,
+        "incremental_rollup": q_incremental_rollup,
+        "label_centroids": q_label_centroids,
         # --- event-time windows (§2.10) ---
         "events_tumbling": q_events_tumbling,
         "events_sliding": q_events_sliding,
@@ -3880,5 +4014,159 @@ QUALIFY ROW_NUMBER() OVER (
                      substr(md5(concat('shard:', CAST(doc_id AS VARCHAR))),
                             1, 15)) AS BIGINT) % 8 AS shard
             FROM d4
+        """,
+        # the oracle IS the quadratic verifier the banding replaces
+        "fuzzy_name_pairs": """
+            SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+                   levenshtein(a.c_name, b.c_name) AS distance
+            FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+            WHERE levenshtein(a.c_name, b.c_name) <= 1
+        """,
+        "json_shred": """
+            WITH p AS (
+              SELECT event_type,
+                     CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+              FROM events)
+            SELECT event_type,
+                   COUNT(*) AS n,
+                   CAST(SUM(k) AS BIGINT) AS sum_k,
+                   MIN(k) AS min_k,
+                   MAX(k) AS max_k,
+                   CAST(SUM(CASE WHEN k % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_even
+            FROM p GROUP BY event_type
+        """,
+        "bigram_next": """
+            WITH toks AS (SELECT string_split(text, ' ') AS l
+                          FROM documents WHERE len(string_split(text, ' ')) >= 2),
+            ex AS (SELECT l, unnest(range(1, len(l))) AS i FROM toks),
+            bi AS (SELECT l[i] AS w1, l[i + 1] AS w2, COUNT(*) AS cnt
+                   FROM ex WHERE len(l[i]) > 0 AND len(l[i + 1]) > 0
+                   GROUP BY 1, 2),
+            tot AS (SELECT w1, CAST(SUM(cnt) AS BIGINT) AS total
+                    FROM bi GROUP BY w1),
+            ranked AS (
+              SELECT w1, w2, cnt,
+                     ROW_NUMBER() OVER (PARTITION BY w1
+                                        ORDER BY cnt DESC, w2 ASC) AS rank
+              FROM bi)
+            SELECT r.w1, r.w2, r.rank, r.cnt, t.total,
+                   FLOOR(LN(CAST(r.cnt AS DOUBLE) / CAST(t.total AS DOUBLE))
+                         * 1e6 + 0.5) / 1e6 AS logp
+            FROM ranked r JOIN tot t ON r.w1 = t.w1
+            WHERE r.rank <= 3
+        """,
+        "distinctive_terms": """
+            WITH terms AS (
+              SELECT source AS grp, unnest(string_split(text, ' ')) AS term
+              FROM documents),
+            t AS (SELECT grp, term FROM terms WHERE len(term) > 0),
+            per_grp AS (SELECT grp, term, COUNT(*) AS a
+                        FROM t GROUP BY 1, 2),
+            term_tot AS (SELECT term, CAST(SUM(a) AS BIGINT) AS t_total
+                         FROM per_grp GROUP BY term),
+            grp_tot AS (SELECT grp, CAST(SUM(a) AS BIGINT) AS big_a
+                        FROM per_grp GROUP BY grp),
+            corpus AS (SELECT COUNT(*) AS big_n FROM t),
+            scored AS (
+              SELECT p.grp, p.term, p.a,
+                     LN((p.a + 0.5) / (g.big_a - p.a + 0.5))
+                     - LN(((tt.t_total - p.a) + 0.5)
+                          / (((SELECT big_n FROM corpus) - g.big_a)
+                             - (tt.t_total - p.a) + 0.5)) AS score
+              FROM per_grp p
+              JOIN term_tot tt ON p.term = tt.term
+              JOIN grp_tot g ON p.grp = g.grp),
+            ranked AS (
+              SELECT grp, term, a, score,
+                     ROW_NUMBER() OVER (PARTITION BY grp
+                                        ORDER BY score DESC, term ASC) AS rank
+              FROM scored)
+            SELECT grp AS source, term, rank, a,
+                   FLOOR(score * 1e6 + 0.5) / 1e6 AS log_odds
+            FROM ranked WHERE rank <= 5
+        """,
+        "winsorize_prices": """
+            WITH v AS (
+              SELECT l_returnflag,
+                     CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)
+                       AS price_c
+              FROM lineitem),
+            pct AS (
+              SELECT l_returnflag,
+                     CAST(FLOOR(QUANTILE_CONT(price_c, 0.05) + 0.5) AS BIGINT)
+                       AS lo,
+                     CAST(FLOOR(QUANTILE_CONT(price_c, 0.95) + 0.5) AS BIGINT)
+                       AS hi
+              FROM v GROUP BY l_returnflag),
+            w AS (
+              SELECT v.l_returnflag,
+                     LEAST(GREATEST(price_c, lo), hi) AS wins,
+                     price_c < lo AS c_low, price_c > hi AS c_high
+              FROM v JOIN pct USING (l_returnflag))
+            SELECT l_returnflag,
+                   COUNT(*) AS n,
+                   CAST(SUM(wins) AS BIGINT) AS sum_wins_c,
+                   CAST(SUM(CASE WHEN c_low THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_low,
+                   CAST(SUM(CASE WHEN c_high THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_high,
+                   MIN(wins) AS min_wins_c,
+                   MAX(wins) AS max_wins_c
+            FROM w GROUP BY l_returnflag
+        """,
+        "basket_pairs": """
+            WITH items AS (
+              SELECT DISTINCT l_orderkey AS basket, p_brand AS item
+              FROM lineitem JOIN part ON l_partkey = p_partkey),
+            nb AS (SELECT COUNT(DISTINCT basket) AS n FROM items),
+            sup AS (SELECT item, COUNT(*) AS item_count
+                    FROM items GROUP BY item),
+            pairs AS (
+              SELECT a.item AS item_a, b.item AS item_b, COUNT(*) AS pair_count
+              FROM items a JOIN items b
+                ON a.basket = b.basket AND a.item < b.item
+              GROUP BY 1, 2 HAVING COUNT(*) >= 3)
+            SELECT item_a, item_b, pair_count,
+                   sa.item_count AS count_a, sb.item_count AS count_b,
+                   FLOOR(CAST((SELECT n FROM nb) AS DOUBLE)
+                         * CAST(pair_count AS DOUBLE)
+                         / CAST(sa.item_count * sb.item_count AS DOUBLE)
+                         * 1e6 + 0.5) / 1e6 AS lift
+            FROM pairs
+            JOIN sup sa ON pairs.item_a = sa.item
+            JOIN sup sb ON pairs.item_b = sb.item
+        """,
+        # merged incremental state must equal the direct full aggregate
+        "incremental_rollup": """
+            SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+                   event_type,
+                   COUNT(*) AS n_rows,
+                   CAST(SUM(CAST(FLOOR(value * 10000 + 0.5) AS BIGINT))
+                        AS BIGINT) AS sum_v4,
+                   MIN(CAST(FLOOR(value * 10000 + 0.5) AS BIGINT)) AS min_v4,
+                   MAX(CAST(FLOOR(value * 10000 + 0.5) AS BIGINT)) AS max_v4
+            FROM events GROUP BY 1, 2
+        """,
+        "label_centroids": """
+            WITH ex AS (
+              SELECT label,
+                     generate_subscripts(embedding, 1) - 1 AS pos,
+                     CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000000
+                                + 0.5) AS BIGINT) AS q
+              FROM embeddings),
+            agg AS (
+              SELECT label, pos, COUNT(*) AS n,
+                     CAST(SUM(q) AS BIGINT) AS sq,
+                     CAST(SUM(q * q) AS BIGINT) AS sqq
+              FROM ex GROUP BY 1, 2)
+            SELECT label, pos, n,
+                   FLOOR((CAST(sq AS DOUBLE) / CAST(n AS DOUBLE)) / 1000000.0
+                         * 1e6 + 0.5) / 1e6 AS centroid,
+                   FLOOR((CAST(sqq AS DOUBLE) / CAST(n AS DOUBLE)
+                          - (CAST(sq AS DOUBLE) / CAST(n AS DOUBLE))
+                            * (CAST(sq AS DOUBLE) / CAST(n AS DOUBLE)))
+                         / 1000000000000.0 * 1e6 + 0.5) / 1e6 AS variance
+            FROM agg
         """,
     }

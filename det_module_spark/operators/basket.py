@@ -1,0 +1,98 @@
+"""Market-basket co-occurrence: frequent item pairs + lift.
+
+A two-item-set frequent-itemset miner (the workhorse slice of
+FP-growth / a-priori). No reference equivalent (its merge joins are
+keyed, queue/request_tools.py:617-708) — this is warehouse-standard
+affinity analysis, and the same shape powers co-occurrence statistics
+in corpus work (term x term, entity x entity).
+
+Scale design: the pair generation is a self-join of the item list
+WITHIN each basket key — shuffle keyed by basket id, output bounded by
+sum(k_i choose 2), never a global cross join. Baskets are overwhelmingly
+small (TPC-H orders: <= 7 lines); a pathological mega-basket would blow
+k² — guard with ``max_basket_size`` (drop oversized baskets, standard
+practice since they carry no affinity signal). Item supports come from
+one extra aggregation; lift is computed on exact integer counts and
+rounded once.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pair_counts(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_support: int = 2,
+    max_basket_size: int = 1000,
+) -> DataFrame:
+    """(basket, item) rows -> (item_a < item_b, pair_count) for pairs
+    co-occurring in >= ``min_support`` distinct baskets."""
+    items = df.select(
+        F.col(basket_col).alias("basket"), F.col(item_col).alias("item")
+    ).distinct()
+    sized = items.groupBy("basket").agg(
+        F.collect_list("item").alias("its")
+    ).filter(F.size("its") <= max_basket_size)
+    flat = sized.select("basket", F.explode("its").alias("item"))
+    a = flat.select("basket", F.col("item").alias("item_a"))
+    b = flat.select("basket", F.col("item").alias("item_b"))
+    return (
+        a.join(b, "basket")
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("pair_count"))
+        .filter(F.col("pair_count") >= min_support)
+    )
+
+
+def basket_affinity(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_support: int = 2,
+    lift_digits: int = 6,
+) -> DataFrame:
+    """Frequent pairs enriched with per-item supports and lift =
+    n_baskets * pair_count / (count_a * count_b), rounded to
+    ``lift_digits``. All inputs to the ratio are exact integers, so the
+    single rounded division is engine-stable."""
+    items = df.select(
+        F.col(basket_col).alias("basket"), F.col(item_col).alias("item")
+    ).distinct()
+    n_baskets = items.select("basket").distinct().count()
+    supports = items.groupBy("item").agg(F.count(F.lit(1)).alias("item_count"))
+    pairs = pair_counts(df, basket_col, item_col, min_support)
+    scale = F.lit(float(10**lift_digits))
+    lift = (
+        F.lit(float(n_baskets))
+        * F.col("pair_count").cast("double")
+        / (F.col("count_a") * F.col("count_b")).cast("double")
+    )
+    return (
+        pairs.join(
+            supports.select(
+                F.col("item").alias("item_a"),
+                F.col("item_count").alias("count_a"),
+            ),
+            "item_a",
+        )
+        .join(
+            supports.select(
+                F.col("item").alias("item_b"),
+                F.col("item_count").alias("count_b"),
+            ),
+            "item_b",
+        )
+        .select(
+            "item_a",
+            "item_b",
+            "pair_count",
+            "count_a",
+            "count_b",
+            (F.floor(lift * scale + F.lit(0.5)) / scale).alias("lift"),
+        )
+    )

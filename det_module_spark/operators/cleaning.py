@@ -61,3 +61,41 @@ def zscore_outliers(
     return df.withColumn(z_col, z).withColumn(
         flag_col, F.abs(F.col(z_col)) > threshold
     )
+
+
+def winsorize(
+    df: DataFrame,
+    value: str,
+    group: str,
+    lower: float = 0.05,
+    upper: float = 0.95,
+) -> DataFrame:
+    """Per-group winsorization: clip ``value`` (an integer-valued
+    measure — quantize floats first) to its group's [lower, upper]
+    linearly-interpolated percentiles, the standard outlier-robust
+    cleaning step before scaling/normalizing.
+
+    The interpolated percentile of integers can be fractional; it is
+    rounded half-up to the nearest integer BEFORE clipping so every
+    output value stays exactly representable — downstream sums then
+    stay order-independent (the reason this is oracle-checkable).
+    Shape: one window shuffle on the group key (no sort — percentile
+    is an aggregate), clip is a codegen'd projection."""
+    w = Window.partitionBy(group)
+    v = F.col(value).cast("long")
+
+    def pct(p: float):
+        raw = F.percentile(v, F.lit(p)).over(w)
+        return F.floor(raw + F.lit(0.5)).cast("long")
+
+    lo, hi = pct(lower), pct(upper)
+    return (
+        df.withColumn("__lo", lo)
+        .withColumn("__hi", hi)
+        .withColumn(
+            f"{value}_wins", F.least(F.greatest(v, F.col("__lo")), F.col("__hi"))
+        )
+        .withColumn("clipped_low", v < F.col("__lo"))
+        .withColumn("clipped_high", v > F.col("__hi"))
+        .drop("__lo", "__hi")
+    )

@@ -1,0 +1,93 @@
+"""Incremental aggregate maintenance: merge partial agg states.
+
+The reference's defining optimization is incremental evaluation —
+only missing items run, completed ones are reused from the
+content-addressed cache (queue/request_tools.py:404-450, 479-498).
+This operator is the same idea applied to aggregates: a standing
+rollup (the "state") is updated with a new batch's partial aggregate
+(the "delta") WITHOUT rescanning history.
+
+Only works for algebraic aggregates whose state is additive —
+sum / count (and anything derived from them: mean, ratios) and
+min / max. The merged state is bit-identical to a full recompute when
+the measures are exact (integers / integer cents), which is what makes
+the equivalence oracle-checkable.
+
+Scale shape: the delta is one partial aggregation of the new batch
+(map-side combine, one shuffle keyed by the group keys); the merge is
+a full-outer join state ⋈ delta on those keys + element-wise combine —
+shuffle proportional to |state| + |delta|, never to history. This is
+exactly what a materialized-view engine (or Delta's MERGE-based
+rollup) does under the hood.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def partial_agg(
+    df: DataFrame,
+    keys: list[str],
+    sum_cols: dict[str, str] | None = None,
+    min_cols: dict[str, str] | None = None,
+    max_cols: dict[str, str] | None = None,
+    count_alias: str = "n_rows",
+) -> DataFrame:
+    """One partial-aggregate state frame: per ``keys``, a row count
+    plus named sums / mins / maxes (``{out_name: source_col}``)."""
+    aggs = [F.count(F.lit(1)).alias(count_alias)]
+    for out, src in (sum_cols or {}).items():
+        aggs.append(F.sum(src).alias(out))
+    for out, src in (min_cols or {}).items():
+        aggs.append(F.min(src).alias(out))
+    for out, src in (max_cols or {}).items():
+        aggs.append(F.max(src).alias(out))
+    return df.groupBy(*keys).agg(*aggs)
+
+
+def merge_agg_state(
+    state: DataFrame,
+    delta: DataFrame,
+    keys: list[str],
+    sum_cols: list[str],
+    min_cols: list[str] | None = None,
+    max_cols: list[str] | None = None,
+    count_col: str = "n_rows",
+) -> DataFrame:
+    """Combine two partial-agg states (same schema) into one: full
+    outer join on ``keys``; counts and sums add, mins take least, maxes
+    take greatest. Groups present in only one side pass through."""
+    min_cols = min_cols or []
+    max_cols = max_cols or []
+    s = state.select(
+        *keys,
+        *[
+            F.col(c).alias(f"__s_{c}")
+            for c in [count_col, *sum_cols, *min_cols, *max_cols]
+        ],
+    )
+    d = delta.select(
+        *keys,
+        *[
+            F.col(c).alias(f"__d_{c}")
+            for c in [count_col, *sum_cols, *min_cols, *max_cols]
+        ],
+    )
+    merged = s.join(d, keys, "full_outer")
+
+    def add(c: str):
+        return (
+            F.coalesce(F.col(f"__s_{c}"), F.lit(0))
+            + F.coalesce(F.col(f"__d_{c}"), F.lit(0))
+        ).alias(c)
+
+    cols = [add(count_col)]
+    cols += [add(c) for c in sum_cols]
+    cols += [F.least(F.col(f"__s_{c}"), F.col(f"__d_{c}")).alias(c) for c in min_cols]
+    cols += [
+        F.greatest(F.col(f"__s_{c}"), F.col(f"__d_{c}")).alias(c)
+        for c in max_cols
+    ]
+    return merged.select(*keys, *cols)

@@ -340,3 +340,52 @@ def lsh_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "cos")
     )
+
+
+def label_centroids(
+    df: DataFrame,
+    vec: str = "embedding",
+    label: str = "label",
+    scale: int = 10**6,
+    digits: int = 6,
+) -> DataFrame:
+    """Per-label centroid and per-component variance over a vector
+    column, in long form: (label, pos, n, centroid, variance).
+
+    Exact-moment discipline (ROUND_NOTES.md #8): each float32
+    component is quantized to a scaled long q = round(v·scale), so
+    Σq and Σq² accumulate exactly in int64 regardless of partition
+    order; centroid = Σq/(n·scale) and variance = Σq²/n − (Σq/n)²
+    (population, in q-units² rescaled) are then fixed op sequences on
+    exact inputs — bit-identical across engines — rounded once.
+
+    Shape: posexplode (row blowup × dim) → one hash aggregation keyed
+    by (label, pos): map-side combine makes the shuffle ∝ labels×dim,
+    not corpus size. int64 bound: |v|≤1 ⇒ q²≤scale², safe below
+    ~9·10^15/scale² ≈ 9000 billion rows per (label,pos) group."""
+    q = F.floor(F.col("v").cast("double") * scale + F.lit(0.5)).cast("long")
+    exploded = df.select(
+        F.col(label), F.posexplode(F.col(vec)).alias("pos", "v")
+    ).select(label, "pos", q.alias("q"))
+    sc = float(scale)
+    out_scale = F.lit(float(10**digits))
+    agg = exploded.groupBy(label, "pos").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("q").alias("sq"),
+        F.sum(F.col("q") * F.col("q")).alias("sqq"),
+    )
+    mean_q = F.col("sq").cast("double") / F.col("n").cast("double")
+    centroid = mean_q / F.lit(sc)
+    var = (
+        F.col("sqq").cast("double") / F.col("n").cast("double")
+        - mean_q * mean_q
+    ) / F.lit(sc * sc)
+    return agg.select(
+        label,
+        "pos",
+        "n",
+        (F.floor(centroid * out_scale + F.lit(0.5)) / out_scale).alias(
+            "centroid"
+        ),
+        (F.floor(var * out_scale + F.lit(0.5)) / out_scale).alias("variance"),
+    )

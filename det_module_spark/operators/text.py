@@ -285,3 +285,143 @@ def doc_fingerprint(
     toks = tokens(F.col(text))
     fp = F.md5(F.array_join(F.array_sort(F.array_distinct(toks)), " "))
     return df.select(id_col, fp.alias("fingerprint"))
+
+
+def bigram_counts(
+    df: DataFrame, id_col: str = "doc_id", text: str = "text"
+) -> DataFrame:
+    """Adjacent-word bigram counts over the corpus: (w1, w2, cnt).
+    The token array materializes once per document; the gram lambda
+    indexes it (same interpreted-lambda discipline as word_shingles).
+    One hash aggregation; shuffle sized by vocabulary², not corpus."""
+    toks = F.col("__toks")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - 1, F.lit(1))),
+        lambda i: F.struct(
+            F.element_at(toks, i).alias("w1"),
+            F.element_at(toks, i + 1).alias("w2"),
+        ),
+    )
+    return (
+        df.select(tokens(F.col(text)).alias("__toks"))
+        .filter(F.size(toks) >= 2)
+        .select(F.explode(grams).alias("g"))
+        .select("g.w1", "g.w2")
+        .filter((F.length("w1") > 0) & (F.length("w2") > 0))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def bigram_next_words(
+    df: DataFrame,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text: str = "text",
+    digits: int = 6,
+) -> DataFrame:
+    """Corpus bigram language model: for every word, the top-k next
+    words by count with conditional log-probability ln(cnt / total).
+
+    Ranking is on exact integer counts (ties broken lexically), so the
+    top-k set is engine-independent; the only float op is one division
+    + ln on exact integers, rounded once (cross-engine-stable, see
+    ROUND_NOTES.md playbook)."""
+    from pyspark.sql import Window
+
+    bi = bigram_counts(df, id_col, text)
+    tot = bi.groupBy("w1").agg(F.sum("cnt").alias("total"))
+    w = Window.partitionBy("w1").orderBy(F.desc("cnt"), F.asc("w2"))
+    scale = F.lit(float(10**digits))
+    logp = F.log(F.col("cnt").cast("double") / F.col("total").cast("double"))
+    return (
+        bi.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .join(tot, "w1")
+        .select(
+            "w1",
+            "w2",
+            "rank",
+            "cnt",
+            "total",
+            (F.floor(logp * scale + F.lit(0.5)) / scale).alias("logp"),
+        )
+    )
+
+
+def distinctive_terms(
+    df: DataFrame,
+    group_col: str = "source",
+    k: int = 5,
+    id_col: str = "doc_id",
+    text: str = "text",
+    digits: int = 6,
+) -> DataFrame:
+    """Per-group distinctive vocabulary by smoothed log-odds: for each
+    (group, term), score = ln((a+.5)/(A−a+.5)) − ln((b+.5)/(B−b+.5))
+    where a = term count in the group (A = group total) and b = term
+    count in the rest of the corpus (B = rest total). Top-k terms per
+    group by score.
+
+    Cross-engine determinism: a, A, b, B are exact integers; +0.5 and
+    the divisions are single IEEE ops; ln is libm-consistent between
+    Spark and DuckDB (measured, ROUND_NOTES.md #9) — so even the
+    *ranking* on the raw score is stable. Score is rounded once for
+    the output. Two aggregations (group×term, then term totals) and a
+    broadcast of per-group totals; shuffle ∝ vocabulary."""
+    from pyspark.sql import Window
+
+    terms = df.select(
+        F.col(group_col).alias("grp"),
+        F.explode(tokens(F.col(text))).alias("term"),
+    ).filter(F.length("term") > 0)
+    per_grp = terms.groupBy("grp", "term").agg(F.count(F.lit(1)).alias("a"))
+    # three consumers (term totals, group totals, the scored join) —
+    # materialize the vocabulary-sized agg once instead of re-running
+    # the tokenize+aggregate subtree per consumer
+    per_grp = per_grp.localCheckpoint(eager=False)
+    term_tot = per_grp.groupBy("term").agg(F.sum("a").alias("t_total"))
+    # corpus total rides along as an unpartitioned window sum over the
+    # tiny per-group frame — no driver action, no duplicated tokenize
+    # subtree in the plan
+    grp_tot = (
+        per_grp.groupBy("grp")
+        .agg(F.sum("a").alias("grp_total"))
+        .withColumn(
+            "corpus_total", F.sum("grp_total").over(Window.partitionBy())
+        )
+    )
+    joined = (
+        per_grp.join(F.broadcast(term_tot), "term")
+        .join(F.broadcast(grp_tot), "grp")
+        .select(
+            "grp",
+            "term",
+            "a",
+            (F.col("t_total") - F.col("a")).alias("rest_a"),
+            "grp_total",
+            (F.col("corpus_total") - F.col("grp_total")).alias("rest_total"),
+        )
+    )
+    half = F.lit(0.5)
+    score = F.log(
+        (F.col("a") + half) / (F.col("grp_total") - F.col("a") + half)
+    ) - F.log(
+        (F.col("rest_a") + half)
+        / (F.col("rest_total") - F.col("rest_a") + half)
+    )
+    w = Window.partitionBy("grp").orderBy(
+        F.desc(score), F.asc("term")
+    )
+    scale = F.lit(float(10**digits))
+    return (
+        joined.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("grp").alias(group_col),
+            "term",
+            "rank",
+            "a",
+            (F.floor(score * scale + half) / scale).alias("log_odds"),
+        )
+    )
