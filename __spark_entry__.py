@@ -2265,6 +2265,56 @@ def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return label_centroids(emb)
 
 
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Graph analytics: triangles per vertex in the brand co-purchase
+    # graph (edges = basket_pairs with support >= 3). Degree-oriented
+    # two-join listing — O(m^1.5) intermediate bound, no iteration.
+    from det_module_spark.operators.basket import pair_counts
+    from det_module_spark.operators.graph import triangle_count_per_vertex
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    baskets = li.join(F.broadcast(part), li.l_partkey == part.p_partkey).select(
+        "l_orderkey", "p_brand"
+    )
+    edges = pair_counts(baskets, "l_orderkey", "p_brand", min_support=3)
+    return triangle_count_per_vertex(edges, "item_a", "item_b")
+
+
+def q_column_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Data-quality profiling: Shannon entropy per column with the
+    # fixed-point term-sum trick (each -p·ln p quantized to 1e-9 longs
+    # before summing, so the aggregation is order-independent).
+    from det_module_spark.operators.profile import column_entropy
+
+    orders = load_table(spark, sf_dir, "orders")
+    return column_entropy(
+        orders, ["o_orderstatus", "o_orderpriority", "o_custkey"]
+    )
+
+
+def q_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Snapshot drift report: profile of pre-1996 orders vs the rest,
+    # full-outer joined on column name — the pipeline-breakage early
+    # warning (null spikes, cardinality swings, range shifts).
+    from det_module_spark.operators.profile import profile_diff
+
+    orders = load_table(spark, sf_dir, "orders")
+    cols = ["o_orderstatus", "o_orderpriority", "o_custkey", "o_orderdate"]
+    before = orders.filter(F.col("o_orderdate") < F.lit("1996-01-01"))
+    after = orders.filter(F.col("o_orderdate") >= F.lit("1996-01-01"))
+    return profile_diff(before, after, cols)
+
+
+def q_seasonal_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Seasonal-baseline monitoring: per-(type, hour-of-day) baseline
+    # from the first 24 days of events, z-scored observation buckets
+    # for the last 6 — exact-moment arithmetic end-to-end.
+    from det_module_spark.operators.anomaly import seasonal_anomalies
+
+    return seasonal_anomalies(_events(spark, sf_dir), "2024-01-25")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the reliability zonal extract (the aid-data triple) at
     sf0.001; driver checks rows>0."""
@@ -2410,6 +2460,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "basket_pairs": q_basket_pairs,
         "incremental_rollup": q_incremental_rollup,
         "label_centroids": q_label_centroids,
+        "triangle_count": q_triangle_count,
+        "column_entropy": q_column_entropy,
+        "profile_drift": q_profile_drift,
+        "seasonal_anomalies": q_seasonal_anomalies,
         # --- event-time windows (§2.10) ---
         "events_tumbling": q_events_tumbling,
         "events_sliding": q_events_sliding,
@@ -4147,6 +4201,166 @@ QUALIFY ROW_NUMBER() OVER (
                    MIN(CAST(FLOOR(value * 10000 + 0.5) AS BIGINT)) AS min_v4,
                    MAX(CAST(FLOOR(value * 10000 + 0.5) AS BIGINT)) AS max_v4
             FROM events GROUP BY 1, 2
+        """,
+        "triangle_count": """
+            WITH items AS (
+              SELECT DISTINCT l_orderkey AS basket, p_brand AS item
+              FROM lineitem JOIN part ON l_partkey = p_partkey),
+            e AS (
+              SELECT a.item AS u, b.item AS v
+              FROM items a JOIN items b
+                ON a.basket = b.basket AND a.item < b.item
+              GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+            tri AS (
+              SELECT e1.u AS a, e1.v AS b, e2.v AS c
+              FROM e e1
+              JOIN e e2 ON e1.v = e2.u
+              JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+            corners AS (
+              SELECT a AS vertex FROM tri
+              UNION ALL SELECT b FROM tri
+              UNION ALL SELECT c FROM tri)
+            SELECT vertex, COUNT(*) AS n_triangles
+            FROM corners GROUP BY vertex
+        """,
+        "column_entropy": """
+            WITH st AS (
+              SELECT 'o_orderstatus' AS "column",
+                     CAST(o_orderstatus AS VARCHAR) AS val FROM orders
+              UNION ALL
+              SELECT 'o_orderpriority', CAST(o_orderpriority AS VARCHAR)
+              FROM orders
+              UNION ALL
+              SELECT 'o_custkey', CAST(o_custkey AS VARCHAR) FROM orders),
+            counts AS (SELECT "column", val, COUNT(*) AS cnt
+                       FROM st GROUP BY 1, 2),
+            wn AS (SELECT "column", cnt,
+                          SUM(cnt) OVER (PARTITION BY "column") AS n
+                   FROM counts),
+            agg AS (
+              SELECT "column", MAX(n) AS n, COUNT(*) AS n_distinct,
+                     SUM(CAST(FLOOR(
+                       -((CAST(cnt AS DOUBLE) / CAST(n AS DOUBLE))
+                         * LN(CAST(cnt AS DOUBLE) / CAST(n AS DOUBLE)))
+                       * 1e9 + 0.5) AS BIGINT)) AS efp
+              FROM wn GROUP BY "column")
+            SELECT "column", CAST(n AS BIGINT) AS n, n_distinct,
+                   FLOOR(CAST(efp AS DOUBLE) / 1e9 * 1e6 + 0.5) / 1e6
+                     AS entropy
+            FROM agg
+        """,
+        "profile_drift": """
+            WITH b AS (SELECT * FROM orders
+                       WHERE o_orderdate < '1996-01-01'),
+            a AS (SELECT * FROM orders WHERE o_orderdate >= '1996-01-01'),
+            pb AS (
+              SELECT 'o_orderstatus' AS "column", COUNT(*) AS n_rows,
+                     SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END)
+                       AS n_nulls,
+                     COUNT(DISTINCT o_orderstatus) AS n_distinct,
+                     CAST(MIN(o_orderstatus) AS VARCHAR) AS min_str,
+                     CAST(MAX(o_orderstatus) AS VARCHAR) AS max_str
+              FROM b
+              UNION ALL
+              SELECT 'o_orderpriority', COUNT(*),
+                     SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END),
+                     COUNT(DISTINCT o_orderpriority),
+                     CAST(MIN(o_orderpriority) AS VARCHAR),
+                     CAST(MAX(o_orderpriority) AS VARCHAR) FROM b
+              UNION ALL
+              SELECT 'o_custkey', COUNT(*),
+                     SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END),
+                     COUNT(DISTINCT o_custkey),
+                     CAST(MIN(o_custkey) AS VARCHAR),
+                     CAST(MAX(o_custkey) AS VARCHAR) FROM b
+              UNION ALL
+              SELECT 'o_orderdate', COUNT(*),
+                     SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END),
+                     COUNT(DISTINCT o_orderdate),
+                     CAST(MIN(o_orderdate) AS VARCHAR),
+                     CAST(MAX(o_orderdate) AS VARCHAR) FROM b),
+            pa AS (
+              SELECT 'o_orderstatus' AS "column", COUNT(*) AS n_rows,
+                     SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END)
+                       AS n_nulls,
+                     COUNT(DISTINCT o_orderstatus) AS n_distinct,
+                     CAST(MIN(o_orderstatus) AS VARCHAR) AS min_str,
+                     CAST(MAX(o_orderstatus) AS VARCHAR) AS max_str
+              FROM a
+              UNION ALL
+              SELECT 'o_orderpriority', COUNT(*),
+                     SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END),
+                     COUNT(DISTINCT o_orderpriority),
+                     CAST(MIN(o_orderpriority) AS VARCHAR),
+                     CAST(MAX(o_orderpriority) AS VARCHAR) FROM a
+              UNION ALL
+              SELECT 'o_custkey', COUNT(*),
+                     SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END),
+                     COUNT(DISTINCT o_custkey),
+                     CAST(MIN(o_custkey) AS VARCHAR),
+                     CAST(MAX(o_custkey) AS VARCHAR) FROM a
+              UNION ALL
+              SELECT 'o_orderdate', COUNT(*),
+                     SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END),
+                     COUNT(DISTINCT o_orderdate),
+                     CAST(MIN(o_orderdate) AS VARCHAR),
+                     CAST(MAX(o_orderdate) AS VARCHAR) FROM a)
+            SELECT pb."column",
+                   pb.n_rows AS n_rows_before, pa.n_rows AS n_rows_after,
+                   CAST(pb.n_nulls AS BIGINT) AS n_nulls_before,
+                   CAST(pa.n_nulls AS BIGINT) AS n_nulls_after,
+                   pb.n_distinct AS n_distinct_before,
+                   pa.n_distinct AS n_distinct_after,
+                   pa.n_distinct - pb.n_distinct AS distinct_delta,
+                   pb.min_str <> pa.min_str AS min_changed,
+                   pb.max_str <> pa.max_str AS max_changed
+            FROM pb JOIN pa USING ("column")
+        """,
+        "seasonal_anomalies": """
+            WITH bucketed AS (
+              SELECT event_type AS key,
+                     strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+                     CAST(hour(ts) AS INT) AS hour,
+                     CAST(FLOOR(value * 10000 + 0.5) AS BIGINT) AS vq
+              FROM events),
+            buckets AS (
+              SELECT key, day, hour, CAST(SUM(vq) AS BIGINT) AS bucket_sum
+              FROM bucketed GROUP BY 1, 2, 3),
+            train AS (SELECT * FROM buckets WHERE day < '2024-01-25'),
+            observe AS (SELECT * FROM buckets WHERE day >= '2024-01-25'),
+            base AS (
+              SELECT key, hour, COUNT(*) AS n_days,
+                     CAST(SUM(bucket_sum) AS BIGINT) AS sx,
+                     CAST(SUM(bucket_sum * bucket_sum) AS BIGINT) AS sxx
+              FROM train GROUP BY 1, 2)
+            SELECT o.key, o.day, o.hour, o.bucket_sum,
+                   CASE WHEN b.n_days >= 1 THEN
+                     FLOOR(CAST(sx AS DOUBLE) / n_days * 100.0 + 0.5) / 100.0
+                   END AS base_mean,
+                   CASE WHEN b.n_days >= 2
+                         AND n_days * CAST(sxx AS DOUBLE)
+                             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+                   THEN
+                     FLOOR((n_days * CAST(o.bucket_sum AS DOUBLE)
+                            - CAST(sx AS DOUBLE))
+                           / n_days
+                           / SQRT((n_days * CAST(sxx AS DOUBLE)
+                                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                                  / (n_days * (n_days - 1.0)))
+                           * 1e6 + 0.5) / 1e6
+                   END AS z,
+                   CASE WHEN b.n_days >= 2
+                         AND n_days * CAST(sxx AS DOUBLE)
+                             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+                   THEN
+                     ABS((n_days * CAST(o.bucket_sum AS DOUBLE)
+                          - CAST(sx AS DOUBLE))
+                         / n_days
+                         / SQRT((n_days * CAST(sxx AS DOUBLE)
+                                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                                / (n_days * (n_days - 1.0)))) > 3.0
+                   END AS is_anomaly
+            FROM observe o LEFT JOIN base b USING (key, hour)
         """,
         "label_centroids": """
             WITH ex AS (

