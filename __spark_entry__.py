@@ -2315,6 +2315,71 @@ def q_seasonal_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     return seasonal_anomalies(_events(spark, sf_dir), "2024-01-25")
 
 
+def q_setsim_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Exact shingle-set Jaccard >= 0.5 via PPJoin-style prefix
+    # filtering: rarity-ordered prefixes generate candidates with an
+    # equi-join, exact array_intersect verifies. The oracle computes
+    # the same pairs with the quadratic join — parity proves the
+    # prefix filter lossless at data scale.
+    from det_module_spark.operators.setsim import jaccard_prefix_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return jaccard_prefix_pairs(docs, threshold=0.5, n=3)
+
+
+def q_concurrency_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Sweep-line interval concurrency: open-order count per day and
+    # priority class (interval = order date .. last line shipment).
+    # One agg keyed by (group, day) + a per-group running sum — the
+    # sort stays inside group partitions, never global.
+    from det_module_spark.operators.sweepline import concurrency_curve
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.max("l_shipdate").alias("ship_end"))
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    iv = orders.join(li, orders.o_orderkey == li.l_orderkey).select(
+        "o_orderpriority",
+        F.date_format(F.date_trunc("day", "o_orderdate"), "yyyy-MM-dd").alias(
+            "d0"
+        ),
+        F.date_format(
+            F.date_add(F.to_date(F.date_trunc("day", "ship_end")), 1),
+            "yyyy-MM-dd",
+        ).alias("d1"),
+    )
+    return concurrency_curve(
+        iv, "o_orderpriority", F.col("d0"), F.col("d1")
+    )
+
+
+def q_equidepth_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Exact equal-count histogram of order value: ntile over the total
+    # order (cents, orderkey tiebreak) -> per-bucket count and bounds.
+    from det_module_spark.operators.profile import equidepth_histogram
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", _cents("o_totalprice").alias("price_c")
+    )
+    return equidepth_histogram(orders, "price_c", "o_orderkey", 8)
+
+
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Weighted sampling without replacement (Efraimidis–Spirakis A-ES)
+    # with hash-derived uniforms: deterministic across engines, runs,
+    # and partitionings. Top-k selection, no full sort of the losers.
+    from det_module_spark.operators.sampling import weighted_hash_sample
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", _cents("o_totalprice").alias("price_c")
+    )
+    return weighted_hash_sample(
+        orders, F.col("price_c"), F.col("o_orderkey"), k=200
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the reliability zonal extract (the aid-data triple) at
     sf0.001; driver checks rows>0."""
@@ -2464,6 +2529,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "column_entropy": q_column_entropy,
         "profile_drift": q_profile_drift,
         "seasonal_anomalies": q_seasonal_anomalies,
+        "setsim_prefix": q_setsim_prefix,
+        "concurrency_curve": q_concurrency_curve,
+        "equidepth_hist": q_equidepth_hist,
+        "weighted_sample": q_weighted_sample,
         # --- event-time windows (§2.10) ---
         "events_tumbling": q_events_tumbling,
         "events_sliding": q_events_sliding,
@@ -4361,6 +4430,82 @@ QUALIFY ROW_NUMBER() OVER (
                                 / (n_days * (n_days - 1.0)))) > 3.0
                    END AS is_anomaly
             FROM observe o LEFT JOIN base b USING (key, hour)
+        """,
+        # the oracle IS the quadratic all-pairs join the prefix filter
+        # replaces — parity proves the filter lossless
+        "setsim_prefix": """
+            WITH toksl AS (SELECT doc_id, string_split(text, ' ') AS l
+                           FROM documents),
+            sh AS (
+              SELECT DISTINCT doc_id,
+                     unnest(list_transform(range(1, greatest(len(l) - 1, 2)),
+                            i -> array_to_string(list_slice(l, i, i + 2), ' ')
+                     )) AS tok
+              FROM toksl),
+            sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+            inter AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+              FROM sh a JOIN sh b
+                ON a.tok = b.tok AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+            SELECT id_a, id_b, CAST(inter AS BIGINT) AS inter,
+                   CAST(sa.sz + sb.sz - inter AS BIGINT) AS union_sz,
+                   CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) AS jaccard
+            FROM inter
+            JOIN sizes sa ON id_a = sa.doc_id
+            JOIN sizes sb ON id_b = sb.doc_id
+            WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.5
+        """,
+        "concurrency_curve": """
+            WITH se AS (SELECT l_orderkey, MAX(l_shipdate) AS ship_end
+                        FROM lineitem GROUP BY 1),
+            iv AS (
+              SELECT o_orderpriority AS grp,
+                     strftime(date_trunc('day', o_orderdate), '%Y-%m-%d')
+                       AS d0,
+                     strftime(date_trunc('day', ship_end)
+                              + INTERVAL 1 DAY, '%Y-%m-%d') AS d1
+              FROM orders JOIN se ON o_orderkey = l_orderkey),
+            ev AS (
+              SELECT grp, d0 AS instant, 1 AS d FROM iv
+              UNION ALL SELECT grp, d1, -1 FROM iv),
+            deltas AS (SELECT grp, instant, CAST(SUM(d) AS BIGINT) AS delta
+                       FROM ev GROUP BY 1, 2)
+            SELECT grp AS o_orderpriority, instant, delta,
+                   CAST(SUM(delta) OVER (PARTITION BY grp ORDER BY instant
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS open_count
+            FROM deltas
+        """,
+        "equidepth_hist": """
+            WITH v AS (
+              SELECT o_orderkey,
+                     CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)
+                       AS price_c
+              FROM orders),
+            b AS (SELECT price_c,
+                         NTILE(8) OVER (ORDER BY price_c, o_orderkey)
+                           AS bucket
+                  FROM v)
+            SELECT bucket, COUNT(*) AS n,
+                   MIN(price_c) AS min_val, MAX(price_c) AS max_val
+            FROM b GROUP BY bucket
+        """,
+        "weighted_sample": """
+            WITH v AS (
+              SELECT o_orderkey,
+                     CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)
+                       AS price_c
+              FROM orders),
+            pri AS (
+              SELECT o_orderkey, price_c,
+                     -LN((CAST(concat('0x', substr(md5(concat('w0:',
+                            CAST(o_orderkey AS VARCHAR))), 1, 15)) AS BIGINT)
+                          % 1000000 + 1) / 1000001.0)
+                     / CAST(price_c AS DOUBLE) AS p
+              FROM v WHERE price_c > 0)
+            SELECT o_orderkey, price_c FROM pri
+            ORDER BY p ASC, CAST(o_orderkey AS VARCHAR) ASC
+            LIMIT 200
         """,
         "label_centroids": """
             WITH ex AS (

@@ -200,3 +200,31 @@ def profile_diff(
             "max_changed"
         ),
     )
+
+
+def equidepth_histogram(
+    df: DataFrame,
+    value: str,
+    tiebreak: str,
+    n_buckets: int = 8,
+    group: str | None = None,
+) -> DataFrame:
+    """Exact equi-depth (equal-count) histogram: → (group?, bucket, n,
+    min_val, max_val). Buckets are ``ntile`` over the total order
+    (value, tiebreak) — the tiebreak column must be unique so the
+    bucket assignment is deterministic on every engine.
+
+    Scale note: exact equi-depth requires a total order; ungrouped it
+    is a single-partition sort (fine to ~10^8 rows, the driver never
+    sees the data). Per-``group`` curves sort within hash partitions.
+    The approximate path at 100 TB is ``percentile_approx`` bucket
+    boundaries + one aggregation — same output contract, KLL error.
+    """
+    keys = [group] if group else []
+    w = Window.partitionBy(*keys).orderBy(F.asc(value), F.asc(tiebreak))
+    bucketed = df.withColumn("bucket", F.ntile(n_buckets).over(w))
+    return bucketed.groupBy(*keys, "bucket").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min(value).alias("min_val"),
+        F.max(value).alias("max_val"),
+    )

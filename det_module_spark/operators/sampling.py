@@ -110,3 +110,35 @@ def stratified_hash_sample(
     for value, frac in sorted(fractions.items()):
         cut = F.when(stratum == value, round(frac * _RES)).otherwise(cut)
     return df.filter(_bucket(key, seed) < cut)
+
+
+def weighted_hash_sample(
+    df: DataFrame,
+    weight: Column,
+    key: Column,
+    k: int,
+    seed: str = "w0",
+) -> DataFrame:
+    """Weighted sampling without replacement (top-k), deterministic:
+    the Efraimidis–Spirakis A-ES scheme with the uniform drawn from a
+    content hash instead of an RNG.
+
+    Each row gets u = (hash(key) % R + 1)/(R + 1) ∈ (0,1) and priority
+    p = −ln(u)/w; the k smallest priorities form an exact weighted
+    sample without replacement. Hash-derived u makes the sample
+    reproducible across runs, partitionings, and engines (the DuckDB
+    oracle reproduces it bit-for-bit: exact-int hash → one division →
+    ln → one division; ranking on those doubles is engine-stable).
+
+    Shape: projection + global top-k (TakeOrdered — no full sort, no
+    shuffle of the losers). Rows with weight <= 0 are excluded (their
+    priority is undefined), matching the A-ES contract."""
+    u = (_bucket(key, seed) + 1).cast("double") / F.lit(float(_RES + 1))
+    priority = -F.log(u) / weight.cast("double")
+    return (
+        df.filter(weight > 0)
+        .withColumn("__priority", priority)
+        .orderBy(F.col("__priority").asc(), key.cast("string").asc())
+        .limit(k)
+        .drop("__priority")
+    )
