@@ -2380,6 +2380,78 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # CCNet-style LM quality scoring: bigram model with stupid-backoff
+    # trained on 90% of the corpus, scoring the held-out 10%. Every
+    # per-bigram ln-term is fixed-point-quantized before the per-doc
+    # sum, so the score is engine-exact.
+    from det_module_spark.operators.text import bigram_logprob
+
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 10 != 0)
+    score = docs.filter(F.col("doc_id") % 10 == 0)
+    return bigram_logprob(train, score)
+
+
+def q_pseudonymize_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Privacy-preserving join: both sides' keys replaced by salted-
+    # hash pseudonyms inside the scan projection; the join/groupBy
+    # runs entirely on tokens (raw keys never cross the shuffle).
+    from det_module_spark.operators.privacy import pseudonymize
+
+    cust = pseudonymize(
+        load_table(spark, sf_dir, "customer").select(
+            "c_custkey", "c_mktsegment"
+        ),
+        ["c_custkey"],
+        salt="s1",
+    )
+    orders = pseudonymize(
+        load_table(spark, sf_dir, "orders").select("o_custkey"),
+        ["o_custkey"],
+        salt="s1",
+    )
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Release-gate audit: quasi-identifier combinations identifying
+    # fewer than k=5 customers are re-identification risks.
+    from det_module_spark.operators.privacy import k_anonymity_report
+
+    cust = load_table(spark, sf_dir, "customer")
+    return k_anonymity_report(cust, ["c_nationkey", "c_mktsegment"], k=5)
+
+
+def q_fd_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Functional-dependency audit o_custkey -> o_orderpriority,
+    # summarized as a violation histogram (how many customers use
+    # exactly N distinct priorities).
+    from det_module_spark.operators.quality import fd_violations
+
+    orders = load_table(spark, sf_dir, "orders")
+    v = fd_violations(orders, ["o_custkey"], "o_orderpriority")
+    return v.groupBy("n_rhs_values").agg(
+        F.count(F.lit(1)).alias("n_groups")
+    )
+
+
+def q_dict_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Order-preserving dictionary encoding of a low-cardinality
+    # column: dense codes over the distinct values + code frequencies
+    # from the encoded fact.
+    from det_module_spark.operators.quality import dictionary_encode
+
+    part = load_table(spark, sf_dir, "part").select("p_brand")
+    dictionary, encoded = dictionary_encode(part, "p_brand")
+    freq = encoded.groupBy("code").agg(F.count(F.lit(1)).alias("n_rows"))
+    return dictionary.join(freq, "code").select("p_brand", "code", "n_rows")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the reliability zonal extract (the aid-data triple) at
     sf0.001; driver checks rows>0."""
@@ -2533,6 +2605,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "concurrency_curve": q_concurrency_curve,
         "equidepth_hist": q_equidepth_hist,
         "weighted_sample": q_weighted_sample,
+        "lm_score": q_lm_score,
+        "pseudonymize_join": q_pseudonymize_join,
+        "k_anonymity": q_k_anonymity,
+        "fd_check": q_fd_check,
+        "dict_encode": q_dict_encode,
         # --- event-time windows (§2.10) ---
         "events_tumbling": q_events_tumbling,
         "events_sliding": q_events_sliding,
@@ -4506,6 +4583,85 @@ QUALIFY ROW_NUMBER() OVER (
             SELECT o_orderkey, price_c FROM pri
             ORDER BY p ASC, CAST(o_orderkey AS VARCHAR) ASC
             LIMIT 200
+        """,
+        "lm_score": """
+            WITH train AS (SELECT * FROM documents WHERE doc_id % 10 <> 0),
+            score AS (SELECT * FROM documents WHERE doc_id % 10 = 0),
+            tl AS (SELECT string_split(text, ' ') AS l FROM train
+                   WHERE len(string_split(text, ' ')) >= 2),
+            tb0 AS (SELECT l, unnest(range(1, len(l))) AS i FROM tl),
+            tbi AS (SELECT l[i] AS w1, l[i + 1] AS w2, COUNT(*) AS cnt
+                    FROM tb0 WHERE len(l[i]) > 0 AND len(l[i + 1]) > 0
+                    GROUP BY 1, 2),
+            c1 AS (SELECT w1, CAST(SUM(cnt) AS BIGINT) AS c1
+                   FROM tbi GROUP BY 1),
+            uni AS (SELECT w, COUNT(*) AS cw
+                    FROM (SELECT unnest(string_split(text, ' ')) AS w
+                          FROM train)
+                    WHERE len(w) > 0 GROUP BY 1),
+            tot AS (SELECT CAST(SUM(cw) AS BIGINT) AS total FROM uni),
+            sl AS (SELECT doc_id, string_split(text, ' ') AS l FROM score
+                   WHERE len(string_split(text, ' ')) >= 2),
+            sb0 AS (SELECT doc_id, l, unnest(range(1, len(l))) AS i FROM sl),
+            sbi AS (SELECT doc_id, l[i] AS w1, l[i + 1] AS w2
+                    FROM sb0 WHERE len(l[i]) > 0 AND len(l[i + 1]) > 0),
+            terms AS (
+              SELECT doc_id,
+                     CAST(FLOOR(
+                       CASE WHEN tbi.cnt IS NOT NULL AND c1.c1 IS NOT NULL
+                            THEN LN(CAST(tbi.cnt AS DOUBLE)
+                                    / CAST(c1.c1 AS DOUBLE))
+                            ELSE LN((0.4 * CAST(COALESCE(uni.cw, 1)
+                                               AS DOUBLE))
+                                    / CAST((SELECT total FROM tot)
+                                           AS DOUBLE))
+                       END * 1e9 + 0.5) AS BIGINT) AS tfp
+              FROM sbi
+              LEFT JOIN tbi USING (w1, w2)
+              LEFT JOIN c1 USING (w1)
+              LEFT JOIN uni ON sbi.w2 = uni.w)
+            SELECT doc_id, COUNT(*) AS n_bigrams,
+                   FLOOR(CAST(SUM(tfp) AS DOUBLE) / 1e9 / COUNT(*)
+                         * 1e6 + 0.5) / 1e6 AS avg_logprob
+            FROM terms GROUP BY doc_id
+        """,
+        "pseudonymize_join": """
+            WITH c AS (
+              SELECT substr(md5(concat('s1:', CAST(c_custkey AS VARCHAR))),
+                            1, 16) AS ck,
+                     c_mktsegment
+              FROM customer),
+            o AS (
+              SELECT substr(md5(concat('s1:', CAST(o_custkey AS VARCHAR))),
+                            1, 16) AS ok
+              FROM orders)
+            SELECT c_mktsegment, COUNT(*) AS n_orders
+            FROM c JOIN o ON ck = ok
+            GROUP BY c_mktsegment
+        """,
+        "k_anonymity": """
+            SELECT c_nationkey, c_mktsegment, COUNT(*) AS n_rows,
+                   COUNT(*) < 5 AS is_risky
+            FROM customer GROUP BY 1, 2
+        """,
+        "fd_check": """
+            WITH v AS (
+              SELECT o_custkey, COUNT(*) AS n_rows,
+                     COUNT(DISTINCT o_orderpriority) AS n_rhs_values
+              FROM orders GROUP BY 1
+              HAVING COUNT(DISTINCT o_orderpriority) > 1)
+            SELECT n_rhs_values, COUNT(*) AS n_groups
+            FROM v GROUP BY n_rhs_values
+        """,
+        "dict_encode": """
+            WITH d AS (
+              SELECT p_brand,
+                     DENSE_RANK() OVER (ORDER BY p_brand ASC) AS code
+              FROM (SELECT DISTINCT p_brand FROM part)),
+            f AS (SELECT p_brand, COUNT(*) AS n_rows
+                  FROM part GROUP BY 1)
+            SELECT d.p_brand, CAST(d.code AS BIGINT) AS code, f.n_rows
+            FROM d JOIN f ON d.p_brand = f.p_brand
         """,
         "label_centroids": """
             WITH ex AS (

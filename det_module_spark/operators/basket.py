@@ -14,6 +14,11 @@ k² — guard with ``max_basket_size`` (drop oversized baskets, standard
 practice since they carry no affinity signal). Item supports come from
 one extra aggregation; lift is computed on exact integer counts and
 rounded once.
+
+The distinct (basket, item) frame feeds four consumers (sizes, both
+self-join sides, supports, the basket count) — it is materialized once
+(``localCheckpoint``); without that each consumer re-runs the upstream
+scan+distinct (measured 4.0s → ~1.5s on the sf0.1 brand graph).
 """
 
 from __future__ import annotations
@@ -22,22 +27,23 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def pair_counts(
-    df: DataFrame,
-    basket_col: str,
-    item_col: str,
-    min_support: int = 2,
-    max_basket_size: int = 1000,
+def _items(df: DataFrame, basket_col: str, item_col: str) -> DataFrame:
+    return (
+        df.select(
+            F.col(basket_col).alias("basket"), F.col(item_col).alias("item")
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+
+
+def _pairs_from_items(
+    items: DataFrame, min_support: int, max_basket_size: int
 ) -> DataFrame:
-    """(basket, item) rows -> (item_a < item_b, pair_count) for pairs
-    co-occurring in >= ``min_support`` distinct baskets."""
-    items = df.select(
-        F.col(basket_col).alias("basket"), F.col(item_col).alias("item")
-    ).distinct()
-    sized = items.groupBy("basket").agg(
-        F.collect_list("item").alias("its")
-    ).filter(F.size("its") <= max_basket_size)
-    flat = sized.select("basket", F.explode("its").alias("item"))
+    sizes = items.groupBy("basket").agg(F.count(F.lit(1)).alias("__bsz"))
+    flat = items.join(
+        sizes.filter(F.col("__bsz") <= max_basket_size), "basket"
+    ).select("basket", "item")
     a = flat.select("basket", F.col("item").alias("item_a"))
     b = flat.select("basket", F.col("item").alias("item_b"))
     return (
@@ -49,23 +55,36 @@ def pair_counts(
     )
 
 
+def pair_counts(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_support: int = 2,
+    max_basket_size: int = 1000,
+) -> DataFrame:
+    """(basket, item) rows -> (item_a < item_b, pair_count) for pairs
+    co-occurring in >= ``min_support`` distinct baskets."""
+    return _pairs_from_items(
+        _items(df, basket_col, item_col), min_support, max_basket_size
+    )
+
+
 def basket_affinity(
     df: DataFrame,
     basket_col: str,
     item_col: str,
     min_support: int = 2,
+    max_basket_size: int = 1000,
     lift_digits: int = 6,
 ) -> DataFrame:
     """Frequent pairs enriched with per-item supports and lift =
     n_baskets * pair_count / (count_a * count_b), rounded to
     ``lift_digits``. All inputs to the ratio are exact integers, so the
     single rounded division is engine-stable."""
-    items = df.select(
-        F.col(basket_col).alias("basket"), F.col(item_col).alias("item")
-    ).distinct()
+    items = _items(df, basket_col, item_col)
     n_baskets = items.select("basket").distinct().count()
     supports = items.groupBy("item").agg(F.count(F.lit(1)).alias("item_count"))
-    pairs = pair_counts(df, basket_col, item_col, min_support)
+    pairs = _pairs_from_items(items, min_support, max_basket_size)
     scale = F.lit(float(10**lift_digits))
     lift = (
         F.lit(float(n_baskets))
@@ -74,16 +93,20 @@ def basket_affinity(
     )
     return (
         pairs.join(
-            supports.select(
-                F.col("item").alias("item_a"),
-                F.col("item_count").alias("count_a"),
+            F.broadcast(
+                supports.select(
+                    F.col("item").alias("item_a"),
+                    F.col("item_count").alias("count_a"),
+                )
             ),
             "item_a",
         )
         .join(
-            supports.select(
-                F.col("item").alias("item_b"),
-                F.col("item_count").alias("count_b"),
+            F.broadcast(
+                supports.select(
+                    F.col("item").alias("item_b"),
+                    F.col("item_count").alias("count_b"),
+                )
             ),
             "item_b",
         )

@@ -425,3 +425,104 @@ def distinctive_terms(
             (F.floor(score * scale + half) / scale).alias("log_odds"),
         )
     )
+
+
+def _doc_bigrams(
+    df: DataFrame, id_col: str = "doc_id", text: str = "text"
+) -> DataFrame:
+    """Adjacent bigrams with their document id: (id, w1, w2)."""
+    toks = F.col("__toks")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - 1, F.lit(1))),
+        lambda i: F.struct(
+            F.element_at(toks, i).alias("w1"),
+            F.element_at(toks, i + 1).alias("w2"),
+        ),
+    )
+    return (
+        df.select(F.col(id_col), tokens(F.col(text)).alias("__toks"))
+        .filter(F.size(toks) >= 2)
+        .select(F.col(id_col), F.explode(grams).alias("g"))
+        .select(id_col, "g.w1", "g.w2")
+        .filter((F.length("w1") > 0) & (F.length("w2") > 0))
+    )
+
+
+def bigram_logprob(
+    train: DataFrame,
+    score: DataFrame,
+    id_col: str = "doc_id",
+    text: str = "text",
+    backoff: float = 0.4,
+    digits: int = 6,
+) -> DataFrame:
+    """CCNet-style LM quality scoring: per-document average bigram
+    log-probability under a corpus bigram model with stupid-backoff —
+    ln(c(w1,w2)/c(w1)) when the bigram was seen in ``train``, else
+    ln(backoff · c(w2)/N) from the unigram model. Low scores flag
+    gibberish / OOD documents. → (id, n_bigrams, avg_logprob).
+
+    Float discipline: every per-bigram term is an ln of exact-int
+    ratios, quantized to 1e-9-unit longs BEFORE the per-doc sum — the
+    aggregation is order-independent and the result cross-engine
+    exact. Shape: two model aggs over the train corpus (vocabulary-
+    sized, broadcast into the scoring join) + one per-doc agg.
+    """
+    bi = bigram_counts(train, id_col, text)
+    # the unigram model feeds both the per-word counts and the corpus
+    # total; materialize once. The total must arrive as a broadcast
+    # scalar (cross join), NOT a column of the left-joined uni row —
+    # an unseen w2 misses that join and a null total would null the
+    # backoff term instead of scoring it.
+    uni = (
+        train.select(F.explode(tokens(F.col(text))).alias("w"))
+        .filter(F.length("w") > 0)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cw"))
+        .localCheckpoint(eager=False)
+    )
+    tot = uni.agg(F.sum("cw").alias("total"))
+    w1tot = bi.groupBy("w1").agg(F.sum("cnt").alias("c1"))
+    pairs = _doc_bigrams(score, id_col, text)
+    joined = (
+        pairs.join(F.broadcast(bi), ["w1", "w2"], "left")
+        .join(F.broadcast(w1tot), "w1", "left")
+        .join(
+            F.broadcast(uni.select(F.col("w").alias("w2"), "cw")),
+            "w2",
+            "left",
+        )
+        .join(F.broadcast(tot))
+    )
+    seen = F.col("cnt").isNotNull() & F.col("c1").isNotNull()
+    term = F.when(
+        seen, F.log(F.col("cnt").cast("double") / F.col("c1").cast("double"))
+    ).otherwise(
+        F.log(
+            (F.lit(backoff) * F.coalesce(F.col("cw"), F.lit(1)).cast("double"))
+            / F.col("total").cast("double")
+        )
+    )
+    term_fp = F.floor(term * F.lit(1e9) + F.lit(0.5)).cast("long")
+    out_scale = F.lit(float(10**digits))
+    return (
+        joined.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum(term_fp).alias("__s"),
+        )
+        .select(
+            id_col,
+            "n_bigrams",
+            (
+                F.floor(
+                    F.col("__s").cast("double")
+                    / F.lit(1e9)
+                    / F.col("n_bigrams").cast("double")
+                    * out_scale
+                    + F.lit(0.5)
+                )
+                / out_scale
+            ).alias("avg_logprob"),
+        )
+    )
