@@ -2452,6 +2452,48 @@ def q_dict_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dictionary.join(freq, "code").select("p_brand", "code", "n_rows")
 
 
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # First-order Markov matrix of user event sequences: one lead
+    # window keyed by user + one |states|^2 aggregation.
+    from det_module_spark.operators.sequence import event_transitions
+
+    return event_transitions(_events(spark, sf_dir))
+
+
+def q_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Ingestion audit: holes in the event-id sequence of a filtered
+    # ingest slice (high-value events) — one lag window over distinct
+    # ids; each output row is a maximal run of missing ids.
+    from det_module_spark.operators.sequence import sequence_gaps
+
+    ev = _events(spark, sf_dir).filter(F.col("value") >= 1.0)
+    return sequence_gaps(ev, "event_id")
+
+
+def q_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Benford first-digit screen on order values with per-digit chi^2
+    # contributions — all ratios divide exact counts.
+    from det_module_spark.operators.quality import benford_audit
+
+    return benford_audit(
+        load_table(spark, sf_dir, "orders"), "o_totalprice"
+    )
+
+
+def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Population-stability drift of the order-value distribution,
+    # pre-1996 vs after: per-bin PSI contributions.
+    from det_module_spark.operators.quality import psi_drift
+
+    orders = load_table(spark, sf_dir, "orders")
+    return psi_drift(
+        orders.filter(F.col("o_orderdate") < F.lit("1996-01-01")),
+        orders.filter(F.col("o_orderdate") >= F.lit("1996-01-01")),
+        "o_totalprice",
+        25000.0,
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the reliability zonal extract (the aid-data triple) at
     sf0.001; driver checks rows>0."""
@@ -2610,6 +2652,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k_anonymity": q_k_anonymity,
         "fd_check": q_fd_check,
         "dict_encode": q_dict_encode,
+        "event_transitions": q_event_transitions,
+        "sequence_gaps": q_sequence_gaps,
+        "benford_audit": q_benford_audit,
+        "psi_drift": q_psi_drift,
         # --- event-time windows (§2.10) ---
         "events_tumbling": q_events_tumbling,
         "events_sliding": q_events_sliding,
@@ -4662,6 +4708,92 @@ QUALIFY ROW_NUMBER() OVER (
                   FROM part GROUP BY 1)
             SELECT d.p_brand, CAST(d.code AS BIGINT) AS code, f.n_rows
             FROM d JOIN f ON d.p_brand = f.p_brand
+        """,
+        "event_transitions": """
+            WITH seq AS (
+              SELECT event_type AS from_state,
+                     LEAD(event_type) OVER (PARTITION BY user_id
+                                            ORDER BY ts ASC, event_id ASC)
+                       AS to_state
+              FROM events),
+            pairs AS (SELECT from_state, to_state, COUNT(*) AS n
+                      FROM seq WHERE to_state IS NOT NULL GROUP BY 1, 2)
+            SELECT from_state, to_state, n,
+                   FLOOR(CAST(n AS DOUBLE)
+                         / CAST(SUM(n) OVER (PARTITION BY from_state)
+                                AS DOUBLE) * 1e6 + 0.5) / 1e6 AS p
+            FROM pairs
+        """,
+        "sequence_gaps": """
+            WITH ids AS (SELECT DISTINCT event_id AS id FROM events
+                         WHERE value >= 1.0),
+            lagged AS (SELECT id, LAG(id) OVER (ORDER BY id ASC) AS prev
+                       FROM ids)
+            SELECT prev + 1 AS gap_start, id - 1 AS gap_end,
+                   id - prev - 1 AS gap_len
+            FROM lagged WHERE prev IS NOT NULL AND id - prev > 1
+        """,
+        "benford_audit": """
+            WITH d AS (
+              SELECT TRY_CAST(regexp_extract(
+                       CAST(ABS(o_totalprice) AS VARCHAR), '[1-9]', 0)
+                     AS INT) AS digit
+              FROM orders
+              WHERE o_totalprice IS NOT NULL AND ABS(o_totalprice) > 0),
+            counts AS (SELECT digit, COUNT(*) AS n FROM d
+                       WHERE digit IS NOT NULL GROUP BY 1),
+            wt AS (SELECT digit, n, SUM(n) OVER () AS n_total FROM counts)
+            SELECT digit, n,
+                   FLOOR(CAST(n AS DOUBLE) / CAST(n_total AS DOUBLE)
+                         * 1e6 + 0.5) / 1e6 AS observed_p,
+                   FLOOR(LOG10(1.0 + 1.0 / CAST(digit AS DOUBLE))
+                         * 1e6 + 0.5) / 1e6 AS expected_p,
+                   FLOOR((CAST(n AS DOUBLE) / CAST(n_total AS DOUBLE)
+                          - LOG10(1.0 + 1.0 / CAST(digit AS DOUBLE)))
+                         * (CAST(n AS DOUBLE) / CAST(n_total AS DOUBLE)
+                            - LOG10(1.0 + 1.0 / CAST(digit AS DOUBLE)))
+                         / LOG10(1.0 + 1.0 / CAST(digit AS DOUBLE))
+                         * CAST(n_total AS DOUBLE)
+                         * 1e6 + 0.5) / 1e6 AS chi2_term
+            FROM wt
+        """,
+        "psi_drift": """
+            WITH hb AS (
+              SELECT CAST(FLOOR(o_totalprice / 25000.0) AS BIGINT) AS bin,
+                     COUNT(*) AS n_before
+              FROM orders
+              WHERE o_totalprice IS NOT NULL
+                AND o_orderdate < '1996-01-01'
+              GROUP BY 1),
+            ha AS (
+              SELECT CAST(FLOOR(o_totalprice / 25000.0) AS BIGINT) AS bin,
+                     COUNT(*) AS n_after
+              FROM orders
+              WHERE o_totalprice IS NOT NULL
+                AND o_orderdate >= '1996-01-01'
+              GROUP BY 1),
+            j AS (
+              SELECT COALESCE(hb.bin, ha.bin) AS bin,
+                     COALESCE(n_before, 0) AS n_before,
+                     COALESCE(n_after, 0) AS n_after
+              FROM hb FULL OUTER JOIN ha ON hb.bin = ha.bin),
+            p AS (
+              SELECT bin, n_before, n_after,
+                     GREATEST(CAST(n_before AS DOUBLE)
+                              / CAST(SUM(n_before) OVER () AS DOUBLE),
+                              1e-6) AS pb,
+                     GREATEST(CAST(n_after AS DOUBLE)
+                              / CAST(SUM(n_after) OVER () AS DOUBLE),
+                              1e-6) AS pa
+              FROM j)
+            SELECT bin,
+                   CAST(n_before AS BIGINT) AS n_before,
+                   CAST(n_after AS BIGINT) AS n_after,
+                   FLOOR(pb * 1e6 + 0.5) / 1e6 AS p_before,
+                   FLOOR(pa * 1e6 + 0.5) / 1e6 AS p_after,
+                   FLOOR((pa - pb) * LN(pa / pb) * 1e6 + 0.5) / 1e6
+                     AS psi_term
+            FROM p
         """,
         "label_centroids": """
             WITH ex AS (

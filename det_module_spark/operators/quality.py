@@ -49,3 +49,98 @@ def dictionary_encode(
     )
     encoded = df.join(F.broadcast(dictionary), col).drop(col)
     return dictionary, encoded
+
+
+def benford_audit(
+    df: DataFrame, value: str, digits: int = 6
+) -> DataFrame:
+    """Benford's-law first-digit audit of a positive numeric column:
+    → (digit, n, observed_p, expected_p, chi2_term) — one row per
+    leading digit 1-9, with the χ² contribution
+    (obs−exp)²/exp · n_total for each. Fraud/data-quality screen for
+    "organically grown" magnitudes (amounts, populations).
+
+    All ratios divide exact integer counts; expected_p =
+    log10(1 + 1/d) is a per-row constant — no cross-engine float
+    accumulation anywhere (the χ² terms are per-digit, summing is the
+    caller's choice). One projection + one 9-group aggregation."""
+    # first nonzero digit of the decimal rendering; works for plain
+    # and scientific notation alike (the mantissa leads either way)
+    first = F.regexp_extract(
+        F.abs(F.col(value)).cast("string"), "[1-9]", 0
+    )
+    counts = (
+        df.filter(F.col(value).isNotNull() & (F.abs(F.col(value)) > 0))
+        .select(first.cast("int").alias("digit"))
+        .filter(F.col("digit").isNotNull())
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("n_total", F.sum("n").over(Window.partitionBy()))
+    )
+    scale = F.lit(float(10**digits))
+    obs = F.col("n").cast("double") / F.col("n_total").cast("double")
+    exp = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit").cast("double"))
+    chi2 = (obs - exp) * (obs - exp) / exp * F.col("n_total").cast("double")
+    return counts.select(
+        "digit",
+        "n",
+        (F.floor(obs * scale + F.lit(0.5)) / scale).alias("observed_p"),
+        (F.floor(exp * scale + F.lit(0.5)) / scale).alias("expected_p"),
+        (F.floor(chi2 * scale + F.lit(0.5)) / scale).alias("chi2_term"),
+    )
+
+
+def psi_drift(
+    before: DataFrame,
+    after: DataFrame,
+    value: str,
+    bin_width: float,
+    digits: int = 6,
+) -> DataFrame:
+    """Population Stability Index between two snapshots of a numeric
+    column, binned at ``bin_width``: → (bin, n_before, n_after,
+    p_before, p_after, psi_term) with
+    psi_term = (p_a − p_b) · ln(p_a / p_b). The standard ML-ops
+    drift score (PSI > 0.2 ⇒ investigate); total PSI = Σ psi_term
+    (per-bin rows returned so the caller sums with its own float
+    discipline). Bins empty on one side get the standard 1e-6 floor
+    instead of ±∞. Two fixed-width-histogram aggs + one outer join on
+    the bin id — bin count is range/width, independent of data size."""
+    def hist(df: DataFrame, alias: str) -> DataFrame:
+        return (
+            df.filter(F.col(value).isNotNull())
+            .groupBy(
+                F.floor(F.col(value) / F.lit(bin_width)).alias("bin")
+            )
+            .agg(F.count(F.lit(1)).alias(alias))
+        )
+
+    hb = hist(before, "n_before")
+    ha = hist(after, "n_after")
+    j = hb.join(ha, "bin", "full_outer").select(
+        "bin",
+        F.coalesce("n_before", F.lit(0)).alias("n_before"),
+        F.coalesce("n_after", F.lit(0)).alias("n_after"),
+    )
+    tb = Window.partitionBy()
+    floor_p = F.lit(1e-6)
+    p_b = F.greatest(
+        F.col("n_before").cast("double")
+        / F.sum("n_before").over(tb).cast("double"),
+        floor_p,
+    )
+    p_a = F.greatest(
+        F.col("n_after").cast("double")
+        / F.sum("n_after").over(tb).cast("double"),
+        floor_p,
+    )
+    scale = F.lit(float(10**digits))
+    term = (p_a - p_b) * F.log(p_a / p_b)
+    return j.select(
+        "bin",
+        "n_before",
+        "n_after",
+        (F.floor(p_b * scale + F.lit(0.5)) / scale).alias("p_before"),
+        (F.floor(p_a * scale + F.lit(0.5)) / scale).alias("p_after"),
+        (F.floor(term * scale + F.lit(0.5)) / scale).alias("psi_term"),
+    )
