@@ -2494,6 +2494,43 @@ def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_trend_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Per-segment OLS price trend (dollars vs ship-day) from exact
+    # integer moments — one aggregation pass, engine-exact.
+    from det_module_spark.operators.profile import grouped_linfit
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.datediff(
+            F.to_date(F.date_trunc("day", "l_shipdate")),
+            F.lit("1992-01-01").cast("date"),
+        ).alias("day_x"),
+        F.floor(F.col("l_extendedprice") + F.lit(0.5))
+        .cast("long")
+        .alias("price_d"),
+    )
+    return grouped_linfit(li, "l_returnflag", "day_x", "price_d")
+
+
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Robust median/MAD outlier flags per group, summarized: n, the
+    # group median and MAD, and how many rows each flag state got.
+    from det_module_spark.operators.cleaning import mad_outliers
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", _cents("l_extendedprice").alias("price_c")
+    )
+    flagged = mad_outliers(li, "price_c", "l_returnflag", k=3.0)
+    return flagged.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max("med").alias("med_c"),
+        F.max("mad").alias("mad_c"),
+        F.sum(F.when(F.col("is_mad_outlier"), 1).otherwise(0)).alias(
+            "n_outliers"
+        ),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the reliability zonal extract (the aid-data triple) at
     sf0.001; driver checks rows>0."""
@@ -2656,6 +2693,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sequence_gaps": q_sequence_gaps,
         "benford_audit": q_benford_audit,
         "psi_drift": q_psi_drift,
+        "trend_fit": q_trend_fit,
+        "mad_outliers": q_mad_outliers,
         # --- event-time windows (§2.10) ---
         "events_tumbling": q_events_tumbling,
         "events_sliding": q_events_sliding,
@@ -4794,6 +4833,70 @@ QUALIFY ROW_NUMBER() OVER (
                    FLOOR((pa - pb) * LN(pa / pb) * 1e6 + 0.5) / 1e6
                      AS psi_term
             FROM p
+        """,
+        "trend_fit": """
+            WITH v AS (
+              SELECT l_returnflag,
+                     CAST(date_diff('day', DATE '1992-01-01',
+                                    date_trunc('day', l_shipdate))
+                          AS BIGINT) AS x,
+                     CAST(FLOOR(l_extendedprice + 0.5) AS BIGINT) AS y
+              FROM lineitem),
+            m AS (
+              SELECT l_returnflag, COUNT(*) AS n,
+                     CAST(SUM(x) AS BIGINT) AS sx,
+                     CAST(SUM(y) AS BIGINT) AS sy,
+                     CAST(SUM(x * y) AS BIGINT) AS sxy,
+                     CAST(SUM(x * x) AS BIGINT) AS sxx
+              FROM v GROUP BY 1)
+            SELECT l_returnflag, n,
+                   CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) <> 0
+                   THEN FLOOR((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                              / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                              * 1e6 + 0.5) / 1e6 END AS slope,
+                   CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) <> 0
+                   THEN FLOOR((CAST(sy AS DOUBLE)
+                               - (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                                 / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                                 * CAST(sx AS DOUBLE))
+                              / CAST(n AS DOUBLE) * 1e6 + 0.5) / 1e6
+                   END AS intercept
+            FROM m
+        """,
+        "mad_outliers": """
+            WITH v AS (
+              SELECT l_returnflag,
+                     CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)
+                       AS price_c
+              FROM lineitem),
+            med AS (
+              SELECT l_returnflag,
+                     CAST(FLOOR(QUANTILE_CONT(price_c, 0.5) + 0.5)
+                          AS BIGINT) AS med_c
+              FROM v GROUP BY 1),
+            dev AS (
+              SELECT v.l_returnflag, price_c, med_c,
+                     ABS(price_c - med_c) AS d
+              FROM v JOIN med USING (l_returnflag)),
+            mad AS (
+              SELECT l_returnflag,
+                     CAST(FLOOR(QUANTILE_CONT(d, 0.5) + 0.5) AS BIGINT)
+                       AS mad_c
+              FROM dev GROUP BY 1)
+            SELECT dev.l_returnflag, COUNT(*) AS n,
+                   MAX(dev.med_c) AS med_c, MAX(mad.mad_c) AS mad_c,
+                   CAST(SUM(CASE WHEN mad.mad_c > 0
+                                  AND CAST(dev.d AS DOUBLE)
+                                      > 3.0 * CAST(mad.mad_c AS DOUBLE)
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+            FROM dev JOIN mad USING (l_returnflag)
+            GROUP BY dev.l_returnflag
         """,
         "label_centroids": """
             WITH ex AS (

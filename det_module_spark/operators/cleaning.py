@@ -99,3 +99,43 @@ def winsorize(
         .withColumn("clipped_high", v > F.col("__hi"))
         .drop("__lo", "__hi")
     )
+
+
+def mad_outliers(
+    df: DataFrame,
+    value: str,
+    group: str,
+    k: float = 3.0,
+    med_col: str = "med",
+    mad_col: str = "mad",
+    flag_col: str = "is_mad_outlier",
+) -> DataFrame:
+    """Robust (median/MAD) outlier flagging per group — the
+    breakdown-resistant alternative to z-scores when the group itself
+    is contaminated. ``value`` must be integer-valued.
+
+    med = group median (interpolated, rounded half-up to an integer),
+    mad = median of |v − med| (same rounding), flag = |v − med| >
+    k·mad. Rounding the two medians to ints keeps every derived
+    quantity exactly representable, so the flags are engine-exact;
+    groups with mad = 0 get null flags (no scale to judge by).
+    Shape: two window passes over the same group partitioning (one
+    hash exchange; the second window reuses the partitioning)."""
+    w = Window.partitionBy(group)
+    v = F.col(value).cast("long")
+    med = F.floor(F.percentile(v, F.lit(0.5)).over(w) + F.lit(0.5)).cast(
+        "long"
+    )
+    with_med = df.withColumn(med_col, med)
+    dev = F.abs(v - F.col(med_col))
+    mad = F.floor(
+        F.percentile(dev, F.lit(0.5)).over(w) + F.lit(0.5)
+    ).cast("long")
+    with_mad = with_med.withColumn(mad_col, mad)
+    return with_mad.withColumn(
+        flag_col,
+        F.when(
+            F.col(mad_col) > 0,
+            dev.cast("double") > F.lit(k) * F.col(mad_col).cast("double"),
+        ),
+    )

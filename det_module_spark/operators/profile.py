@@ -228,3 +228,46 @@ def equidepth_histogram(
         F.min(value).alias("min_val"),
         F.max(value).alias("max_val"),
     )
+
+
+def grouped_linfit(
+    df: DataFrame, group: str, x: str, y: str, digits: int = 6
+) -> DataFrame:
+    """Per-group simple linear regression (OLS trend) from exact
+    integer moments: → (group, n, slope, intercept).
+
+    ``x``/``y`` must be integer-valued (quantize first). Σx, Σy, Σxy,
+    Σx² accumulate exactly in int64 — order-independent — then
+      slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)
+      intercept = (Σy − slope·Σx) / n
+    with the big products done in double: they may round (> 2^53) but
+    identically in every engine, since the operands are exact ints.
+    Keep |x|·|y|·n below ~1e18 per group or pre-center x. One
+    aggregation pass; groups with zero x-variance yield null."""
+    xl, yl = F.col(x).cast("long"), F.col(y).cast("long")
+    m = df.groupBy(group).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(xl).alias("sx"),
+        F.sum(yl).alias("sy"),
+        F.sum(xl * yl).alias("sxy"),
+        F.sum(xl * xl).alias("sxx"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    denom = n * sxx - sx * sx
+    slope = (n * sxy - sx * sy) / denom
+    intercept = (sy - slope * sx) / n
+    scale = F.lit(float(10**digits))
+    return m.select(
+        group,
+        "n",
+        F.when(
+            denom != 0, F.floor(slope * scale + F.lit(0.5)) / scale
+        ).alias("slope"),
+        F.when(
+            denom != 0, F.floor(intercept * scale + F.lit(0.5)) / scale
+        ).alias("intercept"),
+    )
