@@ -1,16 +1,31 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
-ONE JSON line: {"metric", "value" (total sec), "unit", "queries", "sf"}.
+ONE compact JSON line as the FINAL stdout line:
 
-The timed loop is a TPC-style *throughput run*: $SPARK_GRAFT_BENCH_STREAMS
-(default 12) concurrent query streams drain the query list against one
-SparkSession, and ``value`` is the wall-clock of the whole workload.
-One-at-a-time tiny queries leave a 32-core executor ~95% idle —
-sequential totals measure scheduler latency, not engine throughput.
-Set SPARK_GRAFT_BENCH_STREAMS=1 for the sequential power run (the
-per-query timings are cleanest there; under concurrency they include
-contention). Every query is independent and side-effect-free, so the
-streams share the session and cache safely.
+    {"metric": "workload_wall_seconds", "value": <concurrent wall>,
+     "unit": "sec", "sf": ..., "streams": ..., "n_queries": ...,
+     "seq_sum_seconds": <sequential power-run sum>,
+     "queries": {<10 slowest, sequential seconds>}}
+
+Two timed passes over the same workload:
+
+1. *Power run* (sequential, one query at a time): per-query timings are
+   clean — no contention — and their sum (``seq_sum_seconds``) is the
+   classic single-stream metric, comparable across rounds.
+2. *Throughput run* ($SPARK_GRAFT_BENCH_STREAMS concurrent streams,
+   default 12, TPC-style): ``value`` is the wall-clock of the whole
+   workload. One-at-a-time tiny queries leave a 32-core executor ~95%
+   idle — sequential totals measure scheduler latency, not engine
+   throughput. Every query is independent and side-effect-free, so the
+   streams share the session and cache safely.
+
+The final JSON line is kept under ~1 KB (the driver captures a bounded
+stdout tail): only the 10 slowest queries appear inline. The FULL
+per-query timing map for both passes is written to ``BENCH_FULL.json``
+next to this script and echoed per-query on stderr.
+
+Set SPARK_GRAFT_BENCH_MODE=seq|concurrent to run only one pass
+(default ``both``).
 """
 
 from __future__ import annotations
@@ -33,6 +48,7 @@ def main() -> None:
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     streams = int(os.environ.get("SPARK_GRAFT_BENCH_STREAMS", "12"))
+    mode = os.environ.get("SPARK_GRAFT_BENCH_MODE", "both")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
 
@@ -42,7 +58,7 @@ def main() -> None:
     spark.range(1000).selectExpr("sum(id)").collect()
 
     # storage-cache the hot tables and materialize them in the warmup:
-    # a 140-query workload over ten tables re-scans each many times;
+    # a 150-query workload over ten tables re-scans each many times;
     # caching is the standard warehouse answer, and buffer-pool warmup
     # is untimed in every standard benchmark harness (per-query numbers
     # should measure steady-state query compute, not first-touch I/O).
@@ -50,39 +66,73 @@ def main() -> None:
         load_table(spark, sf_dir, t).persist().count()
 
     qs = entry_mod.queries()
-    timings: dict[str, float] = {}
 
-    def run(item: tuple[str, object]) -> None:
-        name, fn = item
+    def run_pass(label: str, n_streams: int) -> tuple[float, dict[str, float]]:
+        timings: dict[str, float] = {}
+
+        def run(item: tuple[str, object]) -> None:
+            name, fn = item
+            t0 = time.time()
+            n = len(fn(spark, sf_dir).collect())
+            dt = time.time() - t0
+            timings[name] = round(dt, 3)
+            print(f"# [{label}] {name}: {dt:.3f}s rows={n}", file=sys.stderr)
+
         t0 = time.time()
-        n = len(fn(spark, sf_dir).collect())
-        dt = time.time() - t0
-        timings[name] = round(dt, 3)
-        print(f"# {name}: {dt:.3f}s rows={n}", file=sys.stderr)
+        if n_streams <= 1:
+            for item in qs.items():
+                run(item)
+        else:
+            with ThreadPoolExecutor(max_workers=n_streams) as ex:
+                list(ex.map(run, qs.items()))
+        return time.time() - t0, timings
 
-    t0 = time.time()
-    if streams <= 1:
-        for item in qs.items():
-            run(item)
-    else:
-        with ThreadPoolExecutor(max_workers=streams) as ex:
-            list(ex.map(run, qs.items()))
-    wall = time.time() - t0
+    seq_wall, seq_timings = (0.0, {})
+    conc_wall, conc_timings = (0.0, {})
+    if mode in ("both", "seq"):
+        seq_wall, seq_timings = run_pass("seq", 1)
+    if mode in ("both", "concurrent"):
+        conc_wall, conc_timings = run_pass(f"x{streams}", streams)
 
-    print(
-        json.dumps(
+    # full per-query detail goes to a sidecar, never to the final line
+    sidecar = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json")
+    with open(sidecar, "w") as f:
+        json.dump(
             {
-                "metric": "workload_wall_seconds",
-                "value": round(wall, 3),
-                "unit": "sec",
-                "queries": timings,
                 "sf": sf,
                 "streams": streams,
-                "n_queries": len(timings),
-                "sum_query_seconds": round(sum(timings.values()), 3),
-            }
+                "sequential_wall_seconds": round(seq_wall, 3),
+                "concurrent_wall_seconds": round(conc_wall, 3),
+                "sequential_query_seconds": seq_timings,
+                "concurrent_query_seconds": conc_timings,
+            },
+            f,
+            indent=1,
+            sort_keys=True,
         )
-    )
+
+    base = seq_timings or conc_timings
+    slowest = dict(sorted(base.items(), key=lambda kv: -kv[1])[:10])
+    wall = conc_wall if mode in ("both", "concurrent") else seq_wall
+    summary = {
+        "metric": "workload_wall_seconds",
+        "value": round(wall, 3),
+        "unit": "sec",
+        "sf": sf,
+        "streams": streams if mode != "seq" else 1,
+        "n_queries": len(base),
+        "seq_sum_seconds": round(sum(seq_timings.values()), 3),
+        "seq_wall_seconds": round(seq_wall, 3),
+        "concurrent_wall_seconds": round(conc_wall, 3),
+        "queries": slowest,
+        "queries_full": "BENCH_FULL.json",
+    }
+    line = json.dumps(summary)
+    # hard guarantee: the driver keeps a bounded stdout tail; stay small
+    while len(line) > 1500 and summary["queries"]:
+        summary["queries"] = dict(list(summary["queries"].items())[:-1])
+        line = json.dumps(summary)
+    print(line)
 
 
 if __name__ == "__main__":

@@ -63,13 +63,23 @@ def build_documentation(
     merge_items: list[MergeItem],
     out_dir: str,
     catalog: dict[str, dict] | None = None,
+    now: int | None = None,
 ) -> str:
-    """K3 — per-request documentation: request info, timeline, and the
-    column-name dictionary produced by the naming algebra (the
-    reference's DocBuilder overview section,
-    queue/documentation_tool.py:246-339). Text report; PDF rendering
-    plugs in when reportlab is available."""
+    """K3 — per-request documentation via the full DocBuilder
+    (sources/docbuilder.py; reference parity
+    queue/documentation_tool.py:67-97), plus the concrete result-column
+    dictionary produced by the naming algebra for this run's merge
+    items.
+
+    The text report is ALWAYS written (it is the contract); when
+    reportlab is importable a PDF is written alongside it — the PDF is
+    a rendering, never a dependency."""
     import textwrap
+
+    from det_module_spark.sources.docbuilder import DocBuilder
+
+    builder = DocBuilder(request, catalog=catalog, now=now)
+    lines = [builder.to_text()]
 
     def wrap(text: str) -> list[str]:
         # 80-char wrap incl. breaking long unbroken tokens (reference
@@ -78,15 +88,6 @@ def build_documentation(
             text, width=80, break_long_words=True, break_on_hyphens=False
         ) or [""]
 
-    lines: list[str] = []
-    lines.append("DATA EXTRACTION REQUEST DOCUMENTATION")
-    lines.append("=" * 38)
-    lines.append(f"request id: {request.get('_id', '')}")
-    lines.append(f"name:       {request.get('custom_name', '')}")
-    boundary = request.get("boundary", {})
-    lines.append(f"boundary:   {boundary.get('name', '')} ({boundary.get('title', '')})")
-    lines.append(f"generated:  {time.strftime('%Y-%m-%d %H:%M:%S', time.gmtime(0))}")
-    lines.append("")
     lines.append("RESULT COLUMNS  (<dataset>.<filter>.<method>)")
     lines.append("-" * 38)
     lines.append("asdf_id: unique feature id within the boundary dataset")
@@ -107,15 +108,14 @@ def build_documentation(
             meta = catalog.get(mi.dataset, {})
             lines.append(f"{mi.dataset}: {meta.get('title', 'n/a')}")
 
-    try:  # pragma: no cover - reportlab not bundled
-        import reportlab  # noqa: F401
-
-        raise NotImplementedError("PDF rendering hook: plug DocBuilder here")
+    path = os.path.join(out_dir, "documentation.txt")
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    try:  # pragma: no cover - reportlab not bundled in this container
+        builder.to_pdf(os.path.join(out_dir, "documentation.pdf"))
     except ImportError:
-        path = os.path.join(out_dir, "documentation.txt")
-        with open(path, "w") as f:
-            f.write("\n".join(lines) + "\n")
-        return path
+        pass
+    return path
 
 
 def package_bundle(out_dir: str) -> str:
