@@ -669,6 +669,93 @@ def q_zonal_weighted_spatial(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _poly_cells(spark: SparkSession) -> DataFrame:
+    # 40x40 grid of 0.25-sized cells over [0,10)^2. All coordinates are
+    # dyadic rationals so every clip/shoelace intermediate is exactly
+    # representable -> bit-identical vs the DuckDB oracle.
+    return spark.range(40 * 40).select(
+        (F.col("id") % 40).alias("ix"),
+        (F.col("id") / 40).cast("long").alias("iy"),
+    ).select(
+        (F.col("ix") * F.lit(0.25)).alias("minx"),
+        (F.col("iy") * F.lit(0.25)).alias("miny"),
+        ((F.col("ix") * 7 + F.col("iy") * 13) % 100)
+        .cast("double")
+        .alias("value"),
+    )
+
+
+_POLY_RINGS = [
+    # 0: concave L — union of rects [1.125,6.625]x[1.125,3.625] and
+    #    [1.125,3.875]x[3.625,7.875] (the oracle decomposition)
+    (0, [(1.125, 1.125), (6.625, 1.125), (6.625, 3.625),
+         (3.875, 3.625), (3.875, 7.875), (1.125, 7.875)]),
+    # 1: plus-shape (doubly concave) — vertical bar + two stubs
+    (1, [(4.25, 1.875), (5.75, 1.875), (5.75, 4.375), (7.875, 4.375),
+         (7.875, 5.625), (5.75, 5.625), (5.75, 8.125), (4.25, 8.125),
+         (4.25, 5.625), (2.125, 5.625), (2.125, 4.375), (4.25, 4.375)]),
+    # 2: plain rectangle as a ring (degenerates to the rect kernel)
+    (2, [(0.375, 8.125), (2.875, 8.125), (2.875, 9.625), (0.375, 9.625)]),
+]
+
+
+def _weighted_poly_result(joined: DataFrame) -> DataFrame:
+    out = zonal_extract(joined, "weighted_mean")
+    wsum = zonal_extract(joined, "weighted_sum").withColumnRenamed(
+        "exfield_0", "wsum"
+    )
+    wcnt = zonal_extract(joined, "weighted_count").withColumnRenamed(
+        "exfield_0", "wcnt"
+    )
+    return (
+        out.join(wsum, "asdf_id")
+        .join(wcnt, "asdf_id")
+        .select(
+            "asdf_id",
+            _pround(F.col("exfield_0"), 6).alias("wmean"),
+            _pround(F.col("wsum"), 2).alias("wsum"),
+            _pround(F.col("wcnt"), 4).alias("wcnt"),
+        )
+    )
+
+
+def q_zonal_weighted_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # hard-list (b) completion (VERDICT r01 #3): coverage-weighted
+    # zonal over ARBITRARY (concave) polygons — exact per-edge
+    # Green's-theorem clamp-integral (operators/geometry.
+    # polygon_coverage; Sutherland-Hodgman ring clip is the
+    # cross-checked second implementation in tests). Reference
+    # contract: queue/extract_check.py:29-31 (weighted_* need
+    # partial-pixel coverage fractions of the boundary polygon).
+    from det_module_spark.operators.geometry import polygon_coverage
+
+    bounds = spark.createDataFrame(
+        [(i, ring) for i, ring in _POLY_RINGS],
+        "asdf_id INT, ring ARRAY<STRUCT<x: DOUBLE, y: DOUBLE>>",
+    )
+    joined = polygon_coverage(_poly_cells(spark), bounds, cell_size=0.25)
+    return _weighted_poly_result(joined)
+
+
+def q_zonal_weighted_triangle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # non-axis-aligned edges: two right triangles whose hypotenuses cut
+    # cells diagonally; the oracle integrates the diagonal half-plane
+    # clamp(C-x-y, 0, s) in closed form. Leg coordinates sit on cell
+    # boundaries and legs are powers of two, so the clip intersections
+    # are exact dyadics on both engines.
+    from det_module_spark.operators.geometry import polygon_coverage
+
+    tris = [
+        (0, [(0.5, 0.5), (8.5, 0.5), (0.5, 8.5)]),    # x+y <= 9
+        (1, [(9.5, 9.5), (1.5, 9.5), (9.5, 1.5)]),    # x+y >= 11
+    ]
+    bounds = spark.createDataFrame(
+        tris, "asdf_id INT, ring ARRAY<STRUCT<x: DOUBLE, y: DOUBLE>>"
+    )
+    joined = polygon_coverage(_poly_cells(spark), bounds, cell_size=0.25)
+    return _weighted_poly_result(joined)
+
+
 def q_zonal_salted_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     # skew-immune two-stage aggregation; must equal the plain mean
     from det_module_spark.operators.skew import salted_mean
@@ -2594,6 +2681,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zonal_spatial_join": q_zonal_spatial_join,
         "zonal_salted_mean": q_zonal_salted_mean,
         "zonal_weighted_spatial": q_zonal_weighted_spatial,
+        "zonal_weighted_polygon": q_zonal_weighted_polygon,
+        "zonal_weighted_triangle": q_zonal_weighted_triangle,
         "range_join": q_range_join,
         "dedup_clusters": q_dedup_clusters,
         "window_lag_lead": q_window_lag_lead,
@@ -3198,6 +3287,77 @@ QUALIFY ROW_NUMBER() OVER (
                      * GREATEST(LEAST(miny + 0.05, bmaxy) - GREATEST(miny, bminy), 0.0)
                      / (0.05 * 0.05) AS coverage
               FROM cells, bounds),
+            covf AS (SELECT * FROM cov WHERE coverage > 0)
+            SELECT CAST(asdf_id AS INT) AS asdf_id,
+                   FLOOR(SUM(value * coverage) / SUM(coverage) * 1e6 + 0.5)
+                     / 1e6 AS wmean,
+                   FLOOR(SUM(value * coverage) * 1e2 + 0.5) / 1e2 AS wsum,
+                   FLOOR(SUM(coverage) * 1e4 + 0.5) / 1e4 AS wcnt
+            FROM covf GROUP BY asdf_id
+        """,
+        "zonal_weighted_polygon": """
+            WITH cells AS (
+              SELECT (i % 40) * 0.25 AS minx, (i // 40) * 0.25 AS miny,
+                     CAST(((i % 40) * 7 + (i // 40) * 13) % 100 AS DOUBLE)
+                       AS value
+              FROM range(1600) t(i)),
+            -- each polygon decomposed into disjoint axis-aligned rects
+            rects AS (SELECT * FROM (VALUES
+                (0, 1.125, 1.125, 6.625, 3.625),
+                (0, 1.125, 3.625, 3.875, 7.875),
+                (1, 4.25, 1.875, 5.75, 8.125),
+                (1, 2.125, 4.375, 4.25, 5.625),
+                (1, 5.75, 4.375, 7.875, 5.625),
+                (2, 0.375, 8.125, 2.875, 9.625))
+                r(asdf_id, rminx, rminy, rmaxx, rmaxy)),
+            cov AS (
+              SELECT asdf_id, minx, miny, ANY_VALUE(value) AS value,
+                     SUM(GREATEST(LEAST(minx + 0.25, rmaxx)
+                                  - GREATEST(minx, rminx), 0.0)
+                       * GREATEST(LEAST(miny + 0.25, rmaxy)
+                                  - GREATEST(miny, rminy), 0.0))
+                       / 0.0625 AS coverage
+              FROM cells, rects GROUP BY asdf_id, minx, miny),
+            covf AS (SELECT * FROM cov WHERE coverage > 0)
+            SELECT CAST(asdf_id AS INT) AS asdf_id,
+                   FLOOR(SUM(value * coverage) / SUM(coverage) * 1e6 + 0.5)
+                     / 1e6 AS wmean,
+                   FLOOR(SUM(value * coverage) * 1e2 + 0.5) / 1e2 AS wsum,
+                   FLOOR(SUM(coverage) * 1e4 + 0.5) / 1e4 AS wcnt
+            FROM covf GROUP BY asdf_id
+        """,
+        "zonal_weighted_triangle": """
+            WITH cells AS (
+              SELECT (i % 40) * 0.25 AS minx, (i // 40) * 0.25 AS miny,
+                     CAST(((i % 40) * 7 + (i // 40) * 13) % 100 AS DOUBLE)
+                       AS value
+              FROM range(1600) t(i)),
+            -- closed-form integral of the diagonal half-plane over a
+            -- cell: area(x+y<=C within [a,a+s]x[b,b+s]) = G(C-a-b)
+            -- - G(C-a-b-s), G(t) = clamp-ramp integral
+            tri AS (
+              SELECT asdf_id, minx, miny, value,
+                     CASE WHEN t1 <= 0 THEN 0.0
+                          WHEN t1 <= 0.25 THEN t1*t1/2
+                          ELSE 0.03125 + 0.25*(t1 - 0.25) END
+                   - CASE WHEN t0 <= 0 THEN 0.0
+                          WHEN t0 <= 0.25 THEN t0*t0/2
+                          ELSE 0.03125 + 0.25*(t0 - 0.25) END AS below
+              FROM (
+                SELECT t.asdf_id, c.minx, c.miny, c.value,
+                       t.c_sum - c.minx - c.miny AS t1,
+                       t.c_sum - c.minx - c.miny - 0.25 AS t0
+                FROM cells c,
+                     (VALUES (0, 9.0), (1, 11.0)) t(asdf_id, c_sum)
+                WHERE c.minx >= CASE WHEN t.asdf_id = 0 THEN 0.5 ELSE 1.5 END
+                  AND c.minx < CASE WHEN t.asdf_id = 0 THEN 8.5 ELSE 9.5 END
+                  AND c.miny >= CASE WHEN t.asdf_id = 0 THEN 0.5 ELSE 1.5 END
+                  AND c.miny < CASE WHEN t.asdf_id = 0 THEN 8.5 ELSE 9.5 END)),
+            cov AS (
+              SELECT asdf_id, value,
+                     CASE WHEN asdf_id = 0 THEN below
+                          ELSE 0.0625 - below END / 0.0625 AS coverage
+              FROM tri),
             covf AS (SELECT * FROM cov WHERE coverage > 0)
             SELECT CAST(asdf_id AS INT) AS asdf_id,
                    FLOOR(SUM(value * coverage) / SUM(coverage) * 1e6 + 0.5)
