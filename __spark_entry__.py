@@ -961,18 +961,32 @@ def q_rolling_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # sketch path (no oracle — estimates are engine-specific; relative
-    # error vs exact is asserted in tests/test_skew_approx.py): HLL
-    # distinct + KLL-style quantiles in ONE pass over lineitem.
-    # At 100 TB these replace exact shuffles of distinct values with
-    # fixed-size mergeable sketch state.
+    # sketch path: HLL distinct + GK quantiles in ONE pass over
+    # lineitem. At 100 TB these replace exact shuffles of distinct
+    # values with fixed-size mergeable sketch state. Oracle-able
+    # (VERDICT r01 #4): HLL register-merge is max() — partition-order
+    # independent, so its output is a deterministic function of the
+    # data set, pinned as per-SF goldens in the oracle. The GK summary
+    # at accuracy 1e6 has rank error eps*n < 1 at every value-checked
+    # SF; quantiling l_quantity (50 distinct values, runs of ~n/50
+    # equal elements) absorbs the residual ±1-rank slack of the
+    # partition-summary merge, so the estimate EQUALS the exact order
+    # statistic at rank ceil(p*n), which the oracle selects directly.
+    # Relative-error behavior at sketch-sized accuracy stays covered
+    # by tests/test_skew_approx.py.
     li = load_table(spark, sf_dir, "lineitem")
     return li.agg(
         F.approx_count_distinct("l_partkey").alias("nd_partkey"),
         F.approx_count_distinct("l_suppkey").alias("nd_suppkey"),
-        F.percentile_approx("l_extendedprice", [0.5, 0.95, 0.99], 10000).alias(
-            "price_quantiles"
-        ),
+        F.percentile_approx(
+            "l_quantity", [0.5, 0.95, 0.99], 1000000
+        ).alias("pq"),
+    ).select(
+        "nd_partkey",
+        "nd_suppkey",
+        F.element_at("pq", 1).alias("qty_p50"),
+        F.element_at("pq", 2).alias("qty_p95"),
+        F.element_at("pq", 3).alias("qty_p99"),
     )
 
 
@@ -3006,6 +3020,187 @@ def _cosine_sql() -> str:
     """
 
 
+#: Spark approx_count_distinct outputs per SF. HLL++ register merge is
+#: max() — partition-order independent — so for a fixed data set the
+#: estimate is a deterministic value, pinnable as a golden
+#: (VERDICT r01 #4 option (a)). Re-pin if the testdata generator or
+#: the Spark version changes.
+_HLL_GOLDENS = {
+    "sf0.001": (195, 10),
+    "sf0.01": (1947, 103),
+    "sf0.1": (19522, 1026),
+}
+
+
+def _approx_stats_sql() -> str:
+    import os
+
+    sf = os.path.basename(
+        os.environ.get("SPARK_GRAFT_SF_DIR", "sf0.01").rstrip("/")
+    )
+    ndp, nds = _HLL_GOLDENS.get(sf, _HLL_GOLDENS["sf0.01"])
+    # exact order statistic at rank ceil(p*n), 1-indexed ascending
+    # (percentile_approx's selection rule, verified empirically on
+    # awkward n); coarse-valued l_quantity makes the GK ±1-rank merge
+    # slack value-invisible
+    q = (
+        "(SELECT v FROM s, nn WHERE rn = CAST(CEIL({p} * nn.n) AS BIGINT))"
+    )
+    return f"""
+    WITH nn AS (SELECT COUNT(*) AS n FROM lineitem),
+    s AS (SELECT l_quantity AS v,
+                 ROW_NUMBER() OVER (ORDER BY l_quantity) AS rn
+          FROM lineitem)
+    SELECT CAST({ndp} AS BIGINT) AS nd_partkey,
+           CAST({nds} AS BIGINT) AS nd_suppkey,
+           {q.format(p=0.5)} AS qty_p50,
+           {q.format(p=0.95)} AS qty_p95,
+           {q.format(p=0.99)} AS qty_p99
+    """
+
+
+# quantized int64 vector (operators/similarity.VEC_QUANT discipline):
+# floor(v·1024 + 0.5) — 1024 is a power of two so v·1024 is exact, and
+# every downstream dot product is exact integer arithmetic shared
+# bit-for-bit with the Spark kernels.
+_VQ64 = (
+    "list_transform({v}, x ->"
+    " CAST(FLOOR(CAST(x AS DOUBLE) * 1024 + 0.5) AS BIGINT))"
+)
+_IDOT64 = "list_sum(list_transform(range(1, 65), i -> {a}[i] * {b}[i]))"
+
+
+def _rerank_sql(cand_cte: str) -> str:
+    """Shared tail: exact cosine re-rank of a (query_id, neighbor_id)
+    candidate CTE named ``cand``, top-5 per query."""
+    dot = _COS64.format(a="qv", b="cv")
+    nq = f"sqrt({_COS64.format(a='qv', b='qv')})"
+    nc = f"sqrt({_COS64.format(a='cv', b='cv')})"
+    return f"""{cand_cte},
+    pairs AS (SELECT cand.query_id, cand.neighbor_id,
+                     eq.embedding AS qv, ec.embedding AS cv
+              FROM cand
+              JOIN embeddings eq ON eq.vec_id = cand.query_id
+              JOIN embeddings ec ON ec.vec_id = cand.neighbor_id),
+    scored AS (SELECT query_id, neighbor_id,
+                      {dot} / ({nq} * {nc}) AS cos
+               FROM pairs),
+    ranked AS (SELECT query_id, neighbor_id, cos,
+                      ROW_NUMBER() OVER (PARTITION BY query_id
+                                         ORDER BY cos DESC,
+                                                  neighbor_id ASC) AS rnk
+               FROM scored)
+    SELECT query_id, CAST(rnk AS INT) AS rank, neighbor_id,
+           FLOOR(cos * 1e6 + 0.5) / 1e6 AS cos
+    FROM ranked WHERE rnk <= 5
+    """
+
+
+def _lsh_sql(n_tables: int = 8, n_planes: int = 4) -> str:
+    """Full-replica oracle for the hyperplane-LSH ANN path: recompute
+    the md5-derived integer planes (operators/similarity.
+    _plane_center), the quantized integer signatures, the (table,
+    bucket) candidate join, and the exact cosine re-rank — all in
+    DuckDB SQL. Deterministic because every sign decision is exact
+    int64 arithmetic on both engines."""
+    hex16 = "0123456789abcdef"
+    cand = f"""
+    WITH planes AS (
+      SELECT t.t, p.p, d.d,
+             2 * list_reduce(
+                   list_transform(range(1, 9), i ->
+                     CAST(strpos('{hex16}',
+                          substr(md5('rhp:' || CAST(t.t * 1000 + p.p AS VARCHAR)
+                                    || ':' || CAST(d.d AS VARCHAR)), i, 1))
+                          - 1 AS BIGINT)),
+                   (a, b) -> a * 16 + b)
+               - 4294967296 AS pc
+      FROM range(0, {n_tables}) t(t), range(0, {n_planes}) p(p),
+           range(0, 64) d(d)),
+    pl AS (SELECT t, p, list(pc ORDER BY d) AS pl
+           FROM planes GROUP BY t, p),
+    vq AS (SELECT vec_id, {_VQ64.format(v='embedding')} AS q
+           FROM embeddings),
+    dots AS (SELECT v.vec_id, pl.t, pl.p,
+                    {_IDOT64.format(a='v.q', b='pl.pl')} AS dot
+             FROM vq v, pl),
+    sigs AS (SELECT vec_id, t,
+                    SUM(CASE WHEN dot > 0
+                             THEN (CAST(1 AS BIGINT) << p) ELSE 0 END)
+                      AS bucket
+             FROM dots GROUP BY vec_id, t),
+    qsig AS (SELECT * FROM sigs WHERE vec_id < 10),
+    cand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+             FROM sigs c JOIN qsig q ON c.t = q.t AND c.bucket = q.bucket
+             WHERE q.vec_id <> c.vec_id)"""
+    return _rerank_sql(cand)
+
+
+def _ivf_sql(
+    k_cells: int = 16, n_probe: int = 4, iterations: int = 5,
+    sample: int = 2000,
+) -> str:
+    """Full-replica oracle for the IVF ANN path, INCLUDING the k-means
+    fit: the fit is exact integer-moment arithmetic (centroid state =
+    int64 member sums, score = int_dot/‖S‖, ties → lowest cell), so
+    ``iterations`` unrolled rounds of assignment+resum in SQL
+    reproduce ivf_fit_centroids bit-for-bit; then corpus/query cell
+    assignment, the cell-candidate join, and the exact cosine
+    re-rank."""
+    score = (
+        f"CAST({_IDOT64.format(a='s.q', b='c.s')} AS DOUBLE)"
+        f" / sqrt(CAST({_IDOT64.format(a='c.s', b='c.s')} AS DOUBLE))"
+    )
+    parts = [f"""
+    WITH vq AS (SELECT vec_id, {_VQ64.format(v='embedding')} AS q
+                FROM embeddings),
+    samp AS (SELECT vec_id, q,
+                    ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS ri
+             FROM (SELECT * FROM vq ORDER BY vec_id LIMIT {sample})),
+    nn AS (SELECT COUNT(*) AS n FROM samp),
+    cent0 AS (
+      SELECT j.j, s.q AS s
+      FROM range(0, {k_cells}) j(j), nn, samp s
+      WHERE s.ri = CAST(FLOOR(j.j * ((nn.n - 1) / {k_cells - 1}.0))
+                        AS BIGINT))"""]
+    for r in range(1, iterations + 1):
+        prev = f"cent{r - 1}"
+        parts.append(f""",
+    asg{r} AS (
+      SELECT vec_id, j FROM (
+        SELECT s.vec_id, c.j,
+               ROW_NUMBER() OVER (PARTITION BY s.vec_id
+                                  ORDER BY {score} DESC, c.j ASC) AS rn
+        FROM samp s, {prev} c) WHERE rn = 1),
+    cent{r} AS (
+      SELECT p.j, COALESCE(cn.s, p.s) AS s
+      FROM {prev} p LEFT JOIN (
+        SELECT j, list_transform(range(1, 65), i ->
+                 CAST(list_sum(list_transform(qs, q -> q[i])) AS BIGINT))
+                 AS s
+        FROM (SELECT a.j, list(s.q) AS qs
+              FROM asg{r} a JOIN samp s USING (vec_id) GROUP BY a.j))
+        cn ON p.j = cn.j)""")
+    final = f"cent{iterations}"
+    parts.append(f""",
+    corpus_cell AS (
+      SELECT vec_id AS neighbor_id, j AS cell FROM (
+        SELECT s.vec_id, c.j,
+               ROW_NUMBER() OVER (PARTITION BY s.vec_id
+                                  ORDER BY {score} DESC, c.j ASC) AS rn
+        FROM vq s, {final} c) WHERE rn = 1),
+    query_cell AS (
+      SELECT vec_id AS query_id, j AS cell FROM (
+        SELECT s.vec_id, c.j,
+               ROW_NUMBER() OVER (PARTITION BY s.vec_id
+                                  ORDER BY {score} DESC, c.j ASC) AS rn
+        FROM vq s, {final} c WHERE s.vec_id < 10) WHERE rn <= {n_probe}),
+    cand AS (SELECT DISTINCT query_id, neighbor_id
+             FROM corpus_cell JOIN query_cell USING (cell)
+             WHERE query_id <> neighbor_id)""")
+    return _rerank_sql("".join(parts))
+
+
 def oracle_sql() -> dict[str, str]:
     freq_sql = (
         CELLS_SQL
@@ -3236,6 +3431,9 @@ QUALIFY ROW_NUMBER() OVER (
         "dedup_ngram_jaccard": _jaccard_sql(0.12),
         "dedup_simhash": _simhash_sql(16),
         "similarity_cosine_topk": _cosine_sql(),
+        "similarity_lsh_topk": _lsh_sql(),
+        "similarity_ivf_topk": _ivf_sql(),
+        "approx_stats": _approx_stats_sql(),
         "multimodal_decode": """
             SELECT doc_id AS media_id,
                    CASE CAST(doc_id % 3 AS INT)

@@ -101,34 +101,60 @@ def cosine_topk(
     )
 
 
-def _plane_value(plane: int, dim: int) -> float:
-    """Deterministic pseudo-random plane component in [-1, 1): 13 hex
-    chars of md5("rhp:plane:dim") scaled. Stable across runs, engines,
-    and cluster sizes — no RNG state to ship."""
+#: vector components are quantized to integers (q = floor(v·QUANT +
+#: 0.5)) before any sign/argmax decision, so accumulation is exact
+#: int64 arithmetic — order-free, bit-identical across engines and
+#: partitionings. QUANT is a power of two: v·QUANT is exact in
+#: float64, so the quantization itself has no rounding ambiguity.
+VEC_QUANT = 1024
+
+
+def _plane_center(plane: int, dim: int) -> int:
+    """Deterministic pseudo-random plane component as a CENTERED
+    INTEGER in (−16^8, 16^8): first 8 hex chars of
+    md5("rhp:plane:dim"), doubled and shifted. Stable across runs,
+    engines, and cluster sizes — no RNG state to ship, and integer
+    dot products are exactly reproducible in ANSI SQL (the DuckDB
+    oracle recomputes the same md5 → the same planes)."""
     import hashlib
 
-    h = int(hashlib.md5(f"rhp:{plane}:{dim}".encode()).hexdigest()[:13], 16)
-    return h / float(16**13) * 2.0 - 1.0
+    h = int(hashlib.md5(f"rhp:{plane}:{dim}".encode()).hexdigest()[:8], 16)
+    return 2 * h - 16**8
 
 
 def _plane_matrix(n_planes: int, n_tables: int, dim: int):
-    """(dim, n_tables*n_planes) hyperplane matrix, columns grouped by
-    table. Built once on the driver (a few KB), broadcast inside the
-    UDF closure."""
+    """(dim, n_tables*n_planes) int64 hyperplane matrix, columns
+    grouped by table. Built once on the driver (a few KB), broadcast
+    inside the UDF closure."""
     import numpy as np
 
     cols = []
     for t in range(n_tables):
         for p in range(n_planes):
             pid = t * 1000 + p
-            cols.append([_plane_value(pid, d) for d in range(dim)])
-    return np.asarray(cols, dtype=np.float64).T
+            cols.append([_plane_center(pid, d) for d in range(dim)])
+    return np.asarray(cols, dtype=np.int64).T
+
+
+def quantize_batch(mat):
+    """float matrix → int64, q = floor(v·QUANT + 0.5) (half-up, the
+    cross-engine rounding from ROUND_NOTES.md #2)."""
+    import numpy as np
+
+    return np.floor(mat.astype(np.float64) * VEC_QUANT + 0.5).astype(np.int64)
 
 
 def rhp_signatures_udf(n_planes: int, n_tables: int, dim: int):
     """Arrow-batched signature kernel: one numpy matmul per batch
     computes every table's signature for every row — sign bits packed
     per table into an array<long>.
+
+    The matmul is INTEGER (quantized vectors × integer planes):
+    |q| ≤ QUANT·|v|max ≈ 550 and |plane| < 2^32, so 64-term dot
+    products stay ≪ 2^63 — exact, order-free, and therefore
+    bit-reproducible by the DuckDB oracle's SUM over the same terms
+    (a float matmul's sign could flip on near-zero dots between BLAS
+    and SQL accumulation orders).
 
     A pure Column-expression formulation needs tables×planes×dim
     (≈2000) expression terms per row, which blows past JVM codegen
@@ -140,12 +166,12 @@ def rhp_signatures_udf(n_planes: int, n_tables: int, dim: int):
     from pyspark.sql.functions import pandas_udf
 
     planes = _plane_matrix(n_planes, n_tables, dim)
-    weights = np.power(2.0, np.arange(n_planes))
+    weights = np.power(2, np.arange(n_planes)).astype(np.int64)
 
     @pandas_udf("array<long>")
     def sigs(vecs: pd.Series) -> pd.Series:
-        mat = np.stack(vecs.to_numpy()).astype(np.float64)  # (n, dim)
-        bits = (mat @ planes) > 0  # (n, tables*planes)
+        mat = np.stack(vecs.to_numpy())  # (n, dim)
+        bits = (quantize_batch(mat) @ planes) > 0  # (n, tables*planes)
         out = []
         for row in bits.reshape(len(mat), n_tables, n_planes):
             out.append((row @ weights).astype(np.int64).tolist())
@@ -185,25 +211,34 @@ def lsh_buckets(
 
 def ivf_assign(
     df: DataFrame,
-    centroids,  # np.ndarray (k, dim)
+    centroids,  # np.ndarray (k, dim) int64 centroid SUMS
     id_name: str,
     id_col: str,
     vec_col: str,
     n_probe: int = 1,
 ):
     """Assign each vector to its ``n_probe`` nearest centroid cells —
-    one Arrow-batched matmul, same kernel shape as the LSH signatures."""
+    one Arrow-batched matmul, same kernel shape as the LSH signatures.
+
+    The score is cos(v, centroid direction) up to the per-row constant
+    ‖v‖: dot(q, S_j)/‖S_j‖ with q the quantized vector and S_j the
+    integer centroid sum — the integer dot is exact, the divide and
+    the argsort comparisons are then identical float ops on identical
+    operands in every engine. Ties break toward the lowest cell id
+    (stable argsort), matching the oracle's ORDER BY r DESC, j ASC."""
     import numpy as np
     from pyspark.sql.functions import pandas_udf
 
-    c = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+    S = np.asarray(centroids, dtype=np.int64)
+    norms = np.sqrt((S * S).sum(axis=1).astype(np.float64))
 
     @pandas_udf("array<int>")
     def cells(vecs: pd.Series) -> pd.Series:
-        mat = np.stack(vecs.to_numpy()).astype(np.float64)
-        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
-        sims = mat @ c.T  # (n, k)
-        top = np.argsort(-sims, axis=1)[:, :n_probe].astype(np.int32)
+        mat = np.stack(vecs.to_numpy())
+        r = (quantize_batch(mat) @ S.T).astype(np.float64) / norms
+        top = np.argsort(-r, axis=1, kind="stable")[:, :n_probe].astype(
+            np.int32
+        )
         return pd.Series(list(top))
 
     out = df.select(
@@ -225,7 +260,18 @@ def ivf_fit_centroids(
     sample: int = 2000,
     iterations: int = 5,
 ):
-    """Deterministic mini k-means on a driver-side sample (numpy).
+    """Deterministic mini k-means on a driver-side sample — EXACT
+    integer-moment arithmetic (ROUND_NOTES.md #8), so the fit is
+    bit-reproducible by the DuckDB oracle's unrolled-SQL k-means:
+
+    - vectors quantized to int64 (quantize_batch);
+    - centroid state is the integer SUM of member vectors (means never
+      materialized: argmax_j dot(q, S_j)/‖S_j‖ ranks cells identically
+      to cosine against the mean, and the n_j denominators cancel);
+    - init = evenly spaced sample points; ties → lowest j; empty
+      cluster keeps its previous sum.
+
+    Returns the (k, dim) int64 centroid-sum matrix.
 
     At 100 TB the *fit* stays a sample (centroid quality needs ~1000
     points per cell, not the full corpus); only the *assignment* pass
@@ -236,20 +282,21 @@ def ivf_fit_centroids(
     import numpy as np
 
     rows = corpus.select(id_col, vec_col).orderBy(id_col).limit(sample).collect()
-    rows = [(r[1],) for r in rows]
-    x = np.asarray([r[0] for r in rows], dtype=np.float64)
-    x = x / np.linalg.norm(x, axis=1, keepdims=True)
-    # deterministic init: evenly spaced sample points
-    idx = np.linspace(0, len(x) - 1, k).astype(int)
-    c = x[idx].copy()
+    x = np.asarray([r[1] for r in rows])
+    q = quantize_batch(x)
+    # deterministic init: evenly spaced sample points (linspace then
+    # truncate — the float step is the same two ops the oracle does)
+    idx = np.linspace(0, len(q) - 1, k).astype(int)
+    S = q[idx].copy()
     for _ in range(iterations):
-        assign = np.argmax(x @ c.T, axis=1)
+        norms = np.sqrt((S * S).sum(axis=1).astype(np.float64))
+        r = (q @ S.T).astype(np.float64) / norms
+        assign = np.argmax(r, axis=1)  # first max ⇒ lowest j on ties
         for j in range(k):
-            members = x[assign == j]
+            members = q[assign == j]
             if len(members):
-                m = members.mean(axis=0)
-                c[j] = m / (np.linalg.norm(m) or 1.0)
-    return c
+                S[j] = members.sum(axis=0)
+    return S
 
 
 def ivf_topk(

@@ -104,12 +104,14 @@ def test_approx_stats_query_error_bounds(spark, sf_dir):
     exact = li.agg(
         F.count_distinct("l_partkey").alias("nd_p"),
         F.count_distinct("l_suppkey").alias("nd_s"),
-        F.expr("percentile(l_extendedprice, array(0.5, 0.95, 0.99))").alias("q"),
+        F.expr("percentile(l_quantity, array(0.5, 0.95, 0.99))").alias("q"),
     ).collect()[0]
     # HLL++ default rsd is 5%; assert a 2x cushion
     assert abs(row.nd_partkey - exact.nd_p) / exact.nd_p < 0.10
     assert abs(row.nd_suppkey - exact.nd_s) / exact.nd_s < 0.10
-    # percentile_approx accuracy 10000 -> rank error <= n/10000; on the
-    # price distribution that is well under 2% of the value
-    for got, want in zip(row.price_quantiles, exact.q):
-        assert abs(got - want) / want < 0.02
+    # percentile_approx at accuracy 1e6 is rank-exact (mod the GK
+    # merge's sub-1 slack) below 1M rows; keep a tolerance so the test
+    # survives re-tuning to sketch-sized accuracy
+    got_q = (row.qty_p50, row.qty_p95, row.qty_p99)
+    for got, want in zip(got_q, exact.q):
+        assert abs(got - want) / want < 0.05

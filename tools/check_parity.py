@@ -40,6 +40,11 @@ def main():
 
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
+    # SF-aware oracles (e.g. the pinned HLL goldens in approx_stats)
+    # key off this; the driver's own harness runs at the default sf0.01
+    import os
+
+    os.environ["SPARK_GRAFT_SF_DIR"] = sf_dir
 
     spark = get_spark("parity-check")
     con = duckdb.connect()
