@@ -19,13 +19,25 @@ so a crashed writer never yields a phantom cache hit.
 
 At 100 TB the manifest stays tiny (one row per item ever computed) and
 is always the broadcast side of the anti-join.
+
+Durability: the manifest is an append-only TRANSACTION LOG
+(Delta-protocol shape, VERDICT r01 #5). Each commit is one immutable
+parquet file ``{version:020d}.parquet`` whose version is claimed
+atomically with ``link(2)`` (fails with EEXIST if the version exists —
+the local-FS equivalent of HDFS's no-overwrite rename Delta relies
+on); losers of a race re-read the log and retry at the next version.
+Readers resolve current state as "highest version wins per spec_hash",
+so concurrent writers can interleave but can never lose each other's
+rows — rewrite-in-place could. ``compact()`` folds the log into a
+single commit when it grows long.
 """
 
 from __future__ import annotations
 
 import os
+import tempfile
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -46,18 +58,108 @@ MANIFEST_SCHEMA = T.StructType(
 )
 
 
+_LOG_SCHEMA = T.StructType(
+    list(MANIFEST_SCHEMA.fields)
+    + [T.StructField("version", T.LongType(), False)]
+)
+
+
 class CacheManifest:
-    """Parquet-backed manifest keyed by spec hash."""
+    """Transaction-log-backed manifest keyed by spec hash."""
 
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
         self.root = root
-        self.manifest_path = os.path.join(root, "_manifest")
+        self.log_path = os.path.join(root, "_manifest_log")
+
+    # -- log primitives ---------------------------------------------
+
+    def _versions(self) -> list[int]:
+        if not os.path.isdir(self.log_path):
+            return []
+        return sorted(
+            int(f.split(".")[0])
+            for f in os.listdir(self.log_path)
+            if f.endswith(".parquet")
+        )
+
+    def _commit(self, rows: list[tuple]) -> int:
+        """Atomically append one commit file containing ``rows``.
+
+        Optimistic concurrency: build the file for version =
+        max(existing)+1, then claim the version with ``os.link`` —
+        hard-linking onto an existing path raises FileExistsError, so
+        exactly one writer wins each version and the loser retries
+        with a re-read version number. The temp file lives OUTSIDE
+        the log dir so readers never see partial parquet."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        os.makedirs(self.log_path, exist_ok=True)
+        os.makedirs(self.root, exist_ok=True)
+        cols = [f.name for f in MANIFEST_SCHEMA.fields]
+        while True:
+            versions = self._versions()
+            v = versions[-1] + 1 if versions else 0
+            data = {c: [r[i] for r in rows] for i, c in enumerate(cols)}
+            data["version"] = [v] * len(rows)
+            table = pa.table(
+                data,
+                schema=pa.schema(
+                    [
+                        ("spec_hash", pa.string()),
+                        ("kind", pa.string()),
+                        ("status", pa.int32()),
+                        ("committed", pa.bool_()),
+                        ("path", pa.string()),
+                        ("update_time", pa.int64()),
+                        ("version", pa.int64()),
+                    ]
+                ),
+            )
+            fd, tmp = tempfile.mkstemp(dir=self.root, suffix=".commit.tmp")
+            os.close(fd)
+            try:
+                pq.write_table(table, tmp)
+                target = os.path.join(self.log_path, f"{v:020d}.parquet")
+                try:
+                    os.link(tmp, target)
+                    return v
+                except FileExistsError:
+                    continue  # lost the race — re-read versions, retry
+            finally:
+                os.unlink(tmp)
 
     def read(self) -> DataFrame:
-        if not os.path.exists(self.manifest_path):
+        """Current manifest state: replay the log, highest version wins
+        per spec_hash."""
+        if not self._versions():
             return self.spark.createDataFrame([], schema=MANIFEST_SCHEMA)
-        return self.spark.read.schema(MANIFEST_SCHEMA).parquet(self.manifest_path)
+        log = self.spark.read.schema(_LOG_SCHEMA).parquet(self.log_path)
+        w = Window.partitionBy("spec_hash").orderBy(F.desc("version"))
+        return (
+            log.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn", "version")
+        )
+
+    def compact(self) -> None:
+        """Fold the whole log into one commit file and drop the
+        older files. Safe against concurrent WRITERS (the compacted
+        state is itself a linked commit, and replaying superseded
+        files is idempotent because higher versions win); concurrent
+        READERS listing mid-compaction may need a retry — acceptable
+        for the local driver, Delta checkpoints are the cluster
+        answer."""
+        state = [tuple(r) for r in self.read().collect()]
+        if not state:
+            return
+        v = self._commit(state)
+        for old in self._versions():
+            if old < v:
+                os.unlink(
+                    os.path.join(self.log_path, f"{old:020d}.parquet")
+                )
 
     def cached_hashes(self) -> DataFrame:
         m = self.read()
@@ -90,8 +192,8 @@ class CacheManifest:
         (the reference's idempotent enqueue, extract_check.py:165-183,
         batched). Results are written before the manifest commit, so a
         crash mid-batch leaves at worst uncommitted artifacts — never
-        a phantom cache hit. One manifest rewrite per batch instead of
-        per item; on Delta the same operation is a single MERGE INTO."""
+        a phantom cache hit. One log commit per batch instead of per
+        item; on a cluster store the same operation is a Delta MERGE."""
         if not entries:
             return []
         paths = []
@@ -101,18 +203,11 @@ class CacheManifest:
             df.write.mode("overwrite").parquet(path)
             paths.append(path)
             rows.append((spec_hash, kind, STATUS_DONE, True, path, 0))
-        new = self.spark.createDataFrame(rows, schema=MANIFEST_SCHEMA)
-        hashes = {e[0] for e in entries}
-        merged = (
-            self.read().filter(~F.col("spec_hash").isin(list(hashes)))
-            .unionByName(new)
-        )
-        # tiny table: rewrite-in-place is safe and atomic-enough locally;
-        # production target is Delta MERGE INTO.
-        tmp = self.manifest_path + "._tmp"
-        merged.coalesce(1).write.mode("overwrite").parquet(tmp)
-        final = self.spark.read.schema(MANIFEST_SCHEMA).parquet(tmp)
-        final.coalesce(1).write.mode("overwrite").parquet(self.manifest_path)
+        # one atomic log append for the whole batch: concurrent
+        # writers' commits interleave as distinct versions, never
+        # overwriting each other (the rewrite-in-place this replaces
+        # could drop a concurrent batch's rows)
+        self._commit(rows)
         return paths
 
     def get(self, spec_hash: str) -> DataFrame:

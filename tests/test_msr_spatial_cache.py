@@ -109,3 +109,54 @@ def test_cache_round_trip_and_idempotency(spark, tmp_path):
     cache.put("h1", "extract", result)
     assert cache.missing(items).count() == 1
     assert cache.read().filter(F.col("spec_hash") == "h1").count() == 1
+
+
+def test_cache_concurrent_put_many_no_lost_rows(spark, tmp_path):
+    """VERDICT r01 #5 'done' bar: two threads commit disjoint hash
+    batches through the transaction log; every row survives (the old
+    rewrite-in-place manifest could drop a concurrent batch)."""
+    import threading
+
+    cache = CacheManifest(spark, str(tmp_path / "cache"))
+    result = spark.createDataFrame([Row(asdf_id=1, exfield_0=1.0)])
+    errors = []
+
+    def writer(prefix):
+        try:
+            # many small batches to force version-claim interleaving
+            for i in range(10):
+                cache.put_many([(f"{prefix}{i}", "extract", result)])
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    threads = [
+        threading.Thread(target=writer, args=(p,)) for p in ("a", "b")
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors
+    got = {r["spec_hash"] for r in cache.cached_hashes().collect()}
+    want = {f"{p}{i}" for p in ("a", "b") for i in range(10)}
+    assert got == want
+    # every commit claimed a distinct version; log replay is stable
+    assert cache.read().count() == 20
+
+
+def test_cache_log_compaction(spark, tmp_path):
+    cache = CacheManifest(spark, str(tmp_path / "cache"))
+    result = spark.createDataFrame([Row(asdf_id=1, exfield_0=1.0)])
+    for i in range(5):
+        cache.put(f"h{i}", "extract", result)
+    # re-put h0 so the log has a superseded row
+    cache.put("h0", "extract", result)
+    before = {r["spec_hash"] for r in cache.cached_hashes().collect()}
+    assert len(cache._versions()) == 6
+    cache.compact()
+    assert len(cache._versions()) == 1
+    after = {r["spec_hash"] for r in cache.cached_hashes().collect()}
+    assert after == before == {f"h{i}" for i in range(5)}
+    # writes keep working after compaction
+    cache.put("h9", "extract", result)
+    assert cache.read().count() == 6
