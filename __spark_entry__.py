@@ -756,6 +756,45 @@ def q_zonal_weighted_triangle(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _weighted_poly_result(joined)
 
 
+def q_raster_file_zonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # S9 end-to-end on a REAL file (VERDICT r01 #6): write a baseline
+    # TIFF (deterministic value formula + nodata holes), decode it
+    # through read_raster_cells' windowed mapInPandas kernel (pure
+    # codec — no rasterio in this container), zonal-aggregate. The
+    # oracle recomputes the same formula in SQL, so the whole
+    # file→cells→null-mapping→agg path is value-checked.
+    import os
+    import tempfile
+
+    import numpy as np
+
+    from det_module_spark.sources.raster import read_raster_cells
+    from det_module_spark.sources.tiff import write_tiff
+
+    h, w = 120, 200
+    yy, xx = np.mgrid[0:h, 0:w]
+    arr = ((xx * 7 + yy * 13) % 100).astype(np.float32)
+    arr[(xx + yy) % 11 == 0] = -1.0  # nodata holes
+    path = os.path.join(tempfile.gettempdir(), "det_module_raster_q1.tif")
+    if not os.path.exists(path):
+        # atomic publish: concurrent streams write identical bytes to
+        # a private temp name, last rename wins, readers never see a
+        # partial file
+        fd, tmp = tempfile.mkstemp(dir=tempfile.gettempdir(), suffix=".tif")
+        os.close(fd)
+        write_tiff(tmp, arr, nodata=-1.0, rows_per_strip=32)
+        os.replace(tmp, path)
+    cells = read_raster_cells(spark, [("cov", "2020", path)], tile_size=64)
+    return (
+        cells.withColumn("asdf_id", F.expr("cell_y div 30"))
+        .groupBy("asdf_id")
+        .agg(
+            F.count("value").alias("n_cells"),
+            F.sum("value").alias("sum_value"),
+        )
+    )
+
+
 def q_zonal_salted_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     # skew-immune two-stage aggregation; must equal the plain mean
     from det_module_spark.operators.skew import salted_mean
@@ -2697,6 +2736,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zonal_weighted_spatial": q_zonal_weighted_spatial,
         "zonal_weighted_polygon": q_zonal_weighted_polygon,
         "zonal_weighted_triangle": q_zonal_weighted_triangle,
+        "raster_file_zonal": q_raster_file_zonal,
         "range_join": q_range_join,
         "dedup_clusters": q_dedup_clusters,
         "window_lag_lead": q_window_lag_lead,
@@ -3523,6 +3563,19 @@ QUALIFY ROW_NUMBER() OVER (
                    FLOOR(SUM(value * coverage) * 1e2 + 0.5) / 1e2 AS wsum,
                    FLOOR(SUM(coverage) * 1e4 + 0.5) / 1e4 AS wcnt
             FROM covf GROUP BY asdf_id
+        """,
+        "raster_file_zonal": """
+            WITH g AS (SELECT (i % 200) AS x, (i // 200) AS y
+                       FROM range(24000) t(i)),
+            v AS (SELECT y // 30 AS asdf_id,
+                         CASE WHEN (x + y) % 11 = 0 THEN NULL
+                              ELSE CAST((x * 7 + y * 13) % 100 AS DOUBLE)
+                         END AS value
+                  FROM g)
+            SELECT CAST(asdf_id AS BIGINT) AS asdf_id,
+                   COUNT(value) AS n_cells,
+                   SUM(value) AS sum_value
+            FROM v GROUP BY asdf_id
         """,
         "zonal_weighted_triangle": """
             WITH cells AS (

@@ -14,10 +14,13 @@ a groupBy. Loading strategy, 100 TB-first:
 - tiling: large rasters are windowed into ``tile_size²`` blocks so a
   single 100k×100k GeoTIFF fans out to many tasks.
 
-rasterio is not bundled in this container: the decode kernel raises
-``NotImplementedError`` unless available, and ``synthetic_raster``
-provides a deterministic stand-in with the identical output schema so
-every downstream operator is testable.
+Decode backends, picked per task: rasterio when importable (full
+GeoTIFF: compression, CRS, overviews), else the pure-Python baseline
+codec in ``sources/tiff.py`` (uncompressed strip/tile TIFF, both byte
+orders, GDAL_NODATA) — so S9 runs real files even without the geo
+stack. Both backends decode WINDOWED: a task materializes only its
+``tile_size²`` block. ``synthetic_raster`` remains the schema-
+compatible in-memory stand-in.
 """
 
 from __future__ import annotations
@@ -56,51 +59,67 @@ def read_raster_cells(
     """(dataset, temporal, path) inventory → cell DataFrame.
 
     Each executor task decodes one (file, tile) window; nodata pixels
-    become null values. Requires rasterio.
+    become null values. rasterio when available, else the pure
+    baseline-TIFF codec (sources/tiff.py).
     """
-    try:  # pragma: no cover - geo stack not bundled in this container
-        import rasterio  # noqa: F401
-    except ImportError as e:
-        raise NotImplementedError(
-            "GeoTIFF decoding needs rasterio; use synthetic_raster for "
-            "schema-compatible test cells"
-        ) from e
-
     inventory = spark.createDataFrame(files, schema=FILE_SCHEMA)
     # one task per file; window tiling happens inside the kernel
     inventory = inventory.repartition(max(len(files), 1))
 
-    def decode(batches: Iterator) -> Iterator:  # pragma: no cover
+    def decode(batches: Iterator) -> Iterator:
         import numpy as np
         import pandas as pd
-        import rasterio
-        from rasterio.windows import Window
+
+        try:  # pragma: no cover - geo stack not bundled in container
+            import rasterio
+            from rasterio.windows import Window
+
+            def dims(path):
+                with rasterio.open(path) as src:
+                    return src.width, src.height
+
+            def read_window(path, x0, y0, w, h):
+                with rasterio.open(path) as src:
+                    arr = src.read(band, window=Window(x0, y0, w, h))
+                    return arr, src.nodata
+        except ImportError:
+            from det_module_spark.sources.tiff import read_tiff, tiff_info
+
+            if band != 1:  # pragma: no cover
+                raise NotImplementedError(
+                    "multi-band TIFF needs rasterio; baseline codec is "
+                    "single-band"
+                )
+
+            def dims(path):
+                info = tiff_info(path)
+                return info["width"], info["height"]
+
+            def read_window(path, x0, y0, w, h):
+                return read_tiff(path, window=(x0, y0, w, h))
 
         for pdf in batches:
             for row in pdf.itertuples(index=False):
-                with rasterio.open(row.path) as src:
-                    nodata = src.nodata
-                    for y0 in range(0, src.height, tile_size):
-                        for x0 in range(0, src.width, tile_size):
-                            win = Window(
-                                x0, y0,
-                                min(tile_size, src.width - x0),
-                                min(tile_size, src.height - y0),
-                            )
-                            arr = src.read(band, window=win).astype("float64")
-                            ys, xs = np.nonzero(np.ones_like(arr))
-                            vals = arr[ys, xs]
-                            if nodata is not None:
-                                vals = np.where(vals == nodata, np.nan, vals)
-                            yield pd.DataFrame(
-                                {
-                                    "dataset": row.dataset,
-                                    "temporal": row.temporal,
-                                    "cell_y": ys + y0,
-                                    "cell_x": xs + x0,
-                                    "value": vals,
-                                }
-                            )
+                width, height = dims(row.path)
+                for y0 in range(0, height, tile_size):
+                    for x0 in range(0, width, tile_size):
+                        w = min(tile_size, width - x0)
+                        h = min(tile_size, height - y0)
+                        arr, nodata = read_window(row.path, x0, y0, w, h)
+                        arr = np.asarray(arr, dtype="float64")
+                        ys, xs = np.nonzero(np.ones_like(arr))
+                        vals = arr[ys, xs]
+                        if nodata is not None:
+                            vals = np.where(vals == nodata, np.nan, vals)
+                        yield pd.DataFrame(
+                            {
+                                "dataset": row.dataset,
+                                "temporal": row.temporal,
+                                "cell_y": ys + y0,
+                                "cell_x": xs + x0,
+                                "value": vals,
+                            }
+                        )
 
     return inventory.mapInPandas(decode, schema=CELL_SCHEMA)
 

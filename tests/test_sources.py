@@ -22,9 +22,21 @@ def test_synthetic_raster_shape(spark):
     assert (bounds["mx"], bounds["my"]) == (19, 9)
 
 
-def test_raster_reader_gated(spark):
-    with pytest.raises(NotImplementedError, match="rasterio"):
-        read_raster_cells(spark, [("d", "1998", "/no/such.tif")])
+def test_raster_reader_runs_without_rasterio(spark, tmp_path):
+    # S9 is no longer import-gated: without rasterio the pure
+    # baseline-TIFF codec decodes real files (full coverage in
+    # tests/test_tiff_raster.py)
+    import numpy as np
+
+    from det_module_spark.sources.tiff import write_tiff
+
+    path = str(tmp_path / "r.tif")
+    write_tiff(path, np.arange(6, dtype=np.float32).reshape(2, 3))
+    out = read_raster_cells(spark, [("d", "1998", path)]).collect()
+    assert {(r["cell_y"], r["cell_x"], r["value"]) for r in out} == {
+        (0, 0, 0.0), (0, 1, 1.0), (0, 2, 2.0),
+        (1, 0, 3.0), (1, 1, 4.0), (1, 2, 5.0),
+    }
 
 
 def test_rect_boundaries_tile(spark):
