@@ -756,6 +756,50 @@ def q_zonal_weighted_triangle(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _weighted_poly_result(joined)
 
 
+def q_request_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # E1-E4 end-to-end as a driver-checked query (VERDICT r01 #7): a
+    # fixture request expands to 4 extract items (2 files x 2 extract
+    # types), anti-joins the (fresh) cache manifest, executes the
+    # missing zonal extracts, commits them through the transaction-log
+    # cache, and wide-merges with the reference's rename algebra
+    # (dataset.temporal.extract_type columns). The oracle recomputes
+    # the same per-item aggregates and assembles the same wide table.
+    import tempfile
+
+    from det_module_spark.plans.runner import Engine
+
+    request = {
+        "_id": "lifecycle0001",
+        "boundary": {"name": "synthetic_adm"},
+        "raster_data": [
+            {
+                "name": "synth_cov",
+                "options": {"extract_types": ["mean", "sum"]},
+                "files": [
+                    {"name": "synth_cov_1998", "path": "/x"},
+                    {"name": "synth_cov_2008", "path": "/y"},
+                ],
+            }
+        ],
+    }
+    base = _cells(spark, sf_dir)
+
+    def cell_source(item):
+        # per-temporal value shift so the four items differ
+        return base.withColumn(
+            "value", F.col("value") + F.lit(int(item.temporal) % 7)
+        )
+
+    eng = Engine(
+        spark,
+        tempfile.mkdtemp(prefix="det_lifecycle_"),
+        cell_source=cell_source,
+    )
+    res = eng.run_request(request)
+    assert res.status == 1 and res.merged is not None
+    return res.merged
+
+
 def q_raster_file_zonal(spark: SparkSession, sf_dir: str) -> DataFrame:
     # S9 end-to-end on a REAL file (VERDICT r01 #6): write a baseline
     # TIFF (deterministic value formula + nodata holes), decode it
@@ -2737,6 +2781,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zonal_weighted_polygon": q_zonal_weighted_polygon,
         "zonal_weighted_triangle": q_zonal_weighted_triangle,
         "raster_file_zonal": q_raster_file_zonal,
+        "request_lifecycle": q_request_lifecycle,
         "range_join": q_range_join,
         "dedup_clusters": q_dedup_clusters,
         "window_lag_lead": q_window_lag_lead,
@@ -3563,6 +3608,14 @@ QUALIFY ROW_NUMBER() OVER (
                    FLOOR(SUM(value * coverage) * 1e2 + 0.5) / 1e2 AS wsum,
                    FLOOR(SUM(coverage) * 1e4 + 0.5) / 1e4 AS wcnt
             FROM covf GROUP BY asdf_id
+        """,
+        "request_lifecycle": CELLS_SQL + """
+            SELECT asdf_id,
+                   AVG(value + 3) AS "synth_cov.1998.mean",
+                   SUM(value + 3) AS "synth_cov.1998.sum",
+                   AVG(value + 6) AS "synth_cov.2008.mean",
+                   SUM(value + 6) AS "synth_cov.2008.sum"
+            FROM cells GROUP BY asdf_id
         """,
         "raster_file_zonal": """
             WITH g AS (SELECT (i % 200) AS x, (i // 200) AS y

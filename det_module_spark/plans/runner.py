@@ -91,6 +91,19 @@ class Engine:
 
     def run_request(self, request: dict[str, Any], dry_run: bool = False) -> RunResult:
         items = expand_request(request)
+        # K8 lifecycle notifications (reference: email_report on
+        # request received / completed / error,
+        # queue/request_tools.py:254-326) — transport-free callback
+        # seam; SMTP/webhook adapters plug in outside the engine
+        self.notify(
+            "received",
+            {
+                "request_id": request.get("_id"),
+                "title": request.get("custom_name"),
+                "n_items": len(items),
+                "dry_run": dry_run,
+            },
+        )
         idf = items_df(self.spark, items)
         missing_hashes = {
             r["spec_hash"] for r in self.cache.missing(idf).collect()
@@ -123,5 +136,13 @@ class Engine:
             if i.kind == "extract"
         ]
         merged = merge_extracts(merge_items) if merge_items else None
-        self.notify("complete", {"request_id": request.get("_id")})
+        self.notify(
+            "complete",
+            {
+                "request_id": request.get("_id"),
+                "n_items": len(items),
+                "n_executed": len(missing),
+                "n_cached": len(items) - len(missing),
+            },
+        )
         return RunResult(STATUS_DONE, items, missing, merged)

@@ -133,3 +133,84 @@ def test_msr_surface_cached_separately(engine):
         row = surf.filter((F.col("cell_x") == 0) & (F.col("cell_y") == 0)).collect()[0]
         assert row["sum"] == 50.0  # 100 split over 2 locations
         assert row["potential"] == 100.0
+
+
+def test_notification_hook_received_and_complete(spark, tmp_path):
+    """K8 seam (queue/request_tools.py:254-326): the engine emits
+    received/complete (and error) lifecycle events through a
+    transport-free callback — the reference's email sink minus SMTP."""
+    cells = spark.createDataFrame(
+        [Row(asdf_id=i % 3, value=float(i), coverage=0.5,
+             potential=float(i * 2), category="forest")
+         for i in range(6)]
+    )
+    events = []
+    eng = Engine(
+        spark,
+        str(tmp_path / "cache"),
+        cell_source=lambda item: cells,
+        categories=["forest"],
+        notify=lambda event, payload: events.append((event, payload)),
+    )
+    req = {
+        "_id": "notify01",
+        "custom_name": "notify request",
+        "boundary": {"name": "b"},
+        "raster_data": [
+            {
+                "name": "cov",
+                "options": {"extract_types": ["mean"]},
+                "files": [{"name": "cov_1998", "path": "/x"}],
+            }
+        ],
+    }
+    r = eng.run_request(req)
+    assert r.status == STATUS_DONE
+    assert [e for e, _ in events] == ["received", "complete"]
+    received, complete = events[0][1], events[1][1]
+    assert received["request_id"] == "notify01"
+    assert received["title"] == "notify request"
+    assert received["n_items"] == 1
+    assert complete == {
+        "request_id": "notify01", "n_items": 1,
+        "n_executed": 1, "n_cached": 0,
+    }
+    # cached re-run still notifies, with zero executed
+    events.clear()
+    eng.run_request(req)
+    assert [e for e, _ in events] == ["received", "complete"]
+    assert events[1][1]["n_executed"] == 0
+    assert events[1][1]["n_cached"] == 1
+    # dry run announces receipt but never completes
+    events.clear()
+    eng.run_request(req, dry_run=True)
+    assert [e for e, _ in events] == ["received"]
+    assert events[0][1]["dry_run"] is True
+
+
+def test_notification_hook_error(spark, tmp_path):
+    def boom(item):
+        raise RuntimeError("source unavailable")
+
+    events = []
+    eng = Engine(
+        spark,
+        str(tmp_path / "cache"),
+        cell_source=boom,
+        notify=lambda event, payload: events.append((event, payload)),
+    )
+    req = {
+        "_id": "notify02",
+        "boundary": {"name": "b"},
+        "raster_data": [
+            {
+                "name": "cov",
+                "options": {"extract_types": ["mean"]},
+                "files": [{"name": "cov_1998", "path": "/x"}],
+            }
+        ],
+    }
+    r = eng.run_request(req)
+    assert r.status == -2
+    assert [e for e, _ in events] == ["received", "error"]
+    assert "source unavailable" in events[1][1]["error"]
