@@ -2722,7 +2722,19 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # NOTE: dict order is the driver's check order, and the driver's
+    # correctness artifact recorded only the first 50 entries in round
+    # 1 — new/changed queries go FIRST so every round's additions are
+    # driver-visible.
     return {
+        # --- round-2 additions / re-oracled queries ---
+        "request_lifecycle": q_request_lifecycle,
+        "zonal_weighted_polygon": q_zonal_weighted_polygon,
+        "zonal_weighted_triangle": q_zonal_weighted_triangle,
+        "raster_file_zonal": q_raster_file_zonal,
+        "approx_stats": q_approx_stats,
+        "similarity_lsh_topk": q_similarity_lsh_topk,
+        "similarity_ivf_topk": q_similarity_ivf_topk,
         # --- §2.4 active extract types ---
         "zonal_mean": _zonal("mean"),
         "zonal_count": _zonal("count"),
@@ -2771,17 +2783,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_simhash": q_dedup_simhash,
         "similarity_cosine_topk": q_similarity_cosine_topk,
-        "similarity_lsh_topk": q_similarity_lsh_topk,
-        "similarity_ivf_topk": q_similarity_ivf_topk,
         "multimodal_decode": q_multimodal_decode,
         "multimodal_frame_sample": q_multimodal_frame_sample,
         "zonal_spatial_join": q_zonal_spatial_join,
         "zonal_salted_mean": q_zonal_salted_mean,
         "zonal_weighted_spatial": q_zonal_weighted_spatial,
-        "zonal_weighted_polygon": q_zonal_weighted_polygon,
-        "zonal_weighted_triangle": q_zonal_weighted_triangle,
-        "raster_file_zonal": q_raster_file_zonal,
-        "request_lifecycle": q_request_lifecycle,
         "range_join": q_range_join,
         "dedup_clusters": q_dedup_clusters,
         "window_lag_lead": q_window_lag_lead,
@@ -2808,7 +2814,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "argmax_order": q_argmax_order,
         "pii_redact": q_pii_redact,
         "rolling_range_window": q_rolling_range_window,
-        "approx_stats": q_approx_stats,
         "decontaminate": q_decontaminate,
         "text_repetition": q_text_repetition,
         "histogram_price": q_histogram_price,
