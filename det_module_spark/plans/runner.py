@@ -76,12 +76,19 @@ class Engine:
             if self.release_source is None:
                 raise ValueError("msr item but no release_source configured")
             locations = self.release_source(item)
-            return msr_surface(even_split_allocation(locations))
+            # MSR surfaces are bounded by the 0.05-resolution grid of
+            # the project extent — single-file artifacts like extracts
+            return msr_surface(even_split_allocation(locations)).coalesce(1)
         out = zonal_extract(
             self.cell_source(item),
             item.extract_type,
             categories=self.categories,
         )
+        # extract results are one row per boundary feature — bounded
+        # small by construction (SURVEY §1.1) — so cache artifacts are
+        # single-file parquet: 1 file instead of shuffle-partition-many
+        # tiny files per item, and the merge re-read scans 1 file
+        out = out.coalesce(1)
         if item.source == "release" and "exfield_0" in out.columns:
             # aid extracts name exfields by method, so the worldbank
             # hash7 rename yields `<ds>.<hash7>.sum` not `.0`
