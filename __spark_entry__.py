@@ -40,7 +40,12 @@ from det_module_spark.operators.multimodal import (
     media_from_documents,
 )
 from det_module_spark.operators.queue import get_requests, two_phase_poll
-from det_module_spark.operators.similarity import cosine_topk, ivf_topk, lsh_topk
+from det_module_spark.operators.similarity import (
+    cosine_topk,
+    ivf_topk,
+    lsh_topk,
+    semantic_dedup,
+)
 from det_module_spark.operators.text import (
     LANG_PROFILES,
     doc_fingerprint,
@@ -476,6 +481,19 @@ def q_similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "query_id", "rank", "neighbor_id", _pround(F.col("cos"), 6).alias("cos")
     )
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # SemDeDup-style semantic dedup: deterministic integer k-means
+    # cells confine the near-dup comparison (Σ|cell|² work, not n²);
+    # lowest id per near-dup group survives. Oracle replicates fit,
+    # assignment, and within-cell pairwise cosine in SQL. The
+    # synthetic embeddings have no tight duplicates (max within-cell
+    # cos ≈ 0.51), so the driver query runs at 0.4 — a diversity-
+    # pruning setting that actually exercises the drop path; real
+    # corpora use ~0.95.
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semantic_dedup(emb, n_cells=16, threshold=0.4)
 
 
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2735,6 +2753,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_stats": q_approx_stats,
         "similarity_lsh_topk": q_similarity_lsh_topk,
         "similarity_ivf_topk": q_similarity_ivf_topk,
+        "semantic_dedup": q_semantic_dedup,
         # --- §2.4 active extract types ---
         "zonal_mean": _zonal("mean"),
         "zonal_count": _zonal("count"),
@@ -3226,17 +3245,14 @@ def _lsh_sql(n_tables: int = 8, n_planes: int = 4) -> str:
     return _rerank_sql(cand)
 
 
-def _ivf_sql(
-    k_cells: int = 16, n_probe: int = 4, iterations: int = 5,
-    sample: int = 2000,
+def _ivf_fit_ctes(
+    k_cells: int = 16, iterations: int = 5, sample: int = 2000
 ) -> str:
-    """Full-replica oracle for the IVF ANN path, INCLUDING the k-means
-    fit: the fit is exact integer-moment arithmetic (centroid state =
-    int64 member sums, score = int_dot/‖S‖, ties → lowest cell), so
-    ``iterations`` unrolled rounds of assignment+resum in SQL
-    reproduce ivf_fit_centroids bit-for-bit; then corpus/query cell
-    assignment, the cell-candidate join, and the exact cosine
-    re-rank."""
+    """Shared WITH-prefix: exact integer k-means fit (unrolled) +
+    ``corpus_cell`` = every vector's nearest final centroid. The fit
+    is bit-identical to operators/similarity.ivf_fit_centroids
+    (centroid state = int64 member sums, score = int_dot/‖S‖, ties →
+    lowest cell)."""
     score = (
         f"CAST({_IDOT64.format(a='s.q', b='c.s')} AS DOUBLE)"
         f" / sqrt(CAST({_IDOT64.format(a='c.s', b='c.s')} AS DOUBLE))"
@@ -3278,7 +3294,23 @@ def _ivf_sql(
         SELECT s.vec_id, c.j,
                ROW_NUMBER() OVER (PARTITION BY s.vec_id
                                   ORDER BY {score} DESC, c.j ASC) AS rn
-        FROM vq s, {final} c) WHERE rn = 1),
+        FROM vq s, {final} c) WHERE rn = 1)""")
+    return "".join(parts)
+
+
+def _ivf_sql(
+    k_cells: int = 16, n_probe: int = 4, iterations: int = 5,
+    sample: int = 2000,
+) -> str:
+    """Full-replica oracle for the IVF ANN path, INCLUDING the k-means
+    fit (see _ivf_fit_ctes); then query cell assignment, the
+    cell-candidate join, and the exact cosine re-rank."""
+    score = (
+        f"CAST({_IDOT64.format(a='s.q', b='c.s')} AS DOUBLE)"
+        f" / sqrt(CAST({_IDOT64.format(a='c.s', b='c.s')} AS DOUBLE))"
+    )
+    final = f"cent{iterations}"
+    tail = f""",
     query_cell AS (
       SELECT vec_id AS query_id, j AS cell FROM (
         SELECT s.vec_id, c.j,
@@ -3287,8 +3319,42 @@ def _ivf_sql(
         FROM vq s, {final} c WHERE s.vec_id < 10) WHERE rn <= {n_probe}),
     cand AS (SELECT DISTINCT query_id, neighbor_id
              FROM corpus_cell JOIN query_cell USING (cell)
-             WHERE query_id <> neighbor_id)""")
-    return _rerank_sql("".join(parts))
+             WHERE query_id <> neighbor_id)"""
+    return _rerank_sql(_ivf_fit_ctes(k_cells, iterations, sample) + tail)
+
+
+def _semantic_dedup_sql(
+    k_cells: int = 16, threshold: float = 0.92, iterations: int = 5,
+    sample: int = 2000,
+) -> str:
+    """Oracle for SemDeDup: same integer k-means fit + cell
+    assignment, then within-cell pairwise cosine; a vector with a
+    lower-id neighbor at cos ≥ threshold is dropped."""
+    dot = _COS64.format(a="av", b="bv")
+    na = f"sqrt({_COS64.format(a='av', b='av')})"
+    nb = f"sqrt({_COS64.format(a='bv', b='bv')})"
+    tail = f""",
+    assigned AS (SELECT neighbor_id AS vec_id, cell FROM corpus_cell),
+    pairs AS (
+      SELECT x.cell, x.vec_id AS id_a, y.vec_id AS id_b,
+             ea.embedding AS av, eb.embedding AS bv
+      FROM assigned x
+      JOIN assigned y ON x.cell = y.cell AND x.vec_id < y.vec_id
+      JOIN embeddings ea ON ea.vec_id = x.vec_id
+      JOIN embeddings eb ON eb.vec_id = y.vec_id),
+    dups AS (
+      SELECT DISTINCT cell, id_b AS vec_id FROM pairs
+      WHERE {dot} / ({na} * {nb}) >= {threshold}),
+    dropped AS (SELECT cell, COUNT(*) AS n_dropped_in_cell
+                FROM dups GROUP BY cell)
+    SELECT a.vec_id, CAST(a.cell AS INT) AS cell,
+           COALESCE(d.n_dropped_in_cell, 0) AS n_dropped_in_cell
+    FROM assigned a
+    LEFT JOIN (SELECT vec_id FROM dups) x ON a.vec_id = x.vec_id
+    LEFT JOIN dropped d ON a.cell = d.cell
+    WHERE x.vec_id IS NULL
+    """
+    return _ivf_fit_ctes(k_cells, iterations, sample) + tail
 
 
 def oracle_sql() -> dict[str, str]:
@@ -3523,6 +3589,7 @@ QUALIFY ROW_NUMBER() OVER (
         "similarity_cosine_topk": _cosine_sql(),
         "similarity_lsh_topk": _lsh_sql(),
         "similarity_ivf_topk": _ivf_sql(),
+        "semantic_dedup": _semantic_dedup_sql(threshold=0.4),
         "approx_stats": _approx_stats_sql(),
         "multimodal_decode": """
             SELECT doc_id AS media_id,

@@ -389,6 +389,80 @@ def lsh_topk(
     )
 
 
+def semantic_dedup(
+    corpus: DataFrame,
+    n_cells: int = 16,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication: cluster the embedding
+    space (deterministic integer k-means, ivf_fit_centroids), compare
+    vectors ONLY within their cell, and drop every vector that has a
+    lower-id neighbor with cosine ≥ ``threshold`` (the lowest id in a
+    near-duplicate group survives).
+
+    Scale shape: the all-pairs comparison is confined to cells — with
+    k sized so cells hold ~constant membership, total work is
+    Σ|cell|² ≪ n², and each cell's pairs co-locate under one shuffle
+    key (the cell id). The fit is a bounded driver-side sample; the
+    assignment pass and the per-cell self-join are fully distributed.
+    Returns kept rows: (vec_id, cell, n_dropped_in_cell).
+    """
+    S = ivf_fit_centroids(
+        corpus, k=n_cells, id_col=id_col, vec_col=vec_col
+    )
+    assigned = ivf_assign(
+        corpus, S, "vec_id", id_col, vec_col, n_probe=1
+    ).select(
+        F.col("vec_id"), F.col("vec_id_v").alias("v"),
+        F.col("vec_id_n").alias("nrm"), "cell",
+    )
+    a = assigned.select(
+        F.col("cell"),
+        F.col("vec_id").alias("id_a"),
+        F.col("v").alias("va"),
+        F.col("nrm").alias("na"),
+    )
+    b = assigned.select(
+        F.col("cell"),
+        F.col("vec_id").alias("id_b"),
+        F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
+    # per-cell pairs, lower id on the left; a duplicate is any id_b
+    # with a qualifying lower-id neighbor
+    dups = (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "cos",
+            cosine_with_norms(
+                F.col("va"), F.col("vb"), F.col("na"), F.col("nb")
+            ),
+        )
+        .filter(F.col("cos") >= F.lit(threshold))
+        .select("cell", F.col("id_b").alias("vec_id"))
+        .distinct()
+    )
+    return (
+        assigned.select("vec_id", "cell")
+        .join(dups.select("vec_id"), "vec_id", "left_anti")
+        .join(
+            dups.groupBy("cell").agg(F.count("*").alias("n_dropped_in_cell")),
+            "cell",
+            "left",
+        )
+        .select(
+            "vec_id",
+            "cell",
+            F.coalesce("n_dropped_in_cell", F.lit(0)).alias(
+                "n_dropped_in_cell"
+            ),
+        )
+    )
+
+
 def label_centroids(
     df: DataFrame,
     vec: str = "embedding",

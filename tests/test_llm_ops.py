@@ -193,3 +193,47 @@ def test_unigram_logprob_ranks_rare_lower(spark):
     expect2 = (3 * math.log(7 / 8) + math.log(1 / 8)) / 4
     assert math.isclose(out[2].mean_logprob, expect2)
     assert out[2].mean_logprob < out[1].mean_logprob
+
+
+def test_semantic_dedup_drop_rule(spark, sf_dir):
+    """SemDeDup contract: a vector is dropped iff some LOWER-id vector
+    in its k-means cell has cosine >= threshold with it (lowest id in
+    each near-dup group survives)."""
+    from det_module_spark.operators.similarity import (
+        cosine_with_norms,
+        _norm,
+        ivf_assign,
+        ivf_fit_centroids,
+        semantic_dedup,
+    )
+
+    from det_module_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    thr = 0.4
+    kept = semantic_dedup(emb, n_cells=16, threshold=thr)
+    kept_ids = {r["vec_id"] for r in kept.collect()}
+    all_ids = {r["vec_id"] for r in emb.select("vec_id").collect()}
+    assert kept_ids <= all_ids and len(kept_ids) < len(all_ids)
+
+    # recompute cells + all within-cell pairs with exact cosine
+    S = ivf_fit_centroids(emb, k=16)
+    assigned = ivf_assign(emb, S, "vec_id", "vec_id", "embedding").select(
+        "vec_id", F.col("vec_id_v").alias("v"),
+        F.col("vec_id_n").alias("n"), "cell"
+    )
+    a = assigned.select("cell", F.col("vec_id").alias("ia"),
+                        F.col("v").alias("va"), F.col("n").alias("na"))
+    b = assigned.select("cell", F.col("vec_id").alias("ib"),
+                        F.col("v").alias("vb"), F.col("n").alias("nb"))
+    pairs = (
+        a.join(b, "cell")
+        .filter(F.col("ia") < F.col("ib"))
+        .withColumn("cos", cosine_with_norms(
+            F.col("va"), F.col("vb"), F.col("na"), F.col("nb")))
+        .select("ib", "cos")
+    )
+    has_lower_dup = {
+        r["ib"] for r in pairs.filter(F.col("cos") >= thr).collect()
+    }
+    assert all_ids - kept_ids == has_lower_dup
