@@ -857,6 +857,55 @@ def q_raster_file_zonal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_spatial_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # nearest-neighbor spatial assignment (point → closest admin
+    # centroid): broadcast-argmin, one hash agg keyed by point.
+    # Deterministic: dyadic coordinates, exact d², ties → lowest id.
+    from det_module_spark.operators.spatial import nearest_centroid_join
+
+    pts = spark.range(4000).select(
+        F.col("id").alias("point_id"),
+        ((F.col("id") % 64) * F.lit(0.15625)).alias("lon"),       # 5/32
+        (F.expr("id div 64") * F.lit(0.15625)).alias("lat"),
+    )
+    centers = spark.range(16).select(
+        F.col("id").alias("center_id"),
+        ((F.col("id") % 4) * F.lit(2.5) + F.lit(1.25)).alias("cx"),
+        (F.expr("id div 4") * F.lit(2.5) + F.lit(1.25)).alias("cy"),
+    )
+    out = nearest_centroid_join(pts, centers)
+    return out.select(
+        "point_id", "nearest_id", _pround(F.col("dist2"), 6).alias("dist2")
+    )
+
+
+def q_raster_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # overview/pyramid step: 8x8 block aggregation of a cell grid —
+    # one hash agg, output 1/64 of the cells. Integer-valued cells so
+    # block means are exact rationals (synthetic_raster's sin/cos
+    # would ride on libm last-bit differences between engines).
+    from det_module_spark.sources.raster import downsample_cells
+
+    cells = spark.range(256 * 256).select(
+        F.lit("cov").alias("dataset"),
+        F.lit("2020").alias("temporal"),
+        F.expr("id div 256").alias("cell_y"),
+        (F.col("id") % 256).alias("cell_x"),
+        ((F.col("id") % 256) * 7 + F.expr("id div 256") * 13)
+        .cast("double")
+        .alias("value"),
+    )
+    out = downsample_cells(cells, factor=8)
+    return out.select(
+        "block_y",
+        "block_x",
+        "n_cells",
+        _pround(F.col("mean_value"), 6).alias("mean_value"),
+        _pround(F.col("min_value"), 6).alias("min_value"),
+        _pround(F.col("max_value"), 6).alias("max_value"),
+    )
+
+
 def q_zonal_salted_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     # skew-immune two-stage aggregation; must equal the plain mean
     from det_module_spark.operators.skew import salted_mean
@@ -2754,6 +2803,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_lsh_topk": q_similarity_lsh_topk,
         "similarity_ivf_topk": q_similarity_ivf_topk,
         "semantic_dedup": q_semantic_dedup,
+        "spatial_nearest": q_spatial_nearest,
+        "raster_downsample": q_raster_downsample,
         # --- §2.4 active extract types ---
         "zonal_mean": _zonal("mean"),
         "zonal_count": _zonal("count"),
@@ -3688,6 +3739,43 @@ QUALIFY ROW_NUMBER() OVER (
                    AVG(value + 6) AS "synth_cov.2008.mean",
                    SUM(value + 6) AS "synth_cov.2008.sum"
             FROM cells GROUP BY asdf_id
+        """,
+        "spatial_nearest": """
+            WITH pts AS (
+              SELECT i AS point_id, (i % 64) * 0.15625 AS lon,
+                     (i // 64) * 0.15625 AS lat
+              FROM range(4000) t(i)),
+            centers AS (
+              SELECT i AS center_id, (i % 4) * 2.5 + 1.25 AS cx,
+                     (i // 4) * 2.5 + 1.25 AS cy
+              FROM range(16) c(i)),
+            d AS (
+              SELECT point_id,
+                     center_id,
+                     (lon - cx) * (lon - cx) + (lat - cy) * (lat - cy)
+                       AS d2,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY point_id
+                       ORDER BY (lon - cx) * (lon - cx)
+                              + (lat - cy) * (lat - cy) ASC,
+                              center_id ASC) AS rn
+              FROM pts, centers)
+            SELECT point_id, center_id AS nearest_id,
+                   FLOOR(d2 * 1e6 + 0.5) / 1e6 AS dist2
+            FROM d WHERE rn = 1
+        """,
+        "raster_downsample": """
+            WITH cells AS (
+              SELECT (i // 256) AS cell_y, (i % 256) AS cell_x,
+                     CAST((i % 256) * 7 + (i // 256) * 13 AS DOUBLE)
+                       AS value
+              FROM range(65536) t(i))
+            SELECT cell_y // 8 AS block_y, cell_x // 8 AS block_x,
+                   COUNT(value) AS n_cells,
+                   FLOOR(AVG(value) * 1e6 + 0.5) / 1e6 AS mean_value,
+                   FLOOR(MIN(value) * 1e6 + 0.5) / 1e6 AS min_value,
+                   FLOOR(MAX(value) * 1e6 + 0.5) / 1e6 AS max_value
+            FROM cells GROUP BY 1, 2
         """,
         "raster_file_zonal": """
             WITH g AS (SELECT (i % 200) AS x, (i // 200) AS y

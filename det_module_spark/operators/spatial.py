@@ -109,6 +109,53 @@ def spatial_join_polygon(
     return refined.drop("bucket_x", "bucket_y")
 
 
+def nearest_centroid_join(
+    points: DataFrame,
+    centers: DataFrame,
+    point_id: str = "point_id",
+    lon: str = "lon",
+    lat: str = "lat",
+    center_id: str = "center_id",
+    cx: str = "cx",
+    cy: str = "cy",
+) -> DataFrame:
+    """Nearest-neighbor assignment: each point → closest center
+    (squared planar distance, ties → lowest center id).
+
+    Plan: centers broadcast (boundary/admin centroid sets are small by
+    nature), one projection computes d² per (point, center), one hash
+    aggregation takes min(struct(d², id)) per point — map-side combine
+    keeps the shuffle at one row per point. For center sets too big to
+    broadcast, the bucketed ring-search (explode_boundary_buckets with
+    growing radius) is the fallback; at the reference's cardinality
+    broadcast-argmin is strictly better (no fan-out, no refinement
+    pass)."""
+    c = F.broadcast(
+        centers.select(
+            F.col(center_id).alias("_cid"),
+            F.col(cx).alias("_cx"),
+            F.col(cy).alias("_cy"),
+        )
+    )
+    # plain multiplies, not pow(): bit-identical to the oracle's x*x
+    dx = F.col(lon) - F.col("_cx")
+    dy = F.col(lat) - F.col("_cy")
+    d2 = dx * dx + dy * dy
+    joined = points.crossJoin(c).withColumn("_d2", d2)
+    best = (
+        joined.groupBy(point_id, lon, lat)
+        .agg(F.min(F.struct(F.col("_d2"), F.col("_cid"))).alias("_best"))
+        .select(
+            point_id,
+            lon,
+            lat,
+            F.col("_best._cid").alias("nearest_id"),
+            F.col("_best._d2").alias("dist2"),
+        )
+    )
+    return best
+
+
 def spatial_join_wkt(
     points: DataFrame,
     boundaries: DataFrame,

@@ -124,6 +124,35 @@ def read_raster_cells(
     return inventory.mapInPandas(decode, schema=CELL_SCHEMA)
 
 
+def downsample_cells(
+    cells: DataFrame,
+    factor: int,
+    value: str = "value",
+) -> DataFrame:
+    """Block-aggregate a long-form cell table to a coarser grid:
+    every ``factor``×``factor`` block becomes one output cell carrying
+    mean/min/max/count of its non-null members. One hash aggregation
+    keyed on the block ids — the standard overview/pyramid step, and
+    the shuffle is 1/factor² of the input rows.
+
+    Integer block ids via ``div`` (exact — no float quotient,
+    ROUND_NOTES.md #7)."""
+    return (
+        cells.groupBy(
+            "dataset",
+            "temporal",
+            F.expr(f"cell_y div {int(factor)}").alias("block_y"),
+            F.expr(f"cell_x div {int(factor)}").alias("block_x"),
+        )
+        .agg(
+            F.count(value).alias("n_cells"),
+            F.avg(value).alias("mean_value"),
+            F.min(value).alias("min_value"),
+            F.max(value).alias("max_value"),
+        )
+    )
+
+
 def synthetic_raster(
     spark: SparkSession,
     dataset: str,

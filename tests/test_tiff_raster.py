@@ -110,3 +110,103 @@ def test_read_raster_cells_multiple_files_and_info(spark, tmp_path):
         .collect()
     )
     assert [r["s"] for r in out] == [66.0, 132.0]
+
+
+try:
+    from hypothesis import given, settings, strategies as st
+
+    _HAVE_HYP = True
+except ImportError:  # pragma: no cover
+    _HAVE_HYP = False
+
+
+if _HAVE_HYP:
+
+    _dtypes = st.sampled_from(["u1", "i2", "i4", "f4", "f8"])
+
+    @st.composite
+    def _tiff_case(draw):
+        h = draw(st.integers(1, 40))
+        w = draw(st.integers(1, 40))
+        dt = draw(_dtypes)
+        rng = np.random.default_rng(draw(st.integers(0, 2**32 - 1)))
+        if dt.startswith("f"):
+            arr = rng.normal(size=(h, w)).astype(dt)
+        else:
+            info = np.iinfo(dt)
+            arr = rng.integers(
+                info.min, info.max, size=(h, w), endpoint=True
+            ).astype(dt)
+        layout = draw(
+            st.one_of(
+                st.none(),  # single strip
+                st.integers(1, h),  # rows per strip
+                st.tuples(
+                    st.sampled_from([16, 32]), st.sampled_from([16, 32])
+                ),  # tile dims
+            )
+        )
+        bo = draw(st.sampled_from(["<", ">"]))
+        x0 = draw(st.integers(0, w - 1))
+        y0 = draw(st.integers(0, h - 1))
+        ww = draw(st.integers(1, w - x0))
+        wh = draw(st.integers(1, h - y0))
+        return arr, layout, bo, (x0, y0, ww, wh)
+
+    @settings(max_examples=40, deadline=None)
+    @given(_tiff_case())
+    def test_codec_roundtrip_property(tmp_path_factory, case):
+        arr, layout, bo, window = case
+        path = str(tmp_path_factory.mktemp("hyp") / "t.tif")
+        kw = {"byte_order": bo}
+        if isinstance(layout, tuple):
+            kw["tile"] = layout
+        elif layout is not None:
+            kw["rows_per_strip"] = layout
+        write_tiff(path, arr, **kw)
+        full, nodata = read_tiff(path)
+        assert nodata is None
+        assert np.array_equal(full, arr)
+        x0, y0, w, h = window
+        win, _ = read_tiff(path, window=window)
+        assert np.array_equal(win, arr[y0:y0 + h, x0:x0 + w])
+
+
+def test_downsample_cells_blocks_and_nulls(spark):
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "dataset": ["d"] * 8,
+            "temporal": ["t"] * 8,
+            "cell_y": [0, 0, 1, 1, 0, 0, 1, 1],
+            "cell_x": [0, 1, 0, 1, 2, 3, 2, 3],
+            "value": [1.0, 2.0, 3.0, None, 10.0, 20.0, 30.0, 40.0],
+        }
+    )
+    from det_module_spark.sources.raster import downsample_cells
+
+    out = downsample_cells(spark.createDataFrame(pdf), factor=2)
+    rows = {(r["block_y"], r["block_x"]): r for r in out.collect()}
+    assert rows[(0, 0)]["n_cells"] == 3  # null not counted
+    assert rows[(0, 0)]["mean_value"] == pytest.approx(2.0)
+    assert rows[(0, 1)]["min_value"] == 10.0
+    assert rows[(0, 1)]["max_value"] == 40.0
+
+
+def test_nearest_centroid_tie_breaks_to_lowest_id(spark):
+    from det_module_spark.operators.spatial import nearest_centroid_join
+
+    pts = spark.createDataFrame(
+        [(0, 5.0, 0.0), (1, 2.0, 0.0)], "point_id INT, lon DOUBLE, lat DOUBLE"
+    )
+    centers = spark.createDataFrame(
+        [(7, 0.0, 0.0), (3, 10.0, 0.0)],
+        "center_id INT, cx DOUBLE, cy DOUBLE",
+    )
+    rows = {r["point_id"]: r for r in
+            nearest_centroid_join(pts, centers).collect()}
+    # point 0 is exactly equidistant (d2=25) -> lowest center id wins
+    assert rows[0]["nearest_id"] == 3
+    assert rows[0]["dist2"] == 25.0
+    assert rows[1]["nearest_id"] == 7
