@@ -906,6 +906,40 @@ def q_raster_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_raster_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # per-cell linear trend across 12 temporal raster steps (the
+    # reference's precip-per-year stacks): exact-moment least squares,
+    # one hash agg over cells x steps. Integer values with a per-cell
+    # slope pattern + nulls (every 7th observation missing).
+    from det_module_spark.sources.raster import cell_trend
+
+    n_side, n_t = 64, 12
+    grid = spark.range(n_side * n_side * n_t).select(
+        (F.col("id") % n_t).alias("t"),
+        F.expr(f"(id div {n_t}) div {n_side}").alias("cell_y"),
+        F.expr(f"(id div {n_t}) % {n_side}").alias("cell_x"),
+    )
+    base = F.col("cell_x") * 7 + F.col("cell_y") * 13
+    slope_pat = (F.col("cell_x") + F.col("cell_y")) % 5
+    cells = grid.select(
+        "t",
+        "cell_y",
+        "cell_x",
+        F.when(
+            (F.col("cell_x") + F.col("cell_y") + F.col("t")) % 7 != 0,
+            (base + slope_pat * F.col("t")).cast("double"),
+        ).alias("value"),
+    )
+    out = cell_trend(cells)
+    return out.select(
+        "cell_y",
+        "cell_x",
+        "n",
+        _pround(F.col("slope"), 6).alias("slope"),
+        _pround(F.col("intercept"), 6).alias("intercept"),
+    )
+
+
 def q_zonal_salted_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     # skew-immune two-stage aggregation; must equal the plain mean
     from det_module_spark.operators.skew import salted_mean
@@ -2805,6 +2839,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": q_semantic_dedup,
         "spatial_nearest": q_spatial_nearest,
         "raster_downsample": q_raster_downsample,
+        "raster_trend": q_raster_trend,
         # --- §2.4 active extract types ---
         "zonal_mean": _zonal("mean"),
         "zonal_count": _zonal("count"),
@@ -3763,6 +3798,41 @@ QUALIFY ROW_NUMBER() OVER (
             SELECT point_id, center_id AS nearest_id,
                    FLOOR(d2 * 1e6 + 0.5) / 1e6 AS dist2
             FROM d WHERE rn = 1
+        """,
+        "raster_trend": """
+            WITH grid AS (
+              SELECT (i % 12) AS t,
+                     (i // 12) // 64 AS cell_y,
+                     (i // 12) % 64 AS cell_x
+              FROM range(49152) g(i)),
+            cells AS (
+              SELECT t, cell_y, cell_x,
+                     CASE WHEN (cell_x + cell_y + t) % 7 <> 0
+                          THEN CAST(cell_x * 7 + cell_y * 13
+                                    + ((cell_x + cell_y) % 5) * t
+                                    AS DOUBLE)
+                     END AS value
+              FROM grid),
+            m AS (
+              SELECT cell_y, cell_x,
+                     COUNT(value) AS n,
+                     SUM(CASE WHEN value IS NOT NULL
+                              THEN CAST(t AS DOUBLE) END) AS st,
+                     SUM(value) AS sv,
+                     SUM(CAST(t AS DOUBLE) * value) AS stv,
+                     SUM(CASE WHEN value IS NOT NULL
+                              THEN CAST(t AS DOUBLE) * CAST(t AS DOUBLE)
+                         END) AS stt
+              FROM cells GROUP BY cell_y, cell_x)
+            SELECT cell_y, cell_x, n,
+                   FLOOR((CAST(n AS DOUBLE) * stv - st * sv)
+                         / (CAST(n AS DOUBLE) * stt - st * st)
+                         * 1e6 + 0.5) / 1e6 AS slope,
+                   FLOOR((sv - (CAST(n AS DOUBLE) * stv - st * sv)
+                               / (CAST(n AS DOUBLE) * stt - st * st)
+                               * st) / CAST(n AS DOUBLE)
+                         * 1e6 + 0.5) / 1e6 AS intercept
+            FROM m
         """,
         "raster_downsample": """
             WITH cells AS (

@@ -153,6 +153,45 @@ def downsample_cells(
     )
 
 
+def cell_trend(
+    cells: DataFrame,
+    value: str = "value",
+    temporal_int: str = "t",
+) -> DataFrame:
+    """Per-cell linear trend across a raster time series (the
+    reference's temporal-step datasets, e.g. precipitation per year:
+    request_tools.py:454-476 expands one item per temporal file; this
+    operator summarizes the stack).
+
+    Least-squares slope/intercept per (cell_y, cell_x) in ONE hash
+    aggregation using the exact-moment discipline (ROUND_NOTES.md #8):
+    Σt, Σv, Σtv, Σt² accumulate order-free; slope =
+    (nΣtv − ΣtΣv) / (nΣt² − (Σt)²) is then a fixed op sequence on
+    identical operands in every engine. Null values drop out of the
+    fit (their t doesn't count)."""
+    t = F.col(temporal_int).cast("double")
+    v = F.col(value)
+    tv = F.when(v.isNotNull(), t)
+    out = cells.groupBy("cell_y", "cell_x").agg(
+        F.count(v).alias("n"),
+        F.sum(tv).alias("st"),
+        F.sum(v).alias("sv"),
+        F.sum(t * v).alias("stv"),
+        F.sum(tv * tv).alias("stt"),
+    )
+    n = F.col("n").cast("double")
+    denom = n * F.col("stt") - F.col("st") * F.col("st")
+    slope = (n * F.col("stv") - F.col("st") * F.col("sv")) / denom
+    intercept = (F.col("sv") - slope * F.col("st")) / n
+    return out.select(
+        "cell_y",
+        "cell_x",
+        "n",
+        F.when(denom != 0, slope).alias("slope"),
+        F.when(denom != 0, intercept).alias("intercept"),
+    )
+
+
 def synthetic_raster(
     spark: SparkSession,
     dataset: str,

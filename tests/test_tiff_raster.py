@@ -210,3 +210,24 @@ def test_nearest_centroid_tie_breaks_to_lowest_id(spark):
     assert rows[0]["nearest_id"] == 3
     assert rows[0]["dist2"] == 25.0
     assert rows[1]["nearest_id"] == 7
+
+
+def test_cell_trend_recovers_known_slope(spark):
+    import pandas as pd
+
+    from det_module_spark.sources.raster import cell_trend
+
+    rows = []
+    for t in range(10):
+        rows.append({"cell_y": 0, "cell_x": 0, "t": t,
+                     "value": 3.0 + 2.5 * t})          # exact line
+        rows.append({"cell_y": 0, "cell_x": 1, "t": t,
+                     "value": None if t % 2 else 7.0 - 1.5 * t})
+    rows.append({"cell_y": 1, "cell_x": 0, "t": 0, "value": 4.0})  # n=1
+    out = {(r["cell_y"], r["cell_x"]): r
+           for r in cell_trend(spark.createDataFrame(pd.DataFrame(rows))).collect()}
+    assert out[(0, 0)]["slope"] == pytest.approx(2.5)
+    assert out[(0, 0)]["intercept"] == pytest.approx(3.0)
+    assert out[(0, 1)]["slope"] == pytest.approx(-1.5)  # fits the non-null half
+    assert out[(0, 1)]["n"] == 5
+    assert out[(1, 0)]["slope"] is None  # degenerate: single point
