@@ -906,6 +906,32 @@ def q_raster_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_expectations_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # declarative data-quality rules evaluated in ONE aggregation pass
+    # over orders (each rule = a conditional count agg on the shared
+    # scan; report = single-row explode). 'unique' uses the pinnable
+    # HLL distinct (see approx_stats) so even the distinct rule is
+    # shuffle-free.
+    from det_module_spark.operators.expectations import expectations_report
+
+    orders = load_table(spark, sf_dir, "orders")
+    rules = [
+        {"col": "o_custkey", "rule": "not_null"},
+        {"col": "o_orderkey", "rule": "unique", "exact": True},
+        {"col": "o_totalprice", "rule": "between", "lo": 0, "hi": 200000},
+        {"col": "o_orderstatus", "rule": "in_set", "values": ["O", "F"]},
+        {"col": "o_orderpriority", "rule": "matches",
+         "pattern": "^[1-5]-[A-Z]+$"},
+        {"col": "o_orderdate", "rule": "max_null_frac", "frac": 0.05},
+    ]
+    out = expectations_report(orders, rules)
+    return out.select(
+        "col", "rule", "n_rows", "n_violations",
+        _pround(F.col("violation_frac"), 8).alias("violation_frac"),
+        "passed",
+    )
+
+
 def q_raster_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-cell linear trend across 12 temporal raster steps (the
     # reference's precip-per-year stacks): exact-moment least squares,
@@ -2840,6 +2866,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_nearest": q_spatial_nearest,
         "raster_downsample": q_raster_downsample,
         "raster_trend": q_raster_trend,
+        "expectations_report": q_expectations_report,
         # --- §2.4 active extract types ---
         "zonal_mean": _zonal("mean"),
         "zonal_count": _zonal("count"),
@@ -3798,6 +3825,45 @@ QUALIFY ROW_NUMBER() OVER (
             SELECT point_id, center_id AS nearest_id,
                    FLOOR(d2 * 1e6 + 0.5) / 1e6 AS dist2
             FROM d WHERE rn = 1
+        """,
+        "expectations_report": """
+            WITH a AS (
+              SELECT COUNT(*) AS n,
+                     COUNT(CASE WHEN o_custkey IS NULL THEN 1 END) AS v0,
+                     COUNT(o_orderkey) AS c1,
+                     COUNT(DISTINCT o_orderkey) AS d1,
+                     COUNT(CASE WHEN o_totalprice IS NOT NULL
+                                 AND o_totalprice NOT BETWEEN 0 AND 200000
+                                THEN 1 END) AS v2,
+                     COUNT(CASE WHEN o_orderstatus IS NOT NULL
+                                 AND o_orderstatus NOT IN ('O', 'F')
+                                THEN 1 END) AS v3,
+                     COUNT(CASE WHEN o_orderpriority IS NOT NULL
+                                 AND NOT regexp_matches(o_orderpriority,
+                                                        '^[1-5]-[A-Z]+$')
+                                THEN 1 END) AS v4,
+                     COUNT(CASE WHEN o_orderdate IS NULL THEN 1 END) AS v5
+              FROM orders),
+            r AS (
+              SELECT * FROM (
+                SELECT 'o_custkey' AS col, 'not_null' AS rule,
+                       n AS n_rows, v0 AS n_violations, 0.0 AS thr FROM a
+                UNION ALL
+                SELECT 'o_orderkey', 'unique', n,
+                       GREATEST(c1 - d1, 0), 0.0 FROM a
+                UNION ALL
+                SELECT 'o_totalprice', 'between', n, v2, 0.0 FROM a
+                UNION ALL
+                SELECT 'o_orderstatus', 'in_set', n, v3, 0.0 FROM a
+                UNION ALL
+                SELECT 'o_orderpriority', 'matches', n, v4, 0.0 FROM a
+                UNION ALL
+                SELECT 'o_orderdate', 'max_null_frac', n, v5, 0.05 FROM a))
+            SELECT col, rule, n_rows, n_violations,
+                   FLOOR(CAST(n_violations AS DOUBLE) / n_rows * 1e8 + 0.5)
+                     / 1e8 AS violation_frac,
+                   CAST(n_violations AS DOUBLE) / n_rows <= thr AS passed
+            FROM r
         """,
         "raster_trend": """
             WITH grid AS (
