@@ -496,6 +496,23 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_dedup(emb, n_cells=16, threshold=0.4)
 
 
+def q_similarity_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # product-quantization ANN: 8 subspace codebooks (exact-integer L2
+    # k-means), corpus encoded to 8 codes (16x compression), queries
+    # score by asymmetric-distance lookup tables (JVM-side fold over
+    # (code, lut) pairs, broadcast queries), ADC shortlist-50, exact
+    # integer-L2 re-rank to top-5. Oracle replays fit, encode, LUT,
+    # shortlist, and re-rank in SQL, bit-for-bit.
+    from det_module_spark.operators.similarity import pq_fit, pq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = pq_fit(emb, m=8, k=16)
+    out = pq_topk(
+        emb.filter(F.col("vec_id") < 10), emb, books, topk=5, shortlist=50
+    )
+    return out.select("query_id", "rank", "neighbor_id", "d2")
+
+
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     # binary media columns through the Arrow-batched decode kernel
     docs = load_table(spark, sf_dir, "documents")
@@ -2863,6 +2880,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_lsh_topk": q_similarity_lsh_topk,
         "similarity_ivf_topk": q_similarity_ivf_topk,
         "semantic_dedup": q_semantic_dedup,
+        "similarity_pq_topk": q_similarity_pq_topk,
         "spatial_nearest": q_spatial_nearest,
         "raster_downsample": q_raster_downsample,
         "raster_trend": q_raster_trend,
@@ -3433,7 +3451,148 @@ def _ivf_sql(
     cand AS (SELECT DISTINCT query_id, neighbor_id
              FROM corpus_cell JOIN query_cell USING (cell)
              WHERE query_id <> neighbor_id)"""
-    return _rerank_sql(_ivf_fit_ctes(k_cells, iterations, sample) + tail)
+    return _materialize_ctes(
+        _rerank_sql(_ivf_fit_ctes(k_cells, iterations, sample) + tail)
+    )
+
+
+def _materialize_ctes(sql: str) -> str:
+    """Mark every CTE in a generated oracle as MATERIALIZED. The
+    unrolled k-means chains reference each prior round ~3x; DuckDB
+    inlines CTEs by default, so the expression tree grows 3^rounds
+    per subspace (PQ: >10 min to plan). Materialization makes replay
+    linear (~2 s)."""
+    import re
+
+    return re.sub(r"(\s[A-Za-z_][A-Za-z0-9_]*\s+AS)\s*\(", r"\1 MATERIALIZED (", sql)
+
+
+def _pq_sql(
+    m: int = 8, k: int = 16, iterations: int = 5, sample: int = 2000,
+    dim: int = 64, topk: int = 5, shortlist: int = 50,
+) -> str:
+    """Full-replica oracle for the PQ ANN path: per-subspace exact
+    integer L2 k-means (unrolled), corpus encoding, per-query
+    asymmetric-distance LUTs, fixed-order distance fold, rank. Every
+    decision (assignment argmin, code argmin) is integer arithmetic;
+    every float op is the same op sequence as the numpy kernels."""
+    dsub = dim // m
+
+    def idot(a: str, b: str) -> str:
+        return (
+            f"list_sum(list_transform(range(1, {dsub + 1}),"
+            f" i -> {a}[i] * {b}[i]))"
+        )
+
+    score = (
+        f"CAST(-2 * {idot('s.x', 'c.S')} * c.n + {idot('c.S', 'c.S')}"
+        f" AS DOUBLE) / CAST(c.n * c.n AS DOUBLE)"
+    )
+    parts = [f"""
+    WITH vq AS (SELECT vec_id, {_VQ64.format(v='embedding')} AS q
+                FROM embeddings),
+    sampi AS (SELECT vec_id, q,
+                     ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS ri
+              FROM (SELECT * FROM vq ORDER BY vec_id LIMIT {sample})),
+    nn AS (SELECT COUNT(*) AS n FROM sampi)"""]
+    for s in range(m):
+        off = s * dsub
+        parts.append(f""",
+    sub{s} AS (SELECT vec_id,
+                      list_transform(range(1, {dsub + 1}),
+                                     i -> q[{off} + i]) AS x
+               FROM vq),
+    samp{s} AS (SELECT sa.ri, sa.vec_id, b.x
+                FROM sampi sa JOIN sub{s} b USING (vec_id)),
+    pc{s}_0 AS (
+      SELECT j.j, s.x AS S, CAST(1 AS BIGINT) AS n
+      FROM range(0, {k}) j(j), nn, samp{s} s
+      WHERE s.ri = CAST(FLOOR(j.j * ((nn.n - 1) / {k - 1}.0))
+                        AS BIGINT))""")
+        for r in range(1, iterations + 1):
+            prev = f"pc{s}_{r - 1}"
+            parts.append(f""",
+    pa{s}_{r} AS (
+      SELECT vec_id, j FROM (
+        SELECT s.vec_id, c.j,
+               ROW_NUMBER() OVER (PARTITION BY s.vec_id
+                                  ORDER BY {score} ASC, c.j ASC) AS rn
+        FROM samp{s} s, {prev} c) WHERE rn = 1),
+    pc{s}_{r} AS (
+      SELECT p.j, COALESCE(cn.S, p.S) AS S, COALESCE(cn.n, p.n) AS n
+      FROM {prev} p LEFT JOIN (
+        SELECT j,
+               list_transform(range(1, {dsub + 1}), i ->
+                 CAST(list_sum(list_transform(xs, x -> x[i])) AS BIGINT))
+                 AS S,
+               CAST(len(xs) AS BIGINT) AS n
+        FROM (SELECT a.j, list(s.x) AS xs
+              FROM pa{s}_{r} a JOIN samp{s} s USING (vec_id)
+              GROUP BY a.j)) cn ON p.j = cn.j)""")
+        fin = f"pc{s}_{iterations}"
+        parts.append(f""",
+    code{s} AS (
+      SELECT vec_id, j AS code FROM (
+        SELECT s.vec_id, c.j,
+               ROW_NUMBER() OVER (PARTITION BY s.vec_id
+                                  ORDER BY {score} ASC, c.j ASC) AS rn
+        FROM sub{s} s, {fin} c) WHERE rn = 1),
+    lut{s} AS (
+      SELECT b.vec_id AS query_id, c.j,
+             CAST({idot('b.x', 'b.x')} AS DOUBLE)
+             - 2.0 * CAST({idot('b.x', 'c.S')} AS DOUBLE)
+                   / CAST(c.n AS DOUBLE)
+             + CAST({idot('c.S', 'c.S')} AS DOUBLE)
+                   / CAST(c.n * c.n AS DOUBLE) AS d
+      FROM sub{s} b, {fin} c WHERE b.vec_id < 10)""")
+    code_joins = " ".join(
+        f"JOIN code{s} c{s} ON c{s}.vec_id = c0.vec_id" for s in range(1, m)
+    )
+    lut_joins = " ".join(
+        f"JOIN lut{s} l{s} ON l{s}.query_id = l0.query_id"
+        f" AND l{s}.j = w.k{s}"
+        for s in range(1, m)
+    )
+    ksel = ", ".join(f"c{s}.code AS k{s}" for s in range(m))
+    # left fold from 0.0 — the exact association of Spark's aggregate()
+    dist_sum = "0.0"
+    for s in range(m):
+        dist_sum = f"({dist_sum} + l{s}.d)"
+    parts.append(f""",
+    codes_wide AS (SELECT c0.vec_id, {ksel}
+                   FROM code0 c0 {code_joins}),
+    dist AS (
+      SELECT l0.query_id, w.vec_id AS neighbor_id,
+             {dist_sum} AS adist
+      FROM codes_wide w
+      JOIN lut0 l0 ON l0.j = w.k0
+      {lut_joins}
+      WHERE w.vec_id <> l0.query_id),
+    ranked AS (
+      SELECT query_id, neighbor_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY adist ASC, neighbor_id ASC)
+               AS rnk
+      FROM dist),
+    cand AS (SELECT query_id, neighbor_id FROM ranked
+             WHERE rnk <= {shortlist}),
+    rr AS (
+      SELECT c.query_id, c.neighbor_id,
+             CAST(list_sum(list_transform(range(1, {dim + 1}),
+                  i -> (qv.q[i] - nv.q[i]) * (qv.q[i] - nv.q[i])))
+               AS BIGINT) AS d2
+      FROM cand c
+      JOIN vq qv ON qv.vec_id = c.query_id
+      JOIN vq nv ON nv.vec_id = c.neighbor_id),
+    rr2 AS (
+      SELECT query_id, neighbor_id, d2,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY d2 ASC, neighbor_id ASC) AS rnk
+      FROM rr)
+    SELECT query_id, CAST(rnk AS INT) AS rank, neighbor_id, d2
+    FROM rr2 WHERE rnk <= {topk}
+    """)
+    return _materialize_ctes("".join(parts))
 
 
 def _semantic_dedup_sql(
@@ -3467,7 +3626,7 @@ def _semantic_dedup_sql(
     LEFT JOIN dropped d ON a.cell = d.cell
     WHERE x.vec_id IS NULL
     """
-    return _ivf_fit_ctes(k_cells, iterations, sample) + tail
+    return _materialize_ctes(_ivf_fit_ctes(k_cells, iterations, sample) + tail)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -3703,6 +3862,7 @@ QUALIFY ROW_NUMBER() OVER (
         "similarity_lsh_topk": _lsh_sql(),
         "similarity_ivf_topk": _ivf_sql(),
         "semantic_dedup": _semantic_dedup_sql(threshold=0.4),
+        "similarity_pq_topk": _pq_sql(),
         "approx_stats": _approx_stats_sql(),
         "multimodal_decode": """
             SELECT doc_id AS media_id,

@@ -389,6 +389,218 @@ def lsh_topk(
     )
 
 
+def pq_fit(
+    corpus: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample: int = 2000,
+    iterations: int = 5,
+    dim: int = 64,
+):
+    """Product-quantization codebooks: split the vector into ``m``
+    subspaces and run an exact-integer L2 k-means in each.
+
+    State per (subspace, centroid): the int64 member SUM ``S`` and
+    count ``n`` — assignment compares d² up to the per-point constant:
+        argmin_j  (−2·dot(x, S_j)·n_j + ‖S_j‖²) / n_j²
+    (clear the mean's denominator; every operand is an exact integer,
+    the divide is one double op on identical operands in any engine —
+    the same discipline as ivf_fit_centroids, so the DuckDB oracle
+    replays the fit bit-for-bit). Ties → lowest j; empty cluster
+    keeps its previous state.
+
+    Returns (S, n): int64 arrays of shape (m, k, dim//m) and (m, k)."""
+    import numpy as np
+
+    rows = corpus.select(id_col, vec_col).orderBy(id_col).limit(sample).collect()
+    x = np.asarray([r[1] for r in rows])
+    q = quantize_batch(x)
+    dsub = dim // m
+    S = np.zeros((m, k, dsub), dtype=np.int64)
+    n = np.ones((m, k), dtype=np.int64)
+    idx = np.linspace(0, len(q) - 1, k).astype(int)
+    for s in range(m):
+        sub = q[:, s * dsub:(s + 1) * dsub]
+        Ss = sub[idx].copy()
+        ns = np.ones(k, dtype=np.int64)
+        for _ in range(iterations):
+            dots = sub @ Ss.T  # (nrows, k) int64
+            normsq = (Ss * Ss).sum(axis=1)
+            score = (
+                (-2 * dots * ns[None, :] + normsq[None, :]).astype(np.float64)
+                / (ns[None, :] * ns[None, :]).astype(np.float64)
+            )
+            assign = np.argmin(score, axis=1)  # first min ⇒ lowest j
+            for j in range(k):
+                members = sub[assign == j]
+                if len(members):
+                    Ss[j] = members.sum(axis=0)
+                    ns[j] = len(members)
+        S[s], n[s] = Ss, ns
+    return S, n
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks,
+    id_name: str = "vec_id",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode each vector to ``m`` 4-bit-ish codes (array<int>): per
+    subspace, the L2-nearest codebook entry under the same exact
+    integer comparison as the fit. One Arrow batch pass; 16× storage
+    compression at m=8, k=16 over float32x64."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    S, n = codebooks
+    m, k, dsub = S.shape
+
+    @pandas_udf("array<int>")
+    def codes(vecs: pd.Series) -> pd.Series:
+        mat = quantize_batch(np.stack(vecs.to_numpy()))
+        out = np.zeros((len(mat), m), dtype=np.int32)
+        for s in range(m):
+            sub = mat[:, s * dsub:(s + 1) * dsub]
+            dots = sub @ S[s].T
+            normsq = (S[s] * S[s]).sum(axis=1)
+            score = (
+                (-2 * dots * n[s][None, :] + normsq[None, :]).astype(
+                    np.float64
+                )
+                / (n[s][None, :] * n[s][None, :]).astype(np.float64)
+            )
+            out[:, s] = np.argmin(score, axis=1)
+        return pd.Series(list(out))
+
+    return df.select(
+        F.col(id_col).alias(id_name), codes(F.col(vec_col)).alias("codes")
+    )
+
+
+def quantized_vec(col: Column) -> Column:
+    """Column-side twin of quantize_batch: int64 per component via
+    floor(v·QUANT + 0.5) — identical doubles, identical ints."""
+    return F.transform(
+        col, lambda x: F.floor(x.cast("double") * VEC_QUANT + 0.5).cast("long")
+    )
+
+
+def pq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    codebooks,
+    topk: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    shortlist: int | None = None,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes: per query, an
+    (m × k) lookup table of exact subspace distances to every codebook
+    mean; a corpus row's approximate distance is the fixed-order sum
+    of its codes' table entries.
+
+    Scale shape: the corpus is encoded ONCE (a projection that would
+    be persisted as the index); queries carry their tiny LUT as an
+    array column, the scoring join is broadcast(queries) × codes with
+    a pure Column ``aggregate`` over the zipped (code, lut-row) pairs
+    — JVM-side, no Python in the per-pair path; one window ranks
+    top-k. The LUT entry is computed from exact integer moments, so
+    distances are bit-identical cross-engine.
+
+    With ``shortlist=N`` (the standard PQ query shape) the ADC pass
+    only selects N candidates per query; an exact integer-L2 re-rank
+    over the quantized vectors picks the final top-k — full-precision
+    reads for N rows instead of the whole corpus. Output then carries
+    the exact squared distance ``d2`` (int64)."""
+    import numpy as np
+    from pyspark.sql import Window
+    from pyspark.sql.functions import pandas_udf
+
+    S, n = codebooks
+    m, k, dsub = S.shape
+
+    @pandas_udf("array<array<double>>")
+    def luts(vecs: pd.Series) -> pd.Series:
+        mat = quantize_batch(np.stack(vecs.to_numpy()))
+        out = []
+        for row in mat:
+            lut = np.zeros((m, k), dtype=np.float64)
+            for s in range(m):
+                sub = row[s * dsub:(s + 1) * dsub]
+                qq = float(sub @ sub)
+                dots = (sub @ S[s].T).astype(np.float64)
+                normsq = (S[s] * S[s]).sum(axis=1).astype(np.float64)
+                ns = n[s].astype(np.float64)
+                lut[s] = qq - 2.0 * dots / ns + normsq / (ns * ns)
+            out.append([list(r) for r in lut])
+        return pd.Series(out)
+
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"), luts(F.col(vec_col)).alias("lut")
+        )
+    )
+    c = pq_encode(corpus, codebooks, id_name="neighbor_id",
+                  id_col=id_col, vec_col=vec_col)
+    # fixed-order sum over subspaces: zip codes with lut rows, look up,
+    # left-fold — the same sequential order the oracle uses
+    dist = F.aggregate(
+        F.zip_with(
+            F.col("codes"),
+            F.col("lut"),
+            lambda code, row: F.element_at(row, code + 1),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adist"), F.asc("neighbor_id")
+    )
+    adc = (
+        c.join(q, F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("adist", dist)
+        .withColumn("rank", F.row_number().over(w))
+    )
+    if shortlist is None:
+        return adc.filter(F.col("rank") <= topk).select(
+            "query_id", "rank", "neighbor_id", "adist"
+        )
+
+    cand = adc.filter(F.col("rank") <= shortlist).select(
+        "query_id", "neighbor_id"
+    )
+    qv = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            quantized_vec(F.col(vec_col)).alias("qv"),
+        )
+    )
+    nv = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        quantized_vec(F.col(vec_col)).alias("nv"),
+    )
+    d2 = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("nv"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.asc("d2"), F.asc("neighbor_id")
+    )
+    return (
+        cand.join(qv, "query_id")
+        .join(nv, "neighbor_id")
+        .withColumn("d2", d2)
+        .withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= topk)
+        .select("query_id", "rank", "neighbor_id", "d2")
+    )
+
+
 def semantic_dedup(
     corpus: DataFrame,
     n_cells: int = 16,

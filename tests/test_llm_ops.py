@@ -237,3 +237,53 @@ def test_semantic_dedup_drop_rule(spark, sf_dir):
         r["ib"] for r in pairs.filter(F.col("cos") >= thr).collect()
     }
     assert all_ids - kept_ids == has_lower_dup
+
+
+def test_pq_topk_rerank_recall(spark, sf_dir):
+    """PQ with ADC shortlist + exact re-rank: codes are valid, the
+    returned d2 is the true quantized L2, and recall vs exact top-5
+    clears a floor. (The synthetic embeddings are near-uniform — no
+    cluster structure — so the ADC shortlist is the recall limiter;
+    clustered real corpora do much better at the same settings.)"""
+    import numpy as np
+
+    from det_module_spark.operators.similarity import (
+        pq_encode,
+        pq_fit,
+        pq_topk,
+        quantize_batch,
+    )
+    from det_module_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = pq_fit(emb, m=8, k=16)
+    S, n = books
+    assert S.shape == (8, 16, 8) and n.shape == (8, 16)
+    codes = pq_encode(emb, books).collect()
+    assert all(
+        len(r["codes"]) == 8 and all(0 <= c < 16 for c in r["codes"])
+        for r in codes
+    )
+
+    out = pq_topk(
+        emb.filter(F.col("vec_id") < 10), emb, books, topk=5, shortlist=50
+    ).collect()
+    rows = sorted(emb.collect(), key=lambda r: r["vec_id"])
+    Q = quantize_batch(np.stack([np.array(r["embedding"]) for r in rows]))
+    ids = [r["vec_id"] for r in rows]
+    pos = {v: i for i, v in enumerate(ids)}
+    got = {}
+    for r in out:
+        got.setdefault(r["query_id"], []).append(r)
+        # returned d2 is the exact integer L2 of quantized vectors
+        d = Q[pos[r["query_id"]]] - Q[pos[r["neighbor_id"]]]
+        assert r["d2"] == int((d * d).sum())
+    recalls = []
+    for qid, rs in got.items():
+        d2 = ((Q - Q[pos[qid]]) ** 2).sum(axis=1).astype(float)
+        d2[pos[qid]] = np.inf
+        exact5 = {ids[i] for i in np.argsort(d2, kind="stable")[:5]}
+        recalls.append(
+            len(exact5 & {r["neighbor_id"] for r in rs}) / 5
+        )
+    assert sum(recalls) / len(recalls) >= 0.4
