@@ -949,6 +949,18 @@ def q_expectations_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # count-min sketch heavy hitters over lineitem suppliers: the
+    # counting state is a fixed 4x256 mergeable table however large
+    # the fact table; engine-portable integer hashing makes the
+    # estimates (and thus the whole query) deterministic and
+    # oracle-checkable.
+    from det_module_spark.operators.cms import cms_heavy_hitters
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return cms_heavy_hitters(li, "l_suppkey", width=256, depth=4, top=20)
+
+
 def q_raster_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-cell linear trend across 12 temporal raster steps (the
     # reference's precip-per-year stacks): exact-moment least squares,
@@ -2885,6 +2897,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "raster_downsample": q_raster_downsample,
         "raster_trend": q_raster_trend,
         "expectations_report": q_expectations_report,
+        "cms_heavy_hitters": q_cms_heavy_hitters,
         # --- §2.4 active extract types ---
         "zonal_mean": _zonal("mean"),
         "zonal_count": _zonal("count"),
@@ -3985,6 +3998,35 @@ QUALIFY ROW_NUMBER() OVER (
             SELECT point_id, center_id AS nearest_id,
                    FLOOR(d2 * 1e6 + 0.5) / 1e6 AS dist2
             FROM d WHERE rn = 1
+        """,
+        "cms_heavy_hitters": """
+            WITH vals AS (SELECT CAST(l_suppkey AS BIGINT) AS v
+                          FROM lineitem),
+            sketch AS (
+              SELECT hrow, bucket, COUNT(*) AS cnt FROM (
+                SELECT i AS hrow,
+                       xor((v + (i * 1000003 + 1)) * 2654435761,
+                           ((v + (i * 1000003 + 1)) * 2654435761) >> 13)
+                         % 256 AS bucket
+                FROM vals, range(0, 4) t(i))
+              GROUP BY hrow, bucket),
+            cand AS (SELECT DISTINCT v AS value FROM vals),
+            probes AS (
+              SELECT value, i AS hrow,
+                     xor((value + (i * 1000003 + 1)) * 2654435761,
+                         ((value + (i * 1000003 + 1)) * 2654435761) >> 13)
+                       % 256 AS bucket
+              FROM cand, range(0, 4) t(i)),
+            est AS (
+              SELECT value, MIN(COALESCE(s.cnt, 0)) AS est_count
+              FROM probes p LEFT JOIN sketch s USING (hrow, bucket)
+              GROUP BY value),
+            r AS (SELECT value, est_count,
+                         ROW_NUMBER() OVER (ORDER BY est_count DESC,
+                                            value ASC) AS rank
+                  FROM est)
+            SELECT CAST(rank AS INT) AS rank, value, est_count
+            FROM r WHERE rank <= 20
         """,
         "expectations_report": """
             WITH a AS (
