@@ -949,6 +949,26 @@ def q_expectations_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_quality_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # windowed data-quality over the event stream (batch semantics of
+    # the streaming expectations aggregation — identical expression
+    # runs under readStream with a watermark, tested in
+    # tests/test_expectations.py)
+    from det_module_spark.operators.expectations import (
+        windowed_expectations,
+    )
+
+    rules = [
+        {"col": "user_id", "rule": "not_null"},
+        {"col": "value", "rule": "between", "lo": 0, "hi": 400},
+        {"col": "event_type", "rule": "in_set",
+         "values": ["view", "click", "purchase"]},
+    ]
+    return windowed_expectations(
+        _events(spark, sf_dir), rules, ts_col="ts", window="1 hour"
+    )
+
+
 def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # count-min sketch heavy hitters over lineitem suppliers: the
     # counting state is a fixed 4x256 mergeable table however large
@@ -2898,6 +2918,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "raster_trend": q_raster_trend,
         "expectations_report": q_expectations_report,
         "cms_heavy_hitters": q_cms_heavy_hitters,
+        "events_quality_window": q_events_quality_window,
         # --- §2.4 active extract types ---
         "zonal_mean": _zonal("mean"),
         "zonal_count": _zonal("count"),
@@ -3998,6 +4019,35 @@ QUALIFY ROW_NUMBER() OVER (
             SELECT point_id, center_id AS nearest_id,
                    FLOOR(d2 * 1e6 + 0.5) / 1e6 AS dist2
             FROM d WHERE rn = 1
+        """,
+        "events_quality_window": """
+            WITH w AS (
+              SELECT date_trunc('hour', ts) AS ws, user_id, value,
+                     event_type
+              FROM events),
+            a AS (
+              SELECT ws, COUNT(*) AS n,
+                     COUNT(CASE WHEN user_id IS NULL THEN 1 END) AS v0,
+                     COUNT(CASE WHEN value IS NOT NULL
+                                 AND value NOT BETWEEN 0 AND 400
+                                THEN 1 END) AS v1,
+                     COUNT(CASE WHEN event_type IS NOT NULL
+                                 AND event_type NOT IN
+                                     ('view', 'click', 'purchase')
+                                THEN 1 END) AS v2
+              FROM w GROUP BY ws),
+            l AS (
+              SELECT ws, 'user_id' AS col, 'not_null' AS rule,
+                     n, v0 AS n_violations FROM a
+              UNION ALL
+              SELECT ws, 'value', 'between', n, v1 FROM a
+              UNION ALL
+              SELECT ws, 'event_type', 'in_set', n, v2 FROM a)
+            SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+                   strftime(ws + INTERVAL 1 HOUR, '%Y-%m-%d %H:%M:%S')
+                     AS window_end,
+                   col, rule, n AS n_rows, n_violations
+            FROM l
         """,
         "cms_heavy_hitters": """
             WITH vals AS (SELECT CAST(l_suppkey AS BIGINT) AS v

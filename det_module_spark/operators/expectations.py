@@ -108,3 +108,50 @@ def expectations_report(df: DataFrame, rules: list[dict]) -> DataFrame:
     return agg.select(
         F.explode(F.array(*structs)).alias("r")
     ).select("r.*")
+
+
+def windowed_expectations(
+    df: DataFrame,
+    rules: list[dict],
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    watermark: str | None = None,
+) -> DataFrame:
+    """Data-quality over TIME WINDOWS — the streaming twin of
+    expectations_report. Row-level rules compile to the same
+    conditional counts, grouped by a tumbling event-time window, so
+    the identical expression works on a batch frame and on a
+    readStream frame (with ``watermark`` set, the aggregation is an
+    incremental streaming state machine emitting finalized windows).
+    'unique' is not meaningful per-row-window here and is rejected.
+
+    Output: (window_start, window_end, col, rule, n_rows,
+    n_violations) — long-form, one row per (window, rule)."""
+    for r in rules:
+        if r["rule"] == "unique":
+            raise ValueError("'unique' is not supported in windowed mode")
+    if watermark:
+        df = df.withWatermark(ts_col, watermark)
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for i, r in enumerate(rules):
+        c = F.col(r["col"])
+        if r["rule"] == "max_null_frac":
+            cond = c.isNull()
+        else:
+            cond = _violation(df.columns, r)
+        aggs.append(F.count(F.when(cond, 1)).alias(f"_v{i}"))
+    agg = df.groupBy(F.window(ts_col, window).alias("w")).agg(*aggs)
+    structs = [
+        F.struct(
+            F.lit(r["col"]).alias("col"),
+            F.lit(r["rule"]).alias("rule"),
+            F.col("_n").alias("n_rows"),
+            F.col(f"_v{i}").cast("long").alias("n_violations"),
+        )
+        for i, r in enumerate(rules)
+    ]
+    return agg.select(
+        F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        F.date_format("w.end", "yyyy-MM-dd HH:mm:ss").alias("window_end"),
+        F.explode(F.array(*structs)).alias("r"),
+    ).select("window_start", "window_end", "r.*")

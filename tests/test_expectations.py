@@ -71,3 +71,83 @@ def test_empty_frame_and_unknown_rule(spark):
     assert row["n_rows"] == 0 and row["passed"]
     with pytest.raises(ValueError, match="unknown rule"):
         expectations_report(empty, [{"col": "x", "rule": "nope"}]).collect()
+
+
+def test_windowed_expectations_stream_matches_batch(spark, tmp_path):
+    """The same windowed_expectations expression runs as a streaming
+    aggregation (readStream + watermark) and produces exactly the
+    batch result — data-quality monitoring as an incremental state
+    machine."""
+    import datetime
+
+    from det_module_spark.operators.expectations import (
+        windowed_expectations,
+    )
+
+    schema = "ts TIMESTAMP, user_id STRING, value DOUBLE, event_type STRING"
+
+    def at(m):
+        return datetime.datetime(2024, 1, 1, 10, 0) + datetime.timedelta(
+            minutes=m
+        )
+
+    rows = [
+        (at(5), "u1", 10.0, "view"),
+        (at(20), None, 20.0, "click"),       # null user
+        (at(40), "u2", 999.0, "view"),       # out of range
+        (at(70), "u3", 30.0, "weird"),       # bad type
+        (at(80), "u1", 40.0, "view"),
+    ]
+    rules = [
+        {"col": "user_id", "rule": "not_null"},
+        {"col": "value", "rule": "between", "lo": 0, "hi": 100},
+        {"col": "event_type", "rule": "in_set", "values": ["view", "click"]},
+    ]
+    src = str(tmp_path / "exp_src")
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(src)
+
+    batch = windowed_expectations(
+        spark.read.schema(schema).parquet(src), rules, window="1 hour"
+    )
+    stream_df = windowed_expectations(
+        spark.readStream.schema(schema).parquet(src),
+        rules,
+        window="1 hour",
+        watermark="1 hour",
+    )
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName("exp_out")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination(60)
+
+    def key(r):
+        return tuple(r[c] for c in sorted(r.asDict()))
+
+    got = sorted(key(r) for r in spark.sql("SELECT * FROM exp_out").collect())
+    want = sorted(key(r) for r in batch.collect())
+    assert got == want
+    # sanity on content: hour-1 window has 1 null-user + 1 range
+    # violation, hour-2 has the bad event type
+    m = {
+        (r["window_start"], r["col"]): r["n_violations"]
+        for r in batch.collect()
+    }
+    assert m[("2024-01-01 10:00:00", "user_id")] == 1
+    assert m[("2024-01-01 10:00:00", "value")] == 1
+    assert m[("2024-01-01 11:00:00", "event_type")] == 1
+
+
+def test_windowed_expectations_rejects_unique(spark):
+    from det_module_spark.operators.expectations import (
+        windowed_expectations,
+    )
+
+    df = spark.createDataFrame([], "ts TIMESTAMP, x INT")
+    with pytest.raises(ValueError, match="unique"):
+        windowed_expectations(df, [{"col": "x", "rule": "unique"}])
