@@ -196,13 +196,23 @@ class CacheManifest:
         item; on a cluster store the same operation is a Delta MERGE."""
         if not entries:
             return []
-        paths = []
-        rows = []
-        for spec_hash, kind, df in entries:
-            path = self.result_path(spec_hash)
+        from concurrent.futures import ThreadPoolExecutor
+
+        paths = [self.result_path(h) for h, _, _ in entries]
+
+        def write(args) -> None:
+            path, df = args
             df.write.mode("overwrite").parquet(path)
-            paths.append(path)
-            rows.append((spec_hash, kind, STATUS_DONE, True, path, 0))
+
+        # artifact writes are independent jobs on disjoint paths — run
+        # them concurrently so batch latency is ~one write, not the sum
+        # (Spark's scheduler interleaves the jobs across the executor)
+        with ThreadPoolExecutor(max_workers=min(8, len(entries))) as ex:
+            list(ex.map(write, [(p, e[2]) for p, e in zip(paths, entries)]))
+        rows = [
+            (h, kind, STATUS_DONE, True, p, 0)
+            for (h, kind, _), p in zip(entries, paths)
+        ]
         # one atomic log append for the whole batch: concurrent
         # writers' commits interleave as distinct versions, never
         # overwriting each other (the rewrite-in-place this replaces
