@@ -969,6 +969,38 @@ def q_events_quality_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bloom_semi_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # bloom-filter pre-join pruning: a 0.5 KB bitmap over high-balance
+    # customers drops ~90% of orders rows with zero shuffle and no
+    # join before the real semi-join would run; per-status counts of
+    # bloom-passed vs exactly-matching rows expose the (deterministic,
+    # oracle-checked) false-positive margin.
+    from det_module_spark.operators.bloom import bloom_filter_df
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 9000)
+        .select("c_custkey")
+    )
+    pruned = bloom_filter_df(orders, cust, "o_custkey", "c_custkey")
+    n_bloom = pruned.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_bloom_pass")
+    )
+    n_exact = (
+        orders.join(
+            cust, orders.o_custkey == cust.c_custkey, "left_semi"
+        )
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+    )
+    return n_bloom.join(n_exact, "o_orderstatus", "outer").select(
+        "o_orderstatus",
+        F.coalesce("n_bloom_pass", F.lit(0)).alias("n_bloom_pass"),
+        F.coalesce("n_exact", F.lit(0)).alias("n_exact"),
+    )
+
+
 def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # count-min sketch heavy hitters over lineitem suppliers: the
     # counting state is a fixed 4x256 mergeable table however large
@@ -2919,6 +2951,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "expectations_report": q_expectations_report,
         "cms_heavy_hitters": q_cms_heavy_hitters,
         "events_quality_window": q_events_quality_window,
+        "bloom_semi_filter": q_bloom_semi_filter,
         # --- §2.4 active extract types ---
         "zonal_mean": _zonal("mean"),
         "zonal_count": _zonal("count"),
@@ -4019,6 +4052,36 @@ QUALIFY ROW_NUMBER() OVER (
             SELECT point_id, center_id AS nearest_id,
                    FLOOR(d2 * 1e6 + 0.5) / 1e6 AS dist2
             FROM d WHERE rn = 1
+        """,
+        "bloom_semi_filter": """
+            WITH ck AS (SELECT DISTINCT CAST(c_custkey AS BIGINT) AS v
+                        FROM customer WHERE c_acctbal > 9000),
+            pos AS (
+              SELECT DISTINCT
+                     xor((v + (i * 1000003 + 1)) * 2654435761,
+                         ((v + (i * 1000003 + 1)) * 2654435761) >> 13)
+                       % 4095 AS p
+              FROM ck, range(0, 3) t(i)),
+            op AS (
+              SELECT o_orderkey, o_orderstatus,
+                     xor((CAST(o_custkey AS BIGINT) + (i * 1000003 + 1))
+                           * 2654435761,
+                         ((CAST(o_custkey AS BIGINT) + (i * 1000003 + 1))
+                           * 2654435761) >> 13) % 4095 AS p
+              FROM orders, range(0, 3) t(i)),
+            passed AS (
+              SELECT o_orderkey, ANY_VALUE(o_orderstatus) AS o_orderstatus
+              FROM op LEFT JOIN pos USING (p)
+              GROUP BY o_orderkey HAVING COUNT(pos.p) = 3),
+            nb AS (SELECT o_orderstatus, COUNT(*) AS n_bloom_pass
+                   FROM passed GROUP BY 1),
+            ne AS (SELECT o_orderstatus, COUNT(*) AS n_exact
+                   FROM orders WHERE o_custkey IN (SELECT v FROM ck)
+                   GROUP BY 1)
+            SELECT o_orderstatus,
+                   COALESCE(n_bloom_pass, 0) AS n_bloom_pass,
+                   COALESCE(n_exact, 0) AS n_exact
+            FROM nb FULL OUTER JOIN ne USING (o_orderstatus)
         """,
         "events_quality_window": """
             WITH w AS (

@@ -82,3 +82,42 @@ def test_partitioning_independent(spark, skewed):
         "hrow", "bucket"
     ).collect()
     assert one == other
+
+
+def test_bloom_filter_never_drops_matches(spark):
+    from det_module_spark.operators.bloom import bloom_build, bloom_filter_df
+
+    keys = spark.range(0, 1000, 7).select(F.col("id").alias("k"))  # 143 keys
+    fact = spark.range(5000).select(F.col("id").alias("fk"))
+    passed = {r["fk"] for r in bloom_filter_df(fact, keys, "fk", "k").collect()}
+    true_keys = set(range(0, 1000, 7))
+    # containment: every true key below 5000 passes
+    assert true_keys <= passed
+    # pruning actually happened (false positives are a small minority)
+    assert len(passed) < 1000
+    # deterministic across partitionings
+    passed2 = {
+        r["fk"]
+        for r in bloom_filter_df(
+            fact.repartition(11), keys.repartition(5), "fk", "k"
+        ).collect()
+    }
+    assert passed == passed2
+    # bitmap is bounded: 4095 bits -> 65 words
+    assert len(bloom_build(keys, "k")) == 65
+
+
+def test_bloom_filter_fact_side_no_shuffle(spark):
+    import re
+
+    from det_module_spark.operators.bloom import bloom_filter_df
+
+    keys = spark.range(100).select(F.col("id").alias("k"))
+    fact = spark.range(10000).select(F.col("id").alias("fk"))
+    df = bloom_filter_df(fact, keys, "fk", "k")
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    # membership is a literal-array filter: no exchange, no join
+    assert "Exchange" not in plan
+    assert "Join" not in plan
