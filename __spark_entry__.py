@@ -1047,6 +1047,36 @@ def q_raster_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_polygon_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # exact polygon aggregates over the boundary rings (area /
+    # perimeter / area-weighted centroid) — pure Column folds over the
+    # edge list; dyadic vertices keep every product exact, sqrt is
+    # correctly rounded IEEE, so values hash-match the SQL oracle
+    # without tolerance.
+    from det_module_spark.operators.geometry import (
+        ring_area,
+        ring_centroid,
+        ring_perimeter,
+    )
+
+    rings = _POLY_RINGS + [
+        (3, [(0.5, 0.5), (8.5, 0.5), (0.5, 8.5)]),
+        (4, [(9.5, 9.5), (1.5, 9.5), (9.5, 1.5)]),   # clockwise
+    ]
+    bounds = spark.createDataFrame(
+        rings, "asdf_id INT, ring ARRAY<STRUCT<x: DOUBLE, y: DOUBLE>>"
+    )
+    r = F.col("ring")
+    c = ring_centroid(r)
+    return bounds.select(
+        "asdf_id",
+        _pround(ring_area(r), 6).alias("area"),
+        _pround(ring_perimeter(r), 6).alias("perimeter"),
+        _pround(c["x"], 6).alias("cx"),
+        _pround(c["y"], 6).alias("cy"),
+    )
+
+
 def q_zonal_salted_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     # skew-immune two-stage aggregation; must equal the plain mean
     from det_module_spark.operators.skew import salted_mean
@@ -2952,6 +2982,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_heavy_hitters": q_cms_heavy_hitters,
         "events_quality_window": q_events_quality_window,
         "bloom_semi_filter": q_bloom_semi_filter,
+        "polygon_metrics": q_polygon_metrics,
         # --- §2.4 active extract types ---
         "zonal_mean": _zonal("mean"),
         "zonal_count": _zonal("count"),
@@ -3523,6 +3554,45 @@ def _ivf_sql(
     )
 
 
+def _polygon_metrics_sql() -> str:
+    rings = _POLY_RINGS + [
+        (3, [(0.5, 0.5), (8.5, 0.5), (0.5, 8.5)]),
+        (4, [(9.5, 9.5), (1.5, 9.5), (9.5, 1.5)]),
+    ]
+    vals = ",\n              ".join(
+        "({}, [{}])".format(
+            i,
+            ", ".join(
+                "{{'x': {}, 'y': {}}}".format(x, y) for x, y in ring
+            ),
+        )
+        for i, ring in rings
+    )
+    cross = "(r[i].x * r[1 + (i % n)].y - r[1 + (i % n)].x * r[i].y)"
+    return f"""
+    WITH b(asdf_id, r) AS (VALUES
+              {vals}),
+    m AS (SELECT asdf_id, r, len(r) AS n FROM b),
+    c AS (SELECT asdf_id,
+      list_sum(list_transform(range(1, n + 1), i -> {cross})) AS signed,
+      list_sum(list_transform(range(1, n + 1), i -> sqrt(
+        (r[1 + (i % n)].x - r[i].x) * (r[1 + (i % n)].x - r[i].x)
+        + (r[1 + (i % n)].y - r[i].y) * (r[1 + (i % n)].y - r[i].y))))
+        AS perim,
+      list_sum(list_transform(range(1, n + 1),
+        i -> (r[i].x + r[1 + (i % n)].x) * {cross})) AS cxs,
+      list_sum(list_transform(range(1, n + 1),
+        i -> (r[i].y + r[1 + (i % n)].y) * {cross})) AS cys
+      FROM m)
+    SELECT CAST(asdf_id AS INT) AS asdf_id,
+           FLOOR(abs(signed) / 2 * 1e6 + 0.5) / 1e6 AS area,
+           FLOOR(perim * 1e6 + 0.5) / 1e6 AS perimeter,
+           FLOOR(cxs / (3 * signed) * 1e6 + 0.5) / 1e6 AS cx,
+           FLOOR(cys / (3 * signed) * 1e6 + 0.5) / 1e6 AS cy
+    FROM c
+    """
+
+
 def _materialize_ctes(sql: str) -> str:
     """Mark every CTE in a generated oracle as MATERIALIZED. The
     unrolled k-means chains reference each prior round ~3x; DuckDB
@@ -4053,6 +4123,7 @@ QUALIFY ROW_NUMBER() OVER (
                    FLOOR(d2 * 1e6 + 0.5) / 1e6 AS dist2
             FROM d WHERE rn = 1
         """,
+        "polygon_metrics": _polygon_metrics_sql(),
         "bloom_semi_filter": """
             WITH ck AS (SELECT DISTINCT CAST(c_custkey AS BIGINT) AS v
                         FROM customer WHERE c_acctbal > 9000),

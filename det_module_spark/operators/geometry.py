@@ -187,6 +187,56 @@ def polygon_cell_coverage(
     return ring_area(clipped) / (cell_size * cell_size)
 
 
+def ring_area_signed(ring: Column) -> Column:
+    """Signed shoelace sum (Σ x_i·y_{i+1} − x_{i+1}·y_i, no /2):
+    positive for counter-clockwise rings. Building block for
+    orientation tests and the centroid formula."""
+    return F.aggregate(
+        ring_edges(ring),
+        F.lit(0.0),
+        lambda acc, e: acc
+        + (e["a"]["x"] * e["b"]["y"] - e["b"]["x"] * e["a"]["y"]),
+    )
+
+
+def ring_perimeter(ring: Column) -> Column:
+    """Perimeter: sequential fold of edge lengths (sqrt is correctly
+    rounded IEEE, so the fold is bit-reproducible cross-engine)."""
+    return F.aggregate(
+        ring_edges(ring),
+        F.lit(0.0),
+        lambda acc, e: acc
+        + F.sqrt(
+            (e["b"]["x"] - e["a"]["x"]) * (e["b"]["x"] - e["a"]["x"])
+            + (e["b"]["y"] - e["a"]["y"]) * (e["b"]["y"] - e["a"]["y"])
+        ),
+    )
+
+
+def ring_centroid(ring: Column) -> Column:
+    """Polygon centroid as struct<x,y>: Σ(a+b)·cross / (3·signed-sum),
+    the standard area-weighted formula (orientation-independent —
+    the sign cancels)."""
+    cx = F.aggregate(
+        ring_edges(ring),
+        F.lit(0.0),
+        lambda acc, e: acc
+        + (e["a"]["x"] + e["b"]["x"])
+        * (e["a"]["x"] * e["b"]["y"] - e["b"]["x"] * e["a"]["y"]),
+    )
+    cy = F.aggregate(
+        ring_edges(ring),
+        F.lit(0.0),
+        lambda acc, e: acc
+        + (e["a"]["y"] + e["b"]["y"])
+        * (e["a"]["x"] * e["b"]["y"] - e["b"]["x"] * e["a"]["y"]),
+    )
+    s = ring_area_signed(ring)
+    return F.struct(
+        (cx / (3 * s)).alias("x"), (cy / (3 * s)).alias("y")
+    )
+
+
 def _clamp(v: Column, lo: Column, hi: Column) -> Column:
     return F.greatest(F.least(v, hi), lo)
 

@@ -213,3 +213,38 @@ def test_clockwise_ring_same_coverage(spark):
     got = polygon_coverage(cells, bounds, cell_size=1.0).collect()
     assert len(got) == 1
     assert got[0]["coverage"] == pytest.approx(0.75)
+
+
+def test_ring_metrics_known_values(spark):
+    from det_module_spark.operators.geometry import (
+        ring_centroid,
+        ring_perimeter,
+        ring_area_signed,
+    )
+
+    # unit square, CCW: area +, perimeter 4, centroid (0.5, 0.5)
+    sq = [(0.0, 0.0), (1.0, 0.0), (1.0, 1.0), (0.0, 1.0)]
+    row = spark.range(1).select(
+        ring_area_signed(_ring_lit(sq)).alias("s"),
+        ring_perimeter(_ring_lit(sq)).alias("p"),
+        ring_centroid(_ring_lit(sq)).alias("c"),
+        ring_centroid(_ring_lit(list(reversed(sq)))).alias("c_cw"),
+    ).collect()[0]
+    assert row["s"] == pytest.approx(2.0)  # signed sum = 2*area
+    assert row["p"] == pytest.approx(4.0)
+    assert (row["c"]["x"], row["c"]["y"]) == (
+        pytest.approx(0.5), pytest.approx(0.5))
+    # orientation-independent centroid
+    assert row["c_cw"]["x"] == pytest.approx(0.5)
+
+    # concave L: centroid must sit inside the L's mass, not the bbox
+    # center; area 18, perimeter = 2*(5+6) = 22
+    row2 = spark.range(1).select(
+        ring_perimeter(_ring_lit(L_RING)).alias("p"),
+        ring_centroid(_ring_lit(L_RING)).alias("c"),
+    ).collect()[0]
+    assert row2["p"] == pytest.approx(22.0)
+    # exact centroid of the L (two-rect decomposition):
+    # A1=10 @ (3.5,2), A2=8 @ (2,5) -> ((35+16)/18, (20+40)/18)
+    assert row2["c"]["x"] == pytest.approx(51 / 18)
+    assert row2["c"]["y"] == pytest.approx(60 / 18)
