@@ -23,7 +23,13 @@ def canon(df, float_exact=True):
     for row in df.itertuples(index=False):
         vals = []
         for v in row:
-            if isinstance(v, float):
+            # pandas represents SQL NULL inconsistently across sources
+            # (None in object cols from Spark, float NaN from duckdb's
+            # nullable booleans) — canonicalize both to one token, the
+            # same collapse toPandas already applies to null doubles
+            if v is None:
+                v = "NaN"
+            elif isinstance(v, float):
                 if math.isnan(v):
                     v = "NaN"
             vals.append(v)
