@@ -301,24 +301,42 @@ def polygon_coverage(
     poly_id: str = "asdf_id",
     ring_col: str = "ring",
     broadcast_polygons: bool = True,
+    slab_cells: int = 16,
+    bucket_by_slab: bool = True,
 ) -> "DataFrame":
     """EXACT coverage fraction of every grid cell by every polygon —
     the scale path for coverage-weighted zonal statistics
     (queue/extract_check.py:29-31).
 
-    Plan shape: the (tiny) polygon table is exploded ONCE into edges,
-    broadcast, joined to the cell grid, each (cell, edge) pair reduced
-    to one closed-form scalar term (edge_coverage_integral), then a
-    single hash aggregation sums terms per (cell, polygon). No arrays
-    survive past the broadcast side; the probe side stays in
-    whole-stage codegen throughout. Returns cells × polygons with a
-    ``coverage`` column, rows with coverage > 0 only.
+    Plan shape: the polygon table is exploded ONCE into edges, each
+    edge replicated to the x-slabs its span can touch, then
+    EQUI-JOINED to the cell grid on the slab key (broadcast hash join
+    for small boundary tables, shuffled hash/sort-merge when the edge
+    table is itself large — the equi-key makes both possible). Each
+    (cell, edge) pair reduces to one closed-form scalar term
+    (edge_coverage_integral), then a single hash aggregation sums
+    terms per (cell, polygon). The probe side stays in whole-stage
+    codegen throughout. Returns cells × polygons with a ``coverage``
+    column, rows with coverage > 0 only.
 
-    At extreme boundary-table sizes the edge join can be pre-bucketed
-    on x-slabs (an edge only contributes to cells whose x-range
-    overlaps its clipped x-range); with the reference's boundary
-    cardinality (≤ thousands of features) broadcast is the right
-    plan."""
+    Why slab pruning is EXACT, not approximate: an edge whose x-span
+    does not overlap a cell's [x0, x1] contributes exactly 0 — both
+    clamps in edge_coverage_integral collapse to the same endpoint, so
+    the flat term has zero width and the sloped term has u_in == u_out.
+    Dropping those pairs removes only zero terms from the per-cell sum.
+    A cell with minx in slab k = floor(minx/w) overlaps an edge only
+    if minx ∈ [edge_xmin − cell_size, edge_xmax], so replicating the
+    edge to slabs floor((xmin−cell)/w) … floor(xmax/w) (±1 slab of
+    slack so float division at slab boundaries can never drop a
+    contributing pair) covers every non-zero pair exactly once: the
+    slab ids per edge are distinct and each cell carries one slab key.
+
+    ``slab_cells`` sets the slab width in cell units (w = slab_cells ×
+    cell_size): per-edge replication is span/w + 3 rows, per-cell edge
+    candidates are the edges crossing its slab. 16 keeps replication
+    ≈1 for feature-scale polygons while cutting the per-cell candidate
+    set to the local neighbourhood. ``bucket_by_slab=False`` restores
+    the all-pairs crossJoin (the property-test baseline)."""
     from pyspark.sql import DataFrame as _DF  # noqa: F401
 
     edges = polygons.select(
@@ -331,18 +349,39 @@ def polygon_coverage(
         F.col("e.b.x").alias("xb"),
         F.col("e.b.y").alias("yb"),
     )
-    if broadcast_polygons:
-        edges = F.broadcast(edges)
     s = F.lit(cell_size)
+    group_cols = [c for c in cells.columns] + [poly_id]
+    if bucket_by_slab:
+        w = F.lit(float(slab_cells) * cell_size)
+        xlo = F.least(F.col("xa"), F.col("xb"))
+        xhi = F.greatest(F.col("xa"), F.col("xb"))
+        edges = edges.withColumn(
+            "__cov_slab",
+            F.explode(
+                F.sequence(
+                    F.floor((xlo - s) / w) - 1, F.floor(xhi / w) + 1
+                )
+            ),
+        )
+        if broadcast_polygons:
+            edges = F.broadcast(edges)
+        keyed = cells.withColumn(
+            "__cell_slab", F.floor(F.col(cell_minx) / w)
+        )
+        paired = keyed.join(
+            edges, keyed["__cell_slab"] == edges["__cov_slab"]
+        )
+    else:
+        if broadcast_polygons:
+            edges = F.broadcast(edges)
+        paired = cells.crossJoin(edges)
     x0, y0 = F.col(cell_minx), F.col(cell_miny)
     term = edge_coverage_integral(
         F.col("xa"), F.col("ya"), F.col("xb"), F.col("yb"),
         x0, y0, x0 + s, y0 + s,
     )
-    group_cols = [c for c in cells.columns] + [poly_id]
     return (
-        cells.crossJoin(edges)
-        .withColumn("cov_term", term)
+        paired.withColumn("cov_term", term)
         .groupBy(*group_cols)
         .agg((F.abs(F.sum("cov_term")) / (s * s)).alias("coverage"))
         .filter(F.col("coverage") > 0)

@@ -158,6 +158,11 @@ def test_polygon_coverage_broadcast_single_agg(spark):
     plan = _explain(polygon_coverage(cells, polys, cell_size=0.5))
     assert "BroadcastExchange" in plan
     assert "SortMergeJoin" not in plan
+    # VERDICT r02 #1: the edge join is an EQUI-join on the x-slab key,
+    # not a crossJoin — slab pruning bounds per-cell edge candidates
+    assert "BroadcastHashJoin" in plan, plan
+    assert "__cell_slab" in plan and "__cov_slab" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
     # exactly one shuffle: the final aggregation's hashpartitioning
     shuffles = re.findall(r"\(\d+\) Exchange\b", plan)
     assert len(shuffles) == 1, plan

@@ -189,6 +189,70 @@ def test_coverage_sums_to_polygon_area(spark):
     assert got_sh == pytest.approx(area, rel=1e-9)
 
 
+def test_slab_bucketed_equals_unbucketed(spark):
+    # VERDICT r02 #1 "done" bar: x-slab pruning is EXACT — an edge
+    # with no x-overlap contributes a zero term, so dropping it cannot
+    # change any per-cell sum. Force many slabs (slab_cells=2 over a
+    # 10-unit grid → ≥5 slabs) and compare against the all-pairs plan
+    # on random concave star polygons, full outer so a row lost to
+    # over-pruning (or invented by double-join) fails loudly.
+    rng = random.Random(99)
+    polys = [
+        (i, _star_polygon(rng, rng.uniform(2, 8), rng.uniform(2, 8), rng.randint(5, 12)))
+        for i in range(5)
+    ]
+    bounds = spark.createDataFrame(
+        polys, "asdf_id INT, ring ARRAY<STRUCT<x: DOUBLE, y: DOUBLE>>"
+    )
+    cells = _grid_cells(spark, 20, 0.5)
+    bucketed = polygon_coverage(
+        cells, bounds, cell_size=0.5, slab_cells=2, bucket_by_slab=True
+    )
+    allpairs = polygon_coverage(
+        cells, bounds, cell_size=0.5, bucket_by_slab=False
+    )
+    cmp = bucketed.withColumnRenamed("coverage", "a").join(
+        allpairs.withColumnRenamed("coverage", "b"),
+        ["minx", "miny", "asdf_id"],
+        "full_outer",
+    )
+    # summation ORDER differs between the plans, so zero-coverage
+    # cells can carry ~1e-16 FP residue in one plan and cancel to an
+    # exact 0.0 (row filtered) in the other — coalesce missing rows to
+    # 0 and compare with tolerance, like the SH cross-check above
+    bad = cmp.filter(
+        F.abs(
+            F.coalesce(F.col("a"), F.lit(0.0))
+            - F.coalesce(F.col("b"), F.lit(0.0))
+        )
+        > 1e-12
+    ).count()
+    assert bad == 0
+
+
+def test_slab_bucketed_negative_coords_and_shuffle_join(spark):
+    # slabs work for negative coordinates (floor semantics) and
+    # without broadcast (the equi-key enables a shuffled join — the
+    # 100 TB path when the boundary table itself is big)
+    ring = [(-3.0, -3.0), (1.0, -3.0), (1.0, 1.0), (-3.0, 1.0)]
+    bounds = spark.createDataFrame(
+        [(0, ring)], "asdf_id INT, ring ARRAY<STRUCT<x: DOUBLE, y: DOUBLE>>"
+    )
+    cells = spark.range(100).select(
+        (((F.col("id") % 10) - 5) * 1.0).alias("minx"),
+        (((F.col("id") / 10).cast("long") - 5) * 1.0).alias("miny"),
+    )
+    got = (
+        polygon_coverage(
+            cells, bounds, cell_size=1.0, slab_cells=1,
+            broadcast_polygons=False,
+        )
+        .agg(F.sum("coverage").alias("s"))
+        .collect()[0]["s"]
+    )
+    assert got == pytest.approx(16.0)  # 4x4 fully covered cells
+
+
 def test_ring_area_shoelace(spark):
     got = spark.range(1).select(
         ring_area(_ring_lit(L_RING)).alias("a")
