@@ -1125,6 +1125,25 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # VERDICT r02 #3: the SCALE path for embedding near-dup — LSH
+    # bucket self-join generates candidates, exact cosine runs on
+    # candidates only (operators/dedup.embedding_near_dup_lsh). The
+    # oracle replays the integer-exact bucket assignment in SQL, so
+    # this approximate path is value-checked bit-for-bit, unlike the
+    # broadcast verifier (dedup_embedding_cosine) which would never
+    # run at 100 TB.
+    from det_module_spark.operators.dedup import embedding_near_dup_lsh
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = embedding_near_dup_lsh(
+        emb, threshold=0.35, n_planes=4, n_tables=8
+    )
+    return pairs.select(
+        "id_a", "id_b", _pround(F.col("cos"), 6).alias("cos")
+    )
+
+
 def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     out = tfidf_top_terms(docs, k=3)
@@ -2965,6 +2984,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # 1 — new/changed queries go FIRST so every round's additions are
     # driver-visible.
     return {
+        # --- round-3 additions / re-oracled queries ---
+        "dedup_embedding_lsh": q_dedup_embedding_lsh,
         # --- round-2 additions / re-oracled queries ---
         "request_lifecycle": q_request_lifecycle,
         "zonal_weighted_polygon": q_zonal_weighted_polygon,
@@ -3434,15 +3455,14 @@ def _rerank_sql(cand_cte: str) -> str:
     """
 
 
-def _lsh_sql(n_tables: int = 8, n_planes: int = 4) -> str:
-    """Full-replica oracle for the hyperplane-LSH ANN path: recompute
-    the md5-derived integer planes (operators/similarity.
-    _plane_center), the quantized integer signatures, the (table,
-    bucket) candidate join, and the exact cosine re-rank — all in
-    DuckDB SQL. Deterministic because every sign decision is exact
-    int64 arithmetic on both engines."""
+def _lsh_sig_ctes(n_tables: int = 8, n_planes: int = 4) -> str:
+    """Shared WITH-prefix ending in ``sigs`` = every vector's (table,
+    bucket) signature: recompute the md5-derived integer planes
+    (operators/similarity._plane_center) and the quantized integer
+    signatures in DuckDB SQL. Deterministic because every sign
+    decision is exact int64 arithmetic on both engines."""
     hex16 = "0123456789abcdef"
-    cand = f"""
+    return f"""
     WITH planes AS (
       SELECT t.t, p.p, d.d,
              2 * list_reduce(
@@ -3466,12 +3486,47 @@ def _lsh_sql(n_tables: int = 8, n_planes: int = 4) -> str:
                     SUM(CASE WHEN dot > 0
                              THEN (CAST(1 AS BIGINT) << p) ELSE 0 END)
                       AS bucket
-             FROM dots GROUP BY vec_id, t),
+             FROM dots GROUP BY vec_id, t)"""
+
+
+def _lsh_sql(n_tables: int = 8, n_planes: int = 4) -> str:
+    """Full-replica oracle for the hyperplane-LSH ANN path: signature
+    CTEs (_lsh_sig_ctes) + the (table, bucket) candidate join + the
+    exact cosine re-rank."""
+    cand = f"""{_lsh_sig_ctes(n_tables, n_planes)},
     qsig AS (SELECT * FROM sigs WHERE vec_id < 10),
     cand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
              FROM sigs c JOIN qsig q ON c.t = q.t AND c.bucket = q.bucket
              WHERE q.vec_id <> c.vec_id)"""
     return _rerank_sql(cand)
+
+
+def _dedup_lsh_sql(
+    threshold: float = 0.35, n_tables: int = 8, n_planes: int = 4
+) -> str:
+    """Oracle for the LSH→exact near-dup composition
+    (operators/dedup.embedding_near_dup_lsh): replay the bucket
+    assignment exactly (same int64 signature arithmetic as
+    _lsh_sql), take DISTINCT candidate pairs from the (table, bucket)
+    self-join, then the exact double-precision cosine predicate —
+    the same sequential-sum arithmetic as the Spark kernel."""
+    dot = _COS64.format(a="va", b="vb")
+    na = f"sqrt({_COS64.format(a='va', b='va')})"
+    nb = f"sqrt({_COS64.format(a='vb', b='vb')})"
+    return f"""{_lsh_sig_ctes(n_tables, n_planes)},
+    cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+             FROM sigs a JOIN sigs b ON a.t = b.t AND a.bucket = b.bucket
+             WHERE a.vec_id < b.vec_id),
+    pairs AS (SELECT cand.id_a, cand.id_b,
+                     ea.embedding AS va, eb.embedding AS vb
+              FROM cand
+              JOIN embeddings ea ON ea.vec_id = cand.id_a
+              JOIN embeddings eb ON eb.vec_id = cand.id_b),
+    scored AS (SELECT id_a, id_b, {dot} / ({na} * {nb}) AS cos
+               FROM pairs)
+    SELECT id_a, id_b, FLOOR(cos * 1e6 + 0.5) / 1e6 AS cos
+    FROM scored WHERE cos >= {threshold}
+    """
 
 
 def _ivf_fit_ctes(
@@ -3997,6 +4052,7 @@ QUALIFY ROW_NUMBER() OVER (
         "dedup_simhash": _simhash_sql(16),
         "similarity_cosine_topk": _cosine_sql(),
         "similarity_lsh_topk": _lsh_sql(),
+        "dedup_embedding_lsh": _dedup_lsh_sql(0.35),
         "similarity_ivf_topk": _ivf_sql(),
         "semantic_dedup": _semantic_dedup_sql(threshold=0.4),
         "similarity_pq_topk": _pq_sql(),

@@ -234,6 +234,69 @@ def embedding_near_dup_pairs(
     )
 
 
+def embedding_near_dup_lsh(
+    embeddings: DataFrame,
+    threshold: float = 0.35,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 4,
+    n_tables: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """Embedding near-duplicate pairs, LSH-candidate composition —
+    the SCALE path (VERDICT r02 #3): hyperplane-LSH buckets generate
+    candidates via a (table, bucket) self equi-join, then the exact
+    cosine predicate runs on candidates only. No all-pairs product
+    anywhere: the join key is the bucket, so work is Σ|bucket|² and
+    the shuffle is a plain equi-key exchange that scales out.
+
+    Returns (id_a < id_b, cos ≥ τ) for every candidate pair — a
+    deterministic SUBSET of ``embedding_near_dup_pairs`` (recall
+    governed by (n_planes, n_tables) amplification; the signature
+    arithmetic is exact int64, so an SQL oracle replays the buckets
+    and matches bit-for-bit). At scale, materialize the bucket table
+    once (it is a projection of the corpus) and reuse it across runs
+    rather than recomputing both join sides."""
+    from det_module_spark.operators.similarity import (
+        cosine_with_norms,
+        lsh_buckets,
+    )
+
+    b = lsh_buckets(
+        embeddings, "mid", id_col, vec_col, n_planes, n_tables, dim
+    )
+    left = b.select(
+        F.col("mid").alias("id_a"),
+        F.col("mid_v").alias("va"),
+        F.col("mid_n").alias("na"),
+        "table",
+        "bucket",
+    )
+    right = b.select(
+        F.col("mid").alias("id_b"),
+        F.col("mid_v").alias("vb"),
+        F.col("mid_n").alias("nb"),
+        "table",
+        "bucket",
+    )
+    cand = (
+        left.join(right, ["table", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "va", "na", "id_b", "vb", "nb")
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "cos",
+            cosine_with_norms(
+                F.col("va"), F.col("vb"), F.col("na"), F.col("nb")
+            ),
+        )
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
+    )
+
+
 def simhash(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -73,3 +73,28 @@ def test_embedding_near_dup(spark):
     }
     assert set(pairs) == {(0, 1)}
     assert pairs[(0, 1)] > 0.98
+
+
+def test_embedding_near_dup_lsh_subset_and_recall(spark, sf_dir):
+    """The LSH composition returns a SUBSET of the exact verifier's
+    pairs with identical cosines (candidates only miss, never invent
+    or distort), and at (4 planes, 8 tables) recall on the test
+    embeddings is high."""
+    from det_module_spark.operators.dedup import embedding_near_dup_lsh
+    from det_module_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = {
+        (r["id_a"], r["id_b"]): r["cos"]
+        for r in embedding_near_dup_pairs(emb, threshold=0.35).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"]): r["cos"]
+        for r in embedding_near_dup_lsh(
+            emb, threshold=0.35, n_planes=4, n_tables=8
+        ).collect()
+    }
+    assert set(lsh) <= set(exact)
+    for k, v in lsh.items():
+        assert v == exact[k]  # exact predicate on candidates: same cos
+    assert len(lsh) >= 0.5 * len(exact), (len(lsh), len(exact))
