@@ -3397,7 +3397,17 @@ def _approx_stats_sql() -> str:
     sf = os.path.basename(
         os.environ.get("SPARK_GRAFT_SF_DIR", "sf0.01").rstrip("/")
     )
-    ndp, nds = _HLL_GOLDENS.get(sf, _HLL_GOLDENS["sf0.01"])
+    if sf not in _HLL_GOLDENS:
+        # fail loudly rather than compare against another SF's pinned
+        # HLL values — a silent sf0.01 fallback would report a
+        # confusing value mismatch at any new scale factor (ADVICE
+        # r02). Pin new goldens by running the Spark query once at the
+        # new SF (the HLL register-merge is partition-independent).
+        raise ValueError(
+            f"approx_stats has no pinned HLL goldens for {sf!r}; "
+            f"known: {sorted(_HLL_GOLDENS)}"
+        )
+    ndp, nds = _HLL_GOLDENS[sf]
     # exact order statistic at rank ceil(p*n), 1-indexed ascending
     # (percentile_approx's selection rule, verified empirically on
     # awkward n); coarse-valued l_quantity makes the GK ±1-rank merge
@@ -3833,7 +3843,7 @@ QUALIFY ROW_NUMBER() OVER (
   PARTITION BY asdf_id ORDER BY cnt {dir}, value ASC) = 1
 """
     )
-    return {
+    out = {
         "zonal_mean": _zonal_sql("AVG(value) AS exfield_0"),
         "zonal_count": _zonal_sql("COUNT(value) AS exfield_0"),
         "zonal_sum": _zonal_sql("SUM(value) AS exfield_0"),
@@ -4056,7 +4066,10 @@ QUALIFY ROW_NUMBER() OVER (
         "similarity_ivf_topk": _ivf_sql(),
         "semantic_dedup": _semantic_dedup_sql(threshold=0.4),
         "similarity_pq_topk": _pq_sql(),
-        "approx_stats": _approx_stats_sql(),
+        # approx_stats is conditionally added after this dict: at an
+        # SF with no pinned HLL goldens it must be UN-ORACLED (driver
+        # falls back to the rows-only check) rather than silently
+        # compared against another SF's pinned values (ADVICE r02)
         "multimodal_decode": """
             SELECT doc_id AS media_id,
                    CASE CAST(doc_id % 3 AS INT)
@@ -6122,3 +6135,8 @@ QUALIFY ROW_NUMBER() OVER (
             FROM agg
         """,
     }
+    try:
+        out["approx_stats"] = _approx_stats_sql()
+    except ValueError:
+        pass  # SF with no pinned goldens: un-oracled (rows-only check)
+    return out

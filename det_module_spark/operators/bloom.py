@@ -39,7 +39,12 @@ def _positions(v: Column, k: int, m: int) -> list[Column]:
     for i in range(k):
         x = (v + F.lit(i * 1_000_003 + 1)) * F.lit(_MULT)
         mixed = x.bitwiseXOR(F.shiftright(x, 13))
-        out.append(mixed % F.lit(m))
+        # pmod, not %: for negative keys the truncating % yields a
+        # negative position — the Python build side would then pack
+        # into a word aliased from the array END while the SQL probe
+        # errors in element_at (index <= 0) — silent false negatives
+        # (ADVICE r02). pmod keeps positions in [0, m) on both sides.
+        out.append(F.pmod(mixed, F.lit(m)))
     return out
 
 
@@ -52,7 +57,8 @@ def bloom_build(
     being materialized, not data."""
     v = F.col(col).cast("long")
     pos = (
-        keys.select(F.explode(F.array(*_positions(v, k, m))).alias("pos"))
+        keys.filter(v.isNotNull())  # NULL never equi-joins; no bit set
+        .select(F.explode(F.array(*_positions(v, k, m))).alias("pos"))
         .distinct()
         .collect()
     )
@@ -74,7 +80,11 @@ def bloom_filter_df(
     """fact rows whose ``fact_col`` MIGHT be among keys' ``key_col``
     — the pre-join pruning pass. One bounded collect on the key side,
     zero shuffle and no join on the fact side: the bitmap rides along
-    as an array literal and each hash tests one bit."""
+    as an array literal and each hash tests one bit.
+
+    NULL fact keys are dropped (the membership predicate is NULL),
+    matching inner/semi equi-join semantics where NULL never
+    matches."""
     words = bloom_build(keys, key_col or fact_col, k=k, m=m)
     out = fact.withColumn("_bm", F.lit(words))
     v = F.col(fact_col).cast("long")

@@ -83,7 +83,9 @@ class CacheManifest:
             if f.endswith(".parquet")
         )
 
-    def _commit(self, rows: list[tuple]) -> int:
+    def _commit(
+        self, rows: list[tuple], require_version: int | None = None
+    ) -> int | None:
         """Atomically append one commit file containing ``rows``.
 
         Optimistic concurrency: build the file for version =
@@ -91,7 +93,12 @@ class CacheManifest:
         hard-linking onto an existing path raises FileExistsError, so
         exactly one writer wins each version and the loser retries
         with a re-read version number. The temp file lives OUTSIDE
-        the log dir so readers never see partial parquet."""
+        the log dir so readers never see partial parquet.
+
+        ``require_version`` pins the claim to ONE specific version and
+        returns None instead of retrying if it is already taken — the
+        compare-and-swap compact() needs: its snapshot is only valid
+        as version snapshot_max+1, never as "whatever is free next"."""
         import pyarrow as pa
         import pyarrow.parquet as pq
 
@@ -99,8 +106,11 @@ class CacheManifest:
         os.makedirs(self.root, exist_ok=True)
         cols = [f.name for f in MANIFEST_SCHEMA.fields]
         while True:
-            versions = self._versions()
-            v = versions[-1] + 1 if versions else 0
+            if require_version is not None:
+                v = require_version
+            else:
+                versions = self._versions()
+                v = versions[-1] + 1 if versions else 0
             data = {c: [r[i] for r in rows] for i, c in enumerate(cols)}
             data["version"] = [v] * len(rows)
             table = pa.table(
@@ -126,6 +136,8 @@ class CacheManifest:
                     os.link(tmp, target)
                     return v
                 except FileExistsError:
+                    if require_version is not None:
+                        return None  # CAS failed — caller re-snapshots
                     continue  # lost the race — re-read versions, retry
             finally:
                 os.unlink(tmp)
@@ -144,22 +156,46 @@ class CacheManifest:
         )
 
     def compact(self) -> None:
-        """Fold the whole log into one commit file and drop the
-        older files. Safe against concurrent WRITERS (the compacted
-        state is itself a linked commit, and replaying superseded
-        files is idempotent because higher versions win); concurrent
-        READERS listing mid-compaction may need a retry — acceptable
-        for the local driver, Delta checkpoints are the cluster
-        answer."""
-        state = [tuple(r) for r in self.read().collect()]
-        if not state:
-            return
-        v = self._commit(state)
-        for old in self._versions():
-            if old < v:
+        """Fold the whole log into one commit file and drop the older
+        files — a compare-and-swap loop so concurrent WRITERS are safe:
+
+        1. pin the file listing (snapshot_max = highest listed version)
+        2. replay exactly those files into the folded state
+        3. claim version snapshot_max + 1 with ``require_version``
+
+        If ANY commit landed after the snapshot it owns snapshot_max+1
+        (writers always claim the next contiguous version), so the CAS
+        fails and the whole snapshot retries — the folded state can
+        never be assigned a version above a commit it didn't include,
+        which is the lost-update the old read-then-append had.
+        Concurrent READERS listing mid-compaction may need a retry —
+        acceptable for the local driver, Delta checkpoints are the
+        cluster answer."""
+        while True:
+            versions = self._versions()
+            if not versions:
+                return
+            snap_max = versions[-1]
+            files = [
+                os.path.join(self.log_path, f"{v:020d}.parquet")
+                for v in versions
+            ]
+            log = self.spark.read.schema(_LOG_SCHEMA).parquet(*files)
+            w = Window.partitionBy("spec_hash").orderBy(F.desc("version"))
+            state = [
+                tuple(r)
+                for r in log.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .drop("_rn", "version")
+                .collect()
+            ]
+            if self._commit(state, require_version=snap_max + 1) is None:
+                continue  # a commit landed after the snapshot — retry
+            for old in versions:
                 os.unlink(
                     os.path.join(self.log_path, f"{old:020d}.parquet")
                 )
+            return
 
     def cached_hashes(self) -> DataFrame:
         m = self.read()

@@ -68,7 +68,13 @@ def _parse_ifd(buf, bo: str) -> dict[int, list]:
     for i in range(n_entries):
         off = ifd_off + 2 + 12 * i
         tag, ftype, count = struct.unpack(bo + "HHI", buf[off:off + 8])
-        if ftype not in _TYPE_SIZE:
+        # skip field types we can't DECODE, not just ones we can't
+        # size — type 7 (UNDEFINED) is legal TIFF 6.0, has a size, but
+        # no struct format; it used to fall through to a KeyError
+        # (ADVICE r02)
+        if ftype not in _TYPE_SIZE or (
+            ftype not in _TYPE_FMT and ftype not in (2, 5, 10)
+        ):
             continue
         size = _TYPE_SIZE[ftype] * count
         if size <= 4:

@@ -107,6 +107,29 @@ def test_bloom_filter_never_drops_matches(spark):
     assert len(bloom_build(keys, "k")) == 65
 
 
+def test_bloom_filter_negative_keys_and_nulls(spark):
+    """ADVICE r02: negative keys must never be dropped (pmod keeps
+    positions in [0, m) on both the Python build side and the SQL
+    probe side), and NULL keys must not crash the build."""
+    from pyspark.sql import Row
+
+    from det_module_spark.operators.bloom import bloom_build, bloom_filter_df
+
+    keys = spark.createDataFrame(
+        [Row(k=-(2**30)), Row(k=-7), Row(k=None), Row(k=3), Row(k=2**30)],
+        "k BIGINT",
+    )
+    fact = spark.createDataFrame(
+        [Row(fk=v) for v in (-(2**30), -7, -6, 3, 2**30, 999, None)],
+        "fk BIGINT",
+    )
+    words = bloom_build(keys, "k")  # NULL key: no crash, no bit
+    assert all(w >= 0 for w in words)
+    passed = {r["fk"] for r in bloom_filter_df(fact, keys, "fk", "k").collect()}
+    assert {-(2**30), -7, 3, 2**30} <= passed  # containment incl. negatives
+    assert None not in passed  # NULL never equi-joins
+
+
 def test_bloom_filter_fact_side_no_shuffle(spark):
     import re
 

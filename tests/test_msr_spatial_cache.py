@@ -160,3 +160,50 @@ def test_cache_log_compaction(spark, tmp_path):
     # writes keep working after compaction
     cache.put("h9", "extract", result)
     assert cache.read().count() == 6
+
+
+def test_compact_cas_rejects_stale_snapshot(spark, tmp_path):
+    """The compact CAS primitive: a snapshot may only land as
+    snapshot_max+1; if a concurrent commit took that version the
+    claim returns None instead of silently reverting it (ADVICE r02:
+    the old read-then-append assigned the stale snapshot an ever-
+    higher version, erasing any commit that landed in between)."""
+    cache = CacheManifest(spark, str(tmp_path / "cache"))
+    row = lambda h, p: (h, "extract", 1, True, p, 0)  # noqa: E731
+    cache._commit([row("h0", "p0")])  # version 0
+    snap_max = cache._versions()[-1]
+    stale = [row("h0", "p0")]
+    # concurrent writer lands AFTER the snapshot: updates h0
+    cache._commit([row("h0", "p0-new")])  # version 1
+    assert cache._commit(stale, require_version=snap_max + 1) is None
+    got = {r["spec_hash"]: r["path"] for r in cache.read().collect()}
+    assert got == {"h0": "p0-new"}
+
+
+def test_compact_retries_over_concurrent_commit(spark, tmp_path):
+    """End-to-end: a commit that lands between compact's snapshot and
+    its claim survives — compact retries with a fresh snapshot that
+    includes it."""
+    cache = CacheManifest(spark, str(tmp_path / "cache"))
+    row = lambda h, p: (h, "extract", 1, True, p, 0)  # noqa: E731
+    cache._commit([row("h0", "p0")])
+    cache._commit([row("h1", "p1")])
+
+    real_commit = CacheManifest._commit
+    fired = {"done": False}
+
+    def racing_commit(self, rows, require_version=None):
+        # first CAS attempt: inject a concurrent writer after the
+        # snapshot was taken, so the pinned version is already claimed
+        if require_version is not None and not fired["done"]:
+            fired["done"] = True
+            racer = CacheManifest(spark, self.root)
+            real_commit(racer, [row("h0", "p0-racer")])
+        return real_commit(self, rows, require_version)
+
+    cache._commit = racing_commit.__get__(cache)
+    cache.compact()
+    got = {r["spec_hash"]: r["path"] for r in cache.read().collect()}
+    # the racer's update is in the final state, not reverted
+    assert got == {"h0": "p0-racer", "h1": "p1"}
+    assert len(cache._versions()) == 1

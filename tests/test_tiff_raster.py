@@ -62,6 +62,37 @@ def test_codec_rejects_out_of_bounds_window(tmp_path):
         read_tiff(p, window=(4, 4, 8, 8))
 
 
+def test_codec_skips_undefined_type_tag(tmp_path):
+    """ADVICE r02: a type-7 (UNDEFINED) tag is legal TIFF 6.0 and
+    common in real files (e.g. XMP/EXIF payloads) — the parser must
+    skip it, not KeyError. Splice an UNDEFINED-typed entry into a
+    valid file's IFD by rewriting one benign tag's type in place."""
+    import struct
+
+    p = str(tmp_path / "u.tif")
+    arr = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    write_tiff(p, arr)
+    buf = bytearray(open(p, "rb").read())
+    bo = "<" if bytes(buf[:2]) == b"II" else ">"
+    (ifd_off,) = struct.unpack(bo + "I", bytes(buf[4:8]))
+    (n,) = struct.unpack(bo + "H", bytes(buf[ifd_off:ifd_off + 2]))
+    patched = False
+    for i in range(n):
+        off = ifd_off + 2 + 12 * i
+        tag, ftype, count = struct.unpack(
+            bo + "HHI", bytes(buf[off:off + 8])
+        )
+        if tag == 262:  # photometric: benign to lose, inline value
+            buf[off + 2:off + 4] = struct.pack(bo + "H", 7)
+            patched = True
+            break
+    assert patched
+    open(p, "wb").write(bytes(buf))
+    back, _ = read_tiff(p)  # no KeyError
+    assert np.array_equal(back, arr)
+    assert tiff_info(p)["width"] == 8
+
+
 def test_read_raster_cells_real_file(spark, f32_tif):
     path, arr = f32_tif
     cells = read_raster_cells(

@@ -17,21 +17,25 @@ sys.path.insert(0, "/root/repo")
 
 
 def canon(df, float_exact=True):
-    """pandas frame -> sorted-rows, sorted-cols list of tuples."""
+    """pandas frame -> sorted-rows, sorted-cols list of tuples.
+
+    NULL canonicalization is DTYPE-AWARE (ADVICE r02): in float
+    columns NULL collapses to the "NaN" token — mirroring toPandas'
+    null-double representation, where the distinction is already lost
+    in transit on both engines — but in non-float columns NULL maps to
+    a distinct "<NULL>" sentinel so a genuine NULL-vs-'NaN'-string (or
+    NULL-vs-value) divergence between Spark and the oracle is
+    detected, not masked."""
     df = df[sorted(df.columns)]
+    float_cols = {c for c in df.columns if df[c].dtype.kind == "f"}
     rows = []
     for row in df.itertuples(index=False):
         vals = []
-        for v in row:
-            # pandas represents SQL NULL inconsistently across sources
-            # (None in object cols from Spark, float NaN from duckdb's
-            # nullable booleans) — canonicalize both to one token, the
-            # same collapse toPandas already applies to null doubles
+        for c, v in zip(df.columns, row):
             if v is None:
-                v = "NaN"
-            elif isinstance(v, float):
-                if math.isnan(v):
-                    v = "NaN"
+                v = "NaN" if c in float_cols else "<NULL>"
+            elif isinstance(v, float) and math.isnan(v):
+                v = "NaN" if c in float_cols else "<NULL>"
             vals.append(v)
         rows.append(tuple(vals))
     return sorted(rows, key=lambda r: tuple(str(x) for x in r))
