@@ -11,9 +11,10 @@ metadata, 519-524 license):
 The document is built as a *structured section model* (title +
 paragraph/table blocks) so the text renderer, the PDF renderer and the
 golden tests all walk the same data. The text report is always
-written; PDF rendering is added when reportlab is importable (it is
-not bundled in this container) — the text path is the contract, the
-PDF path is a format.
+written; the PDF renders via reportlab when importable and otherwise
+via the bundled minimal PDF 1.4 writer (sources/pdfwriter.py), so the
+render path always executes — the text path is the contract, the PDF
+path is a format.
 
 Differences from the reference, by design:
 
@@ -362,9 +363,38 @@ class DocBuilder:
             lines.append("")
         return "\n".join(lines).lstrip("\n") + "\n"
 
+    def section_lines(self, sec: Section) -> list[str]:
+        """One section as plain text lines — shared by the minimal-PDF
+        renderer and (conceptually) to_text."""
+        lines = [str(sec["title"]), "=" * max(4, len(str(sec["title"])))]
+        for kind, payload in sec["blocks"]:
+            if kind == "p":
+                lines.append(str(payload))
+            else:
+                width = max((len(r[0]) for r in payload), default=0)
+                for rk, rv in payload:
+                    lines.append(f"  {rk.ljust(width)} | {rv}")
+        return lines
+
     def to_pdf(self, path: str) -> str:
-        """PDF rendering via reportlab (documentation_tool.py:74,530-531).
-        Raises ImportError when reportlab is absent — callers gate on it."""
+        """PDF rendering (documentation_tool.py:74,530-531): reportlab
+        when importable (richer layout), else the bundled pure-Python
+        PDF 1.4 writer (sources/pdfwriter.py) — the render path always
+        executes; only the layout engine is environment-dependent."""
+        try:
+            return self._to_pdf_reportlab(path)
+        except ImportError:
+            return self._to_pdf_minimal(path)
+
+    def _to_pdf_minimal(self, path: str) -> str:
+        from det_module_spark.sources.pdfwriter import paginate, write_pdf
+
+        pages: list[list[str]] = []
+        for sec in self.build_sections():
+            pages.extend(paginate(self.section_lines(sec)))
+        return write_pdf(path, pages)
+
+    def _to_pdf_reportlab(self, path: str) -> str:
         from reportlab.lib.pagesizes import letter  # noqa: F401
         from reportlab.lib.units import inch
         from reportlab.platypus import (

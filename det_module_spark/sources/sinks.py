@@ -71,9 +71,9 @@ def build_documentation(
     dictionary produced by the naming algebra for this run's merge
     items.
 
-    The text report is ALWAYS written (it is the contract); when
-    reportlab is importable a PDF is written alongside it — the PDF is
-    a rendering, never a dependency."""
+    The text report is ALWAYS written (it is the contract); a PDF is
+    always written alongside it — rendered by reportlab when
+    importable, else by the bundled minimal PDF writer."""
     import textwrap
 
     from det_module_spark.sources.docbuilder import DocBuilder
@@ -111,10 +111,9 @@ def build_documentation(
     path = os.path.join(out_dir, "documentation.txt")
     with open(path, "w") as f:
         f.write("\n".join(lines) + "\n")
-    try:  # pragma: no cover - reportlab not bundled in this container
-        builder.to_pdf(os.path.join(out_dir, "documentation.pdf"))
-    except ImportError:
-        pass
+    # PDF always renders now: reportlab when importable, else the
+    # bundled minimal PDF 1.4 writer (sources/pdfwriter.py)
+    builder.to_pdf(os.path.join(out_dir, "documentation.pdf"))
     return path
 
 

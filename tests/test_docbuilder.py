@@ -265,17 +265,90 @@ def test_text_render_deterministic_and_complete(sections):
         assert expected in t1
 
 
-def test_pdf_gated_on_reportlab(tmp_path):
+def test_pdf_always_renders(tmp_path):
+    """K3 (VERDICT r02 #4): the PDF render path executes regardless of
+    reportlab — the minimal PDF 1.4 writer is the fallback."""
     b = DocBuilder(REQUEST, catalog=CATALOG, now=NOW)
-    try:
-        import reportlab  # noqa: F401
-        has_reportlab = True
-    except ImportError:
-        has_reportlab = False
-    if has_reportlab:
-        out = b.to_pdf(str(tmp_path / "doc.pdf"))
-        assert (tmp_path / "doc.pdf").exists()
-        assert out.endswith(".pdf")
-    else:
-        with pytest.raises(ImportError):
-            b.to_pdf(str(tmp_path / "doc.pdf"))
+    out = b.to_pdf(str(tmp_path / "doc.pdf"))
+    assert out.endswith(".pdf")
+    head = open(out, "rb").read(8)
+    assert head.startswith(b"%PDF-1.")
+
+
+def _pdf_unescape(raw: bytes) -> str:
+    out, i = [], 0
+    while i < len(raw):
+        c = raw[i : i + 1]
+        if c == b"\\":
+            i += 1
+            c = raw[i : i + 1]
+        out.append(c)
+        i += 1
+    return b"".join(out).decode("latin-1")
+
+
+def test_minimal_pdf_structure_and_text(tmp_path):
+    """Byte-parse the fallback writer's output: header, xref offsets
+    landing on 'N 0 obj', trailer /Root, page count consistency, and
+    section-text extraction from the uncompressed content streams."""
+    import re
+
+    b = DocBuilder(REQUEST, catalog=CATALOG, now=NOW)
+    path = str(tmp_path / "doc.pdf")
+    b._to_pdf_minimal(path)
+    buf = open(path, "rb").read()
+    assert buf.startswith(b"%PDF-1.4\n")
+    assert buf.rstrip().endswith(b"%%EOF")
+
+    # trailer: startxref points at the xref table
+    m = re.search(rb"startxref\n(\d+)\n%%EOF", buf)
+    assert m
+    xref_off = int(m.group(1))
+    assert buf[xref_off : xref_off + 4] == b"xref"
+
+    # every xref entry lands exactly on its object header
+    entries = re.findall(rb"(\d{10}) 00000 n ", buf[xref_off:])
+    assert entries
+    for num, off in enumerate(entries, start=1):
+        at = int(off)
+        assert buf[at:].startswith(b"%d 0 obj" % num), num
+
+    # /Count in the Pages object matches the number of Page objects
+    count = int(re.search(rb"/Count (\d+)", buf).group(1))
+    assert count == len(re.findall(rb"/Type /Page\b[^s]", buf))
+    assert len(entries) == 3 + 2 * count
+
+    # text extraction: every section title appears in a content stream
+    streams = re.findall(rb"stream\n(.*?)\nendstream", buf, re.S)
+    text = "\n".join(
+        _pdf_unescape(s)
+        for blob in streams
+        for s in re.findall(rb"\((.*?[^\\])?\) Tj", blob)
+        if s
+    )
+    for title in [
+        "Report Info",
+        "Processing Timeline",
+        "Request Overview",
+        "Meta Information",
+    ]:
+        assert title in text
+    assert REQUEST["_id"] in text  # table rows render too
+
+
+def test_minimal_pdf_wrap_and_escape(tmp_path):
+    """Writer primitives: parens/backslash escape round-trips, long
+    unbroken tokens hard-wrap, pagination splits at the page size."""
+    from det_module_spark.sources.pdfwriter import (
+        LINES_PER_PAGE,
+        paginate,
+        write_pdf,
+    )
+
+    pages = paginate(["x" * 300, "(a) \\ (b)"] + ["line"] * 60)
+    assert all(len(p) <= LINES_PER_PAGE for p in pages)
+    assert len(pages) >= 2
+    path = str(tmp_path / "w.pdf")
+    write_pdf(path, pages)
+    buf = open(path, "rb").read()
+    assert rb"(\(a\) \\ \(b\)) Tj" in buf
