@@ -1077,6 +1077,67 @@ def q_polygon_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _skewed_fact_dim(spark: SparkSession, sf_dir: str):
+    """Deliberately zipfian fact/dim pair (VERDICT r02 #6): 60% of
+    lineitem rows collapse onto skew_key 0, the rest spread over
+    1..99. The dim is 100 keys with integer weights."""
+    li = load_table(spark, sf_dir, "lineitem")
+    fact = li.select(
+        F.when(F.col("l_orderkey") % 100 < 60, F.lit(0).cast("long"))
+        .otherwise((F.col("l_orderkey") % 100).cast("long"))
+        .alias("skew_key"),
+        F.col("l_quantity").cast("long").alias("qty"),
+    )
+    dim = spark.range(100).select(
+        F.col("id").alias("skew_key"), (F.col("id") * 7 + 3).alias("weight")
+    )
+    return fact, dim
+
+
+_SKEW_JOIN_SQL = """
+    WITH fact AS (
+      SELECT CASE WHEN l_orderkey % 100 < 60 THEN 0
+                  ELSE l_orderkey % 100 END AS skew_key,
+             CAST(l_quantity AS BIGINT) AS qty
+      FROM lineitem),
+    dim AS (SELECT j AS skew_key, j * 7 + 3 AS weight
+            FROM range(0, 100) t(j))
+    SELECT skew_key, COUNT(*) AS n_rows,
+           SUM(qty * weight) AS wsum
+    FROM fact JOIN dim USING (skew_key)
+    GROUP BY skew_key
+"""
+
+
+def q_skew_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the AQE path: force a sort-merge join (no broadcast) so the hot
+    # key's shuffle partition is real, and let AQE's skew-join split
+    # it at runtime (spark.sql.adaptive.skewJoin, on by default).
+    # Exact integer aggregate -> hash-clean oracle. The salted variant
+    # below must produce the identical table.
+    fact, dim = _skewed_fact_dim(spark, sf_dir)
+    joined = fact.join(dim.hint("merge"), "skew_key")
+    return joined.groupBy("skew_key").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("qty") * F.col("weight")).alias("wsum"),
+    )
+
+
+def q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the engine-independent fallback for the same zipfian join:
+    # deterministic row-hash salt on the fact side, dim replicated
+    # n_salts ways, join on (key, salt) — same output, skew spread
+    # over 16 reducers (operators/skew.salted_join)
+    from det_module_spark.operators.skew import salted_join
+
+    fact, dim = _skewed_fact_dim(spark, sf_dir)
+    joined = salted_join(fact, dim.hint("merge"), "skew_key", n_salts=16)
+    return joined.groupBy("skew_key").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("qty") * F.col("weight")).alias("wsum"),
+    )
+
+
 def q_zonal_salted_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     # skew-immune two-stage aggregation; must equal the plain mean
     from det_module_spark.operators.skew import salted_mean
@@ -2986,6 +3047,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-3 additions / re-oracled queries ---
         "dedup_embedding_lsh": q_dedup_embedding_lsh,
+        "skew_join_agg": q_skew_join_agg,
+        "skew_salted_join": q_skew_salted_join,
         # --- round-2 additions / re-oracled queries ---
         "request_lifecycle": q_request_lifecycle,
         "zonal_weighted_polygon": q_zonal_weighted_polygon,
@@ -4063,6 +4126,8 @@ QUALIFY ROW_NUMBER() OVER (
         "similarity_cosine_topk": _cosine_sql(),
         "similarity_lsh_topk": _lsh_sql(),
         "dedup_embedding_lsh": _dedup_lsh_sql(0.35),
+        "skew_join_agg": _SKEW_JOIN_SQL,
+        "skew_salted_join": _SKEW_JOIN_SQL,
         "similarity_ivf_topk": _ivf_sql(),
         "semantic_dedup": _semantic_dedup_sql(threshold=0.4),
         "similarity_pq_topk": _pq_sql(),

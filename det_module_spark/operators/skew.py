@@ -74,6 +74,36 @@ def salted_count(df: DataFrame, key: str, n_salts: int = 16) -> DataFrame:
     )
 
 
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join immune to fact-side key skew when the dim side cannot
+    broadcast: every dim row is replicated across all ``n_salts`` salt
+    values and the fact side computes a deterministic uniform salt, so
+    the physical join key (key, salt) spreads each hot key over
+    ``n_salts`` reducers instead of melting one.
+
+    The salt is ``pmod(hash(entire fact row), n)`` — deterministic, so
+    results are reproducible (and oracle-checkable: salting never
+    changes the join's OUTPUT, only its partitioning). Cost: the dim
+    shuffle grows ``n_salts``×; use when dim is mid-sized (too big to
+    broadcast, small enough to replicate) and AQE's skew split isn't
+    available for the plan shape (e.g. shuffled hash joins, or
+    pre-AQE engines)."""
+    salt = F.pmod(
+        F.hash(F.struct(*[F.col(c) for c in fact.columns])), F.lit(n_salts)
+    )
+    f = fact.withColumn("_salt", salt)
+    d = dim.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+    return f.join(d, [key, "_salt"], how).drop("_salt")
+
+
 def salted_mean(df: DataFrame, key: str, value: str, n_salts: int = 16) -> DataFrame:
     """mean = merged sum ÷ merged count — the canonical non-trivial
     combine (plain mean-of-means would be wrong)."""

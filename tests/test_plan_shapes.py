@@ -186,6 +186,64 @@ def test_lsh_topk_no_corpus_shuffle_before_bucket_join(spark, sf_dir):
     assert "SortMergeJoin" not in plan
 
 
+def test_skew_join_aqe_split_fires(spark, sf_dir):
+    """VERDICT r02 #6: the zipfian join's hot partition is split by
+    AQE's skew-join handling. Thresholds are lowered to make the
+    sf-scale hot partition (60% of lineitem) qualify — at 100 TB the
+    defaults (256 MB) trip on their own."""
+    from __spark_entry__ import _skewed_fact_dim
+
+    keys = [
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+    ]
+    old = {k: spark.conf.get(k, None) for k in keys}
+    try:
+        spark.conf.set(keys[0], "800")
+        spark.conf.set(keys[1], "800")
+        spark.conf.set(keys[2], "1.0")
+        fact, dim = _skewed_fact_dim(spark, sf_dir)
+        # AQE splits a skewed reduce partition along MAP-output
+        # boundaries; a single-file scan is ONE map, so give the
+        # fact side a realistic multi-task upstream stage first
+        joined = fact.repartition(20).join(dim.hint("merge"), "skew_key")
+        joined.collect()  # execute THIS plan so AQE finalizes it
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:4000]
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+def test_salted_join_equals_plain_and_spreads_key(spark, sf_dir):
+    """salted_join output == plain join output (salting is partition-
+    layout only), and the physical join key includes the salt."""
+    from __spark_entry__ import _skewed_fact_dim
+    from det_module_spark.operators.skew import salted_join
+
+    fact, dim = _skewed_fact_dim(spark, sf_dir)
+    fact = fact.limit(20000)
+    plain = (
+        fact.join(dim, "skew_key")
+        .groupBy("skew_key")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("weight").alias("w"))
+    )
+    salted = (
+        salted_join(fact, dim, "skew_key", n_salts=8)
+        .groupBy("skew_key")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("weight").alias("w"))
+    )
+    a = {tuple(r) for r in plain.collect()}
+    b = {tuple(r) for r in salted.collect()}
+    assert a == b
+    plan = _explain(salted_join(fact, dim, "skew_key", n_salts=8))
+    assert "_salt" in plan  # join condition carries the salt column
+
+
 def test_edge_coverage_term_is_codegen(spark):
     """The per-(cell, edge) closed-form term must stay inside
     whole-stage codegen — no Python, no interpreted HOF eval."""
