@@ -1779,6 +1779,105 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "events")
 
 
+def q_events_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # VERDICT r02 #8: REAL streaming late-data semantics, value-
+    # checked. Events are assigned a deterministic micro-batch
+    # schedule (six time-sextile batches; every 29th event arrives two
+    # batches late) and replayed through an actual APPEND-mode
+    # streaming query with a 2-hour watermark
+    # (streaming/replay.replay_tumbling). The oracle models the exact
+    # watermark trajectory — cummax of per-batch max event-time,
+    # FLOORED TO MILLISECONDS as Spark's event-time stats are — and
+    # reproduces both effects under test: late input dropped against
+    # the watermark PLANNED for the batch (stats through batch b-2;
+    # Spark's two-phase propagation — eviction at b's end uses stats
+    # through b-1), and windows emitted only once the final watermark
+    # passes their end. Values are exact (cents as int64), so the
+    # driver hash-checks the whole behaviour, drop-for-drop.
+    from det_module_spark.streaming.replay import replay_tumbling
+    from det_module_spark.streaming.windows import flatten_window
+
+    ev = _events(spark, sf_dir).select("event_id", "ts", "value")
+    b = ev.agg(
+        F.min(F.unix_timestamp("ts")).alias("mn"),
+        F.max(F.unix_timestamp("ts")).alias("mx"),
+    ).collect()[0]  # two scalars: the batch-boundary constants
+    mn, span1 = b["mn"], b["mx"] - b["mn"] + 1
+    nominal = F.expr(f"((unix_timestamp(ts) - {mn}) * 6) div {span1}")
+    batch = (
+        F.when(F.col("event_id") % 29 == 0, F.least(nominal + 2, F.lit(5)))
+        .otherwise(nominal)
+        .cast("int")
+    )
+    staged = ev.select(
+        # watermarks need TIMESTAMP (ltz); session tz is pinned UTC so
+        # the NTZ parquet values keep their wall-clock meaning
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT)").alias("cents"),
+        batch.alias("batch"),
+    )
+    out = replay_tumbling(
+        staged, "batch", "1 hour", watermark="2 hours",
+        ts_col="ts", key_col=None, value_col="cents",
+    )
+    return flatten_window(out).select(
+        "window_start",
+        "window_end",
+        "n_events",
+        F.col("sum_value").alias("sum_cents"),
+    )
+
+
+_EVENTS_WATERMARK_SQL = """
+    WITH base AS (
+      SELECT event_id, ts,
+             CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents,
+             CAST(FLOOR(epoch(ts)) AS BIGINT) AS ts_s,
+             epoch_us(ts) AS ts_us
+      FROM events),
+    bounds AS (SELECT MIN(ts_s) AS mn,
+                      MAX(ts_s) - MIN(ts_s) + 1 AS span1
+               FROM base),
+    batched AS (
+      SELECT ts, cents, ts_us,
+             CASE WHEN event_id % 29 = 0
+                  THEN LEAST(((ts_s - mn) * 6) // span1 + 2, 5)
+                  ELSE ((ts_s - mn) * 6) // span1 END AS batch
+      FROM base, bounds),
+    bmax AS (SELECT batch, MAX(ts_us // 1000) AS bmax_ms
+             FROM batched GROUP BY batch),
+    wm AS (SELECT batch,
+                  MAX(bmax_ms) OVER (ORDER BY batch
+                                     ROWS UNBOUNDED PRECEDING)
+                    - 7200000 AS wm_after_ms
+           FROM bmax),
+    kept AS (
+      -- late-input filtering in micro-batch b uses the watermark
+      -- PLANNED for b (stats through batch b-2); eviction/emission at
+      -- b's end uses the updated watermark (through b-1). The lag
+      -- keeps filter == previous eviction boundary, so a late row can
+      -- never land in an already-emitted window (verified against
+      -- numRowsDroppedByWatermark per batch: 58/53/57/58)
+      SELECT b.ts, b.cents,
+             epoch_us(date_trunc('hour', b.ts) + INTERVAL 1 HOUR)
+               AS w_end_us
+      FROM batched b LEFT JOIN wm ON wm.batch = b.batch - 2
+      WHERE wm.wm_after_ms IS NULL
+         OR epoch_us(date_trunc('hour', b.ts) + INTERVAL 1 HOUR)
+              > wm.wm_after_ms * 1000),
+    final AS (SELECT MAX(wm_after_ms) AS wm_final_ms FROM wm)
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+             AS window_start,
+           strftime(date_trunc('hour', ts) + INTERVAL 1 HOUR,
+                    '%Y-%m-%d %H:%M:%S') AS window_end,
+           COUNT(*) AS n_events,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents
+    FROM kept
+    GROUP BY 1, 2, w_end_us
+    HAVING w_end_us <= (SELECT wm_final_ms FROM final) * 1000
+"""
+
+
 def q_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # day-level aggregate derived from hour-level partials (continuous
     # aggregate pattern) — must equal aggregating raw events directly
@@ -3049,6 +3148,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_lsh": q_dedup_embedding_lsh,
         "skew_join_agg": q_skew_join_agg,
         "skew_salted_join": q_skew_salted_join,
+        "events_watermark": q_events_watermark,
         # --- round-2 additions / re-oracled queries ---
         "request_lifecycle": q_request_lifecycle,
         "zonal_weighted_polygon": q_zonal_weighted_polygon,
@@ -4128,6 +4228,7 @@ QUALIFY ROW_NUMBER() OVER (
         "dedup_embedding_lsh": _dedup_lsh_sql(0.35),
         "skew_join_agg": _SKEW_JOIN_SQL,
         "skew_salted_join": _SKEW_JOIN_SQL,
+        "events_watermark": _EVENTS_WATERMARK_SQL,
         "similarity_ivf_topk": _ivf_sql(),
         "semantic_dedup": _semantic_dedup_sql(threshold=0.4),
         "similarity_pq_topk": _pq_sql(),

@@ -1,0 +1,132 @@
+"""Deterministic micro-batch replay for watermark correctness checks.
+
+Structured Streaming's late-data semantics (drop rows for windows the
+watermark has closed; emit a window exactly once, when the watermark
+passes its end) only exercise under REAL incremental execution — in
+batch mode ``withWatermark`` is a no-op. This module replays a batch
+DataFrame through an actual streaming query with a pinned batch
+schedule so those semantics become deterministic, hence value-checkable
+against a SQL oracle that models the watermark trajectory:
+
+- the caller assigns every row an explicit micro-batch index;
+- each batch is written as ONE parquet file whose modification time
+  encodes the batch order, and the file source is throttled to one
+  file per trigger (``maxFilesPerTrigger=1``, ``latestFirst=false``)
+  so micro-batch b sees exactly batch b's rows;
+- the windowed aggregation runs in APPEND mode with a watermark, so
+  the emitted result is shaped by the watermark trajectory
+  wm_after(b) = cummax(max event-time in batches ≤ b) − delay
+  (Spark tracks event-time stats in MILLISECONDS — floor(µs/1000) —
+  which an exact oracle must mirror). Propagation is two-phase:
+  micro-batch b filters late INPUT with the watermark planned at its
+  construction (stats through b−2) while eviction/emission at its end
+  uses the updated value (through b−1) — filter == previous eviction
+  boundary, so a late row never lands in an already-emitted window;
+- ``Trigger.AvailableNow`` + a final no-data micro-batch flush the
+  windows the final watermark has closed.
+
+The replay is a correctness HARNESS: data volume is one SF table, the
+per-batch file write is the control plane. The aggregation under test
+is the same tumbling-window plan production code runs on a live
+source at any scale.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from det_module_spark.streaming.windows import tumbling_agg
+
+
+def write_batch_files(df: DataFrame, batch_col: str, out_dir: str) -> int:
+    """Write one parquet FILE per distinct ``batch_col`` value into
+    ``out_dir`` (b00.parquet, b01.parquet, …) with strictly increasing
+    modification times, so the throttled file source replays them in
+    batch order. Returns the batch count."""
+    os.makedirs(out_dir, exist_ok=True)
+    n_batches = df.agg(F.max(batch_col)).collect()[0][0] + 1
+    stage = tempfile.mkdtemp(prefix="replay_stage_")
+    try:
+        for b in range(n_batches):
+            part_dir = os.path.join(stage, f"b{b:02d}")
+            (
+                df.filter(F.col(batch_col) == b)
+                .drop(batch_col)
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(part_dir)
+            )
+            part = next(
+                f for f in os.listdir(part_dir)
+                if f.endswith(".parquet") and not f.startswith("_")
+            )
+            target = os.path.join(out_dir, f"b{b:02d}.parquet")
+            shutil.move(os.path.join(part_dir, part), target)
+            os.utime(target, (1_700_000_000 + b * 1000,) * 2)
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+    return n_batches
+
+
+def replay_tumbling(
+    df: DataFrame,
+    batch_col: str,
+    duration: str,
+    watermark: str,
+    ts_col: str = "ts",
+    key_col: str | None = None,
+    value_col: str = "value",
+) -> DataFrame:
+    """Run the tumbling-window aggregation over ``df`` as a REAL
+    streaming query in APPEND mode, one micro-batch per ``batch_col``
+    value, and return the emitted rows as a batch DataFrame.
+
+    Append mode + watermark is the late-data contract under test:
+    a row whose window the watermark already closed is dropped, and a
+    window is emitted exactly once, after the watermark passes its
+    end — windows still open when the stream ends are NOT in the
+    output."""
+    spark = df.sparkSession
+    src = tempfile.mkdtemp(prefix="replay_src_")
+    ckpt = tempfile.mkdtemp(prefix="replay_ckpt_")
+    name = "replay_" + uuid.uuid4().hex[:12]
+    try:
+        write_batch_files(df, batch_col, src)
+        schema = df.drop(batch_col).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .option("latestFirst", "false")
+            .parquet(src)
+        )
+        agg = tumbling_agg(
+            stream,
+            duration,
+            ts_col=ts_col,
+            key_col=key_col,
+            value_col=value_col,
+            watermark=watermark,
+        )
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination(60)
+        # materialize before the source files are removed
+        rows = spark.table(name).collect()
+        return spark.createDataFrame(rows, spark.table(name).schema)
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)

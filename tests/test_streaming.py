@@ -86,6 +86,92 @@ def test_streaming_requires_watermark(spark, tmp_path):
         tumbling_agg(stream, "1 hour")  # no watermark -> unbounded state
 
 
+def test_replay_watermark_drops_and_holds(spark):
+    """Handcrafted late-data case through the REAL streaming replay
+    (VERDICT r02 #8): with a 30-min watermark and two-phase
+    propagation (input filter lags eviction by one batch),
+    - b0: 10:10, 10:50            -> wm after b0 = 10:20
+    - b1: 09:05 (late, window [09,10) end 10:00; filter for b1 uses
+          the b-2 watermark = none -> KEPT), 10:30
+    - b2: 13:00                   -> filter uses wm after b0 (10:20):
+                                     nothing late arrives; final wm =
+                                     12:30 closes [09,10) and [10,11)
+    Emitted: [09,10) n=1, [10,11) n=3; [13,14) stays open (absent)."""
+    import datetime as dt
+
+    from det_module_spark.streaming.replay import replay_tumbling
+    from det_module_spark.streaming.windows import flatten_window
+
+    def t(hh, mm):
+        return dt.datetime(2024, 1, 1, hh, mm)
+
+    rows = [
+        Row(ts=t(10, 10), value=1.0, batch=0),
+        Row(ts=t(10, 50), value=2.0, batch=0),
+        Row(ts=t(9, 5), value=8.0, batch=1),
+        Row(ts=t(10, 30), value=4.0, batch=1),
+        Row(ts=t(13, 0), value=16.0, batch=2),
+    ]
+    df = spark.createDataFrame(
+        rows, "ts TIMESTAMP, value DOUBLE, batch INT"
+    )
+    out = flatten_window(
+        replay_tumbling(
+            df, "batch", "1 hour", watermark="30 minutes",
+            ts_col="ts", key_col=None, value_col="value",
+        )
+    )
+    got = {
+        r["window_start"]: (r["n_events"], r["sum_value"])
+        for r in out.collect()
+    }
+    assert got == {
+        "2024-01-01 09:00:00": (1, 8.0),
+        "2024-01-01 10:00:00": (3, 7.0),
+    }
+
+
+def test_replay_watermark_drops_closed_window_row(spark):
+    """A row arriving after its window's state was evicted is DROPPED:
+    same schedule but the late 09:05 row arrives in b2, where the
+    input filter uses wm after b0... then b3 pushes the watermark past
+    everything. [09,10) is emitted WITHOUT the late row."""
+    import datetime as dt
+
+    from det_module_spark.streaming.replay import replay_tumbling
+    from det_module_spark.streaming.windows import flatten_window
+
+    def t(hh, mm):
+        return dt.datetime(2024, 1, 1, hh, mm)
+
+    rows = [
+        Row(ts=t(9, 40), value=1.0, batch=0),
+        Row(ts=t(10, 50), value=2.0, batch=0),   # wm after b0 = 10:20
+        Row(ts=t(11, 40), value=4.0, batch=1),   # wm after b1 = 11:10
+        Row(ts=t(9, 5), value=8.0, batch=2),     # filter: wm(b0)=10:20
+        #   -> window [09,10) end 10:00 <= 10:20 -> DROPPED
+        Row(ts=t(14, 0), value=16.0, batch=3),   # closes everything
+    ]
+    df = spark.createDataFrame(
+        rows, "ts TIMESTAMP, value DOUBLE, batch INT"
+    )
+    out = flatten_window(
+        replay_tumbling(
+            df, "batch", "1 hour", watermark="30 minutes",
+            ts_col="ts", key_col=None, value_col="value",
+        )
+    )
+    got = {
+        r["window_start"]: (r["n_events"], r["sum_value"])
+        for r in out.collect()
+    }
+    assert got == {
+        "2024-01-01 09:00:00": (1, 1.0),   # late 8.0 row NOT included
+        "2024-01-01 10:00:00": (1, 2.0),
+        "2024-01-01 11:00:00": (1, 4.0),
+    }
+
+
 def test_intake_completion_tracker(spark, tmp_path):
     """Item-completion events drive per-request state; 'complete'
     emitted exactly once when done == expected."""
