@@ -19,6 +19,14 @@ Two timed passes over the same workload:
    throughput. Every query is independent and side-effect-free, so the
    streams share the session and cache safely.
 
+   The concurrent pass is made reproducible (VERDICT r02 #5):
+   queries are assigned to streams by a FIXED hash of the query name
+   (not work-stealing), so packing is identical run-to-run, and the
+   pass is repeated $SPARK_GRAFT_BENCH_REPEATS times (default 3) with
+   the first repeat discarded as warm-up. The reported concurrent wall
+   is the MEDIAN of the timed repeats; per-query p50/p95 across
+   repeats land in ``BENCH_FULL.json``.
+
 The final JSON line is kept under ~1 KB (the driver captures a bounded
 stdout tail): only the 10 slowest queries appear inline. The FULL
 per-query timing map for both passes is written to ``BENCH_FULL.json``
@@ -30,9 +38,11 @@ Set SPARK_GRAFT_BENCH_MODE=seq|concurrent to run only one pass
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import re
+import statistics
 import sys
 import time
 from concurrent.futures import ThreadPoolExecutor
@@ -48,6 +58,7 @@ def main() -> None:
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     streams = int(os.environ.get("SPARK_GRAFT_BENCH_STREAMS", "12"))
+    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
     mode = os.environ.get("SPARK_GRAFT_BENCH_MODE", "both")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
@@ -67,32 +78,64 @@ def main() -> None:
 
     qs = entry_mod.queries()
 
-    def run_pass(label: str, n_streams: int) -> tuple[float, dict[str, float]]:
+    def run_one(label: str, timings: dict, item: tuple[str, object]) -> None:
+        name, fn = item
+        t0 = time.time()
+        n = len(fn(spark, sf_dir).collect())
+        dt = time.time() - t0
+        timings[name] = round(dt, 3)
+        print(f"# [{label}] {name}: {dt:.3f}s rows={n}", file=sys.stderr)
+
+    def run_seq(label: str) -> tuple[float, dict[str, float]]:
+        timings: dict[str, float] = {}
+        t0 = time.time()
+        for item in qs.items():
+            run_one(label, timings, item)
+        return time.time() - t0, timings
+
+    # Deterministic stream packing: each query goes to the stream named
+    # by a hash of its NAME (stable across runs/machines), and every
+    # stream executes its queries in registry order on its own thread.
+    # Work-stealing (ex.map over a shared queue) packs differently each
+    # run, which made the concurrent wall contention-lottery noisy.
+    def stream_of(name: str) -> int:
+        return int.from_bytes(hashlib.sha1(name.encode()).digest()[:4], "big") % streams
+
+    plan: list[list[tuple[str, object]]] = [[] for _ in range(streams)]
+    for item in qs.items():
+        plan[stream_of(item[0])].append(item)
+
+    def run_concurrent(label: str) -> tuple[float, dict[str, float]]:
         timings: dict[str, float] = {}
 
-        def run(item: tuple[str, object]) -> None:
-            name, fn = item
-            t0 = time.time()
-            n = len(fn(spark, sf_dir).collect())
-            dt = time.time() - t0
-            timings[name] = round(dt, 3)
-            print(f"# [{label}] {name}: {dt:.3f}s rows={n}", file=sys.stderr)
+        def run_stream(stream_items: list) -> None:
+            for item in stream_items:
+                run_one(label, timings, item)
 
         t0 = time.time()
-        if n_streams <= 1:
-            for item in qs.items():
-                run(item)
-        else:
-            with ThreadPoolExecutor(max_workers=n_streams) as ex:
-                list(ex.map(run, qs.items()))
+        with ThreadPoolExecutor(max_workers=streams) as ex:
+            list(ex.map(run_stream, plan))
         return time.time() - t0, timings
 
     seq_wall, seq_timings = (0.0, {})
     conc_wall, conc_timings = (0.0, {})
+    conc_walls: list[float] = []
+    conc_samples: dict[str, list[float]] = {}
     if mode in ("both", "seq"):
-        seq_wall, seq_timings = run_pass("seq", 1)
+        seq_wall, seq_timings = run_seq("seq")
     if mode in ("both", "concurrent"):
-        conc_wall, conc_timings = run_pass(f"x{streams}", streams)
+        # repeat the concurrent pass; first repeat is untimed warm-up
+        # (plan compilation / codegen for all queries), remaining
+        # repeats give a median wall + per-query p50/p95
+        for rep in range(max(1, repeats)):
+            wall, timings = run_concurrent(f"x{streams}r{rep}")
+            if rep == 0 and repeats > 1:
+                continue
+            conc_walls.append(wall)
+            for k, v in timings.items():
+                conc_samples.setdefault(k, []).append(v)
+        conc_wall = statistics.median(conc_walls)
+        conc_timings = {k: round(statistics.median(v), 3) for k, v in conc_samples.items()}
 
     # full per-query detail goes to a sidecar, never to the final line
     sidecar = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json")
@@ -101,10 +144,21 @@ def main() -> None:
             {
                 "sf": sf,
                 "streams": streams,
+                "repeats": repeats,
                 "sequential_wall_seconds": round(seq_wall, 3),
                 "concurrent_wall_seconds": round(conc_wall, 3),
+                "concurrent_wall_samples": [round(w, 3) for w in conc_walls],
                 "sequential_query_seconds": seq_timings,
                 "concurrent_query_seconds": conc_timings,
+                "concurrent_query_p50": {
+                    k: round(statistics.median(v), 3) for k, v in sorted(conc_samples.items())
+                },
+                "concurrent_query_p95": {
+                    k: round(max(v), 3) for k, v in sorted(conc_samples.items())
+                },
+                "stream_assignment": {
+                    k: stream_of(k) for k in qs
+                },
             },
             f,
             indent=1,

@@ -249,12 +249,110 @@ class CacheManifest:
             (h, kind, STATUS_DONE, True, p, 0)
             for (h, kind, _), p in zip(entries, paths)
         ]
-        # one atomic log append for the whole batch: concurrent
-        # writers' commits interleave as distinct versions, never
-        # overwriting each other (the rewrite-in-place this replaces
-        # could drop a concurrent batch's rows)
-        self._commit(rows)
+        # one atomic upsert for the whole batch: concurrent writers'
+        # commits interleave as distinct versions, never overwriting
+        # each other (the rewrite-in-place this replaces could drop a
+        # concurrent batch's rows)
+        self._upsert(rows)
         return paths
+
+    def _upsert(self, rows: list[tuple]) -> None:
+        """Backend hook for put_many's manifest update: one atomic
+        batch upsert keyed by spec_hash."""
+        self._commit(rows)
 
     def get(self, spec_hash: str) -> DataFrame:
         return self.spark.read.parquet(self.result_path(spec_hash))
+
+
+def delta_available() -> bool:
+    """True when delta-spark is importable (absent from this container;
+    the gate mirrors the rasterio/shapely pattern in sources/)."""
+    try:
+        import delta.tables  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+class DeltaCacheManifest(CacheManifest):
+    """Delta-Lake-backed manifest: identical interface, with the batch
+    upsert expressed as a real ACID ``MERGE INTO`` so a cluster object
+    store gets snapshot isolation + conflict detection from the Delta
+    protocol instead of this module's link(2) transaction log
+    (VERDICT r02 #7).
+
+    Requires delta-spark (``pip install delta-spark``) AND a session
+    built with the Delta SQL extension + catalog configs; neither is in
+    this container, so the class is construction-gated — tests cover
+    the gate, and the tx-log backend passes the same idempotency /
+    concurrency suite. Migration: point ``open_manifest(backend="delta")``
+    at the same root; the first ``put_many`` creates the Delta table.
+    """
+
+    def __init__(self, spark: SparkSession, root: str):
+        if not delta_available():
+            raise ImportError(
+                "delta-spark is not installed; use CacheManifest (the "
+                "transaction-log backend) or install delta-spark"
+            )
+        super().__init__(spark, root)
+        self.table_path = os.path.join(root, "_manifest_delta")
+
+    def _table_exists(self) -> bool:
+        from delta.tables import DeltaTable
+
+        return DeltaTable.isDeltaTable(self.spark, self.table_path)
+
+    def read(self) -> DataFrame:
+        if not self._table_exists():
+            return self.spark.createDataFrame([], schema=MANIFEST_SCHEMA)
+        return self.spark.read.format("delta").load(self.table_path)
+
+    def _upsert(self, rows: list[tuple]) -> None:
+        """MERGE the batch by spec_hash. Delta's optimistic commit
+        protocol retries on conflict, so concurrent put_many batches
+        serialize without this module's version-claim loop."""
+        from delta.tables import DeltaTable
+
+        updates = self.spark.createDataFrame(rows, schema=MANIFEST_SCHEMA)
+        if not self._table_exists():
+            # deduplicate within the batch (last wins, like the log)
+            w = Window.partitionBy("spec_hash").orderBy(F.lit(1))
+            first = updates.withColumn("_rn", F.row_number().over(w)).filter(
+                F.col("_rn") == 1
+            ).drop("_rn")
+            first.write.format("delta").mode("overwrite").save(self.table_path)
+            return
+        (
+            DeltaTable.forPath(self.spark, self.table_path)
+            .alias("m")
+            .merge(updates.alias("u"), "m.spec_hash = u.spec_hash")
+            .whenMatchedUpdateAll()
+            .whenNotMatchedInsertAll()
+            .execute()
+        )
+
+    def compact(self) -> None:
+        """Delta keeps per-key current state natively; log management
+        is OPTIMIZE/VACUUM, run out-of-band. No-op here."""
+
+    def _versions(self) -> list[int]:
+        raise NotImplementedError("Delta backend has no local version log")
+
+    def _commit(self, rows, require_version=None):
+        raise NotImplementedError("Delta backend commits via MERGE")
+
+
+def open_manifest(
+    spark: SparkSession, root: str, backend: str = "auto"
+) -> CacheManifest:
+    """Pick the manifest backend: ``"txlog"`` (always available),
+    ``"delta"`` (requires delta-spark), or ``"auto"`` = delta when
+    importable, else the transaction log."""
+    if backend == "delta" or (backend == "auto" and delta_available()):
+        return DeltaCacheManifest(spark, root)
+    if backend in ("auto", "txlog"):
+        return CacheManifest(spark, root)
+    raise ValueError(f"unknown manifest backend: {backend!r}")

@@ -50,18 +50,24 @@ def write_batch_files(df: DataFrame, batch_col: str, out_dir: str) -> int:
     modification times, so the throttled file source replays them in
     batch order. Returns the batch count."""
     os.makedirs(out_dir, exist_ok=True)
-    n_batches = df.agg(F.max(batch_col)).collect()[0][0] + 1
     stage = tempfile.mkdtemp(prefix="replay_stage_")
     try:
-        for b in range(n_batches):
-            part_dir = os.path.join(stage, f"b{b:02d}")
-            (
-                df.filter(F.col(batch_col) == b)
-                .drop(batch_col)
-                .coalesce(1)
-                .write.mode("overwrite")
-                .parquet(part_dir)
-            )
+        # ONE write job for all batches: partitionBy gives a directory
+        # per batch value, repartition(1) one file per directory (the
+        # replay corpus is deliberately small — this is a harness)
+        (
+            df.repartition(1)
+            .write.mode("overwrite")
+            .partitionBy(batch_col)
+            .parquet(stage)
+        )
+        batches = sorted(
+            int(d.split("=", 1)[1])
+            for d in os.listdir(stage)
+            if d.startswith(f"{batch_col}=")
+        )
+        for b in batches:
+            part_dir = os.path.join(stage, f"{batch_col}={b}")
             part = next(
                 f for f in os.listdir(part_dir)
                 if f.endswith(".parquet") and not f.startswith("_")
@@ -71,7 +77,7 @@ def write_batch_files(df: DataFrame, batch_col: str, out_dir: str) -> int:
             os.utime(target, (1_700_000_000 + b * 1000,) * 2)
     finally:
         shutil.rmtree(stage, ignore_errors=True)
-    return n_batches
+    return len(batches)
 
 
 def replay_tumbling(
@@ -99,8 +105,21 @@ def replay_tumbling(
     try:
         write_batch_files(df, batch_col, src)
         schema = df.drop(batch_col).schema
+        # Run the stream in a CHILD session (shared SparkContext,
+        # private SQL conf) with few shuffle partitions: a stateful
+        # streaming agg spins up one state store per shuffle partition
+        # per micro-batch, so 32 partitions × 7 micro-batches is ~all
+        # of this harness's runtime on replay-sized data. The conf is
+        # pinned into the query's own checkpoint at start; nothing
+        # else sees it. Production streams keep the session default.
+        run = spark.newSession()
+        run.conf.set("spark.sql.shuffle.partitions", "4")
+        run.conf.set(
+            "spark.sql.streaming.stateStore.maintenanceInterval", "1h"
+        )
+        run.conf.set("spark.sql.session.timeZone", spark.conf.get("spark.sql.session.timeZone"))
         stream = (
-            spark.readStream.schema(schema)
+            run.readStream.schema(schema)
             .option("maxFilesPerTrigger", "1")
             .option("latestFirst", "false")
             .parquet(src)
@@ -124,9 +143,10 @@ def replay_tumbling(
         q.processAllAvailable()
         q.stop()
         q.awaitTermination(60)
-        # materialize before the source files are removed
-        rows = spark.table(name).collect()
-        return spark.createDataFrame(rows, spark.table(name).schema)
+        # materialize before the source files are removed; hand the
+        # result back in the CALLER's session
+        rows = run.table(name).collect()
+        return spark.createDataFrame(rows, run.table(name).schema)
     finally:
         shutil.rmtree(src, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)

@@ -207,3 +207,30 @@ def test_compact_retries_over_concurrent_commit(spark, tmp_path):
     # the racer's update is in the final state, not reverted
     assert got == {"h0": "p0-racer", "h1": "p1"}
     assert len(cache._versions()) == 1
+
+
+def test_manifest_backend_selection(spark, tmp_path):
+    """open_manifest mirrors the rasterio/shapely gating: delta-spark
+    is absent from this container, so "auto" falls back to the tx-log
+    backend, "delta" raises the gate ImportError, and put_many routes
+    through the backend-neutral _upsert hook (VERDICT r02 #7)."""
+    from det_module_spark.plans.cache import (
+        DeltaCacheManifest,
+        delta_available,
+        open_manifest,
+    )
+
+    assert not delta_available()  # container fact; Delta path is gated
+    m = open_manifest(spark, str(tmp_path / "cache"))
+    assert type(m) is CacheManifest
+    with pytest.raises(ImportError):
+        DeltaCacheManifest(spark, str(tmp_path / "cache"))
+    with pytest.raises(ImportError):
+        open_manifest(spark, str(tmp_path / "cache"), backend="delta")
+    with pytest.raises(ValueError):
+        open_manifest(spark, str(tmp_path / "cache"), backend="bogus")
+    # the tx-log backend still satisfies the shared contract through
+    # the factory (same suite the Delta backend would run under)
+    result = spark.createDataFrame([Row(asdf_id=1, exfield_0=1.0)])
+    m.put_many([("hx", "extract", result)])
+    assert {r["spec_hash"] for r in m.cached_hashes().collect()} == {"hx"}
