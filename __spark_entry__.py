@@ -1205,6 +1205,55 @@ def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # duplicated-substring spans (tile relaxation of suffix-array span
+    # dedup): disjoint 24-char tiles, a tile is duplicated when its
+    # exact text occurs >= 2x corpus-wide; per-doc dup tile count,
+    # longest contiguous dup run, and exact-integer ppm fraction
+    from det_module_spark.operators.spandedup import span_dedup_report
+
+    docs = load_table(spark, sf_dir, "documents")
+    return span_dedup_report(docs, tile=24).orderBy("doc_id")
+
+
+_SPAN_DEDUP_SQL = """
+    WITH tiles AS (
+      SELECT doc_id, tile_id,
+             substring(text, CAST(tile_id * 24 + 1 AS INT), 24) AS tile_text
+      FROM documents,
+           LATERAL UNNEST(range((length(text) - length(text) % 24) // 24))
+             AS t(tile_id)),
+    dup_texts AS (
+      SELECT tile_text FROM tiles GROUP BY tile_text HAVING COUNT(*) >= 2),
+    dup AS (
+      SELECT doc_id, tile_id,
+             tile_id - ROW_NUMBER() OVER (
+               PARTITION BY doc_id ORDER BY tile_id) AS grp
+      FROM tiles SEMI JOIN dup_texts USING (tile_text)),
+    runs AS (
+      SELECT doc_id, grp, COUNT(*) AS run_len FROM dup GROUP BY doc_id, grp),
+    per_doc AS (
+      SELECT doc_id, SUM(run_len) AS n_dup_tiles,
+             MAX(run_len) AS longest_dup_run
+      FROM runs GROUP BY doc_id),
+    totals AS (
+      SELECT doc_id, COUNT(*) AS n_tiles FROM tiles GROUP BY doc_id)
+    SELECT d.doc_id,
+           CAST(COALESCE(t.n_tiles, 0) AS BIGINT) AS n_tiles,
+           CAST(COALESCE(p.n_dup_tiles, 0) AS BIGINT) AS n_dup_tiles,
+           CAST(COALESCE(p.longest_dup_run, 0) AS BIGINT) AS longest_dup_run,
+           CAST(CASE WHEN COALESCE(t.n_tiles, 0) > 0
+                THEN (COALESCE(p.n_dup_tiles, 0) * 1000000
+                      - (COALESCE(p.n_dup_tiles, 0) * 1000000)
+                        % t.n_tiles) // t.n_tiles
+                ELSE 0 END AS BIGINT) AS dup_ppm
+    FROM documents d
+    LEFT JOIN totals t USING (doc_id)
+    LEFT JOIN per_doc p USING (doc_id)
+    ORDER BY d.doc_id
+"""
+
+
 def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     out = tfidf_top_terms(docs, k=3)
@@ -1292,6 +1341,66 @@ def q_time_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         "is_gap",
         "filled_value",
     )
+
+
+def q_time_fill_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # hypertable interpolate(): gaps filled by linear interpolation
+    # between the surrounding observed buckets (LOCF's dual)
+    from det_module_spark.operators.timefill import time_fill_linear
+
+    ev = _events(spark, sf_dir)
+    out = time_fill_linear(ev, unit="hour")
+    return out.select(
+        "event_type",
+        F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+        F.col("n_events").cast("long").alias("n_events"),
+        "is_gap",
+        "filled_value",
+    )
+
+
+_TIME_FILL_LINEAR_SQL = """
+    WITH b AS (
+      SELECT event_type, date_trunc('hour', ts) AS bucket,
+             COUNT(*) AS n_events,
+             FLOOR(SUM(value) * 1e4 + 0.5) / 1e4 AS sum_value
+      FROM events GROUP BY 1, 2),
+    bounds AS (SELECT event_type, MIN(bucket) AS lo, MAX(bucket) AS hi
+               FROM b GROUP BY 1),
+    grid AS (SELECT event_type,
+                    unnest(generate_series(lo, hi, INTERVAL 1 HOUR))
+                      AS bucket
+             FROM bounds),
+    j AS (SELECT g.event_type, g.bucket, b.n_events, b.sum_value
+          FROM grid g
+          LEFT JOIN b ON b.event_type = g.event_type
+                     AND b.bucket = g.bucket),
+    anch AS (
+      SELECT event_type, bucket, n_events, sum_value,
+             epoch(bucket) AS e,
+             last_value(sum_value IGNORE NULLS) OVER w_back AS prev_v,
+             last_value(CASE WHEN n_events IS NOT NULL
+                             THEN epoch(bucket) END IGNORE NULLS)
+               OVER w_back AS prev_t,
+             first_value(sum_value IGNORE NULLS) OVER w_ahead AS next_v,
+             first_value(CASE WHEN n_events IS NOT NULL
+                              THEN epoch(bucket) END IGNORE NULLS)
+               OVER w_ahead AS next_t
+      FROM j
+      WINDOW w_back AS (PARTITION BY event_type ORDER BY bucket
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             w_ahead AS (PARTITION BY event_type ORDER BY bucket
+                         ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+    SELECT event_type,
+           strftime(bucket, '%Y-%m-%d %H:%M:%S') AS bucket,
+           COALESCE(n_events, 0) AS n_events,
+           CAST(n_events IS NULL AS INT) AS is_gap,
+           FLOOR((CASE WHEN n_events IS NOT NULL THEN sum_value
+                       ELSE prev_v + (next_v - prev_v) * (e - prev_t)
+                            / (next_t - prev_t) END) * 1e4 + 0.5) / 1e4
+             AS filled_value
+    FROM anch
+"""
 
 
 def q_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3145,6 +3254,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # driver-visible.
     return {
         # --- round-3 additions / re-oracled queries ---
+        "span_dedup": q_span_dedup,
+        "time_fill_linear": q_time_fill_linear,
         "dedup_embedding_lsh": q_dedup_embedding_lsh,
         "skew_join_agg": q_skew_join_agg,
         "skew_salted_join": q_skew_salted_join,
@@ -4225,6 +4336,8 @@ QUALIFY ROW_NUMBER() OVER (
         "dedup_simhash": _simhash_sql(16),
         "similarity_cosine_topk": _cosine_sql(),
         "similarity_lsh_topk": _lsh_sql(),
+        "span_dedup": _SPAN_DEDUP_SQL,
+        "time_fill_linear": _TIME_FILL_LINEAR_SQL,
         "dedup_embedding_lsh": _dedup_lsh_sql(0.35),
         "skew_join_agg": _SKEW_JOIN_SQL,
         "skew_salted_join": _SKEW_JOIN_SQL,

@@ -210,3 +210,30 @@ def test_apply_mixture_copies_and_determinism(spark):
     assert sorted((r.doc_id, r.copy) for r in again) == sorted(
         (r.doc_id, r.copy) for r in rows
     )
+
+
+def test_time_fill_linear(spark):
+    import datetime
+
+    from det_module_spark.operators.timefill import time_fill_linear
+
+    def at(h):
+        return datetime.datetime(2024, 1, 1, h, 30)
+
+    rows = [
+        Row(ts=at(0), event_type="a", value=3.0),
+        # hours 1-2 silent for 'a': interpolate 3 -> 9 over 3 steps
+        Row(ts=at(3), event_type="a", value=9.0),
+        Row(ts=at(5), event_type="b", value=7.0),
+    ]
+    out = time_fill_linear(spark.createDataFrame(rows), unit="hour").collect()
+    a = {r["bucket"].hour: r for r in out if r["event_type"] == "a"}
+    assert sorted(a) == [0, 1, 2, 3]
+    assert (a[0]["n_events"], a[0]["is_gap"], a[0]["filled_value"]) == (1, 0, 3.0)
+    assert (a[1]["n_events"], a[1]["is_gap"], a[1]["filled_value"]) == (0, 1, 5.0)
+    assert (a[2]["n_events"], a[2]["is_gap"], a[2]["filled_value"]) == (0, 1, 7.0)
+    assert (a[3]["n_events"], a[3]["is_gap"], a[3]["filled_value"]) == (1, 0, 9.0)
+    # single-bucket key: no gaps, value passes through
+    b = [r for r in out if r["event_type"] == "b"]
+    assert len(b) == 1 and b[0]["filled_value"] == 7.0
+
