@@ -67,6 +67,13 @@ def main() -> None:
     # untimed warmup: JVM/codegen/Arrow initialization shouldn't be
     # attributed to whichever query happens to run first
     spark.range(1000).selectExpr("sum(id)").collect()
+    # ... including the Python-worker/Arrow lane: daemon + worker
+    # startup for the Pandas-UDF path costs seconds and would
+    # otherwise land on the first UDF query in registry order
+    from pyspark.sql.functions import pandas_udf as _pudf
+
+    _warm = _pudf(lambda s: s, "long")
+    spark.range(1000).select(_warm("id")).collect()
 
     # storage-cache the hot tables and materialize them in the warmup:
     # a 150-query workload over ten tables re-scans each many times;

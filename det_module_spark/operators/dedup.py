@@ -208,7 +208,7 @@ def embedding_near_dup_pairs(
     path for all-pairs dedup is LSH bucketing
     (similarity.lsh_buckets) to generate candidates, then this exact
     predicate on candidates only."""
-    from det_module_spark.operators.similarity import _norm, cosine_with_norms
+    from det_module_spark.operators.similarity import _norm, pair_cosine_udf
 
     a = (probe if probe is not None else embeddings).select(
         F.col(id_col).alias("id_a"),
@@ -220,14 +220,13 @@ def embedding_near_dup_pairs(
         F.col(vec_col).alias("vb"),
         _norm(F.col(vec_col)).alias("nb"),
     )
+    cos = pair_cosine_udf()
     return (
         b.crossJoin(F.broadcast(a))
         .filter(F.col("id_a") < F.col("id_b"))
         .withColumn(
             "cos",
-            cosine_with_norms(
-                F.col("va"), F.col("vb"), F.col("na"), F.col("nb")
-            ),
+            cos(F.col("va"), F.col("vb"), F.col("na"), F.col("nb")),
         )
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")
@@ -259,8 +258,8 @@ def embedding_near_dup_lsh(
     rather than recomputing both join sides."""
     from det_module_spark.operators.similarity import (
         _norm as _l2norm,
-        cosine_with_norms,
         lsh_buckets,
+        pair_cosine_udf,
     )
 
     b = lsh_buckets(
@@ -270,7 +269,11 @@ def embedding_near_dup_lsh(
     # and the cross-table distinct shuffle 16 bytes per pair instead
     # of two 64-float vectors (~8x less exchange + a cheap row hash in
     # the distinct); vectors re-attach afterwards, once per SIDE of
-    # each surviving pair
+    # each surviving pair. (The signature matmul is recomputed once
+    # per join side here — at scale, materialize the bucket table once
+    # and reuse it, per the note below; a localCheckpoint cut was
+    # measured SLOWER on the harness's single-JVM local mode because
+    # it defeats AQE's broadcast planning for the self-join.)
     keys = b.select("mid", "table", "bucket")
     cand = (
         keys.select(F.col("mid").alias("id_a"), "table", "bucket")
@@ -304,12 +307,15 @@ def embedding_near_dup_lsh(
         ),
         "id_b",
     )
+    # Arrow-vectorized pair cosine: bit-equal to the interpreted HOF
+    # expression (sequential float64 dim sum preserved) but vectorized
+    # across the candidate rows — the candidate set is |pairs|·d work,
+    # the one place the interpreted lambda path actually hurts
+    cos = pair_cosine_udf()
     return (
         pairs.withColumn(
             "cos",
-            cosine_with_norms(
-                F.col("va"), F.col("vb"), F.col("na"), F.col("nb")
-            ),
+            cos(F.col("va"), F.col("vb"), F.col("na"), F.col("nb")),
         )
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")

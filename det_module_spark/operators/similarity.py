@@ -57,6 +57,40 @@ def cosine_with_norms(a: Column, b: Column, na: Column, nb: Column) -> Column:
     return _dot(a, b) / (na * nb)
 
 
+def pair_cosine_udf():
+    """Arrow-batched cosine for PAIR tables — same values as
+    ``cosine_with_norms``, ~10× the throughput on large candidate
+    sets.
+
+    Higher-order-function lambdas (``aggregate``/``zip_with``) run
+    INTERPRETED in Spark — fine per-row, but a candidate-pair table
+    evaluates |pairs|·d lambda steps (52M for 817k×64, seconds of
+    driver-measured time). This kernel vectorizes across rows in
+    numpy while keeping the float64 accumulation LEFT-TO-RIGHT over
+    dimensions (``acc = acc + P[:, j]``, never ``np.sum``, whose
+    pairwise reduction reorders float adds) — so every output double
+    is bit-identical to the interpreted HOF path and to a SQL
+    oracle's sequential ``a[1]*b[1] + a[2]*b[2] + …`` sum."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def pc(
+        va: pd.Series, vb: pd.Series, na: pd.Series, nb: pd.Series
+    ) -> pd.Series:
+        if len(va) == 0:
+            return pd.Series([], dtype="float64")
+        A = np.stack(va.to_numpy()).astype(np.float64)
+        B = np.stack(vb.to_numpy()).astype(np.float64)
+        P = A * B
+        acc = np.zeros(len(P), dtype=np.float64)
+        for j in range(P.shape[1]):
+            acc = acc + P[:, j]
+        return pd.Series(acc / (na.to_numpy() * nb.to_numpy()))
+
+    return pc
+
+
 def cosine_topk(
     queries: DataFrame,
     corpus: DataFrame,
