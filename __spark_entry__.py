@@ -1205,6 +1205,39 @@ def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # asymmetric n-gram containment (operators/dedup.containment_pairs):
+    # catches "small doc pasted inside big doc" partial duplicates that
+    # Jaccard's union term dilutes below threshold; same shingle
+    # inverted-index join as dedup_ngram_jaccard, so the marginal cost
+    # of the second metric is one projection
+    from det_module_spark.operators.dedup import containment_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = containment_pairs(docs, n=3, threshold=0.3)
+    return pairs.select(
+        "id_a",
+        "id_b",
+        _pround(F.col("cont_a_in_b"), 6).alias("cont_a_in_b"),
+        _pround(F.col("cont_b_in_a"), 6).alias("cont_b_in_a"),
+    )
+
+
+def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # KMV bottom-k distinct sketch (operators/sketch.kmv_distinct):
+    # mergeable, partition-independent, md5-hash-deterministic — the
+    # oracle replays the sketch INCLUDING its estimation error; the
+    # exact countDistinct column sits alongside to expose that error
+    from det_module_spark.operators.sketch import kmv_distinct
+
+    li = load_table(spark, sf_dir, "lineitem")
+    est = kmv_distinct(li, F.col("l_partkey"), k=64, by=["l_returnflag"])
+    exact = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("exact_distinct")
+    )
+    return est.join(exact, "l_returnflag").orderBy("l_returnflag")
+
+
 def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # duplicated-substring spans (tile relaxation of suffix-array span
     # dedup): disjoint 24-char tiles, a tile is duplicated when its
@@ -3254,6 +3287,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # driver-visible.
     return {
         # --- round-3 additions / re-oracled queries ---
+        "containment_dedup": q_containment_dedup,
+        "kmv_distinct": q_kmv_distinct,
         "span_dedup": q_span_dedup,
         "time_fill_linear": q_time_fill_linear,
         "dedup_embedding_lsh": q_dedup_embedding_lsh,
@@ -3514,6 +3549,70 @@ def _jaccard_sql(threshold: float = 0.12, max_df: int = 1000) -> str:
     WHERE CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter) >= {threshold}
     """
     )
+
+
+def _containment_sql(threshold: float = 0.3, max_df: int = 1000) -> str:
+    """Oracle for operators/dedup.containment_pairs: same shingle
+    CTEs as _jaccard_sql, final ratios divide by each SIDE's shingle
+    count instead of the union."""
+    return (
+        _SHINGLES_SQL
+        + f""",
+    shh AS (SELECT doc_id,
+                   CAST(concat('0x', substr(md5(shingle), 1, 15)) AS BIGINT)
+                     AS shingle
+            FROM sh),
+    keep AS (SELECT shingle FROM shh GROUP BY shingle
+             HAVING COUNT(*) <= {max_df}),
+    sh2 AS (SELECT doc_id, shingle FROM shh JOIN keep USING (shingle)),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh2 GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+      FROM sh2 a JOIN sh2 b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT id_a, id_b,
+           FLOOR(CAST(n_inter AS DOUBLE) / sa.sz * 1e6 + 0.5) / 1e6
+             AS cont_a_in_b,
+           FLOOR(CAST(n_inter AS DOUBLE) / sb.sz * 1e6 + 0.5) / 1e6
+             AS cont_b_in_a
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE greatest(CAST(n_inter AS DOUBLE) / sa.sz,
+                   CAST(n_inter AS DOUBLE) / sb.sz) >= {threshold}
+    """
+    )
+
+
+def _kmv_sql(k: int = 64) -> str:
+    """Oracle for operators/sketch.kmv_distinct: replay the bottom-k
+    sketch (md5-derived 60-bit hash, k smallest per group) and its
+    estimator — deterministic including the estimation error."""
+    scale = float(k - 1) * float(1 << 60)
+    return f"""
+    WITH h AS (
+      SELECT DISTINCT l_returnflag,
+             CAST(concat('0x', substr(md5(CAST(l_partkey AS VARCHAR)),
+                                      1, 15)) AS BIGINT) AS h
+      FROM lineitem),
+    r AS (SELECT l_returnflag, h,
+                 row_number() OVER (PARTITION BY l_returnflag
+                                    ORDER BY h) AS rn
+          FROM h),
+    agg AS (SELECT l_returnflag, COUNT(*) AS n_seen, MAX(h) AS kth
+            FROM r WHERE rn <= {k} GROUP BY 1),
+    ex AS (SELECT l_returnflag,
+                  COUNT(DISTINCT l_partkey) AS exact_distinct
+           FROM lineitem GROUP BY 1)
+    SELECT a.l_returnflag,
+           CASE WHEN n_seen < {k} THEN n_seen
+                ELSE CAST(FLOOR({scale!r} / CAST(kth AS DOUBLE)) AS BIGINT)
+           END AS est_distinct,
+           exact_distinct
+    FROM agg a JOIN ex USING (l_returnflag)
+    ORDER BY l_returnflag
+    """
 
 
 def _minhash_lsh_sql(num_hashes: int = 16, bands: int = 8, rows: int = 2) -> str:
@@ -4336,6 +4435,8 @@ QUALIFY ROW_NUMBER() OVER (
         "dedup_simhash": _simhash_sql(16),
         "similarity_cosine_topk": _cosine_sql(),
         "similarity_lsh_topk": _lsh_sql(),
+        "containment_dedup": _containment_sql(0.3),
+        "kmv_distinct": _kmv_sql(64),
         "span_dedup": _SPAN_DEDUP_SQL,
         "time_fill_linear": _TIME_FILL_LINEAR_SQL,
         "dedup_embedding_lsh": _dedup_lsh_sql(0.35),

@@ -434,3 +434,79 @@ def simhash_banded_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    max_shingle_df: int = 1000,
+) -> DataFrame:
+    """Asymmetric n-gram containment — partial-duplicate detection.
+
+    Jaccard misses the "document A is pasted inside much larger
+    document B" case (the union term dilutes the score); containment
+    C(A→B) = |S(A) ∩ S(B)| / |S(A)| does not. Emits one row per
+    unordered pair with BOTH directions, filtered on the larger one:
+    (id_a < id_b, cont_a_in_b, cont_b_in_a) where
+    greatest(cont_a_in_b, cont_b_in_a) ≥ threshold.
+
+    Same scale shape as ``ngram_jaccard_pairs`` (shingle inverted
+    index + frequency cap + equi-join on the 60-bit shingle hash):
+    the intersection counts are ONE extra projection over the same
+    join, so the marginal cost of containment-vs-Jaccard is zero.
+    """
+    sh = word_shingles(df, id_col, text, n).select(
+        F.col(id_col).alias("id"),
+        stable_hash64(F.col("shingle")).alias("shingle"),
+    )
+    sh = sh.localCheckpoint(eager=True)
+    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_"))
+    sh = sh.join(
+        F.broadcast(freq.filter(F.col("df_") <= max_shingle_df)), "shingle"
+    ).select("id", "shingle")
+
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    out = (
+        inter.join(
+            F.broadcast(
+                sizes.withColumnRenamed("id", "id_a").withColumnRenamed(
+                    "sz", "sz_a"
+                )
+            ),
+            "id_a",
+        )
+        .join(
+            F.broadcast(
+                sizes.withColumnRenamed("id", "id_b").withColumnRenamed(
+                    "sz", "sz_b"
+                )
+            ),
+            "id_b",
+        )
+        .withColumn(
+            "cont_a_in_b", F.col("inter").cast("double") / F.col("sz_a")
+        )
+        .withColumn(
+            "cont_b_in_a", F.col("inter").cast("double") / F.col("sz_b")
+        )
+        .filter(
+            F.greatest(F.col("cont_a_in_b"), F.col("cont_b_in_a"))
+            >= threshold
+        )
+        .select("id_a", "id_b", "cont_a_in_b", "cont_b_in_a")
+    )
+    return out

@@ -1,0 +1,111 @@
+"""KMV distinct sketch + asymmetric containment dedup."""
+
+from pyspark.sql import functions as F
+
+
+def test_kmv_exact_below_k(spark):
+    """Groups with fewer than k distinct values are reported exactly."""
+    from det_module_spark.operators.sketch import kmv_distinct
+
+    df = spark.createDataFrame(
+        [("a", i % 7) for i in range(100)] + [("b", i % 3) for i in range(50)],
+        ["g", "v"],
+    )
+    out = {
+        r["g"]: r["est_distinct"]
+        for r in kmv_distinct(df, F.col("v"), k=64, by=["g"]).collect()
+    }
+    assert out == {"a": 7, "b": 3}
+
+
+def test_kmv_partition_independent(spark):
+    """Min-k of a set doesn't depend on physical layout: estimates are
+    identical at 1 partition and at 13."""
+    from det_module_spark.operators.sketch import kmv_distinct
+
+    rows = [(i % 5, i * 37 % 911) for i in range(3000)]
+    a = spark.createDataFrame(rows, ["g", "v"]).repartition(1)
+    b = spark.createDataFrame(rows, ["g", "v"]).repartition(13)
+    ra = sorted(
+        map(tuple, kmv_distinct(a, F.col("v"), k=32, by=["g"]).collect())
+    )
+    rb = sorted(
+        map(tuple, kmv_distinct(b, F.col("v"), k=32, by=["g"]).collect())
+    )
+    assert ra == rb
+
+
+def test_kmv_mergeable(spark):
+    """Bottom-k of a union == bottom-k over the concatenated halves —
+    the sketch property that makes map-side partial merge correct."""
+    from det_module_spark.operators.sketch import kmv_distinct
+
+    rows = [(i * 131 % 10007,) for i in range(4000)]
+    whole = spark.createDataFrame(rows, ["v"])
+    half1 = spark.createDataFrame(rows[:2000], ["v"])
+    half2 = spark.createDataFrame(rows[2000:], ["v"])
+    est_whole = kmv_distinct(whole, F.col("v"), k=48).collect()[0][0]
+    est_merged = kmv_distinct(
+        half1.unionAll(half2), F.col("v"), k=48
+    ).collect()[0][0]
+    assert est_whole == est_merged
+
+
+def test_kmv_estimate_reasonable(spark):
+    """KMV relative error for k=64 is ~1/sqrt(k-1) ≈ 13%; allow 3σ."""
+    from det_module_spark.operators.sketch import kmv_distinct
+
+    n = 5000
+    df = spark.createDataFrame([(i,) for i in range(n)], ["v"])
+    est = kmv_distinct(df, F.col("v"), k=64).collect()[0][0]
+    assert abs(est - n) / n < 0.4
+
+
+def test_containment_catches_pasted_doc(spark):
+    """A small doc fully pasted inside a big one: containment fires
+    where Jaccard stays below threshold."""
+    from det_module_spark.operators.dedup import (
+        containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    small = "alpha beta gamma delta epsilon zeta"
+    filler = " ".join(f"w{i} x{i} y{i}" for i in range(40))
+    big = filler + " " + small + " " + filler.replace("w", "u")
+    df = spark.createDataFrame(
+        [(1, small), (2, big), (3, "totally different text here")],
+        ["doc_id", "text"],
+    )
+    cont = containment_pairs(df, n=3, threshold=0.9).collect()
+    assert len(cont) == 1
+    row = cont[0]
+    assert (row["id_a"], row["id_b"]) == (1, 2)
+    # every shingle of doc 1 occurs in doc 2
+    assert row["cont_a_in_b"] == 1.0
+    assert row["cont_b_in_a"] < 0.1
+    # Jaccard misses the same pair at the same bar
+    jac = ngram_jaccard_pairs(df, n=3, threshold=0.9).collect()
+    assert jac == []
+
+
+def test_containment_bounds_jaccard(spark, sf_dir):
+    """max(containment) >= jaccard >= min(containment) on real pairs."""
+    from det_module_spark.operators.dedup import (
+        containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(150)
+    cont = {
+        (r["id_a"], r["id_b"]): (r["cont_a_in_b"], r["cont_b_in_a"])
+        for r in containment_pairs(docs, n=3, threshold=0.0).collect()
+    }
+    jac = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, n=3, threshold=0.0).collect()
+    }
+    assert set(jac) == set(cont)
+    for pair, j in jac.items():
+        ca, cb = cont[pair]
+        assert max(ca, cb) >= j - 1e-12
+        assert min(ca, cb) >= j - 1e-12  # inter/sz >= inter/union
