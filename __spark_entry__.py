@@ -1205,6 +1205,24 @@ def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # contrastive hard-negative mining (similarity.hard_negatives):
+    # per anchor, the top-3 most-similar embeddings with a DIFFERENT
+    # label — broadcast anchors, corpus streams, label filter below
+    # the rank window
+    from det_module_spark.operators.similarity import hard_negatives
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = hard_negatives(emb, k=3, anchors=emb.filter(F.col("vec_id") < 40))
+    return out.select(
+        "anchor_id",
+        "rank",
+        "negative_id",
+        "neg_label",
+        _pround(F.col("cos"), 6).alias("cos"),
+    )
+
+
 def q_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # asymmetric n-gram containment (operators/dedup.containment_pairs):
     # catches "small doc pasted inside big doc" partial duplicates that
@@ -3287,6 +3305,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # driver-visible.
     return {
         # --- round-3 additions / re-oracled queries ---
+        "hard_negatives": q_hard_negatives,
         "containment_dedup": q_containment_dedup,
         "kmv_distinct": q_kmv_distinct,
         "span_dedup": q_span_dedup,
@@ -3549,6 +3568,34 @@ def _jaccard_sql(threshold: float = 0.12, max_df: int = 1000) -> str:
     WHERE CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter) >= {threshold}
     """
     )
+
+
+def _hard_negatives_sql(k: int = 3, max_anchor: int = 40) -> str:
+    """Oracle for similarity.hard_negatives — the exact cosine rank
+    with a cross-label predicate; same sequential-sum arithmetic as
+    _cosine_sql."""
+    dot = _COS64.format(a="qv", b="cv")
+    nq = f"sqrt({_COS64.format(a='qv', b='qv')})"
+    nc = f"sqrt({_COS64.format(a='cv', b='cv')})"
+    return f"""
+    WITH a AS (SELECT vec_id AS anchor_id, label AS anchor_label,
+                      embedding AS qv
+               FROM embeddings WHERE vec_id < {max_anchor}),
+    c AS (SELECT vec_id AS negative_id, label AS neg_label,
+                 embedding AS cv
+          FROM embeddings),
+    s AS (SELECT anchor_id, negative_id, neg_label,
+                 {dot} / ({nq} * {nc}) AS cos
+          FROM c, a WHERE anchor_label <> neg_label),
+    r AS (SELECT anchor_id, negative_id, neg_label, cos,
+                 ROW_NUMBER() OVER (PARTITION BY anchor_id
+                                    ORDER BY cos DESC, negative_id ASC)
+                   AS rnk
+          FROM s)
+    SELECT anchor_id, CAST(rnk AS INT) AS rank, negative_id, neg_label,
+           FLOOR(cos * 1e6 + 0.5) / 1e6 AS cos
+    FROM r WHERE rnk <= {k}
+    """
 
 
 def _containment_sql(threshold: float = 0.3, max_df: int = 1000) -> str:
@@ -4435,6 +4482,7 @@ QUALIFY ROW_NUMBER() OVER (
         "dedup_simhash": _simhash_sql(16),
         "similarity_cosine_topk": _cosine_sql(),
         "similarity_lsh_topk": _lsh_sql(),
+        "hard_negatives": _hard_negatives_sql(3, 40),
         "containment_dedup": _containment_sql(0.3),
         "kmv_distinct": _kmv_sql(64),
         "span_dedup": _SPAN_DEDUP_SQL,

@@ -756,3 +756,60 @@ def label_centroids(
         ),
         (F.floor(var * out_scale + F.lit(0.5)) / out_scale).alias("variance"),
     )
+
+
+def hard_negatives(
+    df: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    anchors: DataFrame | None = None,
+) -> DataFrame:
+    """Contrastive hard-negative mining: for each anchor vector, the
+    ``k`` most cosine-similar vectors carrying a DIFFERENT label —
+    the pairs a contrastive/metric-learning objective learns most
+    from (similar in embedding space, semantically distinct).
+
+    Output: (anchor_id, rank, negative_id, neg_label, cos), ties
+    broken by negative id — total-ordered, engine-reproducible.
+
+    Same scale shape as ``cosine_topk``: anchors are the bounded side
+    (broadcast); the corpus side streams, never shuffles the vectors.
+    The label filter is pushed below the window rank, so excluded
+    same-label rows never enter the top-k state. At full scale swap
+    the exact scorer for the IVF/LSH candidate generators and keep
+    this ranking contract.
+    """
+    from pyspark.sql import Window
+
+    a = (anchors if anchors is not None else df).select(
+        F.col(id_col).alias("anchor_id"),
+        F.col(label_col).alias("anchor_label"),
+        F.col(vec_col).alias("qv"),
+        _norm(F.col(vec_col)).alias("qn"),
+    )
+    c = df.select(
+        F.col(id_col).alias("negative_id"),
+        F.col(label_col).alias("neg_label"),
+        F.col(vec_col).alias("cv"),
+        _norm(F.col(vec_col)).alias("cn"),
+    )
+    scored = (
+        c.crossJoin(F.broadcast(a))
+        .filter(F.col("anchor_label") != F.col("neg_label"))
+        .withColumn(
+            "cos",
+            cosine_with_norms(
+                F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")
+            ),
+        )
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.desc("cos"), F.asc("negative_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("anchor_id", "rank", "negative_id", "neg_label", "cos")
+    )

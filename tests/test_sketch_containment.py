@@ -109,3 +109,36 @@ def test_containment_bounds_jaccard(spark, sf_dir):
         ca, cb = cont[pair]
         assert max(ca, cb) >= j - 1e-12
         assert min(ca, cb) >= j - 1e-12  # inter/sz >= inter/union
+
+
+def test_hard_negatives_label_and_rank_contract(spark, sf_dir):
+    from det_module_spark.operators.similarity import hard_negatives
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    anchors = emb.filter(F.col("vec_id") < 10)
+    out = hard_negatives(emb, k=3, anchors=anchors).collect()
+    labels = {r["vec_id"]: r["label"] for r in anchors.collect()}
+    by_anchor = {}
+    for r in out:
+        # never a same-label pair
+        assert r["neg_label"] != labels[r["anchor_id"]]
+        by_anchor.setdefault(r["anchor_id"], []).append(r)
+    for rows in by_anchor.values():
+        rows.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rows] == [1, 2, 3]
+        # cos non-increasing with rank
+        cs = [r["cos"] for r in rows]
+        assert all(cs[i] >= cs[i + 1] for i in range(len(cs) - 1))
+
+
+def test_hard_negatives_partition_independent(spark, sf_dir):
+    from det_module_spark.operators.similarity import hard_negatives
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    anchors = emb.filter(F.col("vec_id") < 5)
+    a = hard_negatives(emb.repartition(1), k=2, anchors=anchors).collect()
+    b = hard_negatives(emb.repartition(11), k=2, anchors=anchors).collect()
+    key = lambda r: (r["anchor_id"], r["rank"])
+    assert sorted(map(tuple, a), key=lambda t: t[:2]) == sorted(
+        map(tuple, b), key=lambda t: t[:2]
+    )
