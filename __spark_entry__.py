@@ -1205,6 +1205,25 @@ def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # dedup policy layer (graph.cluster_representatives): connected
+    # components over the near-dup pair graph, keep the LONGEST doc
+    # (token count, ties to lowest id) per cluster — one argmax hash
+    # agg over the component assignment, no window
+    from det_module_spark.operators.dedup import ngram_jaccard_pairs
+    from det_module_spark.operators.graph import cluster_representatives
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.12)
+    quality = docs.select(
+        F.col("doc_id").alias("id"),
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("score"),
+    )
+    return cluster_representatives(
+        pairs, quality, id_col="id", score_col="score"
+    ).orderBy("cluster")
+
+
 def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     # contrastive hard-negative mining (similarity.hard_negatives):
     # per anchor, the top-3 most-similar embeddings with a DIFFERENT
@@ -3305,6 +3324,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # driver-visible.
     return {
         # --- round-3 additions / re-oracled queries ---
+        "cluster_representatives": q_cluster_representatives,
         "hard_negatives": q_hard_negatives,
         "containment_dedup": q_containment_dedup,
         "kmv_distinct": q_kmv_distinct,
@@ -3566,6 +3586,59 @@ def _jaccard_sql(threshold: float = 0.12, max_df: int = 1000) -> str:
     JOIN sizes sa ON sa.doc_id = id_a
     JOIN sizes sb ON sb.doc_id = id_b
     WHERE CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter) >= {threshold}
+    """
+    )
+
+
+def _cluster_reps_sql(threshold: float = 0.12, max_df: int = 1000) -> str:
+    """Oracle for graph.cluster_representatives over the Jaccard pair
+    graph: same recursive-CTE components as _clusters_sql, then the
+    per-cluster quality argmax (token count desc, id asc)."""
+    return (
+        _SHINGLES_SQL
+        + f""",
+    shh AS (SELECT doc_id,
+                   CAST(concat('0x', substr(md5(shingle), 1, 15)) AS BIGINT)
+                     AS shingle
+            FROM sh),
+    keep AS (SELECT shingle FROM shh GROUP BY shingle
+             HAVING COUNT(*) <= {max_df}),
+    sh2 AS (SELECT doc_id, shingle FROM shh JOIN keep USING (shingle)),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh2 GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+      FROM sh2 a JOIN sh2 b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    pairs AS (
+      SELECT id_a, id_b FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter)
+            >= {threshold}),
+    edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+              UNION
+              SELECT id_b AS a, id_a AS b FROM pairs),
+    reach AS (
+      WITH RECURSIVE r(a, b) AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.a, e.b FROM r JOIN edges e ON r.b = e.a)
+      SELECT * FROM r),
+    comp AS (SELECT a AS id, LEAST(MIN(b), a) AS cluster
+             FROM reach GROUP BY a),
+    q AS (SELECT doc_id AS id,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS score
+          FROM documents),
+    total AS (SELECT q.id, q.score, COALESCE(comp.cluster, q.id) AS cluster
+              FROM q LEFT JOIN comp ON comp.id = q.id),
+    ranked AS (SELECT cluster, id, score,
+                      ROW_NUMBER() OVER (PARTITION BY cluster
+                                         ORDER BY score DESC, id ASC) AS rn,
+                      COUNT(*) OVER (PARTITION BY cluster) AS cluster_size
+               FROM total)
+    SELECT cluster, id AS rep_id, score AS rep_score, cluster_size
+    FROM ranked WHERE rn = 1
     """
     )
 
@@ -4482,6 +4555,7 @@ QUALIFY ROW_NUMBER() OVER (
         "dedup_simhash": _simhash_sql(16),
         "similarity_cosine_topk": _cosine_sql(),
         "similarity_lsh_topk": _lsh_sql(),
+        "cluster_representatives": _cluster_reps_sql(0.12),
         "hard_negatives": _hard_negatives_sql(3, 40),
         "containment_dedup": _containment_sql(0.3),
         "kmv_distinct": _kmv_sql(64),

@@ -279,3 +279,53 @@ def triangle_count_per_vertex(
     return corners.groupBy("vertex").agg(
         F.count(F.lit(1)).alias("n_triangles")
     )
+
+
+def cluster_representatives(
+    pairs: DataFrame,
+    quality: DataFrame,
+    id_col: str = "id",
+    score_col: str = "score",
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Dedup POLICY layer: connected components over near-dup pairs,
+    then keep the best-quality member of each cluster (highest
+    ``score_col``, ties to the lowest id) — what a pretraining
+    pipeline actually ships after near-dup detection, instead of the
+    arbitrary lowest-id canonical.
+
+    ``quality`` must carry one row per document (``id_col``,
+    ``score_col``); every id in ``pairs`` must appear. Documents
+    absent from ``pairs`` are singleton clusters and their own
+    representative.
+
+    Output: (cluster, rep_id, rep_score, cluster_size).
+
+    Scale shape: components via iterative min-label propagation
+    (bounded rounds, per-round localCheckpoint — see
+    ``connected_components``); the representative choice is ONE hash
+    aggregation with an argmax encoded as ``max(struct(score, -id))``
+    — no window, no per-cluster sort. Integer scores keep the argmax
+    engine-exact (float scores: quantize first, ROUND_NOTES #10).
+    """
+    comp = connected_components(pairs, src, dst)
+    ids = quality.select(
+        F.col(id_col).alias("id"), F.col(score_col).alias("score")
+    )
+    total = ids.join(comp, "id", "left").select(
+        "id", "score", F.coalesce("component", F.col("id")).alias("cluster")
+    )
+    best = F.max(
+        F.struct(F.col("score"), (-F.col("id")).alias("nid"))
+    ).alias("m")
+    return (
+        total.groupBy("cluster")
+        .agg(best, F.count(F.lit(1)).alias("cluster_size"))
+        .select(
+            "cluster",
+            (-F.col("m.nid")).alias("rep_id"),
+            F.col("m.score").alias("rep_score"),
+            "cluster_size",
+        )
+    )

@@ -142,3 +142,26 @@ def test_hard_negatives_partition_independent(spark, sf_dir):
     assert sorted(map(tuple, a), key=lambda t: t[:2]) == sorted(
         map(tuple, b), key=lambda t: t[:2]
     )
+
+
+def test_cluster_representatives_policy(spark):
+    from det_module_spark.operators.graph import cluster_representatives
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 8)], ["id_a", "id_b"]
+    )
+    quality = spark.createDataFrame(
+        [(1, 10), (2, 99), (3, 99), (7, 5), (8, 4), (9, 1)],
+        ["id", "score"],
+    )
+    out = {
+        r["cluster"]: (r["rep_id"], r["rep_score"], r["cluster_size"])
+        for r in cluster_representatives(pairs, quality).collect()
+    }
+    # {1,2,3}: score tie 99 between 2 and 3 -> lowest id 2 wins
+    assert out[1] == (2, 99, 3)
+    # {7,8}: 7 wins on score
+    assert out[7] == (7, 5, 2)
+    # 9 is a singleton: own representative
+    assert out[9] == (9, 1, 1)
+    assert len(out) == 3
