@@ -1205,6 +1205,31 @@ def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # α=0.5 temperature rebalancing (sampling.temperature_rates):
+    # per-source rates derived FROM the observed counts (integer-exact
+    # sqrt weighting), materialized by the deterministic
+    # explode+hash-filter mixture — small sources repeat, the biggest
+    # source thins, total stays ≈ the corpus size
+    from det_module_spark.operators.sampling import (
+        apply_mixture,
+        temperature_rates,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    counts = {
+        r["source"]: r["n"]
+        for r in docs.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    rates = temperature_rates(counts, budget_rows=sum(counts.values()))
+    out = apply_mixture(
+        docs, F.col("doc_id"), F.col("source"), rates, default_rate=0.0
+    )
+    return out.select("doc_id", "source", "copy")
+
+
 def q_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     # dedup policy layer (graph.cluster_representatives): connected
     # components over the near-dup pair graph, keep the LONGEST doc
@@ -3324,6 +3349,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # driver-visible.
     return {
         # --- round-3 additions / re-oracled queries ---
+        "temperature_mixture": q_temperature_mixture,
         "cluster_representatives": q_cluster_representatives,
         "hard_negatives": q_hard_negatives,
         "containment_dedup": q_containment_dedup,
@@ -4555,6 +4581,28 @@ QUALIFY ROW_NUMBER() OVER (
         "dedup_simhash": _simhash_sql(16),
         "similarity_cosine_topk": _cosine_sql(),
         "similarity_lsh_topk": _lsh_sql(),
+        "temperature_mixture": """
+            WITH c AS (SELECT source, COUNT(*) AS n
+                       FROM documents GROUP BY source),
+            w AS (SELECT source, n,
+                         CAST(FLOOR(sqrt(CAST(n AS DOUBLE))) AS BIGINT) AS w
+                  FROM c),
+            tot AS (SELECT SUM(w) AS tw, SUM(n) AS budget FROM w),
+            rated AS (
+              SELECT d.doc_id, d.source,
+                     CAST((1000000 * budget * w.w) // (tw * w.n) AS BIGINT) AS rm
+              FROM documents d JOIN w ON w.source = d.source, tot),
+            cop AS (
+              SELECT doc_id, source, rm,
+                     unnest(range(0, rm // 1000000 + 1)) AS copy
+              FROM rated)
+            SELECT doc_id, source, copy FROM cop
+            WHERE copy < rm // 1000000
+               OR CAST(concat('0x',
+                    substr(md5(concat('s0:', CAST(doc_id AS VARCHAR), ':',
+                                      CAST(copy AS VARCHAR))), 1, 15))
+                  AS BIGINT) % 1000000 < rm % 1000000
+        """,
         "cluster_representatives": _cluster_reps_sql(0.12),
         "hard_negatives": _hard_negatives_sql(3, 40),
         "containment_dedup": _containment_sql(0.3),

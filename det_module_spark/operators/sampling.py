@@ -142,3 +142,38 @@ def weighted_hash_sample(
         .limit(k)
         .drop("__priority")
     )
+
+
+def temperature_rates(
+    counts: dict[str, int], budget_rows: int
+) -> dict[str, float]:
+    """Temperature-based mixture rates at α = 0.5 — the standard
+    rebalancing for heterogeneous-source training corpora (small
+    sources up-weighted, giant sources down-weighted; weights
+    ∝ n_s^α).
+
+    α is pinned to 0.5 so every step is engine-exact (ROUND_NOTES
+    playbook): w_s = floor(sqrt(n_s)) uses the exactly-rounded IEEE
+    sqrt (identical in any engine), and the rate is pure int64
+    arithmetic  rmilli_s = (10^6 · budget · w_s) div (Σw · n_s) —
+    reproducible bit-for-bit in SQL. General α needs pow(), whose
+    last bit differs between libms; quantize weights first if you
+    need it.
+
+    Driver-side over the per-source count dict (control plane: one
+    ``groupBy(source).count()`` collect, rows = number of sources).
+    Feed the result straight to ``apply_mixture``: rates are integer
+    millionths, so apply_mixture's round(rate·10^6) round-trips
+    exactly."""
+    import math
+
+    w = {
+        s: int(math.floor(math.sqrt(float(c))))
+        for s, c in counts.items()
+        if c > 0
+    }
+    total_w = sum(w.values())
+    return {
+        s: (_RES * budget_rows * w[s]) // (total_w * counts[s]) / _RES
+        for s in w
+    }

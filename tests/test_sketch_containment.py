@@ -165,3 +165,41 @@ def test_cluster_representatives_policy(spark):
     # 9 is a singleton: own representative
     assert out[9] == (9, 1, 1)
     assert len(out) == 3
+
+
+def test_temperature_rates_rebalance(spark):
+    """α=0.5 temperature: small sources up-weighted, large ones
+    down-weighted; realized row count lands near the budget."""
+    from det_module_spark.operators.sampling import (
+        apply_mixture,
+        temperature_rates,
+    )
+
+    rows = [(i, "small" if i < 100 else "big") for i in range(10100)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    counts = {"small": 100, "big": 10000}
+    rates = temperature_rates(counts, budget_rows=10100)
+    assert rates["small"] > 5.0 and rates["big"] < 1.0
+    out = apply_mixture(
+        df, F.col("doc_id"), F.col("source"), rates, default_rate=0.0
+    )
+    n = out.count()
+    assert abs(n - 10100) / 10100 < 0.05
+    per = {r["source"]: r["n"] for r in out.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    # sqrt weighting: small goes from 1% of rows to ~9%
+    assert per["small"] / n > 0.05
+
+
+def test_temperature_rates_partition_independent(spark):
+    from det_module_spark.operators.sampling import (
+        apply_mixture,
+        temperature_rates,
+    )
+
+    rows = [(i, f"s{i % 3}") for i in range(3000)]
+    rates = temperature_rates({"s0": 1000, "s1": 1000, "s2": 1000}, 3000)
+    a = spark.createDataFrame(rows, ["doc_id", "source"]).repartition(1)
+    b = spark.createDataFrame(rows, ["doc_id", "source"]).repartition(17)
+    ra = sorted(map(tuple, apply_mixture(a, F.col("doc_id"), F.col("source"), rates).collect()))
+    rb = sorted(map(tuple, apply_mixture(b, F.col("doc_id"), F.col("source"), rates).collect()))
+    assert ra == rb
