@@ -1205,6 +1205,19 @@ def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # output-layout planning (layout.shard_plan): pack each source's
+    # documents (doc_id order) into ~32 KB shards by exclusive prefix
+    # sum of n_chars — one PARTITIONED window per source, shard
+    # namespace (source, shard)
+    from det_module_spark.operators.layout import shard_plan
+
+    docs = load_table(spark, sf_dir, "documents")
+    return shard_plan(
+        docs, "n_chars", "doc_id", 32_768, by=["source"]
+    ).orderBy("source", "shard")
+
+
 def q_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     # α=0.5 temperature rebalancing (sampling.temperature_rates):
     # per-source rates derived FROM the observed counts (integer-exact
@@ -3349,6 +3362,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # driver-visible.
     return {
         # --- round-3 additions / re-oracled queries ---
+        "shard_plan": q_shard_plan,
         "temperature_mixture": q_temperature_mixture,
         "cluster_representatives": q_cluster_representatives,
         "hard_negatives": q_hard_negatives,
@@ -4581,6 +4595,22 @@ QUALIFY ROW_NUMBER() OVER (
         "dedup_simhash": _simhash_sql(16),
         "similarity_cosine_topk": _cosine_sql(),
         "similarity_lsh_topk": _lsh_sql(),
+        "shard_plan": """
+            WITH s AS (
+              SELECT source, doc_id, n_chars,
+                     COALESCE(SUM(n_chars) OVER (
+                       PARTITION BY source ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS start
+              FROM documents)
+            SELECT source, start // 32768 AS shard,
+                   COUNT(*) AS n_rows,
+                   SUM(n_chars) AS shard_bytes,
+                   MIN(doc_id) AS first_key,
+                   MAX(doc_id) AS last_key
+            FROM s GROUP BY source, shard
+            ORDER BY source, shard
+        """,
         "temperature_mixture": """
             WITH c AS (SELECT source, COUNT(*) AS n
                        FROM documents GROUP BY source),

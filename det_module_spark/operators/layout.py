@@ -62,3 +62,52 @@ def morton_sql(x_expr: str, y_expr: str) -> str:
         return e
 
     return f"({spread(x_expr)} | ({spread(y_expr)} << 1))"
+
+
+def shard_plan(
+    df: DataFrame,
+    size_col: str,
+    order_col: str,
+    target_bytes: int,
+    by: list[str],
+) -> DataFrame:
+    """Size-balanced output sharding: within each ``by`` group, rows
+    in ``order_col`` order are packed into consecutive shards of
+    ≈``target_bytes`` (a shard closes once the running size reaches
+    the target) — the planning step before writing a sharded corpus
+    (WebDataset-style tars, packed parquet) with bounded file sizes.
+
+    shard = exclusive-prefix-sum(size) div target: deterministic,
+    engine-replayable (integer window SUM — no floats), and stable
+    under repartitioning because the order is a data column, not the
+    physical layout.
+
+    Scale shape: ONE partitioned window per group (never a global
+    window — the shard namespace is (group, shard), so parallelism is
+    the number of groups; at 100 TB your groups are date/source/
+    bucket partitions, which is exactly how a real writer fans out).
+
+    Output: one row per shard — (by…, shard, n_rows, shard_bytes,
+    first_key, last_key).
+    """
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(*by)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    start = F.coalesce(F.sum(size_col).over(w), F.lit(0))
+    t = F.lit(target_bytes)
+    # integer floor-div as Columns (ROUND_NOTES #7: never floor(a/b))
+    shard = ((start - start % t) / t).cast("long")
+    return (
+        df.withColumn("shard", shard)
+        .groupBy(*by, "shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(size_col).alias("shard_bytes"),
+            F.min(order_col).alias("first_key"),
+            F.max(order_col).alias("last_key"),
+        )
+    )

@@ -203,3 +203,42 @@ def test_temperature_rates_partition_independent(spark):
     ra = sorted(map(tuple, apply_mixture(a, F.col("doc_id"), F.col("source"), rates).collect()))
     rb = sorted(map(tuple, apply_mixture(b, F.col("doc_id"), F.col("source"), rates).collect()))
     assert ra == rb
+
+
+def test_shard_plan_packing(spark):
+    from det_module_spark.operators.layout import shard_plan
+
+    rows = [(f"g{i % 2}", i, 10 + (i * 7) % 30) for i in range(400)]
+    df = spark.createDataFrame(rows, ["source", "doc_id", "n_chars"])
+    out = shard_plan(df, "n_chars", "doc_id", 200, by=["source"]).collect()
+    by_group = {}
+    for r in out:
+        by_group.setdefault(r["source"], []).append(r)
+    max_row = max(r[2] for r in rows)
+    for g, shards in by_group.items():
+        shards.sort(key=lambda r: r["shard"])
+        # shard ids strictly increase starting at 0 (gaps allowed only
+        # when a single row exceeds the target — not the case here)
+        assert shards[0]["shard"] == 0
+        assert all(
+            b["shard"] > a["shard"] for a, b in zip(shards, shards[1:])
+        )
+        # a shard never grows beyond target + one overshooting row
+        for s in shards:
+            assert s["shard_bytes"] <= 200 + max_row
+        # key ranges don't overlap across consecutive shards
+        for a, b in zip(shards, shards[1:]):
+            assert a["last_key"] < b["first_key"]
+    # total bytes conserved
+    assert sum(r["shard_bytes"] for r in out) == sum(r[2] for r in rows)
+
+
+def test_shard_plan_partition_independent(spark):
+    from det_module_spark.operators.layout import shard_plan
+
+    rows = [(f"g{i % 3}", i, 5 + i % 11) for i in range(300)]
+    a = spark.createDataFrame(rows, ["source", "doc_id", "n_chars"]).repartition(1)
+    b = spark.createDataFrame(rows, ["source", "doc_id", "n_chars"]).repartition(13)
+    ra = sorted(map(tuple, shard_plan(a, "n_chars", "doc_id", 100, by=["source"]).collect()))
+    rb = sorted(map(tuple, shard_plan(b, "n_chars", "doc_id", 100, by=["source"]).collect()))
+    assert ra == rb
