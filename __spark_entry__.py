@@ -1205,6 +1205,18 @@ def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # distributed BPE tokenizer fit (operators/bpe.bpe_merges): the
+    # corpus collapses to a word-type vocab in ONE aggregation, then
+    # each merge round is a bounded agg over the vocab — corpus-size-
+    # independent rounds, the scalable shape of tokenizer training.
+    # The oracle replays all 8 rounds (materialized CTE chain).
+    from det_module_spark.operators.bpe import bpe_merges
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe_merges(docs, n_merges=8, max_words=200)
+
+
 def q_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     # output-layout planning (layout.shard_plan): pack each source's
     # documents (doc_id order) into ~32 KB shards by exclusive prefix
@@ -3362,6 +3374,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # driver-visible.
     return {
         # --- round-3 additions / re-oracled queries ---
+        "bpe_merges": q_bpe_merges,
         "shard_plan": q_shard_plan,
         "temperature_mixture": q_temperature_mixture,
         "cluster_representatives": q_cluster_representatives,
@@ -3628,6 +3641,61 @@ def _jaccard_sql(threshold: float = 0.12, max_df: int = 1000) -> str:
     WHERE CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter) >= {threshold}
     """
     )
+
+
+def _bpe_sql(n_merges: int = 8, max_words: int = 200) -> str:
+    """Oracle for operators/bpe.bpe_merges: replay the N-round BPE
+    fit. Each round is three MATERIALIZED CTEs (pair counts → argmax
+    → state replace); AS MATERIALIZED is load-bearing — DuckDB
+    inlines CTEs by default and an N-round chain would plan in
+    O(3^N) (ROUND_NOTES playbook #17). The doubled-delimiter
+    ``replace(state, '|a||b|', '|ab|')`` is leftmost-non-overlapping
+    in both engines, so vocab states match string-for-string."""
+    parts = [
+        f"""
+    WITH w0 AS MATERIALIZED (
+      SELECT word, freq,
+             '|' || array_to_string(string_split(word, ''), '||') || '|'
+               AS state
+      FROM (
+        SELECT word, COUNT(*) AS freq FROM (
+          SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        WHERE length(word) > 0 AND word NOT LIKE '%|%'
+        GROUP BY word ORDER BY freq DESC, word ASC LIMIT {max_words})
+    )"""
+    ]
+    for r in range(1, n_merges + 1):
+        parts.append(
+            f""",
+    s{r} AS (SELECT freq,
+                    string_split(substring(state, 2, length(state) - 2),
+                                 '||') AS l
+             FROM w{r - 1}),
+    pp{r} AS (SELECT freq,
+                     unnest(list_transform(range(1, len(l)),
+                            i -> struct_pack(lft := l[i],
+                                             rgt := l[i + 1]))) AS p
+              FROM s{r} WHERE len(l) >= 2),
+    p{r} AS MATERIALIZED (
+      SELECT p.lft AS lft, p.rgt AS rgt,
+             CAST(SUM(freq) AS BIGINT) AS cnt
+      FROM pp{r} GROUP BY 1, 2),
+    m{r} AS MATERIALIZED (
+      SELECT lft, rgt, lft || rgt AS merged, cnt
+      FROM p{r} ORDER BY cnt DESC, lft ASC, rgt ASC LIMIT 1),
+    w{r} AS MATERIALIZED (
+      SELECT word, freq,
+             replace(state, '|' || m.lft || '||' || m.rgt || '|',
+                     '|' || m.merged || '|') AS state
+      FROM w{r - 1}, m{r} m)"""
+        )
+    unions = "\n    UNION ALL ".join(
+        f"SELECT CAST({r} AS INT) AS round, lft AS \"left\","
+        f" rgt AS \"right\", merged, cnt AS pair_count FROM m{r}"
+        for r in range(1, n_merges + 1)
+    )
+    parts.append(f"\n    {unions}\n    ORDER BY round")
+    return "".join(parts)
 
 
 def _cluster_reps_sql(threshold: float = 0.12, max_df: int = 1000) -> str:
@@ -4595,6 +4663,7 @@ QUALIFY ROW_NUMBER() OVER (
         "dedup_simhash": _simhash_sql(16),
         "similarity_cosine_topk": _cosine_sql(),
         "similarity_lsh_topk": _lsh_sql(),
+        "bpe_merges": _bpe_sql(8, 200),
         "shard_plan": """
             WITH s AS (
               SELECT source, doc_id, n_chars,
