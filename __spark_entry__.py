@@ -1205,6 +1205,35 @@ def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tokenizer_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # fit-then-encode composition: learn 4 BPE merges on the vocab,
+    # apply them to EVERY document as chained replaces (codegen, no
+    # Python), report per-source compression — the evaluation loop of
+    # tokenizer training, end-to-end and hash-checked
+    from det_module_spark.operators.bpe import bpe_encode, bpe_merges
+
+    docs = load_table(spark, sf_dir, "documents")
+    fit = bpe_merges(docs, n_merges=4, max_words=100)
+    merges = [
+        (r["left"], r["right"]) for r in fit.orderBy("round").collect()
+    ]
+    enc = bpe_encode(docs, merges)
+    sub = F.sum("n_subwords")
+    chars = F.sum(F.length("text"))
+    return (
+        enc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            sub.alias("sum_subwords"),
+            chars.alias("sum_chars"),
+            _pround(
+                chars.cast("double") / sub, 6
+            ).alias("chars_per_subword"),
+        )
+        .orderBy("source")
+    )
+
+
 def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     # distributed BPE tokenizer fit (operators/bpe.bpe_merges): the
     # corpus collapses to a word-type vocab in ONE aggregation, then
@@ -3374,6 +3403,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # driver-visible.
     return {
         # --- round-3 additions / re-oracled queries ---
+        "tokenizer_stats": q_tokenizer_stats,
         "bpe_merges": q_bpe_merges,
         "shard_plan": q_shard_plan,
         "temperature_mixture": q_temperature_mixture,
@@ -3643,11 +3673,11 @@ def _jaccard_sql(threshold: float = 0.12, max_df: int = 1000) -> str:
     )
 
 
-def _bpe_sql(n_merges: int = 8, max_words: int = 200) -> str:
-    """Oracle for operators/bpe.bpe_merges: replay the N-round BPE
-    fit. Each round is three MATERIALIZED CTEs (pair counts → argmax
-    → state replace); AS MATERIALIZED is load-bearing — DuckDB
-    inlines CTEs by default and an N-round chain would plan in
+def _bpe_cte(n_merges: int = 8, max_words: int = 200) -> str:
+    """CTE chain replaying the N-round BPE fit of
+    operators/bpe.bpe_merges (vocab w0 → per-round pair counts p{r},
+    argmax m{r}, state w{r}). AS MATERIALIZED is load-bearing —
+    DuckDB inlines CTEs by default and an N-round chain would plan in
     O(3^N) (ROUND_NOTES playbook #17). The doubled-delimiter
     ``replace(state, '|a||b|', '|ab|')`` is leftmost-non-overlapping
     in both engines, so vocab states match string-for-string."""
@@ -3689,13 +3719,49 @@ def _bpe_sql(n_merges: int = 8, max_words: int = 200) -> str:
                      '|' || m.merged || '|') AS state
       FROM w{r - 1}, m{r} m)"""
         )
+    return "".join(parts)
+
+
+def _bpe_sql(n_merges: int = 8, max_words: int = 200) -> str:
     unions = "\n    UNION ALL ".join(
         f"SELECT CAST({r} AS INT) AS round, lft AS \"left\","
         f" rgt AS \"right\", merged, cnt AS pair_count FROM m{r}"
         for r in range(1, n_merges + 1)
     )
-    parts.append(f"\n    {unions}\n    ORDER BY round")
-    return "".join(parts)
+    return (
+        _bpe_cte(n_merges, max_words) + f"\n    {unions}\n    ORDER BY round"
+    )
+
+
+def _tokenizer_stats_sql(n_merges: int = 4, max_words: int = 100) -> str:
+    """Oracle for q_tokenizer_stats: the same BPE fit replay, then the
+    encode step as chained replaces (one per learned merge, scalar
+    subqueries against the m{r} CTEs), aggregated per source."""
+    st = "'|' || array_to_string(string_split(text, ''), '||') || '|'"
+    for r in range(1, n_merges + 1):
+        st = (
+            f"replace({st},\n"
+            f"      (SELECT '|' || lft || '||' || rgt || '|' FROM m{r}),\n"
+            f"      (SELECT '|' || merged || '|' FROM m{r}))"
+        )
+    return (
+        _bpe_cte(n_merges, max_words)
+        + f""",
+    enc AS (
+      SELECT source,
+             len(string_split(substring(st, 2, length(st) - 2), '||'))
+               AS n_subwords,
+             length(text) AS n_chars
+      FROM (SELECT source, text, {st} AS st FROM documents))
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_subwords) AS BIGINT) AS sum_subwords,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           FLOOR(CAST(SUM(n_chars) AS DOUBLE) / SUM(n_subwords)
+                 * 1e6 + 0.5) / 1e6 AS chars_per_subword
+    FROM enc GROUP BY source ORDER BY source
+    """
+    )
 
 
 def _cluster_reps_sql(threshold: float = 0.12, max_df: int = 1000) -> str:
@@ -4663,6 +4729,7 @@ QUALIFY ROW_NUMBER() OVER (
         "dedup_simhash": _simhash_sql(16),
         "similarity_cosine_topk": _cosine_sql(),
         "similarity_lsh_topk": _lsh_sql(),
+        "tokenizer_stats": _tokenizer_stats_sql(4, 100),
         "bpe_merges": _bpe_sql(8, 200),
         "shard_plan": """
             WITH s AS (
