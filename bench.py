@@ -19,13 +19,14 @@ Two timed passes over the same workload:
    throughput. Every query is independent and side-effect-free, so the
    streams share the session and cache safely.
 
-   The concurrent pass is made reproducible (VERDICT r02 #5):
-   queries are assigned to streams by a FIXED hash of the query name
-   (not work-stealing), so packing is identical run-to-run, and the
-   pass is repeated $SPARK_GRAFT_BENCH_REPEATS times (default 3) with
-   the first repeat discarded as warm-up. The reported concurrent wall
-   is the MEDIAN of the timed repeats; per-query p50/p95 across
-   repeats land in ``BENCH_FULL.json``.
+   The concurrent pass is made reproducible (VERDICT r02 #5): stream
+   packing is deterministic — LPT (longest-processing-time greedy)
+   over the sequential pass's measured per-query seconds when that
+   pass ran, else a FIXED hash of the query name — never
+   work-stealing. The pass is repeated $SPARK_GRAFT_BENCH_REPEATS
+   times (default 4) with the first repeat discarded as warm-up. The
+   reported concurrent wall is the MEDIAN of the timed repeats;
+   per-query p50/p95 across repeats land in ``BENCH_FULL.json``.
 
 The final JSON line is kept under ~1 KB (the driver captures a bounded
 stdout tail): only the 10 slowest queries appear inline. The FULL
@@ -58,7 +59,7 @@ def main() -> None:
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     streams = int(os.environ.get("SPARK_GRAFT_BENCH_STREAMS", "12"))
-    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
+    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "4"))
     mode = os.environ.get("SPARK_GRAFT_BENCH_MODE", "both")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
@@ -100,19 +101,39 @@ def main() -> None:
             run_one(label, timings, item)
         return time.time() - t0, timings
 
-    # Deterministic stream packing: each query goes to the stream named
-    # by a hash of its NAME (stable across runs/machines), and every
-    # stream executes its queries in registry order on its own thread.
+    # Deterministic stream packing. Baseline: each query goes to the
+    # stream named by a hash of its NAME (stable across runs/machines).
     # Work-stealing (ex.map over a shared queue) packs differently each
     # run, which made the concurrent wall contention-lottery noisy.
+    # When the sequential pass ran first (mode=both), upgrade to LPT
+    # (longest-processing-time greedy) over the measured per-query
+    # seconds: still deterministic (ties broken by name), and it
+    # removes the 2x stream imbalance hash packing leaves on a
+    # heavy-tailed workload — the wall tracks the true critical path.
     def stream_of(name: str) -> int:
         return int.from_bytes(hashlib.sha1(name.encode()).digest()[:4], "big") % streams
 
-    plan: list[list[tuple[str, object]]] = [[] for _ in range(streams)]
-    for item in qs.items():
-        plan[stream_of(item[0])].append(item)
+    def build_plan(seq_timings: dict[str, float]) -> tuple[list, dict]:
+        plan: list[list[tuple[str, object]]] = [[] for _ in range(streams)]
+        assignment: dict[str, int] = {}
+        if seq_timings:
+            loads = [0.0] * streams
+            order = sorted(
+                qs.items(), key=lambda it: (-seq_timings.get(it[0], 0.0), it[0])
+            )
+            for item in order:
+                s = min(range(streams), key=lambda i: (loads[i], i))
+                loads[s] += seq_timings.get(item[0], 0.0)
+                plan[s].append(item)
+                assignment[item[0]] = s
+        else:
+            for item in qs.items():
+                s = stream_of(item[0])
+                plan[s].append(item)
+                assignment[item[0]] = s
+        return plan, assignment
 
-    def run_concurrent(label: str) -> tuple[float, dict[str, float]]:
+    def run_concurrent(label: str, plan: list) -> tuple[float, dict[str, float]]:
         timings: dict[str, float] = {}
 
         def run_stream(stream_items: list) -> None:
@@ -130,12 +151,13 @@ def main() -> None:
     conc_samples: dict[str, list[float]] = {}
     if mode in ("both", "seq"):
         seq_wall, seq_timings = run_seq("seq")
+    plan, assignment = build_plan(seq_timings)
     if mode in ("both", "concurrent"):
         # repeat the concurrent pass; first repeat is untimed warm-up
         # (plan compilation / codegen for all queries), remaining
         # repeats give a median wall + per-query p50/p95
         for rep in range(max(1, repeats)):
-            wall, timings = run_concurrent(f"x{streams}r{rep}")
+            wall, timings = run_concurrent(f"x{streams}r{rep}", plan)
             if rep == 0 and repeats > 1:
                 continue
             conc_walls.append(wall)
@@ -163,9 +185,7 @@ def main() -> None:
                 "concurrent_query_p95": {
                     k: round(max(v), 3) for k, v in sorted(conc_samples.items())
                 },
-                "stream_assignment": {
-                    k: stream_of(k) for k in qs
-                },
+                "stream_assignment": assignment,
             },
             f,
             indent=1,

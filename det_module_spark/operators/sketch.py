@@ -64,6 +64,11 @@ def kmv_distinct(
     tests/queries to expose the estimation error — which is itself
     deterministic and oracle-checkable.
     """
+    # NULL keys are excluded, not estimated: md5(NULL) is NULL, and a
+    # NULL hash would sort FIRST in Spark's window but LAST under
+    # DuckDB's default — a silent cross-engine divergence. COUNT
+    # DISTINCT semantics ignore NULL anyway.
+    df = df.filter(value.isNotNull())
     h = stable_hash64(value.cast("string")).alias("h")
     if by:
         hashes = df.select(*by, h).distinct()

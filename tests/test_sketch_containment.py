@@ -18,6 +18,17 @@ def test_kmv_exact_below_k(spark):
     assert out == {"a": 7, "b": 3}
 
 
+def test_kmv_ignores_nulls(spark):
+    """NULL keys are dropped (countDistinct semantics) — they would
+    otherwise sort differently across engines."""
+    from det_module_spark.operators.sketch import kmv_distinct
+
+    df = spark.createDataFrame(
+        [(1,), (2,), (None,), (2,), (None,)], "v int"
+    )
+    assert kmv_distinct(df, F.col("v"), k=8).collect()[0][0] == 2
+
+
 def test_kmv_partition_independent(spark):
     """Min-k of a set doesn't depend on physical layout: estimates are
     identical at 1 partition and at 13."""
