@@ -127,9 +127,13 @@ def bpe_merges(
         merges.append((r, left, right, merged, cnt))
         pat = F.lit(f"{DELIM}{left}{DELIM}{DELIM}{right}{DELIM}")
         rep = F.lit(f"{DELIM}{merged}{DELIM}")
+        # no per-round checkpoint: each one costs a job, and replaying
+        # r chained replaces over the (already-checkpointed) vocab is
+        # linear string work on <= max_words rows — the lineage stays
+        # shallow and cheap for any practical merge count
         vocab = vocab.withColumn(
             "state", F.replace(F.col("state"), pat, rep)
-        ).localCheckpoint(eager=True)
+        )
 
     return spark.createDataFrame(
         merges, "round int, left string, right string, merged string, pair_count bigint"
