@@ -1205,6 +1205,113 @@ def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # REAL streaming dropDuplicatesWithinWatermark replay
+    # (streaming/replay.replay_dedup): events get retry copies with a
+    # fresh timestamp — +24h (inside the 48h horizon: must be
+    # deduped) and +72h (outside: re-emitted once state expires, or
+    # late-dropped) — two batches later. The oracle closes the form:
+    # with unique keys and one retry each, emitted = originals +
+    # retries that are neither late (ts_ms > wm planned for their
+    # batch) nor covered by live state (orig_ts_ms + delay > same
+    # wm). Probed semantics documented on replay_dedup.
+    from det_module_spark.streaming.replay import replay_dedup
+
+    ev = _events(spark, sf_dir).select("event_id", "ts", "value")
+    b = ev.agg(
+        F.min(F.unix_timestamp("ts")).alias("mn"),
+        F.max(F.unix_timestamp("ts")).alias("mx"),
+    ).collect()[0]
+    mn, span1 = b["mn"], b["mx"] - b["mn"] + 1
+    batch = F.expr(
+        f"CAST(((unix_timestamp(ts) - {mn}) * 6) div {span1} AS INT)"
+    )
+    orig = ev.select(
+        "event_id",
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT)").alias("cents"),
+        batch.alias("batch"),
+    )
+    eid = F.col("event_id")
+
+    def retry(hours: int, mod_in: int, mod_out: int) -> DataFrame:
+        return orig.filter(
+            (eid % mod_in == 0)
+            & (eid % mod_out != 0)
+            & (F.col("batch") <= 3)
+        ).select(
+            "event_id",
+            F.expr(f"ts + INTERVAL {hours} HOURS").alias("ts"),
+            "cents",
+            (F.col("batch") + 2).cast("int").alias("batch"),
+        )
+
+    staged = orig.unionByName(retry(24, 37, 41)).unionByName(
+        retry(72, 41, 37)
+    )
+    out = replay_dedup(
+        staged, "batch", keys=["event_id"], watermark="48 hours"
+    )
+    return out.select(
+        "event_id", F.unix_millis("ts").alias("ts_ms"), "cents"
+    )
+
+
+_EVENTS_DEDUP_STREAM_SQL = """
+    WITH base AS (
+      SELECT event_id,
+             CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents,
+             CAST(FLOOR(epoch(ts)) AS BIGINT) AS ts_s,
+             epoch_us(ts) AS ts_us
+      FROM events),
+    bounds AS (SELECT MIN(ts_s) AS mn,
+                      MAX(ts_s) - MIN(ts_s) + 1 AS span1
+               FROM base),
+    orig AS (SELECT event_id, ts_us, cents,
+                    CAST(((ts_s - mn) * 6) // span1 AS BIGINT) AS batch
+             FROM base, bounds),
+    reps AS (
+      SELECT event_id, ts_us + 86400000000 AS ts_us, cents,
+             batch + 2 AS batch
+      FROM orig
+      WHERE event_id % 37 = 0 AND event_id % 41 <> 0 AND batch <= 3
+      UNION ALL
+      SELECT event_id, ts_us + 259200000000, cents, batch + 2
+      FROM orig
+      WHERE event_id % 41 = 0 AND event_id % 37 <> 0 AND batch <= 3),
+    staged AS (
+      SELECT event_id, ts_us, cents, batch, FALSE AS is_rep FROM orig
+      UNION ALL
+      SELECT event_id, ts_us, cents, batch, TRUE FROM reps),
+    bmax AS (SELECT batch, MAX(ts_us // 1000) AS bmax_ms
+             FROM staged GROUP BY batch),
+    wm AS (SELECT batch,
+                  MAX(bmax_ms) OVER (ORDER BY batch
+                                     ROWS UNBOUNDED PRECEDING)
+                    - 172800000 AS wm_ms
+           FROM bmax),
+    -- late filter for batch b: keep iff ts_ms STRICTLY ABOVE the
+    -- watermark planned for b (stats through b-2); state for a key is
+    -- live at batch b iff its first-accepted ts + delay is above the
+    -- SAME boundary (the previous eviction used it non-strictly)
+    keep_orig AS (
+      SELECT o.event_id, o.ts_us, o.cents
+      FROM (SELECT * FROM staged WHERE NOT is_rep) o
+      LEFT JOIN wm ON wm.batch = o.batch - 2
+      WHERE wm.wm_ms IS NULL OR o.ts_us // 1000 > wm.wm_ms),
+    keep_rep AS (
+      SELECT r.event_id, r.ts_us, r.cents
+      FROM (SELECT * FROM staged WHERE is_rep) r
+      JOIN orig o ON o.event_id = r.event_id
+      JOIN wm ON wm.batch = r.batch - 2
+      WHERE r.ts_us // 1000 > wm.wm_ms
+        AND o.ts_us // 1000 + 172800000 <= wm.wm_ms)
+    SELECT event_id, ts_us // 1000 AS ts_ms, cents FROM keep_orig
+    UNION ALL
+    SELECT event_id, ts_us // 1000, cents FROM keep_rep
+"""
+
+
 def q_tokenizer_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fit-then-encode composition: learn 4 BPE merges on the vocab,
     # apply them to EVERY document as chained replaces (codegen, no
@@ -3403,6 +3510,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # driver-visible.
     return {
         # --- round-3 additions / re-oracled queries ---
+        "events_dedup_stream": q_events_dedup_stream,
         "tokenizer_stats": q_tokenizer_stats,
         "bpe_merges": q_bpe_merges,
         "shard_plan": q_shard_plan,
@@ -4729,6 +4837,7 @@ QUALIFY ROW_NUMBER() OVER (
         "dedup_simhash": _simhash_sql(16),
         "similarity_cosine_topk": _cosine_sql(),
         "similarity_lsh_topk": _lsh_sql(),
+        "events_dedup_stream": _EVENTS_DEDUP_STREAM_SQL,
         "tokenizer_stats": _tokenizer_stats_sql(4, 100),
         "bpe_merges": _bpe_sql(8, 200),
         "shard_plan": """

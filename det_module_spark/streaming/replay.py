@@ -80,6 +80,58 @@ def write_batch_files(df: DataFrame, batch_col: str, out_dir: str) -> int:
     return len(batches)
 
 
+def replay_stream(df: DataFrame, batch_col: str, build) -> DataFrame:
+    """Replay ``df`` through a REAL APPEND-mode streaming query, one
+    micro-batch per ``batch_col`` value; ``build(stream_df)`` supplies
+    the (watermarked, stateful) transformation under test. Returns
+    the emitted rows as a batch DataFrame in the caller's session."""
+    spark = df.sparkSession
+    src = tempfile.mkdtemp(prefix="replay_src_")
+    ckpt = tempfile.mkdtemp(prefix="replay_ckpt_")
+    name = "replay_" + uuid.uuid4().hex[:12]
+    try:
+        write_batch_files(df, batch_col, src)
+        schema = df.drop(batch_col).schema
+        # Run the stream in a CHILD session (shared SparkContext,
+        # private SQL conf) with few shuffle partitions: a stateful
+        # streaming op spins up one state store per shuffle partition
+        # per micro-batch, so 32 partitions × 7 micro-batches is ~all
+        # of this harness's runtime on replay-sized data. The conf is
+        # pinned into the query's own checkpoint at start; nothing
+        # else sees it. Production streams keep the session default.
+        run = spark.newSession()
+        run.conf.set("spark.sql.shuffle.partitions", "4")
+        run.conf.set(
+            "spark.sql.streaming.stateStore.maintenanceInterval", "1h"
+        )
+        run.conf.set("spark.sql.session.timeZone", spark.conf.get("spark.sql.session.timeZone"))
+        stream = (
+            run.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .option("latestFirst", "false")
+            .parquet(src)
+        )
+        q = (
+            build(stream)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination(60)
+        # materialize before the source files are removed; hand the
+        # result back in the CALLER's session
+        rows = run.table(name).collect()
+        return spark.createDataFrame(rows, run.table(name).schema)
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
 def replay_tumbling(
     df: DataFrame,
     batch_col: str,
@@ -98,55 +150,51 @@ def replay_tumbling(
     window is emitted exactly once, after the watermark passes its
     end — windows still open when the stream ends are NOT in the
     output."""
-    spark = df.sparkSession
-    src = tempfile.mkdtemp(prefix="replay_src_")
-    ckpt = tempfile.mkdtemp(prefix="replay_ckpt_")
-    name = "replay_" + uuid.uuid4().hex[:12]
-    try:
-        write_batch_files(df, batch_col, src)
-        schema = df.drop(batch_col).schema
-        # Run the stream in a CHILD session (shared SparkContext,
-        # private SQL conf) with few shuffle partitions: a stateful
-        # streaming agg spins up one state store per shuffle partition
-        # per micro-batch, so 32 partitions × 7 micro-batches is ~all
-        # of this harness's runtime on replay-sized data. The conf is
-        # pinned into the query's own checkpoint at start; nothing
-        # else sees it. Production streams keep the session default.
-        run = spark.newSession()
-        run.conf.set("spark.sql.shuffle.partitions", "4")
-        run.conf.set(
-            "spark.sql.streaming.stateStore.maintenanceInterval", "1h"
-        )
-        run.conf.set("spark.sql.session.timeZone", spark.conf.get("spark.sql.session.timeZone"))
-        stream = (
-            run.readStream.schema(schema)
-            .option("maxFilesPerTrigger", "1")
-            .option("latestFirst", "false")
-            .parquet(src)
-        )
-        agg = tumbling_agg(
+    return replay_stream(
+        df,
+        batch_col,
+        lambda stream: tumbling_agg(
             stream,
             duration,
             ts_col=ts_col,
             key_col=key_col,
             value_col=value_col,
             watermark=watermark,
-        )
-        q = (
-            agg.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("append")
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.processAllAvailable()
-        q.stop()
-        q.awaitTermination(60)
-        # materialize before the source files are removed; hand the
-        # result back in the CALLER's session
-        rows = run.table(name).collect()
-        return spark.createDataFrame(rows, run.table(name).schema)
-    finally:
-        shutil.rmtree(src, ignore_errors=True)
-        shutil.rmtree(ckpt, ignore_errors=True)
+        ),
+    )
+
+
+def replay_dedup(
+    df: DataFrame,
+    batch_col: str,
+    keys: list[str],
+    watermark: str,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Replay ``df`` through ``dropDuplicatesWithinWatermark`` — the
+    per-key streaming dedup whose state lives for the watermark
+    horizon. Empirically pinned semantics (probed on this exact
+    engine version, mirrored by the SQL oracle):
+
+    - micro-batch b's LATE filter keeps a row iff its event-time (ms)
+      is strictly ABOVE the watermark planned for b (event-time stats
+      through batch b-2, cummax, floored to ms, minus the delay);
+    - key state stores the FIRST accepted row's event-time; its
+      expiry is that time + delay. Later duplicates do NOT extend it;
+    - eviction at the end of batch b removes states with
+      expiry <= watermark(stats through b-1) — so a row in batch b
+      sees exactly the states with expiry > watermark(through b-2):
+      the filter boundary and the previous eviction boundary
+      coincide, as in the windowed-aggregation case;
+    - a key re-arriving after eviction is emitted AGAIN (the
+      documented contract: only duplicates within the horizon are
+      caught)."""
+    from det_module_spark.streaming.dedup import stream_dedup
+
+    return replay_stream(
+        df,
+        batch_col,
+        lambda stream: stream_dedup(
+            stream, keys, ts_col=ts_col, watermark=watermark
+        ),
+    )

@@ -229,3 +229,31 @@ def test_intake_completion_tracker(spark, tmp_path):
     ).collect()
     done = {r["request_id"] for r in all_rows}
     assert done == {"req_a", "req_b"}
+
+
+def test_replay_dedup_semantics(spark):
+    """dropDuplicatesWithinWatermark, probed contract: dups within the
+    horizon are dropped (state = first ts + delay, no extension by
+    dups), a key re-arriving after state expiry re-emits, and rows at
+    or below the planned watermark are late-dropped."""
+    from pyspark.sql import functions as F
+
+    from det_module_spark.streaming.replay import replay_dedup
+
+    rows = [
+        ("A", 100.0, 0), ("B", 100.0, 0), ("W", 100.0, 0),
+        ("A", 105.0, 1), ("B", 108.0, 1),    # dups inside horizon
+        ("W", 122.0, 2),                     # dup; also advances stats
+        ("B", 114.0, 3),                     # state alive during b3 -> dropped
+        ("W", 200.0, 3),                     # dup (state alive) ; advances stats
+        ("A", 205.0, 4),                     # state evicted (wm 190 > 110) -> re-emit
+        ("A", 206.0, 5), ("Z", 150.0, 5),    # dup of re-emitted A; Z late (150 < 190)
+    ]
+    df = spark.createDataFrame(rows, ["k", "ts_sec", "batch"]).select(
+        "k", F.col("ts_sec").cast("timestamp").alias("ts"), "batch"
+    )
+    out = replay_dedup(df, "batch", keys=["k"], watermark="10 seconds")
+    got = sorted(
+        (r["k"], int(r["ts"].timestamp())) for r in out.collect()
+    )
+    assert got == [("A", 100), ("A", 205), ("B", 100), ("W", 100)]
