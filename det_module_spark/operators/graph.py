@@ -56,7 +56,7 @@ def connected_components(
             .groupBy("a")
             .agg(F.min("component").alias("nbr_min"))
         )
-        updated = (
+        prop = (
             labels.join(neighbor_min, labels.id == neighbor_min.a, "left")
             .select(
                 "id",
@@ -65,6 +65,29 @@ def connected_components(
                     F.coalesce(F.col("nbr_min"), F.col("component")),
                 ).alias("component"),
                 (F.col("nbr_min") < F.col("component")).alias("_changed"),
+            )
+        )
+        # pointer jumping (shortcutting): follow the label one hop —
+        # component := label(component). Plain propagation needs
+        # diameter rounds; with the shortcut label chains halve each
+        # round (log diameter), and every round saved is a join + agg
+        # + checkpoint job. The fixpoint (min id per component) is
+        # unchanged — this only accelerates convergence.
+        parent = prop.select(
+            F.col("id").alias("p_id"), F.col("component").alias("p_comp")
+        )
+        updated = (
+            prop.join(parent, prop.component == parent.p_id, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"),
+                    F.coalesce(F.col("p_comp"), F.col("component")),
+                ).alias("component"),
+                (
+                    F.col("_changed")
+                    | (F.col("p_comp") < F.col("component"))
+                ).alias("_changed"),
             )
         )
         updated = updated.localCheckpoint(eager=True)
