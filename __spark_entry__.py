@@ -1205,6 +1205,39 @@ def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sample_k_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # balanced eval-set construction: exactly 3 docs per (lang,
+    # source) cell, hash-ranked inside one partitioned window —
+    # deterministic on any partitioning, no global sort
+    from det_module_spark.operators.sampling import sample_k_per_group
+
+    docs = load_table(spark, sf_dir, "documents")
+    return sample_k_per_group(
+        docs.select("doc_id", "lang", "source"),
+        F.col("doc_id"),
+        by=["lang", "source"],
+        k=3,
+    ).orderBy("lang", "source", "sample_rank")
+
+
+_SAMPLE_K_SQL = """
+    WITH h AS (
+      SELECT doc_id, lang, source,
+             CAST(concat('0x',
+               substr(md5(concat('k0:', CAST(doc_id AS VARCHAR))), 1, 15))
+               AS BIGINT) % 1000000 AS b
+      FROM documents),
+    r AS (SELECT doc_id, lang, source,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY lang, source
+                                         ORDER BY b, doc_id) AS INT)
+                   AS sample_rank
+          FROM h)
+    SELECT doc_id, lang, source, sample_rank
+    FROM r WHERE sample_rank <= 3
+    ORDER BY lang, source, sample_rank
+"""
+
+
 def q_events_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # REAL streaming dropDuplicatesWithinWatermark replay
     # (streaming/replay.replay_dedup): events get retry copies with a
@@ -3510,6 +3543,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # driver-visible.
     return {
         # --- round-3 additions / re-oracled queries ---
+        "sample_k_per_group": q_sample_k_per_group,
         "events_dedup_stream": q_events_dedup_stream,
         "tokenizer_stats": q_tokenizer_stats,
         "bpe_merges": q_bpe_merges,
@@ -4837,6 +4871,7 @@ QUALIFY ROW_NUMBER() OVER (
         "dedup_simhash": _simhash_sql(16),
         "similarity_cosine_topk": _cosine_sql(),
         "similarity_lsh_topk": _lsh_sql(),
+        "sample_k_per_group": _SAMPLE_K_SQL,
         "events_dedup_stream": _EVENTS_DEDUP_STREAM_SQL,
         "tokenizer_stats": _tokenizer_stats_sql(4, 100),
         "bpe_merges": _bpe_sql(8, 200),

@@ -177,3 +177,33 @@ def temperature_rates(
         s: (_RES * budget_rows * w[s]) // (total_w * counts[s]) / _RES
         for s in w
     }
+
+
+def sample_k_per_group(
+    df: DataFrame,
+    key: Column,
+    by: list[str],
+    k: int,
+    seed: str = "k0",
+) -> DataFrame:
+    """Exactly-k-per-group deterministic sample (fewer if the group is
+    smaller) — the at-rest equivalent of per-group reservoir sampling,
+    and the standard recipe for balanced eval-set construction.
+
+    Rows are ranked inside each group by (content hash, key): the
+    hash gives a uniform draw, the key breaks collisions totally, so
+    the selection is reproducible across runs, partitionings, and
+    engines. One partitioned window — parallelism is the number of
+    groups, no global sort anywhere.
+
+    Output: the sampled rows plus their ``sample_rank`` (1..k).
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*by).orderBy(
+        _bucket(key, seed).asc(), key.asc()
+    )
+    return (
+        df.withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= k)
+    )

@@ -253,3 +253,22 @@ def test_shard_plan_partition_independent(spark):
     ra = sorted(map(tuple, shard_plan(a, "n_chars", "doc_id", 100, by=["source"]).collect()))
     rb = sorted(map(tuple, shard_plan(b, "n_chars", "doc_id", 100, by=["source"]).collect()))
     assert ra == rb
+
+
+def test_sample_k_per_group(spark):
+    from det_module_spark.operators.sampling import sample_k_per_group
+
+    rows = [(i, f"g{i % 4}") for i in range(200)] + [(9999, "tiny")]
+    df = spark.createDataFrame(rows, ["id", "g"])
+    out = sample_k_per_group(df, F.col("id"), by=["g"], k=5).collect()
+    per = {}
+    for r in out:
+        per.setdefault(r["g"], []).append(r["sample_rank"])
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in per.values())
+    assert {g: len(v) for g, v in per.items()} == {
+        "g0": 5, "g1": 5, "g2": 5, "g3": 5, "tiny": 1,
+    }
+    # partition independence
+    a = sample_k_per_group(df.repartition(1), F.col("id"), by=["g"], k=5)
+    b = sample_k_per_group(df.repartition(7), F.col("id"), by=["g"], k=5)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
