@@ -1205,6 +1205,65 @@ def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # end-to-end entity resolution: SymSpell fuzzy match (edit
+    # distance <= 1 on customer names) -> connected components ->
+    # survivorship (golden record = highest balance, ties to lowest
+    # key). Composition of three oracled stages; output = one golden
+    # record per MERGED entity (cluster_size >= 2).
+    from det_module_spark.operators.fuzzyjoin import edit1_pairs
+    from det_module_spark.operators.graph import cluster_representatives
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    pairs = edit1_pairs(
+        cust.select("c_custkey", "c_name"), "c_custkey", "c_name"
+    )
+    quality = cust.select(
+        F.col("c_custkey").alias("id"),
+        F.expr("CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT)").alias(
+            "score"
+        ),
+    )
+    return (
+        cluster_representatives(pairs.select("id_a", "id_b"), quality)
+        .filter(F.col("cluster_size") >= 2)
+        .orderBy("cluster")
+    )
+
+
+_ENTITY_RESOLUTION_SQL = """
+    WITH pairs AS (
+      SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
+      FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+      WHERE levenshtein(a.c_name, b.c_name) <= 1),
+    edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+              UNION SELECT id_b AS a, id_a AS b FROM pairs),
+    reach AS (
+      WITH RECURSIVE r(a, b) AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.a, e.b FROM r JOIN edges e ON r.b = e.a)
+      SELECT * FROM r),
+    comp AS (SELECT a AS id, LEAST(MIN(b), a) AS cluster
+             FROM reach GROUP BY a),
+    q AS (SELECT c_custkey AS id,
+                 CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) AS score
+          FROM customer),
+    total AS (SELECT q.id, q.score, COALESCE(comp.cluster, q.id) AS cluster
+              FROM q LEFT JOIN comp ON comp.id = q.id),
+    ranked AS (SELECT cluster, id, score,
+                      ROW_NUMBER() OVER (PARTITION BY cluster
+                                         ORDER BY score DESC, id ASC) AS rn,
+                      COUNT(*) OVER (PARTITION BY cluster) AS cluster_size
+               FROM total)
+    SELECT cluster, id AS rep_id, score AS rep_score, cluster_size
+    FROM ranked WHERE rn = 1 AND cluster_size >= 2
+    ORDER BY cluster
+"""
+
+
 def q_sample_k_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     # balanced eval-set construction: exactly 3 docs per (lang,
     # source) cell, hash-ranked inside one partitioned window —
@@ -3543,6 +3602,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # driver-visible.
     return {
         # --- round-3 additions / re-oracled queries ---
+        "entity_resolution": q_entity_resolution,
         "sample_k_per_group": q_sample_k_per_group,
         "events_dedup_stream": q_events_dedup_stream,
         "tokenizer_stats": q_tokenizer_stats,
@@ -4871,6 +4931,7 @@ QUALIFY ROW_NUMBER() OVER (
         "dedup_simhash": _simhash_sql(16),
         "similarity_cosine_topk": _cosine_sql(),
         "similarity_lsh_topk": _lsh_sql(),
+        "entity_resolution": _ENTITY_RESOLUTION_SQL,
         "sample_k_per_group": _SAMPLE_K_SQL,
         "events_dedup_stream": _EVENTS_DEDUP_STREAM_SQL,
         "tokenizer_stats": _tokenizer_stats_sql(4, 100),

@@ -36,8 +36,14 @@ def connected_components(
     connected component. Isolated endpoints of self-loops are fine;
     nodes absent from the edge list are absent from the output (join
     the full vertex set afterwards if singletons need labels)."""
-    # undirected: symmetrize once
-    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    # undirected: symmetrize once. The edge input is materialized
+    # FIRST — a union's branches are evaluated independently, so
+    # without the cut the (often expensive) pair-generation upstream
+    # runs twice, once per direction (measured ~2x on the fuzzy-join
+    # and shingle-join pipelines feeding this).
+    e = edges.select(
+        F.col(src).alias("a"), F.col(dst).alias("b")
+    ).localCheckpoint(eager=True)
     sym = e.unionByName(
         e.select(F.col("b").alias("a"), F.col("a").alias("b"))
     ).distinct()
