@@ -1205,6 +1205,31 @@ def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LPA_EDGES_SQL = """SELECT DISTINCT o_custkey AS src, l_suppkey AS dst
+           FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+           WHERE o_orderkey < 5000"""
+
+
+def q_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # synchronized label-propagation communities over the customer-
+    # supplier graph (graph.label_propagation): 3 deterministic
+    # rounds, argmax by (count desc, label asc) — oracle unrolls the
+    # identical rounds as CTEs
+    from det_module_spark.operators.graph import label_propagation
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = (
+        orders.filter(F.col("o_orderkey") < 5000)
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("src"), F.col("l_suppkey").alias("dst")
+        )
+        .distinct()
+    )
+    return label_propagation(edges, rounds=3).orderBy("id")
+
+
 def q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     # end-to-end entity resolution: SymSpell fuzzy match (edit
     # distance <= 1 on customer names) -> connected components ->
@@ -3602,6 +3627,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # driver-visible.
     return {
         # --- round-3 additions / re-oracled queries ---
+        "lpa_communities": q_lpa_communities,
         "entity_resolution": q_entity_resolution,
         "sample_k_per_group": q_sample_k_per_group,
         "events_dedup_stream": q_events_dedup_stream,
@@ -4701,6 +4727,8 @@ def _semantic_dedup_sql(
 
 
 def oracle_sql() -> dict[str, str]:
+    from det_module_spark.operators.graph import label_propagation_sql
+
     freq_sql = (
         CELLS_SQL
         + """, counts AS (
@@ -4931,6 +4959,8 @@ QUALIFY ROW_NUMBER() OVER (
         "dedup_simhash": _simhash_sql(16),
         "similarity_cosine_topk": _cosine_sql(),
         "similarity_lsh_topk": _lsh_sql(),
+        "lpa_communities": label_propagation_sql(_LPA_EDGES_SQL, 3)
+        + " ORDER BY id",
         "entity_resolution": _ENTITY_RESOLUTION_SQL,
         "sample_k_per_group": _SAMPLE_K_SQL,
         "events_dedup_stream": _EVENTS_DEDUP_STREAM_SQL,

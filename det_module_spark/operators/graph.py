@@ -358,3 +358,90 @@ def cluster_representatives(
             "cluster_size",
         )
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    rounds: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Synchronous label-propagation community detection (Raghavan et
+    al. 2007), made deterministic: each round every vertex adopts the
+    most frequent label among its neighbors, ties broken to the
+    SMALLEST label; isolated vertices keep their label. A FIXED round
+    count (not convergence) keeps the result engine-replayable — the
+    oracle unrolls the same rounds as CTEs, like the PageRank fit.
+
+    Returns (id, community) after ``rounds`` synchronized updates
+    from community = own id.
+
+    Scale shape per round: one join edges⋈labels + two hash
+    aggregations ((vertex, label) counts, then per-vertex argmax via
+    min(struct(-count, label)) — no window). State = one label per
+    vertex; per-round localCheckpoint truncates lineage exactly as
+    the other iterative operators do."""
+    e = edges.select(
+        F.col(src).alias("a"), F.col(dst).alias("b")
+    ).localCheckpoint(eager=True)
+    sym = (
+        e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    verts = sym.select(F.col("a").alias("id")).distinct()
+    labels = verts.withColumn("community", F.col("id")).localCheckpoint(
+        eager=True
+    )
+    for _ in range(rounds):
+        nbr = (
+            sym.join(labels, sym.b == labels.id)
+            .groupBy(F.col("a"), F.col("community"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        best = nbr.groupBy("a").agg(
+            F.min(
+                F.struct((-F.col("cnt")).alias("ncnt"), F.col("community"))
+            ).alias("m")
+        )
+        labels = (
+            verts.join(labels, "id")
+            .join(best, verts.id == best.a, "left")
+            .select(
+                "id",
+                F.coalesce(F.col("m.community"), F.col("community")).alias(
+                    "community"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return labels
+
+
+def label_propagation_sql(edges_cte: str, rounds: int = 3) -> str:
+    """The identical synchronized LPA as unrolled CTEs for the DuckDB
+    oracle. ``edges_cte`` must produce DISTINCT (src, dst)."""
+    sql = f"""
+WITH e AS ({edges_cte}),
+sym AS (SELECT src AS a, dst AS b FROM e
+        UNION SELECT dst AS a, src AS b FROM e),
+verts AS (SELECT DISTINCT a AS id FROM sym),
+l0 AS (SELECT id, id AS community FROM verts)"""
+    prev = "l0"
+    for r in range(1, rounds + 1):
+        sql += f""",
+n{r} AS (SELECT sym.a, l.community, COUNT(*) AS cnt
+         FROM sym JOIN {prev} l ON sym.b = l.id
+         GROUP BY sym.a, l.community),
+b{r} AS (SELECT a, community FROM (
+           SELECT a, community,
+                  ROW_NUMBER() OVER (PARTITION BY a
+                                     ORDER BY cnt DESC, community ASC)
+                    AS rn
+           FROM n{r}) WHERE rn = 1),
+l{r} AS (SELECT verts.id,
+                COALESCE(b{r}.community, l.community) AS community
+         FROM verts JOIN {prev} l ON verts.id = l.id
+         LEFT JOIN b{r} ON verts.id = b{r}.a)"""
+        prev = f"l{r}"
+    return sql + f"\nSELECT id, community FROM {prev}"

@@ -113,3 +113,20 @@ def test_pagerank_matches_unrolled_sql_oracle(spark):
     sql = pagerank_sql("SELECT DISTINCT src, dst FROM e", iterations=3)
     want = dict(con.execute(sql).fetchall())
     assert got == want
+
+
+def test_label_propagation_deterministic(spark):
+    """Two triangles joined by a bridge: deterministic communities
+    with min-label tie-breaks; partition-independent."""
+    from pyspark.sql import functions as F
+
+    from det_module_spark.operators.graph import label_propagation
+
+    edges = [(1, 2), (2, 3), (1, 3), (10, 11), (11, 12), (10, 12), (3, 10)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    out = {r["id"]: r["community"] for r in label_propagation(df, rounds=3).collect()}
+    assert set(out) == {1, 2, 3, 10, 11, 12}
+    # triangle {1,2,3} collapses to a single small-label community
+    assert out[1] == out[2] == out[3]
+    b = {r["id"]: r["community"] for r in label_propagation(df.repartition(7), rounds=3).collect()}
+    assert out == b
