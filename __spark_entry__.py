@@ -1205,6 +1205,60 @@ def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_asof_forward_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # forward as-of with tolerance (operators/asof.asof_join
+    # direction="forward"): for every click, the NEXT purchase by the
+    # same user, nulled when it is more than 2 hours away — pandas
+    # merge_asof semantics, same single-shuffle carry-window plan
+    ev = _events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    out = asof_join(
+        clicks,
+        purchases,
+        key="user_id",
+        ts="ts",
+        value_cols=["value"],
+        direction="forward",
+        tolerance_seconds=7200,
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+        F.date_format("asof_ts", "yyyy-MM-dd HH:mm:ss").alias(
+            "purchase_ts"
+        ),
+        _pround(F.col("asof_value"), 6).alias("purchase_value"),
+    )
+
+
+_ASOF_FORWARD_SQL = """
+    WITH clicks AS (SELECT event_id, user_id, ts FROM events
+                    WHERE event_type = 'click'),
+    purchases AS (SELECT user_id, ts, MAX(value) AS value FROM events
+                  WHERE event_type = 'purchase' GROUP BY user_id, ts),
+    m AS (
+      SELECT c.event_id, c.user_id, c.ts AS cts, v.ts AS vts, v.value,
+             (v.ts IS NOT NULL
+              AND epoch_us(v.ts) - epoch_us(c.ts) <= 7200000000) AS ok
+      FROM clicks c
+      ASOF LEFT JOIN purchases v
+        ON c.user_id = v.user_id AND c.ts <= v.ts)
+    SELECT event_id, user_id,
+           strftime(cts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+           CASE WHEN ok THEN strftime(vts, '%Y-%m-%d %H:%M:%S') END
+             AS purchase_ts,
+           CASE WHEN ok THEN FLOOR(value * 1e6 + 0.5) / 1e6 END
+             AS purchase_value
+    FROM m
+"""
+
+
 _LPA_EDGES_SQL = """SELECT DISTINCT o_custkey AS src, l_suppkey AS dst
            FROM orders JOIN lineitem ON o_orderkey = l_orderkey
            WHERE o_orderkey < 5000"""
@@ -3627,6 +3681,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # driver-visible.
     return {
         # --- round-3 additions / re-oracled queries ---
+        "asof_forward_tolerance": q_asof_forward_tolerance,
         "lpa_communities": q_lpa_communities,
         "entity_resolution": q_entity_resolution,
         "sample_k_per_group": q_sample_k_per_group,
@@ -4959,6 +5014,7 @@ QUALIFY ROW_NUMBER() OVER (
         "dedup_simhash": _simhash_sql(16),
         "similarity_cosine_topk": _cosine_sql(),
         "similarity_lsh_topk": _lsh_sql(),
+        "asof_forward_tolerance": _ASOF_FORWARD_SQL,
         "lpa_communities": label_propagation_sql(_LPA_EDGES_SQL, 3)
         + " ORDER BY id",
         "entity_resolution": _ENTITY_RESOLUTION_SQL,

@@ -32,11 +32,26 @@ def asof_join(
     ts: str,
     value_cols: list[str],
     prefix: str = "asof_",
+    direction: str = "backward",
+    tolerance_seconds: float | None = None,
 ) -> DataFrame:
     """Left as-of join: every probe row survives; unmatched probes get
-    null ``prefix*`` columns. Matches DuckDB's
-    ``ASOF LEFT JOIN ... ON probe.key = build.key AND probe.ts >= build.ts``.
+    null ``prefix*`` columns.
+
+    ``direction="backward"`` (default) matches the latest build row
+    at-or-before the probe (DuckDB ``ASOF LEFT JOIN … probe.ts >=
+    build.ts``); ``"forward"`` matches the earliest at-or-after
+    (``probe.ts <= build.ts``). ``tolerance_seconds`` nulls the match
+    when the time gap exceeds it — since the as-of match is the
+    NEAREST candidate, a nearest match outside tolerance implies no
+    candidate inside, so post-filtering is exact (pandas
+    ``merge_asof`` semantics).
+
+    Plan shape is unchanged: union + one carry window partitioned by
+    key — one shuffle, no range join, no per-row probe.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError("direction must be 'backward' or 'forward'")
     # deterministic build side: one row per (key, ts) — last writer
     # wins by max(value) so duplicate-timestamp behavior is defined
     build_agg = build.groupBy(key, ts).agg(
@@ -61,24 +76,55 @@ def asof_join(
     )
     unioned = b.unionByName(p)
 
-    w = (
-        Window.partitionBy(key)
-        .orderBy(F.asc(ts), F.asc("_side"))
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
+    if direction == "backward":
+        # build(_side=0) sorts before probe(_side=1) at equal ts, so
+        # an equal-timestamp build is visible in the preceding frame
+        w = (
+            Window.partitionBy(key)
+            .orderBy(F.asc(ts), F.asc("_side"))
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        pick = lambda col: F.last(col, ignorenulls=True).over(w)  # noqa: E731
+    else:
+        # forward: probe first at equal ts, builds visible in the
+        # following frame (including equal-ts ones)
+        w = (
+            Window.partitionBy(key)
+            .orderBy(F.asc(ts), F.desc("_side"))
+            .rowsBetween(0, Window.unboundedFollowing)
+        )
+        pick = lambda col: F.first(col, ignorenulls=True).over(w)  # noqa: E731
+
     carried = unioned.select(
         "*",
         *[
-            F.last(f"{prefix}{c}", ignorenulls=True)
-            .over(w)
-            .alias(f"_carried_{c}")
+            pick(F.col(f"{prefix}{c}")).alias(f"_carried_{c}")
             for c in value_cols
         ],
-        F.last(F.when(F.col("_side") == 0, F.col(ts)), ignorenulls=True)
-        .over(w)
-        .alias(f"{prefix}ts"),
+        pick(F.when(F.col("_side") == 0, F.col(ts))).alias(f"{prefix}ts"),
     )
+    carried = carried.filter(F.col("_side") == 1)
+    if tolerance_seconds is not None:
+        tol_us = int(round(tolerance_seconds * 1_000_000))
+        # cast through TIMESTAMP so NTZ inputs work; any session-tz
+        # shift applies to both operands and cancels in the difference
+        us = lambda c: F.unix_micros(c.cast("timestamp"))  # noqa: E731
+        gap = (
+            us(F.col(ts)) - us(F.col(f"{prefix}ts"))
+            if direction == "backward"
+            else us(F.col(f"{prefix}ts")) - us(F.col(ts))
+        )
+        ok = F.col(f"{prefix}ts").isNotNull() & (gap <= F.lit(tol_us))
+        carried = carried.select(
+            *[c for c in carried.columns if not c.startswith("_carried_")
+              and c != f"{prefix}ts"],
+            F.when(ok, F.col(f"{prefix}ts")).alias(f"{prefix}ts"),
+            *[
+                F.when(ok, F.col(f"_carried_{c}")).alias(f"_carried_{c}")
+                for c in value_cols
+            ],
+        )
     out_cols = [F.col(f"_p_{c}").alias(c) for c in probe.columns]
     out_cols += [F.col(f"{prefix}ts")]
     out_cols += [F.col(f"_carried_{c}").alias(f"{prefix}{c}") for c in value_cols]
-    return carried.filter(F.col("_side") == 1).select(*out_cols)
+    return carried.select(*out_cols)

@@ -98,3 +98,52 @@ def test_embedding_near_dup_lsh_subset_and_recall(spark, sf_dir):
     for k, v in lsh.items():
         assert v == exact[k]  # exact predicate on candidates: same cos
     assert len(lsh) >= 0.5 * len(exact), (len(lsh), len(exact))
+
+
+def test_asof_forward_and_tolerance(spark):
+    from pyspark.sql import functions as F
+
+    from det_module_spark.operators.asof import asof_join
+
+    probe = spark.createDataFrame(
+        [(1, 100.0), (1, 200.0), (2, 50.0)], ["k", "t"]
+    ).select("k", F.col("t").cast("timestamp").alias("t"))
+    build = spark.createDataFrame(
+        [(1, 150.0, 7.0), (1, 100.0, 5.0), (2, 400.0, 9.0)],
+        ["k", "t", "v"],
+    ).select("k", F.col("t").cast("timestamp").alias("t"), "v")
+
+    fwd = {
+        (r["k"], int(r["t"].timestamp())): r["asof_v"]
+        for r in asof_join(
+            probe, build, "k", "t", ["v"], direction="forward"
+        ).collect()
+    }
+    # equal-ts build matches forward; next-at-or-after otherwise
+    assert fwd[(1, 100)] == 5.0
+    assert fwd[(1, 200)] is None  # nothing at-or-after 200 for k=1
+    assert fwd[(2, 50)] == 9.0
+
+    tol = {
+        (r["k"], int(r["t"].timestamp())): r["asof_v"]
+        for r in asof_join(
+            probe,
+            build,
+            "k",
+            "t",
+            ["v"],
+            direction="forward",
+            tolerance_seconds=60,
+        ).collect()
+    }
+    assert tol[(1, 100)] == 5.0     # gap 0 <= 60
+    assert tol[(2, 50)] is None     # nearest is 350s away: outside
+
+    back_tol = {
+        (r["k"], int(r["t"].timestamp())): r["asof_v"]
+        for r in asof_join(
+            probe, build, "k", "t", ["v"], tolerance_seconds=40
+        ).collect()
+    }
+    assert back_tol[(1, 200)] is None  # latest-before is 150, gap 50 > 40
+    assert back_tol[(1, 100)] == 5.0
