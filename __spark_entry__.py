@@ -1205,6 +1205,45 @@ def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kv_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # delimited key=value record expansion (semistructured.kv_records)
+    # — the log-parsing primitive, codegen fast path (the equivalent
+    # Python UDTF surface is pytest-verified identical)
+    from det_module_spark.operators.semistructured import kv_records
+
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") < 2000
+    )
+    rec = orders.select(
+        "o_orderkey",
+        F.concat(
+            F.lit("prio="),
+            F.col("o_orderpriority"),
+            F.lit(",status="),
+            F.col("o_orderstatus"),
+        ).alias("s"),
+    )
+    return (
+        kv_records(rec, "s")
+        .select("o_orderkey", "k", "v")
+        .orderBy("o_orderkey", "k")
+    )
+
+
+_KV_RECORDS_SQL = """
+    WITH t AS (SELECT o_orderkey,
+                      concat('prio=', o_orderpriority,
+                             ',status=', o_orderstatus) AS s
+               FROM orders WHERE o_orderkey < 2000),
+    e AS (SELECT o_orderkey, unnest(string_split(s, ',')) AS p FROM t)
+    SELECT o_orderkey,
+           substring(p, 1, instr(p, '=') - 1) AS k,
+           substring(p, instr(p, '=') + 1) AS v
+    FROM e WHERE instr(p, '=') > 0
+    ORDER BY o_orderkey, k
+"""
+
+
 def q_asof_forward_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     # forward as-of with tolerance (operators/asof.asof_join
     # direction="forward"): for every click, the NEXT purchase by the
@@ -3681,6 +3720,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # driver-visible.
     return {
         # --- round-3 additions / re-oracled queries ---
+        "kv_records": q_kv_records,
         "asof_forward_tolerance": q_asof_forward_tolerance,
         "lpa_communities": q_lpa_communities,
         "entity_resolution": q_entity_resolution,
@@ -5014,6 +5054,7 @@ QUALIFY ROW_NUMBER() OVER (
         "dedup_simhash": _simhash_sql(16),
         "similarity_cosine_topk": _cosine_sql(),
         "similarity_lsh_topk": _lsh_sql(),
+        "kv_records": _KV_RECORDS_SQL,
         "asof_forward_tolerance": _ASOF_FORWARD_SQL,
         "lpa_communities": label_propagation_sql(_LPA_EDGES_SQL, 3)
         + " ORDER BY id",

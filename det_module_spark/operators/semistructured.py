@@ -42,3 +42,64 @@ def shred_json(
         ],
     ).drop("__j")
     return out if keep else out.drop(json_col)
+
+
+def kv_records(
+    df: DataFrame,
+    col: str,
+    pair_sep: str = ",",
+    kv_sep: str = "=",
+    use_udtf: bool = False,
+) -> DataFrame:
+    """Explode delimited key=value records ("a=1,b=2") into one row
+    per pair — the log-parsing primitive. Malformed parts (no
+    separator) are skipped; only the FIRST ``kv_sep`` splits, so
+    values may contain it.
+
+    Two equivalent implementations (pytest-verified identical):
+
+    - default: pure Column expressions (split + explode + substring
+      math) — whole-stage codegen, the hot path;
+    - ``use_udtf=True``: a Python UDTF joined laterally — the
+      §2.11 table-function surface. Row-at-a-time Python: keep it
+      for genuinely imperative expansions, not this one (measured
+      slower, as every row-wise Python path is).
+
+    Output: input columns + (k, v).
+    """
+    if use_udtf:
+        from pyspark.sql.functions import udtf
+
+        @udtf(returnType="k string, v string")
+        class _KV:
+            def eval(self, s):
+                for part in (s or "").split(pair_sep):
+                    if kv_sep in part:
+                        k, v = part.split(kv_sep, 1)
+                        yield (k, v)
+
+        spark = df.sparkSession
+        name = "kv_udtf_tmp"
+        spark.udtf.register(name, _KV)
+        view = f"kv_records_in_{abs(hash(col)) % 10**8}"
+        df.createOrReplaceTempView(view)
+        cols = ", ".join(f"t.{c}" for c in df.columns)
+        return spark.sql(
+            f"SELECT {cols}, u.k, u.v FROM {view} t, LATERAL {name}(t.{col}) u"
+        )
+
+    part = F.explode(
+        F.split(F.col(col), F.lit(pair_sep), F.lit(-1))
+    ).alias("_part")
+    exploded = df.select("*", part).filter(
+        F.instr(F.col("_part"), kv_sep) > 0
+    )
+    return exploded.select(
+        *df.columns,
+        F.expr(
+            f"substring(_part, 1, instr(_part, '{kv_sep}') - 1)"
+        ).alias("k"),
+        F.expr(
+            f"substring(_part, instr(_part, '{kv_sep}') + {len(kv_sep)})"
+        ).alias("v"),
+    )

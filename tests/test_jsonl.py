@@ -31,3 +31,20 @@ def test_jsonl_corrupt_lines_quarantined(spark, tmp_path):
     assert {r["doc_id"] for r in clean.collect()} == {1, 2}
     bad = quarantine.collect()
     assert len(bad) == 1 and bad[0]["raw_line"].startswith("{this")
+
+
+def test_kv_records_fast_equals_udtf(spark):
+    from det_module_spark.operators.semistructured import kv_records
+
+    df = spark.createDataFrame(
+        [(1, "a=1,b=2,junk"), (2, "c=x=y"), (3, ""), (4, None)],
+        ["id", "s"],
+    )
+    fast = sorted(map(tuple, kv_records(df, "s").collect()))
+    slow = sorted(map(tuple, kv_records(df, "s", use_udtf=True).collect()))
+    assert fast == slow
+    assert fast == [
+        (1, "a=1,b=2,junk", "a", "1"),
+        (1, "a=1,b=2,junk", "b", "2"),
+        (2, "c=x=y", "c", "x=y"),
+    ]
