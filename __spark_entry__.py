@@ -1205,6 +1205,90 @@ def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # leakage-safe train/val/test split: near-dup clusters first, the
+    # 80/10/10 hash split assigned on the CLUSTER id — near-duplicate
+    # documents can never straddle splits (train/eval contamination),
+    # and the output proves it (max_splits_per_cluster = 1)
+    from det_module_spark.operators.dedup import ngram_jaccard_pairs
+    from det_module_spark.operators.graph import dedup_clusters
+    from det_module_spark.operators.sampling import assign_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.12)
+    clusters = dedup_clusters(pairs, all_ids=docs).select("id", "cluster")
+    assigned = assign_split(
+        clusters,
+        F.col("cluster"),
+        {"train": 0.8, "val": 0.1, "test": 0.1},
+    )
+    leak = assigned.groupBy("cluster").agg(
+        F.countDistinct("split").alias("ns")
+    )
+    leak_max = leak.agg(F.max("ns").alias("max_splits_per_cluster"))
+    per = assigned.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("cluster").alias("n_clusters"),
+    )
+    return per.crossJoin(F.broadcast(leak_max)).orderBy("split")
+
+
+def _leakage_split_sql(threshold: float = 0.12, max_df: int = 1000) -> str:
+    return (
+        _SHINGLES_SQL
+        + f""",
+    shh AS (SELECT doc_id,
+                   CAST(concat('0x', substr(md5(shingle), 1, 15)) AS BIGINT)
+                     AS shingle
+            FROM sh),
+    keep AS (SELECT shingle FROM shh GROUP BY shingle
+             HAVING COUNT(*) <= {max_df}),
+    sh2 AS (SELECT doc_id, shingle FROM shh JOIN keep USING (shingle)),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh2 GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+      FROM sh2 a JOIN sh2 b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    prs AS (
+      SELECT id_a, id_b FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter)
+            >= {threshold}),
+    edges AS (SELECT id_a AS a, id_b AS b FROM prs
+              UNION SELECT id_b AS a, id_a AS b FROM prs),
+    reach AS (
+      WITH RECURSIVE r(a, b) AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.a, e.b FROM r JOIN edges e ON r.b = e.a)
+      SELECT * FROM r),
+    comp AS (SELECT a AS id, LEAST(MIN(b), a) AS cluster
+             FROM reach GROUP BY a),
+    assigned AS (
+      SELECT doc_id AS id,
+             COALESCE(comp.cluster, doc_id) AS cluster,
+             CASE WHEN CAST(concat('0x', substr(md5(concat('split0:',
+                       CAST(COALESCE(comp.cluster, doc_id) AS VARCHAR))),
+                       1, 15)) AS BIGINT) % 1000000 < 800000 THEN 'train'
+                  WHEN CAST(concat('0x', substr(md5(concat('split0:',
+                       CAST(COALESCE(comp.cluster, doc_id) AS VARCHAR))),
+                       1, 15)) AS BIGINT) % 1000000 < 900000 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents LEFT JOIN comp ON comp.id = doc_id),
+    leak AS (SELECT MAX(ns) AS max_splits_per_cluster FROM (
+               SELECT cluster, COUNT(DISTINCT split) AS ns
+               FROM assigned GROUP BY cluster))
+    SELECT split, COUNT(*) AS n_docs,
+           COUNT(DISTINCT cluster) AS n_clusters,
+           (SELECT max_splits_per_cluster FROM leak)
+             AS max_splits_per_cluster
+    FROM assigned GROUP BY split ORDER BY split
+    """
+    )
+
+
 def q_kv_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     # delimited key=value record expansion (semistructured.kv_records)
     # — the log-parsing primitive, codegen fast path (the equivalent
@@ -3720,6 +3804,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # driver-visible.
     return {
         # --- round-3 additions / re-oracled queries ---
+        "leakage_safe_split": q_leakage_safe_split,
         "kv_records": q_kv_records,
         "asof_forward_tolerance": q_asof_forward_tolerance,
         "lpa_communities": q_lpa_communities,
@@ -5054,6 +5139,7 @@ QUALIFY ROW_NUMBER() OVER (
         "dedup_simhash": _simhash_sql(16),
         "similarity_cosine_topk": _cosine_sql(),
         "similarity_lsh_topk": _lsh_sql(),
+        "leakage_safe_split": _leakage_split_sql(0.12),
         "kv_records": _KV_RECORDS_SQL,
         "asof_forward_tolerance": _ASOF_FORWARD_SQL,
         "lpa_communities": label_propagation_sql(_LPA_EDGES_SQL, 3)

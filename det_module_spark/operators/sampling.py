@@ -207,3 +207,35 @@ def sample_k_per_group(
         df.withColumn("sample_rank", F.row_number().over(w))
         .filter(F.col("sample_rank") <= k)
     )
+
+
+def assign_split(
+    df: DataFrame,
+    key: Column,
+    weights: dict[str, float],
+    seed: str = "split0",
+    out: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test-style split assignment: the
+    content hash of ``key`` lands in [0, 1) and cumulative weight
+    thresholds carve it into named splits (insertion order of
+    ``weights``). Same row → same split on every run, partitioning,
+    and engine; no RNG state, no shuffle — a projection.
+
+    Assign on a CLUSTER id instead of the row id to make the split
+    leakage-safe: near-duplicate documents then land in the same
+    split by construction (see the leakage_safe_split driver query).
+    """
+    total = sum(weights.values())
+    if total <= 0:
+        raise ValueError("weights must sum to > 0")
+    b = _bucket(key, seed)
+    expr = F.lit(None).cast("string")
+    acc = 0.0
+    cuts: list[tuple[str, int]] = []
+    for name, w in weights.items():
+        acc += w / total
+        cuts.append((name, round(acc * _RES)))
+    for name, cut in reversed(cuts):
+        expr = F.when(b < cut, name).otherwise(expr)
+    return df.withColumn(out, expr)

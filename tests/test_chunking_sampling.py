@@ -237,3 +237,23 @@ def test_time_fill_linear(spark):
     b = [r for r in out if r["event_type"] == "b"]
     assert len(b) == 1 and b[0]["filled_value"] == 7.0
 
+
+
+def test_assign_split_proportions_and_determinism(spark):
+    from pyspark.sql import functions as F
+
+    from det_module_spark.operators.sampling import assign_split
+
+    df = spark.createDataFrame([(i,) for i in range(10000)], ["id"])
+    out = assign_split(
+        df, F.col("id"), {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+    per = {r["split"]: r["n"] for r in out.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert set(per) == {"train", "val", "test"}
+    assert abs(per["train"] / 10000 - 0.8) < 0.03
+    assert abs(per["val"] / 10000 - 0.1) < 0.02
+    # repartitioning does not move rows between splits
+    out2 = assign_split(
+        df.repartition(13), F.col("id"), {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, out2.collect()))
