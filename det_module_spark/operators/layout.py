@@ -80,7 +80,10 @@ def shard_plan(
     shard = exclusive-prefix-sum(size) div target: deterministic,
     engine-replayable (integer window SUM — no floats), and stable
     under repartitioning because the order is a data column, not the
-    physical layout.
+    physical layout. ``order_col`` must be UNIQUE within each group:
+    a running sum over a ROWS frame is tie-order-dependent, so
+    duplicate keys would make the plan nondeterministic (use a
+    composite key column if the natural key repeats).
 
     Scale shape: ONE partitioned window per group (never a global
     window — the shard namespace is (group, shard), so parallelism is
