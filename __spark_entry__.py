@@ -1205,6 +1205,50 @@ def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_span_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # span REMOVAL (spandedup.strip_repeated_tiles): all-but-one
+    # occurrence of every duplicated 24-char tile cut corpus-wide,
+    # canonical first = smallest (doc_id, tile_id); reports exact
+    # char counts + integer-ppm removed per doc
+    from det_module_spark.operators.spandedup import strip_repeated_tiles
+
+    docs = load_table(spark, sf_dir, "documents")
+    return strip_repeated_tiles(docs, tile=24).orderBy("doc_id")
+
+
+_SPAN_STRIP_SQL = """
+    WITH tiles AS (
+      SELECT doc_id, tile_id,
+             substring(text, CAST(tile_id * 24 + 1 AS INT), 24) AS tile_text
+      FROM documents,
+           LATERAL UNNEST(range((length(text) - length(text) % 24) // 24))
+             AS t(tile_id)),
+    kept AS (
+      SELECT doc_id, tile_id, tile_text FROM (
+        SELECT doc_id, tile_id, tile_text,
+               ROW_NUMBER() OVER (PARTITION BY tile_text
+                                  ORDER BY doc_id, tile_id) AS rn
+        FROM tiles) WHERE rn = 1),
+    ktext AS (
+      SELECT doc_id,
+             string_agg(tile_text, '' ORDER BY tile_id) AS kept_text
+      FROM kept GROUP BY doc_id),
+    base AS (
+      SELECT d.doc_id,
+             CAST(length(d.text) AS BIGINT) AS orig_len,
+             CAST(length(COALESCE(k.kept_text, ''))
+                  + length(d.text) % 24 AS BIGINT) AS clean_len
+      FROM documents d LEFT JOIN ktext k USING (doc_id))
+    SELECT doc_id, orig_len, clean_len,
+           CAST(CASE WHEN orig_len > 0
+                THEN ((orig_len - clean_len) * 1000000
+                      - ((orig_len - clean_len) * 1000000) % orig_len)
+                     // orig_len
+                ELSE 0 END AS BIGINT) AS removed_ppm
+    FROM base ORDER BY doc_id
+"""
+
+
 def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     # leakage-safe train/val/test split: near-dup clusters first, the
     # 80/10/10 hash split assigned on the CLUSTER id — near-duplicate
@@ -3804,6 +3848,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # driver-visible.
     return {
         # --- round-3 additions / re-oracled queries ---
+        "span_strip": q_span_strip,
         "leakage_safe_split": q_leakage_safe_split,
         "kv_records": q_kv_records,
         "asof_forward_tolerance": q_asof_forward_tolerance,
@@ -5139,6 +5184,7 @@ QUALIFY ROW_NUMBER() OVER (
         "dedup_simhash": _simhash_sql(16),
         "similarity_cosine_topk": _cosine_sql(),
         "similarity_lsh_topk": _lsh_sql(),
+        "span_strip": _SPAN_STRIP_SQL,
         "leakage_safe_split": _leakage_split_sql(0.12),
         "kv_records": _KV_RECORDS_SQL,
         "asof_forward_tolerance": _ASOF_FORWARD_SQL,

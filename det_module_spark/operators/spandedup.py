@@ -131,3 +131,80 @@ def span_dedup_report(
         .cast("long")
         .alias("dup_ppm"),
     )
+
+
+def strip_repeated_tiles(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text: str = "text",
+    tile: int = 24,
+) -> DataFrame:
+    """Span REMOVAL (the transform to span_dedup_report's detector):
+    every corpus-wide occurrence of a duplicated tile except the
+    canonical first one — smallest (doc_id, tile_id) — is cut from
+    its document; surviving tiles plus the ragged tail reassemble in
+    order. This is the all-but-one-occurrence removal of Lee et al.
+    2022, under the same tiling relaxation as the detector.
+
+    Output: (id, orig_len, clean_len, removed_ppm) with
+    removed_ppm = exact-integer millionths of characters removed.
+
+    Scale shape: one hash aggregation finds each tile text's
+    canonical occurrence (min struct — no window over the corpus),
+    one equi-join on the tile text marks survivors, and one per-doc
+    aggregation reassembles (array_sort of (tile_id, text) structs —
+    bounded by document length). No self-join; shuffle keys are tile
+    text (hash the tile at 100 TB, as the detector notes).
+    """
+    tiles = doc_tiles(df, id_col, text, tile)
+    first = tiles.groupBy("tile_text").agg(
+        F.min(F.struct(F.col(id_col), F.col("tile_id"))).alias("first")
+    )
+    kept = (
+        tiles.join(first, "tile_text")
+        .filter(
+            (F.col(id_col) == F.col("first").getField(id_col))
+            & (F.col("tile_id") == F.col("first.tile_id"))
+        )
+        .groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(F.col("tile_id"), F.col("tile_text"))
+                        )
+                    ),
+                    lambda s: s.tile_text,
+                ),
+                "",
+            ).alias("_kept_text")
+        )
+    )
+    n = F.length(F.col(text))
+    tail_start = (n - n % tile) + 1
+    out = (
+        df.select(
+            F.col(id_col),
+            n.alias("orig_len"),
+            F.substring(F.col(text), tail_start, F.lit(tile)).alias("_tail"),
+        )
+        .join(kept, id_col, "left")
+        .select(
+            id_col,
+            "orig_len",
+            (
+                F.length(F.coalesce(F.col("_kept_text"), F.lit("")))
+                + F.length(F.col("_tail"))
+            ).alias("clean_len"),
+        )
+    )
+    removed = F.col("orig_len") - F.col("clean_len")
+    ppm = F.when(
+        F.col("orig_len") > 0,
+        (
+            (removed * 1_000_000 - (removed * 1_000_000) % F.col("orig_len"))
+            / F.col("orig_len")
+        ).cast("long"),
+    ).otherwise(F.lit(0))
+    return out.withColumn("removed_ppm", ppm)

@@ -60,3 +60,32 @@ def test_span_dedup_report_runs_and_ppm(spark):
     # sub-tile doc keeps its row, all-zero
     assert out[4]["n_tiles"] == 0 and out[4]["dup_ppm"] == 0
     assert set(out) == {0, 1, 2, 3, 4}
+
+
+def test_strip_repeated_tiles_removes_all_but_first(spark):
+    from pyspark.sql import functions as F
+
+    from det_module_spark.operators.spandedup import strip_repeated_tiles
+
+    blk = "A" * 24
+    uniq = "".join(chr(ord("a") + i % 26) for i in range(24))
+    # doc 1: blk + uniq; doc 2: blk twice + tail "xy"
+    df = spark.createDataFrame(
+        [(1, blk + uniq), (2, blk + blk + "xy")], ["doc_id", "text"]
+    )
+    out = {r["doc_id"]: r for r in strip_repeated_tiles(df, tile=24).collect()}
+    # doc 1 holds the canonical first occurrence: nothing removed
+    assert out[1]["orig_len"] == 48 and out[1]["clean_len"] == 48
+    assert out[1]["removed_ppm"] == 0
+    # doc 2 loses BOTH copies (canonical lives in doc 1), keeps tail
+    assert out[2]["orig_len"] == 50 and out[2]["clean_len"] == 2
+    assert out[2]["removed_ppm"] == 960000
+
+
+def test_strip_repeated_tiles_partition_independent(spark, sf_dir):
+    from det_module_spark.operators.spandedup import strip_repeated_tiles
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(100)
+    a = sorted(map(tuple, strip_repeated_tiles(docs.repartition(1)).collect()))
+    b = sorted(map(tuple, strip_repeated_tiles(docs.repartition(9)).collect()))
+    assert a == b
