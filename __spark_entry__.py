@@ -1205,6 +1205,79 @@ def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # corpus-curation diagnostic: near-dup pair counts per unordered
+    # SOURCE pair — which feeds are duplicating each other (cross
+    # cells) vs internally redundant (diagonal). Broadcast the tiny
+    # (doc_id, source) map onto the oracled pair table.
+    from det_module_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.12)
+    src = docs.select("doc_id", "source")
+    m = (
+        pairs.join(
+            F.broadcast(
+                src.select(
+                    F.col("doc_id").alias("id_a"),
+                    F.col("source").alias("source_a"),
+                )
+            ),
+            "id_a",
+        )
+        .join(
+            F.broadcast(
+                src.select(
+                    F.col("doc_id").alias("id_b"),
+                    F.col("source").alias("source_b"),
+                )
+            ),
+            "id_b",
+        )
+        .select(
+            F.least("source_a", "source_b").alias("src_lo"),
+            F.greatest("source_a", "source_b").alias("src_hi"),
+        )
+        .groupBy("src_lo", "src_hi")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+    return m.orderBy("src_lo", "src_hi")
+
+
+def _source_overlap_sql(threshold: float = 0.12, max_df: int = 1000) -> str:
+    return (
+        _SHINGLES_SQL
+        + f""",
+    shh AS (SELECT doc_id,
+                   CAST(concat('0x', substr(md5(shingle), 1, 15)) AS BIGINT)
+                     AS shingle
+            FROM sh),
+    keep AS (SELECT shingle FROM shh GROUP BY shingle
+             HAVING COUNT(*) <= {max_df}),
+    sh2 AS (SELECT doc_id, shingle FROM shh JOIN keep USING (shingle)),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh2 GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+      FROM sh2 a JOIN sh2 b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    prs AS (
+      SELECT id_a, id_b FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter)
+            >= {threshold})
+    SELECT least(da.source, db.source) AS src_lo,
+           greatest(da.source, db.source) AS src_hi,
+           COUNT(*) AS n_pairs
+    FROM prs
+    JOIN documents da ON da.doc_id = id_a
+    JOIN documents db ON db.doc_id = id_b
+    GROUP BY 1, 2 ORDER BY src_lo, src_hi
+    """
+    )
+
+
 def q_span_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     # span REMOVAL (spandedup.strip_repeated_tiles): all-but-one
     # occurrence of every duplicated 24-char tile cut corpus-wide,
@@ -3848,6 +3921,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # driver-visible.
     return {
         # --- round-3 additions / re-oracled queries ---
+        "source_overlap": q_source_overlap,
         "span_strip": q_span_strip,
         "leakage_safe_split": q_leakage_safe_split,
         "kv_records": q_kv_records,
@@ -5184,6 +5258,7 @@ QUALIFY ROW_NUMBER() OVER (
         "dedup_simhash": _simhash_sql(16),
         "similarity_cosine_topk": _cosine_sql(),
         "similarity_lsh_topk": _lsh_sql(),
+        "source_overlap": _source_overlap_sql(0.12),
         "span_strip": _SPAN_STRIP_SQL,
         "leakage_safe_split": _leakage_split_sql(0.12),
         "kv_records": _KV_RECORDS_SQL,
