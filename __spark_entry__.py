@@ -1205,6 +1205,79 @@ def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # KMV sketch algebra (sketch.kmv_set_estimates): union +
+    # intersection distinct estimates for two customer sets from
+    # their bottom-64 sketches alone, alongside the exact answers —
+    # estimate AND its error are deterministic and hash-checked
+    from det_module_spark.operators.sketch import kmv_set_estimates
+
+    orders = load_table(spark, sf_dir, "orders")
+    a = orders.filter(F.col("o_orderpriority") == "1-URGENT")
+    b = orders.filter(F.col("o_orderpriority") == "5-LOW")
+    est = kmv_set_estimates(
+        a, b, F.col("o_custkey"), F.col("o_custkey"), k=64
+    ).select("est_union", "est_intersection")
+    ka = a.select("o_custkey").distinct()
+    kb = b.select("o_custkey").distinct()
+    exact = (
+        ka.unionByName(kb)
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("exact_union"))
+        .crossJoin(
+            ka.join(kb, "o_custkey").agg(
+                F.count(F.lit(1)).alias("exact_intersection")
+            )
+        )
+    )
+    return est.crossJoin(F.broadcast(exact))
+
+
+def _kmv_set_sql(k: int = 64) -> str:
+    scale = float(k - 1) * float(1 << 60)
+    h = (
+        "CAST(concat('0x', substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15))"
+        " AS BIGINT)"
+    )
+    return f"""
+    WITH a AS (SELECT DISTINCT {h} AS h FROM orders
+               WHERE o_orderpriority = '1-URGENT' ORDER BY h LIMIT {k}),
+    b AS (SELECT DISTINCT {h} AS h FROM orders
+          WHERE o_orderpriority = '5-LOW' ORDER BY h LIMIT {k}),
+    u AS (SELECT DISTINCT h FROM (SELECT h FROM a UNION ALL
+                                  SELECT h FROM b) ORDER BY h LIMIT {k}),
+    f AS (SELECT u.h,
+                 CASE WHEN a.h IS NOT NULL AND b.h IS NOT NULL
+                      THEN 1 ELSE 0 END AS in_both
+          FROM u LEFT JOIN a ON u.h = a.h LEFT JOIN b ON u.h = b.h),
+    g AS (SELECT COUNT(*) AS n_seen, MAX(h) AS kth,
+                 CAST(SUM(in_both) AS BIGINT) AS n_both FROM f),
+    e AS (SELECT n_seen, n_both,
+                 CASE WHEN n_seen < {k} THEN n_seen
+                      ELSE CAST(FLOOR({scale!r} / CAST(kth AS DOUBLE))
+                                AS BIGINT) END AS est_union
+          FROM g),
+    ests AS (SELECT est_union,
+                    CASE WHEN n_seen < {k} THEN n_both
+                         ELSE CAST(((n_both * est_union)
+                                    - (n_both * est_union) % {k}) // {k}
+                                   AS BIGINT) END AS est_intersection
+             FROM e),
+    ka AS (SELECT DISTINCT o_custkey FROM orders
+           WHERE o_orderpriority = '1-URGENT'),
+    kb AS (SELECT DISTINCT o_custkey FROM orders
+           WHERE o_orderpriority = '5-LOW'),
+    ex AS (SELECT
+             (SELECT COUNT(*) FROM (SELECT o_custkey FROM ka
+                                    UNION SELECT o_custkey FROM kb))
+               AS exact_union,
+             (SELECT COUNT(*) FROM ka JOIN kb USING (o_custkey))
+               AS exact_intersection)
+    SELECT est_union, est_intersection, exact_union, exact_intersection
+    FROM ests, ex
+    """
+
+
 def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     # corpus-curation diagnostic: near-dup pair counts per unordered
     # SOURCE pair — which feeds are duplicating each other (cross
@@ -3921,6 +3994,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # driver-visible.
     return {
         # --- round-3 additions / re-oracled queries ---
+        "kmv_set_ops": q_kmv_set_ops,
         "source_overlap": q_source_overlap,
         "span_strip": q_span_strip,
         "leakage_safe_split": q_leakage_safe_split,
@@ -5258,6 +5332,7 @@ QUALIFY ROW_NUMBER() OVER (
         "dedup_simhash": _simhash_sql(16),
         "similarity_cosine_topk": _cosine_sql(),
         "similarity_lsh_topk": _lsh_sql(),
+        "kmv_set_ops": _kmv_set_sql(64),
         "source_overlap": _source_overlap_sql(0.12),
         "span_strip": _SPAN_STRIP_SQL,
         "leakage_safe_split": _leakage_split_sql(0.12),

@@ -91,3 +91,69 @@ def kmv_distinct(
     return agg.select(
         kmv_estimate(F.col("n_seen"), F.col("kth"), k).alias("est_distinct")
     )
+
+
+def kmv_set_estimates(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    value_a: Column,
+    value_b: Column,
+    k: int = 64,
+) -> DataFrame:
+    """KMV sketch ALGEBRA: distinct-count estimates for the union and
+    intersection of two keyed sets from their bottom-k sketches alone
+    (Beyer et al. 2007) — the reason bottom-k beats a plain distinct
+    sample: sketches of different sets COMPOSE.
+
+    - union sketch = bottom-k of the merged hash sets; D̂(A∪B) is the
+      usual KMV estimate on it;
+    - Jaccard ρ̂ = |{h in union sketch : h ∈ S_A and h ∈ S_B}| / k,
+      and D̂(A∩B) = (matches · D̂(A∪B)) div k — pure int64 arithmetic.
+
+    When the union sketch saw fewer than k distinct hashes it is
+    exhaustive and both answers are exact. One row out:
+    (est_union, est_intersection, n_seen, n_both).
+    """
+    ha = (
+        df_a.filter(value_a.isNotNull())
+        .select(stable_hash64(value_a.cast("string")).alias("h"))
+        .distinct()
+        .orderBy("h")
+        .limit(k)
+    )
+    hb = (
+        df_b.filter(value_b.isNotNull())
+        .select(stable_hash64(value_b.cast("string")).alias("h"))
+        .distinct()
+        .orderBy("h")
+        .limit(k)
+    )
+    u = ha.unionByName(hb).distinct().orderBy("h").limit(k)
+    flagged = u.join(
+        ha.withColumn("in_a", F.lit(1)), "h", "left"
+    ).join(hb.withColumn("in_b", F.lit(1)), "h", "left")
+    agg = flagged.agg(
+        F.count(F.lit(1)).alias("n_seen"),
+        F.max("h").alias("kth"),
+        F.sum(
+            (F.col("in_a").isNotNull() & F.col("in_b").isNotNull()).cast(
+                "long"
+            )
+        ).alias("n_both"),
+    )
+    est_u = kmv_estimate(F.col("n_seen"), F.col("kth"), k)
+    est_i = F.when(
+        F.col("n_seen") < F.lit(k), F.col("n_both")
+    ).otherwise(
+        (
+            (F.col("n_both") * est_u)
+            - (F.col("n_both") * est_u) % F.lit(k)
+        ).cast("long")
+        / F.lit(k)
+    ).cast("long")
+    return agg.select(
+        est_u.alias("est_union"),
+        est_i.alias("est_intersection"),
+        F.col("n_seen").cast("long").alias("n_seen"),
+        F.col("n_both").cast("long").alias("n_both"),
+    )

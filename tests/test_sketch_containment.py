@@ -272,3 +272,24 @@ def test_sample_k_per_group(spark):
     a = sample_k_per_group(df.repartition(1), F.col("id"), by=["g"], k=5)
     b = sample_k_per_group(df.repartition(7), F.col("id"), by=["g"], k=5)
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_kmv_set_estimates_exact_when_small(spark):
+    from det_module_spark.operators.sketch import kmv_set_estimates
+
+    a = spark.createDataFrame([(i,) for i in range(10)], ["v"])
+    b = spark.createDataFrame([(i,) for i in range(5, 20)], ["v"])
+    r = kmv_set_estimates(a, b, F.col("v"), F.col("v"), k=64).collect()[0]
+    # sketches exhaustive below k: both answers exact
+    assert r["est_union"] == 20
+    assert r["est_intersection"] == 5
+
+
+def test_kmv_set_estimates_reasonable(spark):
+    from det_module_spark.operators.sketch import kmv_set_estimates
+
+    a = spark.createDataFrame([(i,) for i in range(4000)], ["v"])
+    b = spark.createDataFrame([(i,) for i in range(2000, 6000)], ["v"])
+    r = kmv_set_estimates(a, b, F.col("v"), F.col("v"), k=128).collect()[0]
+    assert abs(r["est_union"] - 6000) / 6000 < 0.3
+    assert abs(r["est_intersection"] - 2000) / 2000 < 0.6
