@@ -142,18 +142,29 @@ class CacheManifest:
             finally:
                 os.unlink(tmp)
 
-    def read(self) -> DataFrame:
-        """Current manifest state: replay the log, highest version wins
-        per spec_hash."""
+    def read(self, as_of_version: int | None = None) -> DataFrame:
+        """Manifest state: replay the log, highest version wins per
+        spec_hash. ``as_of_version`` is TIME TRAVEL — replay only
+        commits with version <= it, reproducing any historical state
+        exactly (commits are immutable once claimed, so the snapshot
+        is stable until those files are compacted away; compact()
+        folds history and collapses earlier versions)."""
         if not self._versions():
             return self.spark.createDataFrame([], schema=MANIFEST_SCHEMA)
         log = self.spark.read.schema(_LOG_SCHEMA).parquet(self.log_path)
+        if as_of_version is not None:
+            log = log.filter(F.col("version") <= as_of_version)
         w = Window.partitionBy("spec_hash").orderBy(F.desc("version"))
         return (
             log.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)
             .drop("_rn", "version")
         )
+
+    def versions(self) -> list[int]:
+        """Committed log versions, ascending — the valid arguments to
+        ``read(as_of_version=...)``."""
+        return self._versions()
 
     def compact(self) -> None:
         """Fold the whole log into one commit file and drop the older

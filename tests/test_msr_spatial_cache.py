@@ -234,3 +234,29 @@ def test_manifest_backend_selection(spark, tmp_path):
     result = spark.createDataFrame([Row(asdf_id=1, exfield_0=1.0)])
     m.put_many([("hx", "extract", result)])
     assert {r["spec_hash"] for r in m.cached_hashes().collect()} == {"hx"}
+
+
+def test_manifest_time_travel(spark, tmp_path):
+    """read(as_of_version=v) reproduces each historical state exactly:
+    commits are immutable once claimed."""
+    cache = CacheManifest(spark, str(tmp_path / "cache"))
+    r1 = spark.createDataFrame([Row(asdf_id=1, exfield_0=1.0)])
+    cache.put("h1", "extract", r1)
+    v0 = cache.versions()[-1]
+    cache.put("h2", "extract", r1)
+    v1 = cache.versions()[-1]
+    cache.put("h1", "extract", r1)  # h1 re-put: newer row wins later
+    v2 = cache.versions()[-1]
+    assert v0 < v1 < v2
+
+    def state(v=None):
+        return sorted(
+            r["spec_hash"] for r in cache.read(as_of_version=v).collect()
+        )
+
+    assert state(v0) == ["h1"]
+    assert state(v1) == ["h1", "h2"]
+    assert state(v2) == ["h1", "h2"]
+    assert state() == state(v2)
+    # as-of before any commit: empty
+    assert state(v0 - 1) == []
