@@ -316,10 +316,15 @@ class DeltaCacheManifest(CacheManifest):
 
         return DeltaTable.isDeltaTable(self.spark, self.table_path)
 
-    def read(self) -> DataFrame:
+    def read(self, as_of_version: int | None = None) -> DataFrame:
         if not self._table_exists():
             return self.spark.createDataFrame([], schema=MANIFEST_SCHEMA)
-        return self.spark.read.format("delta").load(self.table_path)
+        reader = self.spark.read.format("delta")
+        if as_of_version is not None:
+            # Delta-native time travel — same contract as the tx-log
+            # backend's as_of_version replay
+            reader = reader.option("versionAsOf", str(as_of_version))
+        return reader.load(self.table_path)
 
     def _upsert(self, rows: list[tuple]) -> None:
         """MERGE the batch by spec_hash. Delta's optimistic commit
