@@ -141,3 +141,52 @@ def test_morton_preserves_quadrant_order(spark):
         for b in rows:
             if a.x <= b.x and a.y <= b.y:
                 assert a.z <= b.z
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 3), st.integers(1, 50)),
+        min_size=1,
+        max_size=60,
+    ),
+    st.integers(20, 200),
+)
+@settings(max_examples=12, deadline=None)
+def test_shard_plan_conserves_and_bounds(spark, rows, target):
+    """Property: shard planning conserves bytes, never overshoots a
+    shard by more than one row, and keeps key ranges disjoint —
+    for arbitrary group/size mixes and targets."""
+    from det_module_spark.operators.layout import shard_plan
+
+    data = [(f"g{g}", i, sz) for i, (g, sz) in enumerate(rows)]
+    df = spark.createDataFrame(data, ["g", "k", "sz"])
+    out = shard_plan(df, "sz", "k", target, by=["g"]).collect()
+    assert sum(r["shard_bytes"] for r in out) == sum(sz for _, _, sz in data)
+    max_row = max(sz for _, _, sz in data)
+    groups = {}
+    for r in out:
+        groups.setdefault(r["g"], []).append(r)
+        assert r["shard_bytes"] <= target + max_row
+    for shards in groups.values():
+        shards.sort(key=lambda r: r["shard"])
+        for a, b in zip(shards, shards[1:]):
+            assert a["last_key"] < b["first_key"]
+
+
+@given(st.lists(st.integers(0, 10_000), min_size=1, max_size=300))
+@settings(max_examples=10, deadline=None)
+def test_kmv_merge_property(spark, vals):
+    """Property: bottom-k of any split of the data merges to the
+    whole-data sketch (the map-side-combine correctness condition)."""
+    from det_module_spark.operators.sketch import kmv_distinct
+    from pyspark.sql import functions as F
+
+    half = len(vals) // 2
+    whole = spark.createDataFrame([(v,) for v in vals], "v int")
+    parts = spark.createDataFrame(
+        [(v,) for v in vals[:half]], "v int"
+    ).unionAll(spark.createDataFrame([(v,) for v in vals[half:]], "v int"))
+    k = 16
+    a = kmv_distinct(whole, F.col("v"), k=k).collect()[0][0]
+    b = kmv_distinct(parts, F.col("v"), k=k).collect()[0][0]
+    assert a == b
