@@ -1205,6 +1205,27 @@ def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dense_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # surrogate-key assignment WITHOUT the global-window trap
+    # (operators/ids.dense_ids): range partition + per-partition
+    # counts + offset enumeration — the plan has no empty-partition-
+    # spec Window, yet ids equal ROW_NUMBER() OVER (ORDER BY key) - 1
+    from det_module_spark.operators.ids import dense_ids
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name"
+    )
+    return dense_ids(cust, "c_custkey").orderBy("row_id")
+
+
+_DENSE_IDS_SQL = """
+    SELECT c_custkey, c_name,
+           CAST(ROW_NUMBER() OVER (ORDER BY c_custkey) - 1 AS BIGINT)
+             AS row_id
+    FROM customer ORDER BY row_id
+"""
+
+
 def q_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     # KMV sketch algebra (sketch.kmv_set_estimates): union +
     # intersection distinct estimates for two customer sets from
@@ -3994,6 +4015,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # driver-visible.
     return {
         # --- round-3 additions / re-oracled queries ---
+        "dense_ids": q_dense_ids,
         "kmv_set_ops": q_kmv_set_ops,
         "source_overlap": q_source_overlap,
         "span_strip": q_span_strip,
@@ -5332,6 +5354,7 @@ QUALIFY ROW_NUMBER() OVER (
         "dedup_simhash": _simhash_sql(16),
         "similarity_cosine_topk": _cosine_sql(),
         "similarity_lsh_topk": _lsh_sql(),
+        "dense_ids": _DENSE_IDS_SQL,
         "kmv_set_ops": _kmv_set_sql(64),
         "source_overlap": _source_overlap_sql(0.12),
         "span_strip": _SPAN_STRIP_SQL,
