@@ -1205,6 +1205,71 @@ def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_join_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # incremental view maintenance for joins
+    # (operators/incremental.join_delta): the rows the standing
+    # orders⋈lineitem view gains from a batch of new orders + new
+    # shipments = the three mixed delta terms — no rescan of the
+    # standing result; aggregated per priority in exact cents
+    from det_module_spark.operators.incremental import join_delta
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey"), "o_orderpriority", "o_orderdate"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"),
+        F.expr(
+            "CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)"
+        ).alias("cents"),
+        "l_shipdate",
+    )
+    a = orders.filter(F.col("o_orderdate") < "1997-01-01").drop(
+        "o_orderdate"
+    )
+    da = orders.filter(F.col("o_orderdate") >= "1997-01-01").drop(
+        "o_orderdate"
+    )
+    b = li.filter(F.col("l_shipdate") < "1997-07-01").drop("l_shipdate")
+    db = li.filter(F.col("l_shipdate") >= "1997-07-01").drop("l_shipdate")
+    delta = join_delta(a, da, b, db, on=["o_orderkey"])
+    return (
+        delta.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("cents").alias("sum_cents"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+_JOIN_DELTA_SQL = """
+    WITH a AS (SELECT o_orderkey, o_orderpriority FROM orders
+               WHERE o_orderdate < DATE '1997-01-01'),
+    da AS (SELECT o_orderkey, o_orderpriority FROM orders
+           WHERE o_orderdate >= DATE '1997-01-01'),
+    b AS (SELECT l_orderkey,
+                 CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)
+                   AS cents
+          FROM lineitem WHERE l_shipdate < DATE '1997-07-01'),
+    db AS (SELECT l_orderkey,
+                  CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)
+                    AS cents
+           FROM lineitem WHERE l_shipdate >= DATE '1997-07-01'),
+    d AS (
+      SELECT da.o_orderpriority, b.cents
+      FROM da JOIN b ON da.o_orderkey = b.l_orderkey
+      UNION ALL
+      SELECT a.o_orderpriority, db.cents
+      FROM a JOIN db ON a.o_orderkey = db.l_orderkey
+      UNION ALL
+      SELECT da.o_orderpriority, db.cents
+      FROM da JOIN db ON da.o_orderkey = db.l_orderkey)
+    SELECT o_orderpriority, COUNT(*) AS n_rows,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents
+    FROM d GROUP BY 1 ORDER BY 1
+"""
+
+
 def q_dense_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     # surrogate-key assignment WITHOUT the global-window trap
     # (operators/ids.dense_ids): range partition + per-partition
@@ -4015,6 +4080,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # driver-visible.
     return {
         # --- round-3 additions / re-oracled queries ---
+        "join_delta": q_join_delta,
         "dense_ids": q_dense_ids,
         "kmv_set_ops": q_kmv_set_ops,
         "source_overlap": q_source_overlap,
@@ -5354,6 +5420,7 @@ QUALIFY ROW_NUMBER() OVER (
         "dedup_simhash": _simhash_sql(16),
         "similarity_cosine_topk": _cosine_sql(),
         "similarity_lsh_topk": _lsh_sql(),
+        "join_delta": _JOIN_DELTA_SQL,
         "dense_ids": _DENSE_IDS_SQL,
         "kmv_set_ops": _kmv_set_sql(64),
         "source_overlap": _source_overlap_sql(0.12),

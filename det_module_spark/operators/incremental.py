@@ -91,3 +91,32 @@ def merge_agg_state(
         for c in max_cols
     ]
     return merged.select(*keys, *cols)
+
+
+def join_delta(
+    a: DataFrame,
+    delta_a: DataFrame,
+    b: DataFrame,
+    delta_b: DataFrame,
+    on: list[str],
+) -> DataFrame:
+    """Incremental INNER-join maintenance: the rows a standing join
+    result gains when both inputs receive a batch of inserts —
+
+        (A ∪ ΔA) ⋈ (B ∪ ΔB)  =  A ⋈ B  ∪  ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB
+
+    so the delta of the view is exactly the three mixed terms, each a
+    join of a (small) batch against a snapshot or another batch —
+    never a rescan of A ⋈ B. This is classic incremental view
+    maintenance (insert-only case); deletes need the same identity
+    over retraction multisets.
+
+    Scale shape: ΔA⋈B and A⋈ΔB broadcast the delta side when small
+    (AQE decides); ΔA⋈ΔB is batch×batch. Shuffle is proportional to
+    |Δ| + matched snapshot rows, independent of the standing result
+    size."""
+    return (
+        delta_a.join(b, on)
+        .unionByName(a.join(delta_b, on))
+        .unionByName(delta_a.join(delta_b, on))
+    )

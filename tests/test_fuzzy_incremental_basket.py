@@ -185,3 +185,21 @@ def test_shred_json_types_and_malformed(spark):
     # keep=True retains the raw column
     kept = shred_json(df, "props", "k LONG", keep=True)
     assert "props" in kept.columns
+
+
+def test_join_delta_equals_full_recompute(spark):
+    """(A∪ΔA)⋈(B∪ΔB) == A⋈B ∪ join_delta — the IVM identity."""
+    from pyspark.sql import functions as F
+
+    from det_module_spark.operators.incremental import join_delta
+
+    a = spark.createDataFrame([(k, f"a{k}") for k in range(20)], ["k", "va"])
+    da = spark.createDataFrame([(k, f"A{k}") for k in range(15, 30)], ["k", "va"])
+    b = spark.createDataFrame([(k, k * 10) for k in range(0, 40, 2)], ["k", "vb"])
+    db = spark.createDataFrame([(k, k * 100) for k in range(1, 40, 4)], ["k", "vb"])
+
+    full = a.unionByName(da).join(b.unionByName(db), "k")
+    incr = a.join(b, "k").unionByName(join_delta(a, da, b, db, on=["k"]))
+    assert sorted(map(tuple, full.collect())) == sorted(
+        map(tuple, incr.collect())
+    )
