@@ -1103,7 +1103,7 @@ _SKEW_JOIN_SQL = """
     dim AS (SELECT j AS skew_key, j * 7 + 3 AS weight
             FROM range(0, 100) t(j))
     SELECT skew_key, COUNT(*) AS n_rows,
-           SUM(qty * weight) AS wsum
+           CAST(SUM(qty * weight) AS BIGINT) AS wsum
     FROM fact JOIN dim USING (skew_key)
     GROUP BY skew_key
 """
@@ -5443,9 +5443,9 @@ QUALIFY ROW_NUMBER() OVER (
                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
                        0) AS start
               FROM documents)
-            SELECT source, start // 32768 AS shard,
+            SELECT source, CAST(start // 32768 AS BIGINT) AS shard,
                    COUNT(*) AS n_rows,
-                   SUM(n_chars) AS shard_bytes,
+                   CAST(SUM(n_chars) AS BIGINT) AS shard_bytes,
                    MIN(doc_id) AS first_key,
                    MAX(doc_id) AS last_key
             FROM s GROUP BY source, shard
@@ -5974,10 +5974,12 @@ QUALIFY ROW_NUMBER() OVER (
                            ROWS BETWEEN UNBOUNDED PRECEDING
                                     AND 1 PRECEDING), 0) AS cum_before
                   FROM t)
-            SELECT lang, doc_id, n_tokens, cum_before,
-                   cum_before // 256 AS bin_start,
-                   (cum_before + n_tokens - 1) // 256 AS bin_end,
-                   cum_before % 256 AS bin_offset
+            SELECT lang, doc_id, n_tokens,
+                   CAST(cum_before AS BIGINT) AS cum_before,
+                   CAST(cum_before // 256 AS BIGINT) AS bin_start,
+                   CAST((cum_before + n_tokens - 1) // 256 AS BIGINT)
+                     AS bin_end,
+                   CAST(cum_before % 256 AS BIGINT) AS bin_offset
             FROM c
         """,
         "sample_hash": """
@@ -6009,7 +6011,8 @@ QUALIFY ROW_NUMBER() OVER (
               SELECT source, md5(substr(text, 1, 24)) AS content_key,
                      COUNT(*) AS n
               FROM documents GROUP BY 1, 2)
-            SELECT source, SUM(n) AS n_docs, COUNT(*) AS n_unique,
+            SELECT source, CAST(SUM(n) AS BIGINT) AS n_docs,
+                   COUNT(*) AS n_unique,
                    CAST(FLOOR((SUM(n) - COUNT(*)) * 10000.0 / SUM(n))
                         AS BIGINT) AS dup_bps
             FROM g GROUP BY source

@@ -100,8 +100,13 @@ def ngram_jaccard_pairs(
     # reuse the exchange across them — measured ~2x on the full query
     sh = sh.localCheckpoint(eager=True)
     freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_"))
+    # NO broadcast hints here: freq and sizes are corpus-derived (one
+    # row per distinct shingle / per document), so their cardinality
+    # grows with the corpus — at 100 TB a forced broadcast is an
+    # executor OOM. Un-hinted, AQE broadcasts them when they measure
+    # small and shuffles when they don't (VERDICT r03 #3).
     sh = sh.join(
-        F.broadcast(freq.filter(F.col("df_") <= max_shingle_df)), "shingle"
+        freq.filter(F.col("df_") <= max_shingle_df), "shingle"
     ).select("id", "shingle")
 
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
@@ -113,8 +118,8 @@ def ngram_jaccard_pairs(
         .agg(F.count(F.lit(1)).alias("inter"))
     )
     out = (
-        inter.join(F.broadcast(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a")), "id_a")
-        .join(F.broadcast(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b")), "id_b")
+        inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
         .withColumn(
             "jaccard",
             F.col("inter").cast("double")
@@ -464,8 +469,10 @@ def containment_pairs(
     )
     sh = sh.localCheckpoint(eager=True)
     freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_"))
+    # corpus-derived side: no broadcast hint, AQE decides (see
+    # ngram_jaccard_pairs for the rationale).
     sh = sh.join(
-        F.broadcast(freq.filter(F.col("df_") <= max_shingle_df)), "shingle"
+        freq.filter(F.col("df_") <= max_shingle_df), "shingle"
     ).select("id", "shingle")
 
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
@@ -482,18 +489,14 @@ def containment_pairs(
     )
     out = (
         inter.join(
-            F.broadcast(
-                sizes.withColumnRenamed("id", "id_a").withColumnRenamed(
-                    "sz", "sz_a"
-                )
+            sizes.withColumnRenamed("id", "id_a").withColumnRenamed(
+                "sz", "sz_a"
             ),
             "id_a",
         )
         .join(
-            F.broadcast(
-                sizes.withColumnRenamed("id", "id_b").withColumnRenamed(
-                    "sz", "sz_b"
-                )
+            sizes.withColumnRenamed("id", "id_b").withColumnRenamed(
+                "sz", "sz_b"
             ),
             "id_b",
         )

@@ -334,8 +334,12 @@ def cluster_representatives(
     Scale shape: components via iterative min-label propagation
     (bounded rounds, per-round localCheckpoint — see
     ``connected_components``); the representative choice is ONE hash
-    aggregation with an argmax encoded as ``max(struct(score, -id))``
-    — no window, no per-cluster sort. Integer scores keep the argmax
+    aggregation with an argmax encoded as ``min(struct(-score, id))``
+    — no window, no per-cluster sort. The negation sits on the
+    (numeric) score, not the id, so ANY orderable id type works — a
+    string doc id under the old ``max(struct(score, -id))`` form was
+    implicitly cast to double by the unary minus, nulling the
+    tie-break (ADVICE r03). Integer scores keep the argmax
     engine-exact (float scores: quantize first, ROUND_NOTES #10).
     """
     comp = connected_components(pairs, src, dst)
@@ -345,16 +349,16 @@ def cluster_representatives(
     total = ids.join(comp, "id", "left").select(
         "id", "score", F.coalesce("component", F.col("id")).alias("cluster")
     )
-    best = F.max(
-        F.struct(F.col("score"), (-F.col("id")).alias("nid"))
+    best = F.min(
+        F.struct((-F.col("score")).alias("nscore"), F.col("id"))
     ).alias("m")
     return (
         total.groupBy("cluster")
         .agg(best, F.count(F.lit(1)).alias("cluster_size"))
         .select(
             "cluster",
-            (-F.col("m.nid")).alias("rep_id"),
-            F.col("m.score").alias("rep_score"),
+            F.col("m.id").alias("rep_id"),
+            (-F.col("m.nscore")).alias("rep_score"),
             "cluster_size",
         )
     )

@@ -88,18 +88,20 @@ def kv_records(
             f"SELECT {cols}, u.k, u.v FROM {view} t, LATERAL {name}(t.{col}) u"
         )
 
+    import re
+
+    # F.split treats the separator as a REGEX: escape it so literal
+    # separators like '|' or '.' split literally (ADVICE r03). The
+    # k/v extraction is pure Column functions (instr takes a literal
+    # string, substr takes Columns) — no string-formatted SQL, so a
+    # quote in kv_sep cannot break the expression.
     part = F.explode(
-        F.split(F.col(col), F.lit(pair_sep), F.lit(-1))
+        F.split(F.col(col), F.lit(re.escape(pair_sep)), F.lit(-1))
     ).alias("_part")
-    exploded = df.select("*", part).filter(
-        F.instr(F.col("_part"), kv_sep) > 0
-    )
+    pos = F.instr(F.col("_part"), kv_sep)
+    exploded = df.select("*", part).filter(pos > 0)
     return exploded.select(
         *df.columns,
-        F.expr(
-            f"substring(_part, 1, instr(_part, '{kv_sep}') - 1)"
-        ).alias("k"),
-        F.expr(
-            f"substring(_part, instr(_part, '{kv_sep}') + {len(kv_sep)})"
-        ).alias("v"),
+        F.substr(F.col("_part"), F.lit(1), pos - 1).alias("k"),
+        F.substr(F.col("_part"), pos + len(kv_sep)).alias("v"),
     )

@@ -162,7 +162,9 @@ def tfidf_top_terms(
     docfreq = terms.groupBy("term").agg(
         F.count_distinct(id_col).alias("df_")
     )
-    scored = tf.join(F.broadcast(docfreq), "term").withColumn(
+    # docfreq is vocabulary-sized (grows with the corpus): no
+    # broadcast hint — AQE broadcasts it only when it measures small.
+    scored = tf.join(docfreq, "term").withColumn(
         "score",
         F.col("tf")
         * F.log((F.lit(float(n_docs + 1))) / (F.col("df_") + 1)),
@@ -201,15 +203,17 @@ def unigram_logprob(
     filtering (docs far below the corpus-typical score are gibberish /
     boilerplate candidates).
 
-    Two aggregations (vocab counts, then per-doc mean) + one broadcast
-    join of the vocabulary (bounded by vocab size, not corpus size).
+    Two aggregations (vocab counts, then per-doc mean) + one
+    vocabulary join (vocab grows with the corpus, so the join carries
+    no broadcast hint — AQE picks broadcast only while it is small).
     """
     toks = df.select(
         F.col(id_col), F.explode(tokens(F.col(text))).alias("term")
     ).filter(F.length("term") > 0)
     vocab = toks.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
     total = vocab.agg(F.sum("cnt")).collect()[0][0]
-    scored = toks.join(F.broadcast(vocab), "term").select(
+    # vocab grows with the corpus: un-hinted, AQE decides.
+    scored = toks.join(vocab, "term").select(
         id_col,
         (F.log(F.col("cnt").cast("double")) - F.log(F.lit(float(total)))).alias(
             "logp"
@@ -392,7 +396,9 @@ def distinctive_terms(
         )
     )
     joined = (
-        per_grp.join(F.broadcast(term_tot), "term")
+        # term_tot is vocabulary-sized (corpus-derived) — no hint;
+        # grp_tot is one row per group (genuinely bounded) — keep it.
+        per_grp.join(term_tot, "term")
         .join(F.broadcast(grp_tot), "grp")
         .select(
             "grp",
@@ -466,7 +472,8 @@ def bigram_logprob(
     ratios, quantized to 1e-9-unit longs BEFORE the per-doc sum — the
     aggregation is order-independent and the result cross-engine
     exact. Shape: two model aggs over the train corpus (vocabulary-
-    sized, broadcast into the scoring join) + one per-doc agg.
+    sized, joined un-hinted so AQE sizes the strategy) + one per-doc
+    agg.
     """
     bi = bigram_counts(train, id_col, text)
     # the unigram model feeds both the per-word counts and the corpus
@@ -485,10 +492,14 @@ def bigram_logprob(
     w1tot = bi.groupBy("w1").agg(F.sum("cnt").alias("c1"))
     pairs = _doc_bigrams(score, id_col, text)
     joined = (
-        pairs.join(F.broadcast(bi), ["w1", "w2"], "left")
-        .join(F.broadcast(w1tot), "w1", "left")
+        # bi / w1tot / uni are model tables whose cardinality grows
+        # with the train corpus — no broadcast hints (AQE decides);
+        # tot is a 1-row scalar, where broadcast IS the right plan for
+        # the cross join.
+        pairs.join(bi, ["w1", "w2"], "left")
+        .join(w1tot, "w1", "left")
         .join(
-            F.broadcast(uni.select(F.col("w").alias("w2"), "cw")),
+            uni.select(F.col("w").alias("w2"), "cw"),
             "w2",
             "left",
         )

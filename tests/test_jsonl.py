@@ -48,3 +48,35 @@ def test_kv_records_fast_equals_udtf(spark):
         (1, "a=1,b=2,junk", "b", "2"),
         (2, "c=x=y", "c", "x=y"),
     ]
+
+
+def test_kv_records_regex_special_separators(spark):
+    """'|' and '.' are regex metacharacters — they must split
+    literally (ADVICE r03); a quote in kv_sep must not break the
+    generated expressions."""
+    from det_module_spark.operators.semistructured import kv_records
+
+    df = spark.createDataFrame(
+        [(1, "a:=1|b:=2"), (2, "x.y:=z")], ["id", "s"]
+    )
+    out = sorted(
+        map(tuple, kv_records(df, "s", pair_sep="|", kv_sep=":=").collect())
+    )
+    assert out == [
+        (1, "a:=1|b:=2", "a", "1"),
+        (1, "a:=1|b:=2", "b", "2"),
+        (2, "x.y:=z", "x.y", "z"),
+    ]
+    dot = sorted(
+        map(tuple, kv_records(df, "s", pair_sep=".", kv_sep=":=").collect())
+    )
+    # "a:=1|b:=2" has no '.', so it stays one part; "x.y:=z" splits
+    # at the literal dot into "x" (no kv_sep, skipped) and "y:=z"
+    assert dot == [
+        (1, "a:=1|b:=2", "a", "1|b:=2"),
+        (2, "x.y:=z", "y", "z"),
+    ]
+    quote = spark.createDataFrame([(1, "k'1,v'2")], ["id", "s"])
+    assert sorted(
+        map(tuple, kv_records(quote, "s", kv_sep="'").collect())
+    ) == [(1, "k'1,v'2", "k", "1"), (1, "k'1,v'2", "v", "2")]

@@ -178,6 +178,29 @@ def test_cluster_representatives_policy(spark):
     assert len(out) == 3
 
 
+def test_cluster_representatives_string_ids(spark):
+    """String doc ids: the tie-break negates the score, not the id,
+    so non-numeric ids order correctly instead of casting to null
+    (ADVICE r03)."""
+    from det_module_spark.operators.graph import cluster_representatives
+
+    pairs = spark.createDataFrame(
+        [("docA", "docB"), ("docB", "docC")], ["id_a", "id_b"]
+    )
+    quality = spark.createDataFrame(
+        [("docA", 10), ("docB", 99), ("docC", 99), ("docZ", 7)],
+        ["id", "score"],
+    )
+    out = {
+        r["cluster"]: (r["rep_id"], r["rep_score"], r["cluster_size"])
+        for r in cluster_representatives(pairs, quality).collect()
+    }
+    # tie at 99 between docB/docC -> lexicographically lowest id wins
+    assert out["docA"] == ("docB", 99, 3)
+    assert out["docZ"] == ("docZ", 7, 1)
+    assert len(out) == 2
+
+
 def test_temperature_rates_rebalance(spark):
     """α=0.5 temperature: small sources up-weighted, large ones
     down-weighted; realized row count lands near the budget."""

@@ -41,6 +41,20 @@ def canon(df, float_exact=True):
     return sorted(rows, key=lambda r: tuple(str(x) for x in r))
 
 
+def dtype_kinds(df):
+    """Per-column dtype *kind* map, normalized to the classes that
+    matter for the driver's value hash: int (i/u), float (f), bool
+    (b), datetime (M/m), other/object (O).  The driver hashes the
+    pandas values verbatim, so an int64 123 vs float64 123.0 is a red
+    hash even though Python equality says they match (VERDICT r03
+    "What's wrong" #2) — compare kinds so local parity is at least as
+    strict as the driver."""
+    kindmap = {"i": "int", "u": "int", "f": "float", "b": "bool",
+               "M": "datetime", "m": "datetime"}
+    return {c: kindmap.get(df[c].dtype.kind, "object")
+            for c in df.columns}
+
+
 def main():
     import duckdb
 
@@ -92,6 +106,18 @@ def main():
             problems.append(f"rows {len(sdf)} != {len(odf)}")
         if sorted(sdf.columns) != sorted(odf.columns):
             problems.append(f"cols {sorted(sdf.columns)} != {sorted(odf.columns)}")
+        if not problems:
+            sk, ok = dtype_kinds(sdf), dtype_kinds(odf)
+            # An all-NULL object column on one side is a representation
+            # artifact, not a divergence; everything else must agree.
+            bad_kinds = {
+                c: (sk[c], ok[c]) for c in sk
+                if sk[c] != ok[c]
+                and not (sk[c] == "object" and sdf[c].isna().all())
+                and not (ok[c] == "object" and odf[c].isna().all())
+            }
+            if bad_kinds:
+                problems.append(f"dtype kinds differ: {bad_kinds}")
         if not problems:
             a, b = canon(sdf), canon(odf)
             n_bad = sum(1 for x, y in zip(a, b) if x != y)
