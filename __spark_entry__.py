@@ -1270,6 +1270,100 @@ _JOIN_DELTA_SQL = """
 """
 
 
+def q_join_delta_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # deletes-capable IVM (operators/incremental.join_delta_retract):
+    # the change batches carry signed weights (+1 insert / -1 delete)
+    # and the view delta is the same three mixed join terms over
+    # Z-set semantics (output weight = product of input weights).
+    # Inserts: post-97 orders, post-Jul-97 shipments; deletes: every
+    # standing order with key%10==0 and every standing shipment with
+    # key%7==0. The ORACLE recomputes the aggregate over the new
+    # state minus the old state directly — an independent check of
+    # the incremental identity, not a mirror of the implementation.
+    from det_module_spark.operators.incremental import join_delta_retract
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey"), "o_orderpriority", "o_orderdate"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"),
+        F.expr(
+            "CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)"
+        ).alias("cents"),
+        "l_shipdate",
+    )
+    a = orders.filter(F.col("o_orderdate") < "1997-01-01").drop(
+        "o_orderdate"
+    )
+    da = (
+        orders.filter(F.col("o_orderdate") >= "1997-01-01")
+        .drop("o_orderdate")
+        .withColumn("_w", F.lit(1))
+        .unionByName(
+            a.filter(F.col("o_orderkey") % 10 == 0).withColumn(
+                "_w", F.lit(-1)
+            )
+        )
+    )
+    b = li.filter(F.col("l_shipdate") < "1997-07-01").drop("l_shipdate")
+    db = (
+        li.filter(F.col("l_shipdate") >= "1997-07-01")
+        .drop("l_shipdate")
+        .withColumn("_w", F.lit(1))
+        .unionByName(
+            b.filter(F.col("o_orderkey") % 7 == 0).withColumn(
+                "_w", F.lit(-1)
+            )
+        )
+    )
+    d = join_delta_retract(a, da, b, db, on=["o_orderkey"])
+    return (
+        d.groupBy("o_orderpriority")
+        .agg(
+            F.sum("_w").alias("net_rows"),
+            F.sum(F.col("_w") * F.col("cents")).alias("net_cents"),
+        )
+        .filter((F.col("net_rows") != 0) | (F.col("net_cents") != 0))
+        .orderBy("o_orderpriority")
+    )
+
+
+_JOIN_DELTA_RETRACT_SQL = """
+    WITH lic AS (SELECT l_orderkey AS o_orderkey,
+                        CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)
+                          AS cents,
+                        l_shipdate
+                 FROM lineitem),
+    a_old AS (SELECT o_orderkey, o_orderpriority FROM orders
+              WHERE o_orderdate < DATE '1997-01-01'),
+    a_new AS (SELECT o_orderkey, o_orderpriority FROM orders
+              WHERE NOT (o_orderdate < DATE '1997-01-01'
+                         AND o_orderkey % 10 = 0)),
+    b_old AS (SELECT o_orderkey, cents FROM lic
+              WHERE l_shipdate < DATE '1997-07-01'),
+    b_new AS (SELECT o_orderkey, cents FROM lic
+              WHERE NOT (l_shipdate < DATE '1997-07-01'
+                         AND o_orderkey % 7 = 0)),
+    oldv AS (SELECT o_orderpriority, COUNT(*) AS n,
+                    CAST(SUM(cents) AS BIGINT) AS s
+             FROM a_old JOIN b_old USING (o_orderkey) GROUP BY 1),
+    newv AS (SELECT o_orderpriority, COUNT(*) AS n,
+                    CAST(SUM(cents) AS BIGINT) AS s
+             FROM a_new JOIN b_new USING (o_orderkey) GROUP BY 1)
+    SELECT COALESCE(newv.o_orderpriority, oldv.o_orderpriority)
+             AS o_orderpriority,
+           CAST(COALESCE(newv.n, 0) - COALESCE(oldv.n, 0) AS BIGINT)
+             AS net_rows,
+           CAST(COALESCE(newv.s, 0) - COALESCE(oldv.s, 0) AS BIGINT)
+             AS net_cents
+    FROM newv FULL OUTER JOIN oldv
+      ON newv.o_orderpriority = oldv.o_orderpriority
+    WHERE COALESCE(newv.n, 0) - COALESCE(oldv.n, 0) != 0
+       OR COALESCE(newv.s, 0) - COALESCE(oldv.s, 0) != 0
+    ORDER BY o_orderpriority
+"""
+
+
 def q_dense_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     # surrogate-key assignment WITHOUT the global-window trap
     # (operators/ids.dense_ids): range partition + per-partition
@@ -4073,12 +4167,84 @@ def entry(spark: SparkSession) -> DataFrame:
     return _zonal("reliability")(spark, "/root/testdata/sf0.001")
 
 
+# Driver-visibility rotation (VERDICT r03 #6): the driver's
+# correctness artifact records only the FIRST 50 registry entries, and
+# across rounds 1-3 it hash-checked just 91 of 191 queries. This list
+# is the round's front-50: queries fixed/changed this round first
+# (so the driver re-checks them), then a batch of high-value queries
+# that have NEVER been driver-checked (tpch_*, corpus_pipeline, the
+# window/OLAP/event families). Everything else keeps its literal
+# order below.
+_ROTATION_R4 = [
+    # new this round
+    "join_delta_retract",
+    # fixed or behavior-touched this round — driver must re-check
+    "skew_join_agg",
+    "skew_salted_join",
+    "shard_plan",
+    "pack_sequences",
+    "dedup_report",
+    "cluster_representatives",
+    "kv_records",
+    # never driver-checked before round 4
+    "tpch_q1",
+    "tpch_q2",
+    "tpch_q3",
+    "tpch_q4",
+    "tpch_q5",
+    "tpch_q6",
+    "tpch_q7",
+    "tpch_q8",
+    "tpch_q9",
+    "tpch_q10",
+    "tpch_q11",
+    "tpch_q12",
+    "tpch_q13",
+    "tpch_q14",
+    "tpch_q15",
+    "tpch_q16",
+    "tpch_q17",
+    "tpch_q18",
+    "tpch_q19",
+    "tpch_q20",
+    "tpch_q21",
+    "tpch_q22",
+    "corpus_pipeline",
+    "dedup_clusters",
+    "pagerank",
+    "fuzzy_name_pairs",
+    "text_tfidf",
+    "asof_join",
+    "range_join",
+    "hypertable_rollup",
+    "cube_agg",
+    "rollup_agg",
+    "grouping_sets",
+    "sessionize_events",
+    "cohort_retention",
+    "funnel_conversion",
+    "events_tumbling",
+    "events_sliding",
+    "events_session",
+    "cdc_apply",
+    "scd2_history",
+    "lm_score",
+]
+
+
+def _rotate(full: dict) -> dict:
+    head = {k: full[k] for k in _ROTATION_R4 if k in full}
+    return head | {k: v for k, v in full.items() if k not in head}
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE: dict order is the driver's check order, and the driver's
     # correctness artifact recorded only the first 50 entries in round
-    # 1 — new/changed queries go FIRST so every round's additions are
-    # driver-visible.
-    return {
+    # 1 — _ROTATION_R4 entries go FIRST (fixed + never-yet-checked
+    # queries); the literal below keeps its grouping for readability.
+    return _rotate({
+        # --- round-4 additions ---
+        "join_delta_retract": q_join_delta_retract,
         # --- round-3 additions / re-oracled queries ---
         "join_delta": q_join_delta,
         "dense_ids": q_dense_ids,
@@ -4281,7 +4447,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_tumbling": q_events_tumbling,
         "events_sliding": q_events_sliding,
         "events_session": q_events_session,
-    }
+    })
 
 
 # --- programmatic oracle builders (constants shared with the engine) ---
@@ -5421,6 +5587,7 @@ QUALIFY ROW_NUMBER() OVER (
         "similarity_cosine_topk": _cosine_sql(),
         "similarity_lsh_topk": _lsh_sql(),
         "join_delta": _JOIN_DELTA_SQL,
+        "join_delta_retract": _JOIN_DELTA_RETRACT_SQL,
         "dense_ids": _DENSE_IDS_SQL,
         "kmv_set_ops": _kmv_set_sql(64),
         "source_overlap": _source_overlap_sql(0.12),

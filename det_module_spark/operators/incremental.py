@@ -108,8 +108,8 @@ def join_delta(
     so the delta of the view is exactly the three mixed terms, each a
     join of a (small) batch against a snapshot or another batch —
     never a rescan of A ⋈ B. This is classic incremental view
-    maintenance (insert-only case); deletes need the same identity
-    over retraction multisets.
+    maintenance (insert-only case); ``join_delta_retract`` below is
+    the same identity over retraction multisets, which adds deletes.
 
     Scale shape: ΔA⋈B and A⋈ΔB broadcast the delta side when small
     (AQE decides); ΔA⋈ΔB is batch×batch. Shuffle is proportional to
@@ -119,4 +119,53 @@ def join_delta(
         delta_a.join(b, on)
         .unionByName(a.join(delta_b, on))
         .unionByName(delta_a.join(delta_b, on))
+    )
+
+
+def join_delta_retract(
+    a: DataFrame,
+    delta_a: DataFrame,
+    b: DataFrame,
+    delta_b: DataFrame,
+    on: list[str],
+    weight: str = "_w",
+) -> DataFrame:
+    """Incremental INNER-join maintenance over RETRACTION multisets
+    (Z-sets) — the deletes-capable generalization of ``join_delta``.
+
+    ``delta_a`` / ``delta_b`` carry a signed integer ``weight`` column
+    (+1 per inserted copy, -1 per deleted copy; any multiplicity
+    works); ``a`` / ``b`` are the PRE-update snapshots, implicitly
+    weight-1 per row. Over signed multiplicities the same identity
+    holds exactly:
+
+        Δ(A ⋈ B)  =  ΔA ⋈ B  +  A ⋈ ΔB  +  ΔA ⋈ ΔB
+
+    with an output row's multiplicity the PRODUCT of its inputs'
+    multiplicities (so delete × insert = a retraction of the joined
+    row, delete × delete = a net insert, exactly as Z-set semantics
+    require). The returned frame nets the three terms per distinct
+    output row and drops zero-weight rows, so applying it to the
+    standing view (union + re-net) reproduces (A+ΔA) ⋈ (B+ΔB)
+    row-for-row.
+
+    Scale shape: identical to ``join_delta`` — three joins each
+    bounded by |Δ| on at least one side, one |Δ|-sized hash agg to
+    net; never a rescan of the standing A ⋈ B."""
+    wa, wb, w = "__wa", "__wb", weight
+    da = delta_a.withColumnRenamed(weight, wa)
+    db = delta_b.withColumnRenamed(weight, wb)
+    t1 = da.join(b, on).withColumn(w, F.col(wa)).drop(wa)
+    t2 = a.join(db, on).withColumn(w, F.col(wb)).drop(wb)
+    t3 = (
+        da.join(db, on)
+        .withColumn(w, F.col(wa) * F.col(wb))
+        .drop(wa, wb)
+    )
+    out = t1.unionByName(t2).unionByName(t3)
+    group_cols = [c for c in out.columns if c != w]
+    return (
+        out.groupBy(*group_cols)
+        .agg(F.sum(w).alias(w))
+        .filter(F.col(w) != 0)
     )

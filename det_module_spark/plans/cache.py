@@ -142,6 +142,82 @@ class CacheManifest:
             finally:
                 os.unlink(tmp)
 
+    @staticmethod
+    def _vanished(e: Exception) -> bool:
+        """True when a Spark read failed because a listed commit file
+        was deleted underneath it (a concurrent compact() folding the
+        log) — the one retriable read error."""
+        s = str(e)
+        # listing-time: PATH_NOT_FOUND / "does not exist";
+        # execution-time (task reading a file deleted after listing):
+        # FAILED_READ_FILE caused by java.nio NoSuchFileException or
+        # java.io FileNotFoundException — match the cause names so a
+        # genuinely corrupt file (FAILED_READ_FILE with another cause)
+        # still raises instead of retrying forever.
+        return (
+            "FileNotFound" in s
+            or "NoSuchFile" in s
+            or "does not exist" in s
+            or "PATH_NOT_FOUND" in s
+        )
+
+    def _pinned_log(self) -> DataFrame | None:
+        """Replayable log snapshot, safe against concurrent compact():
+        pin the current file listing, then EAGERLY materialize it
+        (localCheckpoint) so a compact deleting those files afterwards
+        cannot break downstream (lazy) consumers. If a listed file
+        vanishes during materialization, re-list and retry — the
+        replacement listing always contains the fold commit (compact
+        claims its version BEFORE deleting), so the retried state is
+        complete, never partial. This retires the round-3 "concurrent
+        readers may need a retry" caveat. None = empty log.
+
+        Empty-listing guard: POSIX readdir overlapping compact()'s
+        delete-olds-after-claiming-fold window may legally miss BOTH
+        the just-deleted files and the just-created fold, returning a
+        transiently empty listing for a non-empty log — re-list a few
+        times before trusting emptiness (a genuinely empty log stays
+        empty; the race window is microseconds). Snapshot-consistent
+        listings (object stores, Delta) don't have this artifact."""
+        import time
+
+        empty_retries = 0
+        while True:
+            versions = self._versions()
+            if not versions:
+                if empty_retries < 3:
+                    empty_retries += 1
+                    time.sleep(0.002 * empty_retries)
+                    continue
+                return None
+            empty_retries = 0
+            files = [
+                os.path.join(self.log_path, f"{v:020d}.parquet")
+                for v in versions
+            ]
+            try:
+                # DataFrame CREATION lists the paths eagerly, so it
+                # can throw "path does not exist" too — keep it inside
+                # the retry along with the materialization.
+                log = self.spark.read.schema(_LOG_SCHEMA).parquet(*files)
+                ck = log.localCheckpoint(eager=True)
+            except Exception as e:  # noqa: BLE001 — inspect and re-raise
+                if self._vanished(e):
+                    continue
+                raise
+            # Deletion racing the read does NOT always raise: observed
+            # empirically (and load-bearing for correctness), Spark can
+            # return a silently EMPTY — or worse, partial — scan when
+            # pinned files vanish between listing and execution. Commit
+            # files are immutable while present, so "all pinned files
+            # still exist after materialization" proves the snapshot
+            # was complete; otherwise a compact folded under us and the
+            # fresh listing (which necessarily contains its fold) is
+            # one retry away.
+            if all(os.path.exists(f) for f in files):
+                return ck
+            continue
+
     def read(self, as_of_version: int | None = None) -> DataFrame:
         """Manifest state: replay the log, highest version wins per
         spec_hash. ``as_of_version`` is TIME TRAVEL — replay only
@@ -149,9 +225,9 @@ class CacheManifest:
         exactly (commits are immutable once claimed, so the snapshot
         is stable until those files are compacted away; compact()
         folds history and collapses earlier versions)."""
-        if not self._versions():
+        log = self._pinned_log()
+        if log is None:
             return self.spark.createDataFrame([], schema=MANIFEST_SCHEMA)
-        log = self.spark.read.schema(_LOG_SCHEMA).parquet(self.log_path)
         if as_of_version is not None:
             log = log.filter(F.col("version") <= as_of_version)
         w = Window.partitionBy("spec_hash").orderBy(F.desc("version"))
@@ -179,9 +255,15 @@ class CacheManifest:
         fails and the whole snapshot retries — the folded state can
         never be assigned a version above a commit it didn't include,
         which is the lost-update the old read-then-append had.
-        Concurrent READERS listing mid-compaction may need a retry —
-        acceptable for the local driver, Delta checkpoints are the
-        cluster answer."""
+        Concurrent READERS are also safe: reads pin + eagerly
+        materialize their file listing (``_pinned_log``) and retry if
+        a listed file vanished, and the retried listing necessarily
+        contains this compact's fold commit, so they observe either
+        the pre-fold or post-fold state — never a partial one. Two
+        concurrent compacts serialize the same way: the loser's
+        snapshot-read either succeeds (its listing already held the
+        winner's fold, whose replay is state-complete) or vanishes
+        mid-read and retries."""
         while True:
             versions = self._versions()
             if not versions:
@@ -191,21 +273,38 @@ class CacheManifest:
                 os.path.join(self.log_path, f"{v:020d}.parquet")
                 for v in versions
             ]
-            log = self.spark.read.schema(_LOG_SCHEMA).parquet(*files)
             w = Window.partitionBy("spec_hash").orderBy(F.desc("version"))
-            state = [
-                tuple(r)
-                for r in log.withColumn("_rn", F.row_number().over(w))
-                .filter(F.col("_rn") == 1)
-                .drop("_rn", "version")
-                .collect()
-            ]
+            try:
+                # the read lists paths eagerly: inside the retry too
+                log = self.spark.read.schema(_LOG_SCHEMA).parquet(*files)
+                state = [
+                    tuple(r)
+                    for r in log.withColumn("_rn", F.row_number().over(w))
+                    .filter(F.col("_rn") == 1)
+                    .drop("_rn", "version")
+                    .collect()
+                ]
+            except Exception as e:  # noqa: BLE001 — inspect, re-raise
+                if self._vanished(e):
+                    continue  # another compact folded under us — retry
+                raise
+            # same silent-partial-read hazard as _pinned_log: only
+            # trust (and fold!) the snapshot if every pinned file
+            # still exists after the collect — folding a silently
+            # partial state would be durable data loss.
+            if not all(os.path.exists(f) for f in files):
+                continue
             if self._commit(state, require_version=snap_max + 1) is None:
                 continue  # a commit landed after the snapshot — retry
             for old in versions:
-                os.unlink(
-                    os.path.join(self.log_path, f"{old:020d}.parquet")
-                )
+                # missing_ok: a racing compact that lost the CAS may
+                # still have won an EARLIER fold and deleted some of
+                # these already
+                p = os.path.join(self.log_path, f"{old:020d}.parquet")
+                try:
+                    os.unlink(p)
+                except FileNotFoundError:
+                    pass
             return
 
     def cached_hashes(self) -> DataFrame:

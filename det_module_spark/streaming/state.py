@@ -15,18 +15,94 @@ sees Arrow batches per key.
 
 from __future__ import annotations
 
+import importlib
+import os
+import sys
+
 from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 
-try:  # Spark >= 4.0, plus protobuf (the state-server wire protocol —
-    # NOT bundled in this container; same import-gate pattern as
-    # rasterio/shapely. applyInPandasWithState (streaming/intake.py)
-    # remains the tested stateful path here.)
-    import google.protobuf  # noqa: F401
+_VENDOR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "vendor",
+    "protofallback",
+)
+_SHIPPED_ZIP: str | None = None
+PROTOBUF_MODE: str | None = None
+
+
+def ensure_protobuf() -> str:
+    """Make ``google.protobuf`` importable, preferring the real
+    package; when absent, install the vendored pure-Python runtime
+    subset (vendor/protofallback) that the generated
+    ``StateMessage_pb2`` module needs. Returns "native"/"fallback"."""
+    global PROTOBUF_MODE
+    if PROTOBUF_MODE is not None:
+        return PROTOBUF_MODE
+    try:
+        import google.protobuf  # noqa: F401
+
+        PROTOBUF_MODE = "native"
+        return PROTOBUF_MODE
+    except ImportError:
+        pass
+    if _VENDOR not in sys.path:
+        sys.path.insert(0, _VENDOR)
+    # TWS spawns TWO kinds of helper Python processes: executor UDF
+    # workers (reached via addPyFile, _ship_fallback) and a DRIVER
+    # worker (transform_with_state_driver_worker.py) launched by the
+    # JVM with a PYTHONPATH inherited from the JVM's environment —
+    # which the JVM in turn inherited from this process at session
+    # start. Export the vendor dir so both resolve google.protobuf.
+    # (Call ensure_protobuf()/import this module BEFORE creating the
+    # SparkSession for the driver-worker path to see it.)
+    existing = os.environ.get("PYTHONPATH", "")
+    if _VENDOR not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            _VENDOR + os.pathsep + existing if existing else _VENDOR
+        )
+    importlib.invalidate_caches()
+    import google.protobuf  # noqa: F401 - the fallback
+
+    PROTOBUF_MODE = "fallback"
+    return PROTOBUF_MODE
+
+
+def _ship_fallback(spark) -> None:
+    """transformWithState's state client runs in the EXECUTOR Python
+    workers, which import the pb2 module there — ship the fallback
+    package as a py-file so worker sys.path can resolve it. No-op on
+    a machine with real protobuf installed."""
+    global _SHIPPED_ZIP
+    if ensure_protobuf() != "fallback":
+        return
+    if _SHIPPED_ZIP is None:
+        import tempfile
+        import zipfile
+
+        fd, zpath = tempfile.mkstemp(suffix="_protofallback.zip")
+        os.close(fd)
+        with zipfile.ZipFile(zpath, "w") as z:
+            pkg = os.path.join(_VENDOR, "google")
+            for root, _, files in os.walk(pkg):
+                for f in files:
+                    if f.endswith(".py"):
+                        full = os.path.join(root, f)
+                        z.write(full, os.path.relpath(full, _VENDOR))
+        _SHIPPED_ZIP = zpath
+    try:
+        spark.sparkContext.addPyFile(_SHIPPED_ZIP)
+    except Exception:  # noqa: BLE001 - already registered on this ctx
+        pass
+
+
+try:  # Spark >= 4.0; protobuf is the state-server wire protocol —
+    # real package when installed, else the vendored fallback above.
+    ensure_protobuf()
     from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
 
     HAS_TWS = True
-except ImportError:  # pragma: no cover - older Spark / no protobuf
+except ImportError:  # pragma: no cover - Spark < 4
     StatefulProcessor = object  # type: ignore[assignment,misc]
     StatefulProcessorHandle = None  # type: ignore[assignment,misc]
     HAS_TWS = False
@@ -90,6 +166,7 @@ def running_totals(
     running (count, sum) for every key it touched."""
     from pyspark.sql import functions as F
 
+    _ship_fallback(events.sparkSession)
     prepared = events.select(
         F.col(key_col).cast("string").alias("key"),
         F.col(value_col).cast("double").alias("value"),

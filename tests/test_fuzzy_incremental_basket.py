@@ -203,3 +203,59 @@ def test_join_delta_equals_full_recompute(spark):
     assert sorted(map(tuple, full.collect())) == sorted(
         map(tuple, incr.collect())
     )
+
+
+def test_join_delta_retract_equals_full_recompute(spark):
+    """Z-set IVM: applying the netted weighted delta to the old view
+    reproduces the new view's multiset exactly, with inserts AND
+    deletes (including the delete×delete and duplicate-row cases)."""
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from det_module_spark.operators.incremental import join_delta_retract
+
+    # duplicates in the snapshots make the multiset semantics load-
+    # bearing: k=2 appears twice in a, k=4 twice in b
+    a_rows = [(k, f"a{k}") for k in range(8)] + [(2, "a2")]
+    b_rows = [(k, k * 10) for k in range(0, 12, 2)] + [(4, 40)]
+    a = spark.createDataFrame(a_rows, ["k", "va"])
+    b = spark.createDataFrame(b_rows, ["k", "vb"])
+    # ΔA: insert k=10..13, delete ONE copy of (2,"a2") and (5,"a5");
+    # ΔB: insert odd k, delete (4,40) BOTH copies and (2,20)
+    da = spark.createDataFrame(
+        [(k, f"a{k}", 1) for k in range(10, 14)]
+        + [(2, "a2", -1), (5, "a5", -1)],
+        ["k", "va", "_w"],
+    )
+    db = spark.createDataFrame(
+        [(k, k * 10, 1) for k in range(1, 12, 2)]
+        + [(4, 40, -2), (2, 20, -1)],
+        ["k", "vb", "_w"],
+    )
+
+    def as_multiset(rows):
+        c = Counter()
+        for r in rows:
+            c[(r["k"], r["va"], r["vb"])] += r["_w"] if "_w" in r else 1
+        return {k: v for k, v in c.items() if v != 0}
+
+    # ground truth: materialize new A and new B, join fully.
+    # A held (2,'a2') twice; one copy deleted leaves exactly the one
+    # in range(8). k=5 deleted outright.
+    new_a = [(k, f"a{k}") for k in range(8) if k != 5] + [
+        (k, f"a{k}") for k in range(10, 14)
+    ]
+    new_b = [(k, k * 10) for k in range(0, 12, 2) if k not in (2, 4)] + [
+        (k, k * 10) for k in range(1, 12, 2)
+    ]
+    full_new = spark.createDataFrame(new_a, ["k", "va"]).join(
+        spark.createDataFrame(new_b, ["k", "vb"]), "k"
+    )
+    old = a.join(b, "k").withColumn("_w", F.lit(1))
+    delta = join_delta_retract(a, da, b, db, on=["k"])
+    applied = as_multiset(old.collect() + delta.collect())
+    want = as_multiset(full_new.withColumn("_w", F.lit(1)).collect())
+    assert applied == want
+    # and the delta itself is netted: no zero-weight rows
+    assert all(r["_w"] != 0 for r in delta.collect())

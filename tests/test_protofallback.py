@@ -1,0 +1,148 @@
+"""Unit tests for the vendored pure-Python protobuf runtime subset
+(vendor/protofallback) against pyspark's generated StateMessage_pb2.
+
+No SparkSession needed: these exercise the wire codec and message
+semantics directly. The end-to-end JVM interop check is
+test_streaming_state.py (the TWS state server parses these bytes).
+"""
+
+from __future__ import annotations
+
+import sys
+
+import pytest
+
+from det_module_spark.streaming.state import ensure_protobuf
+
+MODE = ensure_protobuf()
+
+
+@pytest.fixture(scope="module")
+def sm():
+    import pyspark.sql.streaming.proto.StateMessage_pb2 as m
+
+    return m
+
+
+def test_value_state_get_wire_bytes(sm):
+    """Exact wire encoding, hand-derived from the public spec:
+    StateRequest.stateVariableRequest (field 3, LEN) >
+    ValueStateCall (field 1) > stateName 'totals' (field 1) +
+    get (field 3, empty message)."""
+    req = sm.StateRequest(
+        stateVariableRequest=sm.StateVariableRequest(
+            valueStateCall=sm.ValueStateCall(
+                stateName="totals", get=sm.Get()
+            )
+        )
+    )
+    assert req.SerializeToString().hex() == "1a0c0a0a0a06746f74616c731a00"
+
+
+def test_parse_roundtrip_and_oneof(sm):
+    req = sm.StateRequest(
+        implicitGroupingKeyRequest=sm.ImplicitGroupingKeyRequest(
+            setImplicitKey=sm.SetImplicitKey(key=b"\x00\x01grp")
+        )
+    )
+    back = sm.StateRequest()
+    back.ParseFromString(req.SerializeToString())
+    assert back.WhichOneof("method") == "implicitGroupingKeyRequest"
+    assert back.implicitGroupingKeyRequest.setImplicitKey.key == b"\x00\x01grp"
+
+
+def test_attribute_set_and_ttl_vivification(sm):
+    cmd = sm.StateCallCommand()
+    cmd.stateName = "s1"
+    cmd.schema = "sch"
+    cmd.ttl.durationMs = 5000
+    back = sm.StateCallCommand()
+    back.ParseFromString(cmd.SerializeToString())
+    assert back.stateName == "s1"
+    assert back.ttl.durationMs == 5000
+    assert back.HasField("ttl")
+
+
+def test_untouched_submessage_not_serialized(sm):
+    """Reading cmd.ttl without writing must not put a TTL config on
+    the wire — a fabricated durationMs=0 would enable instant-expiry
+    TTL on the JVM side."""
+    cmd = sm.StateCallCommand()
+    cmd.stateName = "s2"
+    _ = cmd.ttl  # read-only access
+    back = sm.StateCallCommand()
+    back.ParseFromString(cmd.SerializeToString())
+    assert not back.HasField("ttl")
+
+
+def test_enum_constants_and_handle_state(sm):
+    assert (
+        sm.PRE_INIT,
+        sm.CREATED,
+        sm.INITIALIZED,
+        sm.DATA_PROCESSED,
+        sm.TIMER_PROCESSED,
+        sm.CLOSED,
+    ) == (0, 1, 2, 3, 4, 5)
+    req = sm.StateRequest(
+        statefulProcessorCall=sm.StatefulProcessorCall(
+            setHandleState=sm.SetHandleState(state=sm.DATA_PROCESSED)
+        )
+    )
+    back = sm.StateRequest()
+    back.ParseFromString(req.SerializeToString())
+    assert back.statefulProcessorCall.setHandleState.state == 3
+
+
+def test_repeated_bytes_and_bool(sm):
+    msg = sm.AppendList(value=[b"a", b"bb", b"ccc"], fetchWithArrow=True)
+    back = sm.AppendList()
+    back.ParseFromString(msg.SerializeToString())
+    assert list(back.value) == [b"a", b"bb", b"ccc"]
+    assert back.fetchWithArrow is True
+
+
+def test_repeated_message_and_negative_int(sm):
+    resp = sm.StateResponseWithMapIterator(
+        statusCode=-3,
+        errorMessage="boom",
+        kvPair=[
+            sm.KeyAndValuePair(key=b"k1", value=b"v1"),
+            sm.KeyAndValuePair(key=b"k2", value=b"v2"),
+        ],
+        requireNextFetch=True,
+    )
+    back = sm.StateResponseWithMapIterator()
+    back.ParseFromString(resp.SerializeToString())
+    assert back.statusCode == -3
+    assert back.errorMessage == "boom"
+    assert [(p.key, p.value) for p in back.kvPair] == [
+        (b"k1", b"v1"),
+        (b"k2", b"v2"),
+    ]
+    assert back.requireNextFetch is True
+
+
+def test_long_value_and_unknown_field_skip(sm):
+    lr = sm.StateResponseWithLongTypeVal(statusCode=0, value=1755181000000)
+    data = lr.SerializeToString()
+    # splice an unknown field (number 15, varint) in front — parsers
+    # must skip it (forward compatibility)
+    data = bytes([15 << 3 | 0, 0x2A]) + data
+    back = sm.StateResponseWithLongTypeVal()
+    back.ParseFromString(data)
+    assert back.value == 1755181000000
+
+
+def test_default_scalars_not_serialized(sm):
+    """proto3: scalar fields at default value stay off the wire."""
+    assert sm.StateResponse(statusCode=0).SerializeToString() == b""
+    assert sm.Exists().SerializeToString() == b""
+
+
+@pytest.mark.skipif(MODE != "fallback", reason="only exercising the shim")
+def test_fallback_is_the_vendored_module():
+    import google.protobuf
+
+    assert "protofallback" in google.protobuf.__file__
+    assert any("protofallback" in p for p in sys.path)

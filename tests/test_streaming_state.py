@@ -1,10 +1,20 @@
 """transformWithStateInPandas running totals: state survives across
-micro-batches."""
+micro-batches (and across a query restart from the checkpoint).
+
+This is a REAL end-to-end execution of Spark's TWS path: the Python
+state clients speak the protobuf wire protocol to the JVM state
+server — via the real google.protobuf when installed, else the
+vendored pure-Python runtime (vendor/protofallback, unit-tested in
+test_protofallback.py). TWS stores each state variable in its own
+column family, so the bundled RocksDB state-store provider is pinned
+for the test (HDFS-backed provider: single column family only).
+"""
 
 from __future__ import annotations
 
 import pytest
-from pyspark.sql import Row
+from pyspark.sql import Row, Window
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from det_module_spark.streaming.state import HAS_TWS, running_totals
@@ -17,9 +27,29 @@ EVENT_SCHEMA = T.StructType(
 )
 
 
-@pytest.mark.skipif(not HAS_TWS, reason="transformWithState needs Spark 4+ and protobuf")
-def test_running_totals_across_batches(spark, tmp_path):
+@pytest.fixture()
+def rocksdb_state(spark):
+    """transformWithState keeps each state variable in its own column
+    family, which the default HDFS-backed provider cannot do — pin the
+    bundled RocksDB provider for the duration of the test."""
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    yield
+    if prev is None:
+        spark.conf.unset(key)
+    else:
+        spark.conf.set(key, prev)
+
+
+@pytest.mark.skipif(not HAS_TWS, reason="transformWithState needs Spark 4+")
+def test_running_totals_across_batches(spark, tmp_path, rocksdb_state):
     src = tmp_path / "ev"
+    out = tmp_path / "out"
     src.mkdir()
     spark.createDataFrame(
         [Row(event_type="a", value=1.0), Row(event_type="a", value=2.0),
@@ -27,36 +57,53 @@ def test_running_totals_across_batches(spark, tmp_path):
         EVENT_SCHEMA,
     ).coalesce(1).write.mode("append").parquet(str(src))
 
-    stream = spark.readStream.schema(EVENT_SCHEMA).parquet(str(src))
-    out = running_totals(stream)
-    q = (
-        out.writeStream.format("memory")
-        .queryName("tws_totals")
-        .outputMode("update")
-        .option("checkpointLocation", str(tmp_path / "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(120)
-    first = {r.key: (r.n_events, r.sum_value)
-             for r in spark.sql("SELECT * FROM tws_totals").collect()}
+    # memory sinks cannot recover from a checkpoint; foreachBatch can,
+    # which is what lets the second run resume the SAME query and
+    # prove the state survived the restart.
+    def sink(bdf, bid):
+        bdf.withColumn("batch_id", F.lit(bid)).write.mode(
+            "append"
+        ).parquet(str(out))
+
+    def run_once():
+        q = (
+            running_totals(
+                spark.readStream.schema(EVENT_SCHEMA).parquet(str(src))
+            )
+            .writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+
+    run_once()
+    got = spark.read.parquet(str(out))
+    first = {
+        r["key"]: (r["n_events"], r["sum_value"]) for r in got.collect()
+    }
     assert first == {"a": (2, 3.0), "b": (1, 5.0)}
 
-    # second batch: state must carry the previous totals forward
+    # second batch: the restarted query must carry the previous totals
+    # forward out of the state store
     spark.createDataFrame(
         [Row(event_type="a", value=10.0)], EVENT_SCHEMA
     ).coalesce(1).write.mode("append").parquet(str(src))
-    stream2 = spark.readStream.schema(EVENT_SCHEMA).parquet(str(src))
-    q2 = (
-        running_totals(stream2)
-        .writeStream.format("memory")
-        .queryName("tws_totals2")
-        .outputMode("update")
-        .option("checkpointLocation", str(tmp_path / "ckpt"))
-        .trigger(availableNow=True)
-        .start()
+    run_once()
+    latest = (
+        spark.read.parquet(str(out))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("key").orderBy(F.desc("batch_id"))
+            ),
+        )
+        .filter("rn = 1")
     )
-    q2.awaitTermination(120)
-    rows = {r.key: (r.n_events, r.sum_value)
-            for r in spark.sql("SELECT * FROM tws_totals2").collect()}
-    assert rows["a"] == (12, 13.0)
+    rows = {
+        r["key"]: (r["n_events"], r["sum_value"]) for r in latest.collect()
+    }
+    # a: 2 prior events (sum 3.0) + 1 new (10.0) -> (3, 13.0); b
+    # untouched in batch 2, so its latest row is still batch 0's
+    assert rows == {"a": (3, 13.0), "b": (1, 5.0)}
