@@ -1364,6 +1364,45 @@ _JOIN_DELTA_RETRACT_SQL = """
 """
 
 
+def q_events_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # transformWithState, driver-oracled: replay the events table
+    # through the TWS running-totals processor (Python state client →
+    # protobuf wire protocol → RocksDB state store), one micro-batch
+    # per event_id%5 bucket, UPDATE mode. The emitted rows are the
+    # per-key cumulative (count, sum) trajectory, which the oracle
+    # reproduces as a cumulative window over per-batch aggregates.
+    # Values are integer cents in a double, so the float state
+    # accumulates exactly and hashes clean (ROUND_NOTES float rules).
+    from det_module_spark.streaming.replay import replay_running_totals
+
+    ev = load_table(spark, sf_dir, "events").select(
+        (F.col("event_id") % 5).alias("batch"),
+        F.col("event_type"),
+        F.expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT)")
+        .cast("double")
+        .alias("value"),
+    )
+    out = replay_running_totals(ev, "batch", "event_type", "value")
+    return out.select("key", "n_events", "sum_value").orderBy(
+        "key", "n_events"
+    )
+
+
+_EVENTS_RUNNING_TOTALS_SQL = """
+    WITH e AS (SELECT event_id % 5 AS batch, event_type AS key,
+                      CAST(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+                           AS DOUBLE) AS v
+               FROM events),
+    pb AS (SELECT batch, key, COUNT(*) AS n, SUM(v) AS s
+           FROM e GROUP BY 1, 2)
+    SELECT key,
+           CAST(SUM(n) OVER (PARTITION BY key ORDER BY batch)
+                AS BIGINT) AS n_events,
+           SUM(s) OVER (PARTITION BY key ORDER BY batch) AS sum_value
+    FROM pb ORDER BY key, n_events
+"""
+
+
 def q_dense_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     # surrogate-key assignment WITHOUT the global-window trap
     # (operators/ids.dense_ids): range partition + per-partition
@@ -4178,6 +4217,7 @@ def entry(spark: SparkSession) -> DataFrame:
 _ROTATION_R4 = [
     # new this round
     "join_delta_retract",
+    "events_running_totals",
     # fixed or behavior-touched this round — driver must re-check
     "skew_join_agg",
     "skew_salted_join",
@@ -4245,6 +4285,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return _rotate({
         # --- round-4 additions ---
         "join_delta_retract": q_join_delta_retract,
+        "events_running_totals": q_events_running_totals,
         # --- round-3 additions / re-oracled queries ---
         "join_delta": q_join_delta,
         "dense_ids": q_dense_ids,
@@ -5588,6 +5629,7 @@ QUALIFY ROW_NUMBER() OVER (
         "similarity_lsh_topk": _lsh_sql(),
         "join_delta": _JOIN_DELTA_SQL,
         "join_delta_retract": _JOIN_DELTA_RETRACT_SQL,
+        "events_running_totals": _EVENTS_RUNNING_TOTALS_SQL,
         "dense_ids": _DENSE_IDS_SQL,
         "kmv_set_ops": _kmv_set_sql(64),
         "source_overlap": _source_overlap_sql(0.12),

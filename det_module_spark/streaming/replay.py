@@ -80,11 +80,21 @@ def write_batch_files(df: DataFrame, batch_col: str, out_dir: str) -> int:
     return len(batches)
 
 
-def replay_stream(df: DataFrame, batch_col: str, build) -> DataFrame:
-    """Replay ``df`` through a REAL APPEND-mode streaming query, one
-    micro-batch per ``batch_col`` value; ``build(stream_df)`` supplies
-    the (watermarked, stateful) transformation under test. Returns
-    the emitted rows as a batch DataFrame in the caller's session."""
+def replay_stream(
+    df: DataFrame,
+    batch_col: str,
+    build,
+    output_mode: str = "append",
+    extra_conf: dict[str, str] | None = None,
+) -> DataFrame:
+    """Replay ``df`` through a REAL streaming query, one micro-batch
+    per ``batch_col`` value; ``build(stream_df)`` supplies the
+    (watermarked, stateful) transformation under test. Returns the
+    emitted rows as a batch DataFrame in the caller's session.
+    ``output_mode``: append (watermarked aggs) or update (per-key
+    stateful emitters); ``extra_conf`` lands on the CHILD session
+    before the query starts (e.g. the RocksDB state-store provider
+    transformWithState requires)."""
     spark = df.sparkSession
     src = tempfile.mkdtemp(prefix="replay_src_")
     ckpt = tempfile.mkdtemp(prefix="replay_ckpt_")
@@ -105,6 +115,8 @@ def replay_stream(df: DataFrame, batch_col: str, build) -> DataFrame:
             "spark.sql.streaming.stateStore.maintenanceInterval", "1h"
         )
         run.conf.set("spark.sql.session.timeZone", spark.conf.get("spark.sql.session.timeZone"))
+        for k, v in (extra_conf or {}).items():
+            run.conf.set(k, v)
         stream = (
             run.readStream.schema(schema)
             .option("maxFilesPerTrigger", "1")
@@ -115,7 +127,7 @@ def replay_stream(df: DataFrame, batch_col: str, build) -> DataFrame:
             build(stream)
             .writeStream.format("memory")
             .queryName(name)
-            .outputMode("append")
+            .outputMode(output_mode)
             .option("checkpointLocation", ckpt)
             .trigger(availableNow=True)
             .start()
@@ -197,4 +209,45 @@ def replay_dedup(
         lambda stream: stream_dedup(
             stream, keys, ts_col=ts_col, watermark=watermark
         ),
+    )
+
+
+def replay_running_totals(
+    df: DataFrame,
+    batch_col: str,
+    key_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Replay ``df`` through the transformWithState running-totals
+    processor (streaming/state.py) — UPDATE mode, so the memory sink
+    accumulates one (key, n_events, sum_value) row per key per
+    micro-batch that touched it: exactly the prefix-sum trajectory a
+    SQL oracle reproduces with a cumulative window over per-batch
+    aggregates (n strictly increases per key, so rows are distinct).
+
+    This is the REAL TWS path end-to-end: Python StatefulProcessor →
+    protobuf state protocol (vendored fallback when the real runtime
+    is absent) → RocksDB state store (pinned via extra_conf — TWS
+    keeps each state variable in its own column family, which the
+    default HDFS-backed provider refuses).
+
+    Float discipline: feed integer-valued doubles (e.g. cents) —
+    every partial sum is exactly representable, so the double state
+    accumulates order-independently and hash-matches the oracle.
+    """
+    from det_module_spark.streaming.state import running_totals
+
+    return replay_stream(
+        df,
+        batch_col,
+        lambda stream: running_totals(
+            stream, key_col=key_col, value_col=value_col
+        ),
+        output_mode="update",
+        extra_conf={
+            "spark.sql.streaming.stateStore.providerClass": (
+                "org.apache.spark.sql.execution.streaming.state."
+                "RocksDBStateStoreProvider"
+            )
+        },
     )

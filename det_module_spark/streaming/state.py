@@ -94,6 +94,23 @@ def _ship_fallback(spark) -> None:
         spark.sparkContext.addPyFile(_SHIPPED_ZIP)
     except Exception:  # noqa: BLE001 - already registered on this ctx
         pass
+    # The TWS *driver worker* is a separate process the JVM launches
+    # with the env vars captured into the Python function at UDF
+    # creation (sc.environment) — os.environ["PYTHONPATH"] only helps
+    # when it was set before the JVM started. Injecting the vendor
+    # dir into sc.environment here covers sessions that were already
+    # running when the fallback was installed.
+    # NOTE: consult only sc.environment here — os.environ already
+    # carries the vendor (ensure_protobuf set it), but the worker
+    # factory merges sc.environment with the JVM's STARTUP env, and
+    # when the JVM predates the fallback install only this dict can
+    # still deliver the path.
+    env = spark.sparkContext.environment
+    existing = env.get("PYTHONPATH", "")
+    if _VENDOR not in existing.split(os.pathsep):
+        env["PYTHONPATH"] = (
+            _VENDOR + os.pathsep + existing if existing else _VENDOR
+        )
 
 
 try:  # Spark >= 4.0; protobuf is the state-server wire protocol —
