@@ -1403,6 +1403,74 @@ _EVENTS_RUNNING_TOTALS_SQL = """
 """
 
 
+def q_events_topk_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # transformWithState ListState, driver-oracled: running top-3
+    # DISTINCT cent-values per event_type, replayed one micro-batch
+    # per event_id%4 bucket; each touched batch emits the cumulative
+    # top-3 as a desc CSV string. Bounded state (k rows per key) —
+    # the dropped tail can never re-enter a running top-k.
+    from det_module_spark.streaming.replay import replay_topk_distinct
+
+    ev = load_table(spark, sf_dir, "events").select(
+        (F.col("event_id") % 4).alias("batch"),
+        F.col("event_type"),
+        F.expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT)").alias("value"),
+    )
+    out = replay_topk_distinct(ev, "batch", "event_type", "value", k=3)
+    return out.orderBy("key", "topk")
+
+
+_EVENTS_TOPK_SQL = """
+    WITH e AS (SELECT event_id % 4 AS b, event_type AS key,
+                      CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS v
+               FROM events),
+    touched AS (SELECT DISTINCT key, b FROM e),
+    d AS (SELECT DISTINCT t.key, t.b, e.v
+          FROM touched t JOIN e ON e.key = t.key AND e.b <= t.b),
+    r AS (SELECT key, b, v,
+                 ROW_NUMBER() OVER (PARTITION BY key, b
+                                    ORDER BY v DESC) AS rn
+          FROM d)
+    SELECT key,
+           string_agg(CAST(v AS VARCHAR), ',' ORDER BY v DESC) AS topk
+    FROM r WHERE rn <= 3
+    GROUP BY key, b
+    ORDER BY key, topk
+"""
+
+
+def q_events_bucket_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # transformWithState MapState, driver-oracled: per event_type a
+    # bucket -> count map (bucket = user_id%10); each touched batch
+    # emits (key, distinct buckets so far, events so far). Exercises
+    # the userKey message family of the state protocol end-to-end.
+    from det_module_spark.streaming.replay import replay_bucket_counts
+
+    ev = load_table(spark, sf_dir, "events").select(
+        (F.col("event_id") % 4).alias("batch"),
+        F.col("event_type"),
+        (F.col("user_id") % 10).alias("bucket"),
+    )
+    out = replay_bucket_counts(ev, "batch", "event_type", "bucket")
+    return out.orderBy("key", "n_events")
+
+
+_EVENTS_BUCKET_SQL = """
+    WITH e AS (SELECT event_id % 4 AS b, event_type AS key,
+                      user_id % 10 AS bucket
+               FROM events),
+    touched AS (SELECT DISTINCT key, b FROM e),
+    agg AS (SELECT t.key, t.b,
+                   COUNT(DISTINCT e.bucket) AS n_buckets,
+                   COUNT(*) AS n_events
+            FROM touched t JOIN e ON e.key = t.key AND e.b <= t.b
+            GROUP BY t.key, t.b)
+    SELECT key, CAST(n_buckets AS BIGINT) AS n_buckets,
+           CAST(n_events AS BIGINT) AS n_events
+    FROM agg ORDER BY key, n_events
+"""
+
+
 def q_dense_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     # surrogate-key assignment WITHOUT the global-window trap
     # (operators/ids.dense_ids): range partition + per-partition
@@ -4218,6 +4286,8 @@ _ROTATION_R4 = [
     # new this round
     "join_delta_retract",
     "events_running_totals",
+    "events_topk_stream",
+    "events_bucket_stream",
     # fixed or behavior-touched this round — driver must re-check
     "skew_join_agg",
     "skew_salted_join",
@@ -4286,6 +4356,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- round-4 additions ---
         "join_delta_retract": q_join_delta_retract,
         "events_running_totals": q_events_running_totals,
+        "events_topk_stream": q_events_topk_stream,
+        "events_bucket_stream": q_events_bucket_stream,
         # --- round-3 additions / re-oracled queries ---
         "join_delta": q_join_delta,
         "dense_ids": q_dense_ids,
@@ -5630,6 +5702,8 @@ QUALIFY ROW_NUMBER() OVER (
         "join_delta": _JOIN_DELTA_SQL,
         "join_delta_retract": _JOIN_DELTA_RETRACT_SQL,
         "events_running_totals": _EVENTS_RUNNING_TOTALS_SQL,
+        "events_topk_stream": _EVENTS_TOPK_SQL,
+        "events_bucket_stream": _EVENTS_BUCKET_SQL,
         "dense_ids": _DENSE_IDS_SQL,
         "kmv_set_ops": _kmv_set_sql(64),
         "source_overlap": _source_overlap_sql(0.12),

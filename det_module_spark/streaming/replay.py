@@ -251,3 +251,54 @@ def replay_running_totals(
             )
         },
     )
+
+
+_ROCKSDB_CONF = {
+    "spark.sql.streaming.stateStore.providerClass": (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    )
+}
+
+
+def replay_topk_distinct(
+    df: DataFrame,
+    batch_col: str,
+    key_col: str,
+    value_col: str,
+    k: int = 3,
+) -> DataFrame:
+    """Replay through the TWS ListState running top-k-distinct
+    processor; emits one (key, desc-CSV) row per key per touched
+    micro-batch — the oracle rebuilds each touched batch's cumulative
+    distinct top-k with a rank window."""
+    from det_module_spark.streaming.state import topk_distinct
+
+    return replay_stream(
+        df,
+        batch_col,
+        lambda s: topk_distinct(s, key_col=key_col, value_col=value_col, k=k),
+        output_mode="update",
+        extra_conf=_ROCKSDB_CONF,
+    )
+
+
+def replay_bucket_counts(
+    df: DataFrame,
+    batch_col: str,
+    key_col: str,
+    bucket_col: str,
+) -> DataFrame:
+    """Replay through the TWS MapState bucket tracker; emits one
+    (key, n_distinct_buckets, n_events) row per key per touched
+    micro-batch — cumulative distinct-count + count the oracle
+    reproduces per touched batch."""
+    from det_module_spark.streaming.state import bucket_counts
+
+    return replay_stream(
+        df,
+        batch_col,
+        lambda s: bucket_counts(s, key_col=key_col, bucket_col=bucket_col),
+        output_mode="update",
+        extra_conf=_ROCKSDB_CONF,
+    )

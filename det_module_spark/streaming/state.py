@@ -194,3 +194,141 @@ def running_totals(
         outputMode="Update",
         timeMode="None",
     )
+
+
+TOPK_SCHEMA = T.StructType(
+    [
+        T.StructField("key", T.StringType()),
+        T.StructField("topk", T.StringType()),
+    ]
+)
+
+
+class TopKDistinctProcessor(StatefulProcessor):
+    """Per-key running top-k DISTINCT values, kept in a ListState.
+
+    Dropping everything below the current k-th largest is lossless for
+    a running top-k: the retained k values all stay present, so any
+    dropped (strictly smaller) value can never re-enter the top-k.
+    State is therefore bounded at k rows per key — the canonical
+    bounded-state streaming summary.
+
+    Protocol coverage: ListState get/clear/put + string-schema
+    parsing (UtilsRequest.ParseStringSchema on the server side).
+    Output: one (key, "v1,v2,..." desc CSV) row per key per
+    micro-batch that touched it.
+    """
+
+    def __init__(self, k: int = 3) -> None:
+        self._k = k
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        # string schema on purpose: exercises the parse-string-schema
+        # round trip of the state protocol
+        self._vals = handle.getListState("vals", "v BIGINT")
+
+    def handleInputRows(self, key, rows, timerValues):
+        import pandas as pd
+
+        cur = {int(t[0]) for t in self._vals.get()}
+        for pdf in rows:
+            cur.update(int(v) for v in pdf["value"])
+        top = sorted(cur, reverse=True)[: self._k]
+        self._vals.clear()
+        self._vals.put([(v,) for v in top])
+        yield pd.DataFrame(
+            {"key": [key[0]], "topk": [",".join(map(str, top))]}
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def topk_distinct(
+    events: DataFrame,
+    key_col: str = "event_type",
+    value_col: str = "value",
+    k: int = 3,
+) -> DataFrame:
+    """Streaming per-key running top-k distinct integer values via
+    transformWithStateInPandas ListState."""
+    from pyspark.sql import functions as F
+
+    _ship_fallback(events.sparkSession)
+    prepared = events.select(
+        F.col(key_col).cast("string").alias("key"),
+        F.col(value_col).cast("long").alias("value"),
+    )
+    return prepared.groupBy("key").transformWithStateInPandas(
+        statefulProcessor=TopKDistinctProcessor(k),
+        outputStructType=TOPK_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
+BUCKETS_SCHEMA = T.StructType(
+    [
+        T.StructField("key", T.StringType()),
+        T.StructField("n_buckets", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+    ]
+)
+
+
+class BucketCountProcessor(StatefulProcessor):
+    """Per-key MapState: bucket -> event count; emits (key, #distinct
+    buckets seen, total events) after each micro-batch that touched
+    the key. State is bounded by the bucket-id domain per key.
+
+    Protocol coverage: MapState getValue/containsKey/updateValue/keys
+    (the userKey-bearing message family of the state protocol)."""
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._m = handle.getMapState("buckets", "bucket BIGINT", "cnt BIGINT")
+
+    def handleInputRows(self, key, rows, timerValues):
+        import pandas as pd
+
+        for pdf in rows:
+            for b, n in pdf.groupby("bucket").size().items():
+                b = int(b)
+                prev = (
+                    self._m.getValue((b,))
+                    if self._m.containsKey((b,))
+                    else (0,)
+                )
+                self._m.updateValue((b,), (int(prev[0]) + int(n),))
+        counts = [int(v[0]) for v in self._m.values()]
+        yield pd.DataFrame(
+            {
+                "key": [key[0]],
+                "n_buckets": [len(counts)],
+                "n_events": [sum(counts)],
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def bucket_counts(
+    events: DataFrame,
+    key_col: str = "event_type",
+    bucket_col: str = "bucket",
+) -> DataFrame:
+    """Streaming per-key distinct-bucket tracker via
+    transformWithStateInPandas MapState."""
+    from pyspark.sql import functions as F
+
+    _ship_fallback(events.sparkSession)
+    prepared = events.select(
+        F.col(key_col).cast("string").alias("key"),
+        F.col(bucket_col).cast("long").alias("bucket"),
+    )
+    return prepared.groupBy("key").transformWithStateInPandas(
+        statefulProcessor=BucketCountProcessor(),
+        outputStructType=BUCKETS_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )

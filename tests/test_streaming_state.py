@@ -107,3 +107,93 @@ def test_running_totals_across_batches(spark, tmp_path, rocksdb_state):
     # a: 2 prior events (sum 3.0) + 1 new (10.0) -> (3, 13.0); b
     # untouched in batch 2, so its latest row is still batch 0's
     assert rows == {"a": (3, 13.0), "b": (1, 5.0)}
+
+
+@pytest.mark.skipif(not HAS_TWS, reason="transformWithState needs Spark 4+")
+def test_timers_and_ttl_protocol(spark, tmp_path, rocksdb_state):
+    """Exercises the remaining state-protocol families end-to-end:
+    timer register/list/delete (ProcessingTime mode) and ValueState
+    with a TTL config (1h — state must survive within the horizon).
+
+    A TWS query in ProcessingTime mode keeps scheduling timer-check
+    micro-batches even under trigger(availableNow) — it never
+    self-terminates (with a PENDING timer it also burns a state-store
+    version per tick; observed 80+). So: wait for the first batch's
+    output, then stop() the query explicitly."""
+    import pandas as pd
+
+    from det_module_spark.streaming.state import (
+        StatefulProcessor,
+        _ship_fallback,
+    )
+
+    class TimerEcho(StatefulProcessor):
+        def init(self, handle):
+            self._h = handle
+            self._seen = handle.getValueState(
+                "seen", "n BIGINT", ttlDurationMs=3_600_000
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            far = timerValues.getCurrentProcessingTimeInMs() + 86_400_000
+            self._h.registerTimer(far)
+            self._h.registerTimer(far + 1000)
+            self._h.deleteTimer(far + 1000)
+            timers = list(self._h.listTimers())
+            self._h.deleteTimer(far)  # leave none pending (see above)
+            prev = self._seen.get() if self._seen.exists() else (0,)
+            n = int(prev[0]) + sum(len(p) for p in rows)
+            self._seen.update((n,))
+            yield pd.DataFrame(
+                {"key": [key[0]], "n": [n], "n_timers": [len(timers)]}
+            )
+
+        def close(self):
+            pass
+
+    src = tmp_path / "ev"
+    out = tmp_path / "out"
+    src.mkdir()
+    spark.createDataFrame(
+        [Row(event_type="a", value=1.0), Row(event_type="a", value=2.0)],
+        EVENT_SCHEMA,
+    ).coalesce(1).write.mode("append").parquet(str(src))
+    _ship_fallback(spark)
+
+    def sink(bdf, bid):
+        bdf.write.mode("append").parquet(str(out))
+
+    stream = spark.readStream.schema(EVENT_SCHEMA).parquet(str(src))
+    prepared = stream.select(
+        F.col("event_type").cast("string").alias("key"),
+        F.col("value").cast("double").alias("value"),
+    )
+    q = (
+        prepared.groupBy("key")
+        .transformWithStateInPandas(
+            statefulProcessor=TimerEcho(),
+            outputStructType="key string, n long, n_timers long",
+            outputMode="Update",
+            timeMode="ProcessingTime",
+        )
+        .writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    import glob
+    import time
+
+    deadline = time.time() + 120
+    while time.time() < deadline and not glob.glob(
+        str(out / "part-*.parquet")
+    ):
+        time.sleep(1)
+    q.stop()
+    q.awaitTermination(60)
+    rows = {r["key"]: (r["n"], r["n_timers"])
+            for r in spark.read.parquet(str(out)).collect()}
+    # 2 events counted through the TTL'd ValueState; exactly one
+    # timer survives the register/register/delete sequence
+    assert rows == {"a": (2, 1)}
