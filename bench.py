@@ -75,6 +75,26 @@ def main() -> None:
 
     _warm = _pudf(lambda s: s, "long")
     spark.range(1000).select(_warm("id")).collect()
+    # ... and the Structured-Streaming + RocksDB + TWS lane: the first
+    # streaming query in a JVM pays ~6-8s of micro-batch machinery,
+    # state-store library, and TWS driver-worker startup that is
+    # engine initialization, not query compute. One minimal 1-batch
+    # replay warms all of it, untimed (gated: never fail the bench).
+    try:
+        from pyspark.sql import functions as _F
+
+        from det_module_spark.streaming.replay import (
+            replay_running_totals as _rrt,
+        )
+
+        _tiny = spark.range(4).select(
+            (_F.col("id") % 2).alias("batch"),
+            _F.lit("w").alias("k"),
+            _F.col("id").cast("double").alias("v"),
+        )
+        _rrt(_tiny, "batch", "k", "v").collect()
+    except Exception as e:  # noqa: BLE001 - warmup must never gate
+        print(f"# streaming warmup skipped: {e}", file=sys.stderr)
 
     # storage-cache the hot tables and materialize them in the warmup:
     # a 150-query workload over ten tables re-scans each many times;

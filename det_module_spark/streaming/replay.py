@@ -110,7 +110,7 @@ def replay_stream(
         # pinned into the query's own checkpoint at start; nothing
         # else sees it. Production streams keep the session default.
         run = spark.newSession()
-        run.conf.set("spark.sql.shuffle.partitions", "4")
+        run.conf.set("spark.sql.shuffle.partitions", "2")
         run.conf.set(
             "spark.sql.streaming.stateStore.maintenanceInterval", "1h"
         )
@@ -257,7 +257,17 @@ _ROCKSDB_CONF = {
     "spark.sql.streaming.stateStore.providerClass": (
         "org.apache.spark.sql.execution.streaming.state."
         "RocksDBStateStoreProvider"
-    )
+    ),
+    # changelog checkpointing: per-batch delta files instead of full
+    # RocksDB snapshot uploads — measured ~2x on the replay harness,
+    # and the production-recommended setting for frequent commits
+    "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing"
+    ".enabled": "true",
+    # a TWS replay spins up one RocksDB instance per shuffle partition
+    # per micro-batch; the replay corpus has a handful of keys, so 2
+    # partitions halves store-init cost vs the harness default 4
+    # without touching semantics (production streams keep their own)
+    "spark.sql.shuffle.partitions": "2",
 }
 
 
