@@ -146,3 +146,97 @@ def test_fallback_is_the_vendored_module():
 
     assert "protofallback" in google.protobuf.__file__
     assert any("protofallback" in p for p in sys.path)
+
+
+# --- property-based roundtrips (hypothesis) ---------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    status=st.integers(min_value=-(2**31), max_value=2**31 - 1),
+    err=st.text(max_size=40),
+    val=st.binary(max_size=60),
+)
+def test_roundtrip_state_response(status, err, val):
+    import pyspark.sql.streaming.proto.StateMessage_pb2 as sm
+
+    msg = sm.StateResponse(statusCode=status, errorMessage=err, value=val)
+    back = sm.StateResponse()
+    back.ParseFromString(msg.SerializeToString())
+    assert (back.statusCode, back.errorMessage, back.value) == (
+        status,
+        err,
+        val,
+    )
+
+
+@settings(max_examples=200, deadline=None)
+@given(v=st.integers(min_value=-(2**63), max_value=2**63 - 1))
+def test_roundtrip_int64_full_range(v):
+    import pyspark.sql.streaming.proto.StateMessage_pb2 as sm
+
+    msg = sm.StateResponseWithLongTypeVal(value=v)
+    back = sm.StateResponseWithLongTypeVal()
+    back.ParseFromString(msg.SerializeToString())
+    assert back.value == v
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    vals=st.lists(st.binary(max_size=30), max_size=10),
+    fetch=st.booleans(),
+)
+def test_roundtrip_repeated_bytes(vals, fetch):
+    import pyspark.sql.streaming.proto.StateMessage_pb2 as sm
+
+    msg = sm.StateResponseWithListGet(
+        statusCode=0, value=vals, requireNextFetch=fetch
+    )
+    back = sm.StateResponseWithListGet()
+    back.ParseFromString(msg.SerializeToString())
+    assert list(back.value) == vals
+    assert back.requireNextFetch == fetch
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    name=st.text(max_size=30),
+    schema=st.text(max_size=60),
+    ttl=st.one_of(st.none(), st.integers(min_value=0, max_value=2**40)),
+)
+def test_roundtrip_state_call_command(name, schema, ttl):
+    import pyspark.sql.streaming.proto.StateMessage_pb2 as sm
+
+    cmd = sm.StateCallCommand()
+    cmd.stateName = name
+    cmd.schema = schema
+    if ttl is not None:
+        cmd.ttl.durationMs = ttl
+    back = sm.StateCallCommand()
+    back.ParseFromString(cmd.SerializeToString())
+    assert back.stateName == name
+    assert back.schema == schema
+    assert back.HasField("ttl") == (ttl is not None)
+    if ttl is not None:
+        assert back.ttl.durationMs == ttl
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    pairs=st.lists(
+        st.tuples(st.binary(max_size=20), st.binary(max_size=20)),
+        max_size=8,
+    )
+)
+def test_roundtrip_map_iterator_pairs(pairs):
+    import pyspark.sql.streaming.proto.StateMessage_pb2 as sm
+
+    msg = sm.StateResponseWithMapIterator(
+        kvPair=[sm.KeyAndValuePair(key=k, value=v) for k, v in pairs]
+    )
+    back = sm.StateResponseWithMapIterator()
+    back.ParseFromString(msg.SerializeToString())
+    assert [(p.key, p.value) for p in back.kvPair] == pairs
