@@ -161,7 +161,88 @@ class CacheManifest:
             or "PATH_NOT_FOUND" in s
         )
 
-    def _pinned_log(self) -> DataFrame | None:
+    @property
+    def _ckpt_dir(self) -> str:
+        return os.path.join(self.log_path, "_ckpt")
+
+    def _ckpt_versions(self) -> list[int]:
+        """Available checkpoint versions (state folded THROUGH that
+        commit version), ascending."""
+        if not os.path.isdir(self._ckpt_dir):
+            return []
+        return sorted(
+            int(f.split(".")[0])
+            for f in os.listdir(self._ckpt_dir)
+            if f.endswith(".parquet")
+        )
+
+    def checkpoint(self) -> int | None:
+        """Delta-_last_checkpoint mirror: fold the state through the
+        CURRENT max commit version V into ``_ckpt/V.parquet`` without
+        deleting any commit — reads start from the newest applicable
+        checkpoint and replay only the tail, while time travel to any
+        version keeps working (unlike ``compact()``, which collapses
+        history). Checkpoint rows carry ``version = V`` so the normal
+        highest-version-wins replay handles them with no special case.
+
+        Concurrency: the fold is pinned to an immutable prefix, so two
+        racers produce equivalent files — the ``os.link`` claim just
+        dedupes them; a commit landing after V is covered by the tail
+        replay. Returns the checkpointed version, or None on an empty
+        log."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        while True:
+            versions = self._versions()
+            if not versions:
+                return None
+            v = versions[-1]
+            if v in self._ckpt_versions():
+                return v
+            log = self._pinned_log(as_of=v)
+            if log is None:  # pragma: no cover - racing full cleanup
+                return None
+            w = Window.partitionBy("spec_hash").orderBy(F.desc("version"))
+            state = (
+                log.filter(F.col("version") <= v)
+                .withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .drop("_rn", "version")
+                .collect()
+            )
+            cols = [f.name for f in MANIFEST_SCHEMA.fields]
+            data = {c: [r[i] for r in state] for i, c in enumerate(cols)}
+            data["version"] = [v] * len(state)
+            table = pa.table(
+                data,
+                schema=pa.schema(
+                    [
+                        ("spec_hash", pa.string()),
+                        ("kind", pa.string()),
+                        ("status", pa.int32()),
+                        ("committed", pa.bool_()),
+                        ("path", pa.string()),
+                        ("update_time", pa.int64()),
+                        ("version", pa.int64()),
+                    ]
+                ),
+            )
+            os.makedirs(self._ckpt_dir, exist_ok=True)
+            fd, tmp = tempfile.mkstemp(dir=self.root, suffix=".ckpt.tmp")
+            os.close(fd)
+            try:
+                pq.write_table(table, tmp)
+                target = os.path.join(self._ckpt_dir, f"{v:020d}.parquet")
+                try:
+                    os.link(tmp, target)
+                except FileExistsError:
+                    pass  # a racer checkpointed the same version
+                return v
+            finally:
+                os.unlink(tmp)
+
+    def _pinned_log(self, as_of: int | None = None) -> DataFrame | None:
         """Replayable log snapshot, safe against concurrent compact():
         pin the current file listing, then EAGERLY materialize it
         (localCheckpoint) so a compact deleting those files afterwards
@@ -171,6 +252,13 @@ class CacheManifest:
         claims its version BEFORE deleting), so the retried state is
         complete, never partial. This retires the round-3 "concurrent
         readers may need a retry" caveat. None = empty log.
+
+        When a checkpoint ≤ ``as_of`` (or any, for as_of=None) exists,
+        the pinned set is [newest applicable checkpoint] + commits
+        ABOVE it — replay cost ∝ tail length, not log length. Commits
+        a compact() deleted below the checkpoint are covered by either
+        the checkpoint itself or the compact's fold commit in the
+        tail.
 
         Empty-listing guard: POSIX readdir overlapping compact()'s
         delete-olds-after-claiming-fold window may legally miss BOTH
@@ -183,8 +271,16 @@ class CacheManifest:
 
         empty_retries = 0
         while True:
-            versions = self._versions()
-            if not versions:
+            ckpts = [
+                c
+                for c in self._ckpt_versions()
+                if as_of is None or c <= as_of
+            ]
+            base = max(ckpts) if ckpts else None
+            versions = [
+                v for v in self._versions() if base is None or v > base
+            ]
+            if not versions and base is None:
                 if empty_retries < 3:
                     empty_retries += 1
                     time.sleep(0.002 * empty_retries)
@@ -195,6 +291,10 @@ class CacheManifest:
                 os.path.join(self.log_path, f"{v:020d}.parquet")
                 for v in versions
             ]
+            if base is not None:
+                files.append(
+                    os.path.join(self._ckpt_dir, f"{base:020d}.parquet")
+                )
             try:
                 # DataFrame CREATION lists the paths eagerly, so it
                 # can throw "path does not exist" too — keep it inside
@@ -224,8 +324,9 @@ class CacheManifest:
         commits with version <= it, reproducing any historical state
         exactly (commits are immutable once claimed, so the snapshot
         is stable until those files are compacted away; compact()
-        folds history and collapses earlier versions)."""
-        log = self._pinned_log()
+        folds history and collapses earlier versions; checkpoint()
+        accelerates reads while PRESERVING time travel)."""
+        log = self._pinned_log(as_of=as_of_version)
         if log is None:
             return self.spark.createDataFrame([], schema=MANIFEST_SCHEMA)
         if as_of_version is not None:
@@ -452,6 +553,11 @@ class DeltaCacheManifest(CacheManifest):
     def compact(self) -> None:
         """Delta keeps per-key current state natively; log management
         is OPTIMIZE/VACUUM, run out-of-band. No-op here."""
+
+    def checkpoint(self) -> int | None:
+        """Delta writes its own _last_checkpoint every N commits —
+        nothing to do here."""
+        return None
 
     def _versions(self) -> list[int]:
         raise NotImplementedError("Delta backend has no local version log")

@@ -232,7 +232,11 @@ def test_concurrent_compact_vs_put_no_lost_update(spark, tmp_path):
 
     def compactor():
         try:
-            for _ in range(6):
+            for i in range(6):
+                # alternate checkpoint (non-destructive fold) with
+                # compact (destructive) so reads race BOTH paths
+                if i % 2 == 0:
+                    cache.checkpoint()
                 cache.compact()
         except Exception as e:  # noqa: BLE001 — collected for assert
             errors.append(("compact", e))
@@ -265,6 +269,57 @@ def test_concurrent_compact_vs_put_no_lost_update(spark, tmp_path):
     cache.compact()
     assert len(cache._versions()) == 1
     assert {r["spec_hash"] for r in cache.read().collect()} == want
+
+
+def test_checkpoint_preserves_time_travel(spark, tmp_path):
+    """checkpoint() folds state through version V into _ckpt/V WITHOUT
+    deleting commits: reads replay checkpoint + tail, and time travel
+    to ANY version still works (the property compact() gives up)."""
+    cache = CacheManifest(spark, str(tmp_path / "cache"))
+    row = lambda h, p: (h, "extract", 1, True, p, 0)  # noqa: E731
+    cache._commit([row("h0", "p0")])  # v0
+    cache._commit([row("h1", "p1")])  # v1
+    cache._commit([row("h0", "p0b")])  # v2 supersedes h0
+    v = cache.checkpoint()
+    assert v == 2 and cache._ckpt_versions() == [2]
+    # commits all still present — history intact
+    assert cache._versions() == [0, 1, 2]
+    cache._commit([row("h2", "p2")])  # v3, tail above the checkpoint
+    got = {r["spec_hash"]: r["path"] for r in cache.read().collect()}
+    assert got == {"h0": "p0b", "h1": "p1", "h2": "p2"}
+    # time travel BELOW the checkpoint replays raw commits
+    past = {
+        r["spec_hash"]: r["path"]
+        for r in cache.read(as_of_version=1).collect()
+    }
+    assert past == {"h0": "p0", "h1": "p1"}
+    # time travel AT the checkpoint uses it
+    at = {
+        r["spec_hash"]: r["path"]
+        for r in cache.read(as_of_version=2).collect()
+    }
+    assert at == {"h0": "p0b", "h1": "p1"}
+    # checkpointing the same max version again is a no-op dedupe
+    assert cache.checkpoint() == 3
+    assert cache._ckpt_versions() == [2, 3]
+
+
+def test_checkpoint_composes_with_compact(spark, tmp_path):
+    """After compact() deletes commits below the fold, reads from an
+    older checkpoint still converge: the fold commit in the tail
+    carries the full state."""
+    cache = CacheManifest(spark, str(tmp_path / "cache"))
+    row = lambda h, p: (h, "extract", 1, True, p, 0)  # noqa: E731
+    for i in range(4):
+        cache._commit([row(f"h{i}", f"p{i}")])
+    assert cache.checkpoint() == 3
+    cache._commit([row("h4", "p4")])
+    cache.compact()  # folds 0..4 into 5, deletes 0..4
+    assert cache._versions() == [5]
+    got = {r["spec_hash"] for r in cache.read().collect()}
+    assert got == {f"h{i}" for i in range(5)}
+    # and a fresh checkpoint at the fold version works
+    assert cache.checkpoint() == 5
 
 
 def test_manifest_backend_selection(spark, tmp_path):
