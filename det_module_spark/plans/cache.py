@@ -35,6 +35,7 @@ single commit when it grows long.
 from __future__ import annotations
 
 import os
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -474,6 +475,46 @@ class CacheManifest:
 
     def get(self, spec_hash: str) -> DataFrame:
         return self.spark.read.parquet(self.result_path(spec_hash))
+
+    def vacuum(
+        self, retention_s: float = 86_400.0, dry_run: bool = False
+    ) -> list[str]:
+        """Delete ORPHANED result directories — artifacts no manifest
+        row references. ``put_many`` writes artifacts BEFORE the
+        manifest commit (crash-safe ordering: at worst uncommitted
+        artifacts, never a phantom cache hit), so crashes accumulate
+        orphans this reclaims — the Delta VACUUM mirror for the
+        tx-log backend.
+
+        ``retention_s`` is the safety window against exactly that
+        write-then-commit ordering racing a live ``put_many``: only
+        directories whose mtime is older than the retention are
+        candidates, so an artifact written but not yet committed is
+        never swept (Delta's retention guard, same reasoning). Returns
+        the removed (or, with ``dry_run``, would-be-removed) paths."""
+        import time
+
+        results_dir = os.path.join(self.root, "results")
+        if not os.path.isdir(results_dir):
+            return []
+        referenced = {
+            r["path"] for r in self.read().select("path").collect()
+        }
+        cutoff = time.time() - retention_s
+        removed = []
+        for d in sorted(os.listdir(results_dir)):
+            full = os.path.join(results_dir, d)
+            if full in referenced:
+                continue
+            try:
+                if os.path.getmtime(full) > cutoff:
+                    continue  # inside the retention window — maybe live
+            except OSError:
+                continue  # vanished already
+            removed.append(full)
+            if not dry_run:
+                shutil.rmtree(full, ignore_errors=True)
+        return removed
 
 
 def delta_available() -> bool:

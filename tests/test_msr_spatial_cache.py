@@ -271,6 +271,38 @@ def test_concurrent_compact_vs_put_no_lost_update(spark, tmp_path):
     assert {r["spec_hash"] for r in cache.read().collect()} == want
 
 
+def test_vacuum_reclaims_orphans_with_retention(spark, tmp_path):
+    """vacuum() removes result dirs no manifest row references —
+    put_many's crash-safe write-then-commit ordering can leave them —
+    but NEVER inside the retention window (a live put_many may have
+    written-but-not-yet-committed them)."""
+    import os
+    import time
+
+    cache = CacheManifest(spark, str(tmp_path / "cache"))
+    result = spark.createDataFrame([Row(asdf_id=1, exfield_0=1.0)])
+    cache.put("live", "extract", result)
+    # simulate a crashed batch: artifact on disk, no manifest row
+    orphan = cache.result_path("crashed")
+    result.write.mode("overwrite").parquet(orphan)
+    assert os.path.isdir(orphan)
+    # inside the retention window: protected
+    assert cache.vacuum(retention_s=3600) == []
+    assert os.path.isdir(orphan)
+    # age it out (rewind mtime), dry-run first, then reclaim
+    old = time.time() - 100
+    os.utime(orphan, (old, old))
+    assert cache.vacuum(retention_s=10, dry_run=True) == [orphan]
+    assert os.path.isdir(orphan)
+    assert cache.vacuum(retention_s=10) == [orphan]
+    assert not os.path.isdir(orphan)
+    # the referenced artifact survives regardless of age
+    live = cache.result_path("live")
+    os.utime(live, (old, old))
+    assert cache.vacuum(retention_s=10) == []
+    assert cache.get("live").count() == 1
+
+
 def test_checkpoint_preserves_time_travel(spark, tmp_path):
     """checkpoint() folds state through version V into _ckpt/V WITHOUT
     deleting commits: reads replay checkpoint + tail, and time travel
