@@ -63,6 +63,15 @@ from det_module_spark.streaming.windows import (
     tumbling_agg,
 )
 
+# Install the protobuf fallback (vendor/protofallback) at import time:
+# when a harness imports this module BEFORE creating its SparkSession,
+# the PYTHONPATH export reaches the JVM environment and every TWS
+# helper process resolves google.protobuf; sessions created earlier
+# are covered by the sc.environment injection in _ship_fallback.
+from det_module_spark.streaming.state import ensure_protobuf as _ensure_pb
+
+_ensure_pb()
+
 # ---------------------------------------------------------------------------
 # The synthetic zonal cell table (stands in for raster-cells-joined-to-
 # boundary-features, SURVEY.md J2/§2.4):
@@ -1468,6 +1477,63 @@ _EVENTS_BUCKET_SQL = """
     SELECT key, CAST(n_buckets AS BIGINT) AS n_buckets,
            CAST(n_events AS BIGINT) AS n_events
     FROM agg ORDER BY key, n_events
+"""
+
+
+def q_events_session_flush(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # transformWithState with EVENT-TIME TIMERS, driver-oracled: gap
+    # sessionization where data-closed sessions flush inline and each
+    # key's final open session is flushed by handleExpiredTimer when
+    # the watermark passes last_event + gap. Batches are assigned in
+    # event-time order (ntile over ts — a global window, but it is
+    # the replay harness's control plane over one SF table, not a
+    # data-plane operator), so emitted sessions are exactly SQL gap
+    # sessions + the final-watermark cutoff on each key's last one.
+    from pyspark.sql import Window
+
+    from det_module_spark.streaming.replay import replay_session_flush
+
+    ev = load_table(spark, sf_dir, "events").select(
+        (F.col("user_id") % 50).cast("string").alias("key"),
+        "ts",
+        "event_id",
+    )
+    # batch count is a pure harness knob: emission content is batch-
+    # schedule independent (see replay_session_flush), so 4 batches
+    # buys the same semantics as 6 at ~2/3 the replay cost
+    w = Window.orderBy("ts", "event_id")
+    df = ev.withColumn("batch", F.ntile(4).over(w) - 1).drop("event_id")
+    out = replay_session_flush(
+        df, "batch", "key", "ts", gap_ms=3_600_000, watermark="30 minutes"
+    )
+    return out.orderBy("key", "end_ms")
+
+
+_EVENTS_SESSION_FLUSH_SQL = """
+    WITH e AS (SELECT CAST(user_id % 50 AS VARCHAR) AS key,
+                      epoch_us(ts) // 1000 AS ts_ms
+               FROM events),
+    s AS (SELECT key, ts_ms,
+                 CASE WHEN ts_ms - LAG(ts_ms) OVER (PARTITION BY key
+                                                    ORDER BY ts_ms)
+                           > 3600000 THEN 1 ELSE 0 END AS brk
+          FROM e),
+    g AS (SELECT key, ts_ms,
+                 SUM(brk) OVER (PARTITION BY key ORDER BY ts_ms
+                                ROWS UNBOUNDED PRECEDING) AS sess
+          FROM s),
+    sess AS (SELECT key, sess, COUNT(*) AS n_events,
+                    MAX(ts_ms) AS end_ms
+             FROM g GROUP BY 1, 2),
+    wm AS (SELECT MAX(ts_ms) - 1800000 AS final_wm FROM e),
+    x AS (SELECT key, sess, n_events, end_ms,
+                 MAX(sess) OVER (PARTITION BY key) AS last_sess
+          FROM sess)
+    SELECT key, CAST(n_events AS BIGINT) AS n_events,
+           CAST(end_ms AS BIGINT) AS end_ms
+    FROM x, wm
+    WHERE sess < last_sess OR end_ms + 3600000 <= final_wm
+    ORDER BY key, end_ms
 """
 
 
@@ -4288,6 +4354,7 @@ _ROTATION_R4 = [
     "events_running_totals",
     "events_topk_stream",
     "events_bucket_stream",
+    "events_session_flush",
     # fixed or behavior-touched this round — driver must re-check
     "skew_join_agg",
     "skew_salted_join",
@@ -4358,6 +4425,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_running_totals": q_events_running_totals,
         "events_topk_stream": q_events_topk_stream,
         "events_bucket_stream": q_events_bucket_stream,
+        "events_session_flush": q_events_session_flush,
         # --- round-3 additions / re-oracled queries ---
         "join_delta": q_join_delta,
         "dense_ids": q_dense_ids,
@@ -5704,6 +5772,7 @@ QUALIFY ROW_NUMBER() OVER (
         "events_running_totals": _EVENTS_RUNNING_TOTALS_SQL,
         "events_topk_stream": _EVENTS_TOPK_SQL,
         "events_bucket_stream": _EVENTS_BUCKET_SQL,
+        "events_session_flush": _EVENTS_SESSION_FLUSH_SQL,
         "dense_ids": _DENSE_IDS_SQL,
         "kmv_set_ops": _kmv_set_sql(64),
         "source_overlap": _source_overlap_sql(0.12),

@@ -312,3 +312,34 @@ def replay_bucket_counts(
         output_mode="update",
         extra_conf=_ROCKSDB_CONF,
     )
+
+
+def replay_session_flush(
+    df: DataFrame,
+    batch_col: str,
+    key_col: str,
+    ts_col: str,
+    gap_ms: int,
+    watermark: str,
+) -> DataFrame:
+    """Replay through the event-time-timer sessionizer. The caller
+    must assign ``batch_col`` in EVENT-TIME ORDER (ntile over ts):
+    ordered batches mean no row is ever late and each key's stream
+    arrives in ts order, which is what makes the emitted session set
+    equal to batch-independent SQL gap sessionization + a final-
+    watermark cutoff for each key's last session."""
+    from det_module_spark.streaming.state import session_flush
+
+    return replay_stream(
+        df,
+        batch_col,
+        lambda s: session_flush(
+            s,
+            key_col=key_col,
+            ts_col=ts_col,
+            gap_ms=gap_ms,
+            watermark=watermark,
+        ),
+        output_mode="update",
+        extra_conf=_ROCKSDB_CONF,
+    )

@@ -332,3 +332,135 @@ def bucket_counts(
         outputMode="Update",
         timeMode="None",
     )
+
+
+SESSION_FLUSH_SCHEMA = T.StructType(
+    [
+        T.StructField("key", T.StringType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("end_ms", T.LongType()),
+    ]
+)
+
+_SESS_STATE = T.StructType(
+    [
+        T.StructField("n", T.LongType()),
+        T.StructField("last_ms", T.LongType()),
+        T.StructField("timer_ms", T.LongType()),
+    ]
+)
+
+
+class SessionFlushProcessor(StatefulProcessor):
+    """Per-key gap sessionization with EVENT-TIME timers: a session is
+    a maximal run of events with inter-arrival ≤ gap. Sessions closed
+    BY DATA (the next event jumps the gap) are emitted inline from
+    ``handleInputRows``; the last, still-open session of a key is
+    emitted by ``handleExpiredTimer`` when the WATERMARK passes
+    last_event + gap — the classic inactivity flush, and the only
+    correct way to close a session nobody sends events to again.
+
+    Emission CONTENT is batch-schedule independent as long as batches
+    are event-time ordered (the replay uses an ntile-over-ts batch
+    assignment): a session is emitted exactly once as
+    (key, n_events, end_ms), whether the gap was detected inline or a
+    mid/end-of-stream timer fired — which is what makes an exact SQL
+    oracle possible: every session except each key's last, plus the
+    last iff end_ms + gap ≤ final watermark.
+
+    Protocol coverage: handleExpiredTimer + ExpiredTimerRequest /
+    StateResponseWithTimer — the state-protocol family nothing else
+    exercises. The state carries its own registered-timer timestamp so
+    re-registration deletes the stale timer (one live timer per key).
+    """
+
+    def __init__(self, gap_ms: int) -> None:
+        self._gap = gap_ms
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._h = handle
+        self._s = handle.getValueState("sess", _SESS_STATE)
+
+    def handleInputRows(self, key, rows, timerValues):
+        import pandas as pd
+
+        batch = pd.concat(list(rows))
+        ts_sorted = sorted(int(t) for t in batch["ts_ms"])
+        if self._s.exists():
+            n, last, timer = (int(x) for x in self._s.get())
+        else:
+            n, last, timer = 0, None, None
+        flushed = []
+        for ts in ts_sorted:
+            if n > 0 and ts - last > self._gap:
+                flushed.append((key[0], n, last))
+                n = 0
+            n += 1
+            last = ts
+        if timer is not None:
+            self._h.deleteTimer(timer)
+        new_timer = last + self._gap
+        self._h.registerTimer(new_timer)
+        self._s.update((n, last, new_timer))
+        if flushed:
+            yield pd.DataFrame(
+                flushed, columns=["key", "n_events", "end_ms"]
+            )
+
+    def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+        import pandas as pd
+
+        if self._s.exists():
+            n, last, timer = (int(x) for x in self._s.get())
+            # only honor the timer the state believes is live — a
+            # stale fire (should be deleted, but belt-and-braces)
+            # must not double-emit
+            if n > 0 and expiredTimerInfo.getExpiryTimeInMs() == timer:
+                self._s.clear()
+                yield pd.DataFrame(
+                    [(key[0], n, last)],
+                    columns=["key", "n_events", "end_ms"],
+                )
+
+    def close(self) -> None:
+        pass
+
+
+def session_flush(
+    events: DataFrame,
+    key_col: str = "key",
+    ts_col: str = "ts",
+    gap_ms: int = 3_600_000,
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Streaming gap sessionization with inactivity flush via
+    event-time timers. ``events`` needs an event-time TIMESTAMP column
+    (watermarked here) and the key column; the ms epoch used for gap
+    arithmetic is derived to match SQL's epoch-µs//1000."""
+    from pyspark.sql import functions as F
+
+    _ship_fallback(events.sparkSession)
+    prepared = (
+        events.withColumn(
+            # TIMESTAMP_NTZ-safe epoch-ms: cast through TIMESTAMP (the
+            # session is pinned to UTC, so NTZ->TZ is the identity)
+            "ts_ms",
+            F.floor(
+                F.unix_micros(F.col(ts_col).cast("timestamp")) / 1000
+            ).cast("long"),
+        )
+        .select(
+            F.col(key_col).cast("string").alias("key"),
+            # watermarks require TIMESTAMP (not NTZ); UTC session
+            # makes the cast the identity
+            F.col(ts_col).cast("timestamp").alias(ts_col),
+            "ts_ms",
+        )
+        .withWatermark(ts_col, watermark)
+    )
+    return prepared.groupBy("key").transformWithStateInPandas(
+        statefulProcessor=SessionFlushProcessor(gap_ms),
+        outputStructType=SESSION_FLUSH_SCHEMA,
+        outputMode="Update",
+        timeMode="EventTime",
+    )

@@ -197,3 +197,47 @@ def test_timers_and_ttl_protocol(spark, tmp_path, rocksdb_state):
     # 2 events counted through the TTL'd ValueState; exactly one
     # timer survives the register/register/delete sequence
     assert rows == {"a": (2, 1)}
+
+
+@pytest.mark.skipif(not HAS_TWS, reason="transformWithState needs Spark 4+")
+def test_session_flush_event_time_timers(spark):
+    """Crafted corpus hitting all three session outcomes: closed by
+    DATA (gap jumped by a later event), closed by the WATERMARK (timer
+    fires — handleExpiredTimer), and left OPEN (last event too close
+    to the final watermark: never emitted)."""
+    from datetime import datetime, timedelta
+
+    from det_module_spark.streaming.replay import replay_session_flush
+
+    t0 = datetime(2024, 1, 1, 0, 0, 0)
+
+    def ev(key, minutes, batch):
+        return Row(key=key, ts=t0 + timedelta(minutes=minutes), batch=batch)
+
+    rows = [
+        # key a: session 1 = 2 events, then an 80-min gap (> 60) jumps
+        # it closed; session 2 = 1 event, 200 min before the end —
+        # watermark (max - 30min) passes end+60min -> timer-closed
+        ev("a", 0, 0), ev("a", 10, 0), ev("a", 90, 1),
+        # key b: single session ending 20 min before max ts: watermark
+        # = max-30 < end+60 -> stays open, never emitted
+        ev("b", 270, 2), ev("b", 280, 2),
+        # the clock setter: defines max ts = 300min
+        ev("c", 150, 1), ev("c", 300, 2),
+    ]
+    df = spark.createDataFrame(rows)
+    out = replay_session_flush(
+        df, "batch", "key", "ts", gap_ms=3_600_000, watermark="30 minutes"
+    )
+    got = {
+        (r["key"], r["n_events"], r["end_ms"])
+        for r in out.collect()
+    }
+    ms = lambda m: int((t0 + timedelta(minutes=m)).timestamp() * 1000)  # noqa: E731
+    assert got == {
+        ("a", 2, ms(10)),   # data-closed (gap to t=90)
+        ("a", 1, ms(90)),   # timer-closed (90+60=150 <= wm 270)
+        ("c", 1, ms(150)),  # data-closed (gap to t=300)
+        # b's session (end 280; 280+60=340 > wm 270) and c's last
+        # event (300+60 > 270) stay open: absent
+    }
