@@ -476,6 +476,42 @@ class CacheManifest:
     def get(self, spec_hash: str) -> DataFrame:
         return self.spark.read.parquet(self.result_path(spec_hash))
 
+    def diff(
+        self, v_from: int, v_to: int | None = None
+    ) -> DataFrame:
+        """Audit two points of manifest history: what changed between
+        ``read(as_of_version=v_from)`` and ``v_to`` (None = current).
+        Returns one row per differing spec_hash with ``change`` in
+        (added, changed, removed) plus the before/after paths — the
+        time-travel DESCRIBE-HISTORY companion: checkpoint() keeps the
+        versions readable, diff() explains them. Removed never occurs
+        under pure upserts but is classified for completeness."""
+        a = self.read(as_of_version=v_from).select(
+            F.col("spec_hash"),
+            F.struct("kind", "status", "committed", "path").alias("__a"),
+        )
+        b = self.read(as_of_version=v_to).select(
+            F.col("spec_hash"),
+            F.struct("kind", "status", "committed", "path").alias("__b"),
+        )
+        j = a.join(b, "spec_hash", "full_outer")
+        return (
+            j.withColumn(
+                "change",
+                F.when(F.col("__a").isNull(), F.lit("added"))
+                .when(F.col("__b").isNull(), F.lit("removed"))
+                .when(F.col("__a") != F.col("__b"), F.lit("changed"))
+                .otherwise(F.lit(None)),
+            )
+            .filter(F.col("change").isNotNull())
+            .select(
+                "spec_hash",
+                "change",
+                F.col("__a.path").alias("path_from"),
+                F.col("__b.path").alias("path_to"),
+            )
+        )
+
     def vacuum(
         self, retention_s: float = 86_400.0, dry_run: bool = False
     ) -> list[str]:

@@ -336,6 +336,34 @@ def test_checkpoint_preserves_time_travel(spark, tmp_path):
     assert cache._ckpt_versions() == [2, 3]
 
 
+def test_manifest_diff_between_versions(spark, tmp_path):
+    """diff(v_from, v_to): added vs changed rows between two
+    time-travel points, stable even when a checkpoint accelerates the
+    newer read."""
+    cache = CacheManifest(spark, str(tmp_path / "cache"))
+    row = lambda h, p: (h, "extract", 1, True, p, 0)  # noqa: E731
+    cache._commit([row("h0", "p0")])  # v0
+    cache._commit([row("h1", "p1")])  # v1
+    cache._commit([row("h0", "p0b")])  # v2: h0 changed
+    cache._commit([row("h2", "p2")])  # v3: h2 added
+    cache.checkpoint()
+    got = {
+        r["spec_hash"]: (r["change"], r["path_from"], r["path_to"])
+        for r in cache.diff(1).collect()
+    }
+    assert got == {
+        "h0": ("changed", "p0", "p0b"),
+        "h2": ("added", None, "p2"),
+    }
+    # an interval with no changes diffs empty
+    assert cache.diff(3).count() == 0
+    # and a bounded interval
+    mid = {
+        r["spec_hash"]: r["change"] for r in cache.diff(0, 2).collect()
+    }
+    assert mid == {"h0": "changed", "h1": "added"}
+
+
 def test_checkpoint_composes_with_compact(spark, tmp_path):
     """After compact() deletes commits below the fold, reads from an
     older checkpoint still converge: the fold commit in the tail

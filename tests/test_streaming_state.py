@@ -241,3 +241,70 @@ def test_session_flush_event_time_timers(spark):
         # b's session (end 280; 280+60=340 > wm 270) and c's last
         # event (300+60 > 270) stay open: absent
     }
+
+
+@pytest.mark.skipif(not HAS_TWS, reason="transformWithState needs Spark 4+")
+def test_initial_state_seeding(spark, tmp_path, rocksdb_state):
+    """handleInitialState: seed per-key running totals from a BATCH
+    DataFrame (e.g. a backfill of historical aggregates) before the
+    first micro-batch — the migration path from a batch rollup to the
+    streaming one, and the last piece of the TWS API surface."""
+    import pandas as pd
+
+    from det_module_spark.streaming.state import (
+        RUNNING_SCHEMA,
+        RunningTotalsProcessor,
+        _ship_fallback,
+    )
+
+    class Seeded(RunningTotalsProcessor):
+        def handleInitialState(self, key, initialState, timerValues):
+            n = int(initialState["n_events"].iloc[0])
+            s = float(initialState["sum_value"].iloc[0])
+            self._state.update((n, s))
+
+    src = tmp_path / "ev"
+    out = tmp_path / "out"
+    src.mkdir()
+    spark.createDataFrame(
+        [Row(event_type="a", value=2.0), Row(event_type="c", value=7.0)],
+        EVENT_SCHEMA,
+    ).coalesce(1).write.mode("append").parquet(str(src))
+    _ship_fallback(spark)
+    # backfill: a already saw 5 events summing 100; b saw 1 at 9
+    init = (
+        spark.createDataFrame(
+            [Row(key="a", n_events=5, sum_value=100.0),
+             Row(key="b", n_events=1, sum_value=9.0)]
+        ).groupBy("key")
+    )
+    stream = spark.readStream.schema(EVENT_SCHEMA).parquet(str(src))
+    prepared = stream.select(
+        F.col("event_type").cast("string").alias("key"),
+        F.col("value").cast("double").alias("value"),
+    )
+    q = (
+        prepared.groupBy("key")
+        .transformWithStateInPandas(
+            statefulProcessor=Seeded(),
+            outputStructType=RUNNING_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
+            initialState=init,
+        )
+        .writeStream.foreachBatch(
+            lambda bdf, bid: bdf.write.mode("append").parquet(str(out))
+        )
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    rows = {r["key"]: (r["n_events"], r["sum_value"])
+            for r in spark.read.parquet(str(out)).collect()}
+    # a: seeded (5,100) + 1 new event of 2.0; c: unseeded, fresh.
+    # b: seeded but no stream data in batch 0 -> whether it emits is
+    # engine-defined; assert only on keys that saw data.
+    assert rows["a"] == (6, 102.0)
+    assert rows["c"] == (1, 7.0)
