@@ -1385,7 +1385,7 @@ def q_events_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     from det_module_spark.streaming.replay import replay_running_totals
 
     ev = load_table(spark, sf_dir, "events").select(
-        (F.col("event_id") % 5).alias("batch"),
+        (F.col("event_id") % 3).alias("batch"),
         F.col("event_type"),
         F.expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT)")
         .cast("double")
@@ -1398,7 +1398,7 @@ def q_events_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _EVENTS_RUNNING_TOTALS_SQL = """
-    WITH e AS (SELECT event_id % 5 AS batch, event_type AS key,
+    WITH e AS (SELECT event_id % 3 AS batch, event_type AS key,
                       CAST(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
                            AS DOUBLE) AS v
                FROM events),
@@ -1421,7 +1421,7 @@ def q_events_topk_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     from det_module_spark.streaming.replay import replay_topk_distinct
 
     ev = load_table(spark, sf_dir, "events").select(
-        (F.col("event_id") % 4).alias("batch"),
+        (F.col("event_id") % 3).alias("batch"),
         F.col("event_type"),
         F.expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT)").alias("value"),
     )
@@ -1430,7 +1430,7 @@ def q_events_topk_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _EVENTS_TOPK_SQL = """
-    WITH e AS (SELECT event_id % 4 AS b, event_type AS key,
+    WITH e AS (SELECT event_id % 3 AS b, event_type AS key,
                       CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS v
                FROM events),
     touched AS (SELECT DISTINCT key, b FROM e),
@@ -1456,7 +1456,7 @@ def q_events_bucket_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     from det_module_spark.streaming.replay import replay_bucket_counts
 
     ev = load_table(spark, sf_dir, "events").select(
-        (F.col("event_id") % 4).alias("batch"),
+        (F.col("event_id") % 3).alias("batch"),
         F.col("event_type"),
         (F.col("user_id") % 10).alias("bucket"),
     )
@@ -1465,7 +1465,7 @@ def q_events_bucket_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _EVENTS_BUCKET_SQL = """
-    WITH e AS (SELECT event_id % 4 AS b, event_type AS key,
+    WITH e AS (SELECT event_id % 3 AS b, event_type AS key,
                       user_id % 10 AS bucket
                FROM events),
     touched AS (SELECT DISTINCT key, b FROM e),
