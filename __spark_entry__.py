@@ -1377,7 +1377,7 @@ def q_events_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     # transformWithState, driver-oracled: replay the events table
     # through the TWS running-totals processor (Python state client →
     # protobuf wire protocol → RocksDB state store), one micro-batch
-    # per event_id%5 bucket, UPDATE mode. The emitted rows are the
+    # per event_id%3 bucket, UPDATE mode. The emitted rows are the
     # per-key cumulative (count, sum) trajectory, which the oracle
     # reproduces as a cumulative window over per-batch aggregates.
     # Values are integer cents in a double, so the float state
@@ -1415,7 +1415,7 @@ _EVENTS_RUNNING_TOTALS_SQL = """
 def q_events_topk_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # transformWithState ListState, driver-oracled: running top-3
     # DISTINCT cent-values per event_type, replayed one micro-batch
-    # per event_id%4 bucket; each touched batch emits the cumulative
+    # per event_id%3 bucket; each touched batch emits the cumulative
     # top-3 as a desc CSV string. Bounded state (k rows per key) —
     # the dropped tail can never re-enter a running top-k.
     from det_module_spark.streaming.replay import replay_topk_distinct
@@ -4402,10 +4402,6 @@ _ROTATION_R4 = [
     "funnel_conversion",
     "events_tumbling",
     "events_sliding",
-    "events_session",
-    "cdc_apply",
-    "scd2_history",
-    "lm_score",
 ]
 
 

@@ -349,8 +349,16 @@ def cluster_representatives(
     total = ids.join(comp, "id", "left").select(
         "id", "score", F.coalesce("component", F.col("id")).alias("cluster")
     )
+    # NULL scores must LOSE the argmax (structs compare NULL-first
+    # under min, which would crown the unscored document): a leading
+    # is-null flag sends them behind every scored member; an all-null
+    # cluster still gets a representative (lowest id, null score).
     best = F.min(
-        F.struct((-F.col("score")).alias("nscore"), F.col("id"))
+        F.struct(
+            F.col("score").isNull().cast("int").alias("unscored"),
+            (-F.col("score")).alias("nscore"),
+            F.col("id"),
+        )
     ).alias("m")
     return (
         total.groupBy("cluster")

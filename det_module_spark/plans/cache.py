@@ -186,28 +186,32 @@ class CacheManifest:
         history). Checkpoint rows carry ``version = V`` so the normal
         highest-version-wins replay handles them with no special case.
 
-        Concurrency: the fold is pinned to an immutable prefix, so two
-        racers produce equivalent files — the ``os.link`` claim just
-        dedupes them; a commit landing after V is covered by the tail
-        replay. Returns the checkpointed version, or None on an empty
-        log."""
+        Concurrency: the fold uses the VERIFIED pinned set and labels
+        itself with that set's own max version — never a version
+        chosen from an earlier listing. Folding a pre-pinned target
+        with ``filter(version <= v)`` would be wrong under a racing
+        compact(): the pinned set can legally be [5..10, fold-11]
+        (commits 0..4 already deleted, all pinned files exist), where
+        dropping the fold yields a PARTIAL state for v=10. The pinned
+        set is always complete for its own max version (untouched
+        commits, or deletions covered by the fold that landed before
+        they started), so fold everything and take v = max(version).
+        Two racers produce equivalent files — the ``os.link`` claim
+        dedupes. Returns the checkpointed version, or None on an
+        empty log."""
         import pyarrow as pa
         import pyarrow.parquet as pq
 
         while True:
-            versions = self._versions()
-            if not versions:
+            log = self._pinned_log()
+            if log is None:
                 return None
-            v = versions[-1]
+            v = int(log.agg(F.max("version")).collect()[0][0])
             if v in self._ckpt_versions():
                 return v
-            log = self._pinned_log(as_of=v)
-            if log is None:  # pragma: no cover - racing full cleanup
-                return None
             w = Window.partitionBy("spec_hash").orderBy(F.desc("version"))
             state = (
-                log.filter(F.col("version") <= v)
-                .withColumn("_rn", F.row_number().over(w))
+                log.withColumn("_rn", F.row_number().over(w))
                 .filter(F.col("_rn") == 1)
                 .drop("_rn", "version")
                 .collect()

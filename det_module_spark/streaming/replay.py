@@ -212,6 +212,24 @@ def replay_dedup(
     )
 
 
+_ROCKSDB_CONF = {
+    "spark.sql.streaming.stateStore.providerClass": (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    ),
+    # changelog checkpointing: per-batch delta files instead of full
+    # RocksDB snapshot uploads — measured ~2x on the replay harness,
+    # and the production-recommended setting for frequent commits
+    "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing"
+    ".enabled": "true",
+    # a TWS replay spins up one RocksDB instance per shuffle partition
+    # per micro-batch; the replay corpus has a handful of keys, so 2
+    # partitions halves store-init cost vs the harness default 4
+    # without touching semantics (production streams keep their own)
+    "spark.sql.shuffle.partitions": "2",
+}
+
+
 def replay_running_totals(
     df: DataFrame,
     batch_col: str,
@@ -244,31 +262,8 @@ def replay_running_totals(
             stream, key_col=key_col, value_col=value_col
         ),
         output_mode="update",
-        extra_conf={
-            "spark.sql.streaming.stateStore.providerClass": (
-                "org.apache.spark.sql.execution.streaming.state."
-                "RocksDBStateStoreProvider"
-            )
-        },
+        extra_conf=_ROCKSDB_CONF,
     )
-
-
-_ROCKSDB_CONF = {
-    "spark.sql.streaming.stateStore.providerClass": (
-        "org.apache.spark.sql.execution.streaming.state."
-        "RocksDBStateStoreProvider"
-    ),
-    # changelog checkpointing: per-batch delta files instead of full
-    # RocksDB snapshot uploads — measured ~2x on the replay harness,
-    # and the production-recommended setting for frequent commits
-    "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing"
-    ".enabled": "true",
-    # a TWS replay spins up one RocksDB instance per shuffle partition
-    # per micro-batch; the replay corpus has a handful of keys, so 2
-    # partitions halves store-init cost vs the harness default 4
-    # without touching semantics (production streams keep their own)
-    "spark.sql.shuffle.partitions": "2",
-}
 
 
 def replay_topk_distinct(

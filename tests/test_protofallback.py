@@ -240,3 +240,45 @@ def test_roundtrip_map_iterator_pairs(pairs):
     back = sm.StateResponseWithMapIterator()
     back.ParseFromString(msg.SerializeToString())
     assert [(p.key, p.value) for p in back.kvPair] == pairs
+
+
+def test_append_into_vivified_child_serializes(sm):
+    """Mutating an auto-vivified sub-message ONLY through a repeated
+    field append must still mark it present on the wire (plain-list
+    semantics would silently drop the payload)."""
+    msg = sm.StateResponseWithMapIterator()
+    resp = sm.StateRequest()
+    # vivify a presence-tracked child purely via repeated append
+    call = sm.AppendList()
+    call.value.append(b"x")
+    call.value.extend([b"y"])
+    lsc = sm.ListStateCall(stateName="s", appendList=call)
+    back = sm.ListStateCall()
+    back.ParseFromString(lsc.SerializeToString())
+    assert list(back.appendList.value) == [b"x", b"y"]
+    # and via a stored-then-appended list on a parsed message
+    msg.kvPair.append(sm.KeyAndValuePair(key=b"k", value=b"v"))
+    back2 = sm.StateResponseWithMapIterator()
+    back2.ParseFromString(msg.SerializeToString())
+    assert [(p.key, p.value) for p in back2.kvPair] == [(b"k", b"v")]
+
+
+def test_merge_clears_oneof_siblings(sm):
+    """Parsing a message-typed oneof member over a message that holds
+    a different member must discard the old one (last-writer-wins),
+    matching real protobuf merge semantics."""
+    a = sm.StateVariableRequest(
+        valueStateCall=sm.ValueStateCall(stateName="v", get=sm.Get())
+    )
+    b = sm.StateVariableRequest(
+        listStateCall=sm.ListStateCall(
+            stateName="l", listStateGet=sm.ListStateGet(iteratorId="i")
+        )
+    )
+    a.MergeFromString(b.SerializeToString())
+    assert a.WhichOneof("method") == "listStateCall"
+    # serialization carries exactly one member
+    back = sm.StateVariableRequest()
+    back.ParseFromString(a.SerializeToString())
+    assert back.WhichOneof("method") == "listStateCall"
+    assert back.listStateCall.stateName == "l"

@@ -316,3 +316,24 @@ def test_kmv_set_estimates_reasonable(spark):
     r = kmv_set_estimates(a, b, F.col("v"), F.col("v"), k=128).collect()[0]
     assert abs(r["est_union"] - 6000) / 6000 < 0.3
     assert abs(r["est_intersection"] - 2000) / 2000 < 0.6
+
+
+def test_cluster_representatives_null_scores_lose(spark):
+    """A NULL quality score must never crown the representative
+    (struct-min would otherwise sort NULL first); a fully unscored
+    cluster still gets a representative with a null score."""
+    from det_module_spark.operators.graph import cluster_representatives
+
+    pairs = spark.createDataFrame([(1, 2), (5, 6)], ["id_a", "id_b"])
+    quality = spark.createDataFrame(
+        [(1, None), (2, 10), (5, None), (6, None)],
+        "id long, score long",
+    )
+    out = {
+        r["cluster"]: (r["rep_id"], r["rep_score"], r["cluster_size"])
+        for r in cluster_representatives(pairs, quality).collect()
+    }
+    # scored member wins over the null-scored one
+    assert out[1] == (2, 10, 2)
+    # all-null cluster: lowest id, null score
+    assert out[5] == (5, None, 2)
