@@ -91,22 +91,20 @@ def basket_affinity(
         * F.col("pair_count").cast("double")
         / (F.col("count_a") * F.col("count_b")).cast("double")
     )
+    # ``supports`` is item-vocabulary-sized and corpus-derived — no
+    # forced broadcast; AQE broadcasts while small, shuffles at scale.
     return (
         pairs.join(
-            F.broadcast(
-                supports.select(
-                    F.col("item").alias("item_a"),
-                    F.col("item_count").alias("count_a"),
-                )
+            supports.select(
+                F.col("item").alias("item_a"),
+                F.col("item_count").alias("count_a"),
             ),
             "item_a",
         )
         .join(
-            F.broadcast(
-                supports.select(
-                    F.col("item").alias("item_b"),
-                    F.col("item_count").alias("count_b"),
-                )
+            supports.select(
+                F.col("item").alias("item_b"),
+                F.col("item_count").alias("count_b"),
             ),
             "item_b",
         )

@@ -199,12 +199,38 @@ def minhash_lsh_pairs(
     )
 
 
+def guard_broadcast_side(
+    side: DataFrame,
+    what: str,
+    alternative: str,
+    max_rows: int,
+) -> None:
+    """Refuse a forced broadcast whose side exceeds ``max_rows``.
+
+    The exact-verifier entry points below broadcast their probe /
+    anchor side; when the caller passes None that side defaults to
+    the WHOLE corpus, which at the 100 TB target is an executor OOM.
+    This guard makes that misuse impossible: a cheap count-star
+    (column-pruned scan) checks the row count and raises with a
+    pointer to the bucketed scale path instead. Callers that know
+    their side is bounded pass it explicitly (the guard is skipped
+    for explicit probes — the contract is documented there)."""
+    n = side.limit(max_rows + 1).count()
+    if n > max_rows:
+        raise ValueError(
+            f"{what}: broadcast side has >{max_rows} rows "
+            f"(the full corpus was defaulted in). Pass a bounded "
+            f"probe/anchor frame, or use the scale path: {alternative}."
+        )
+
+
 def embedding_near_dup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     probe: DataFrame | None = None,
+    max_broadcast_rows: int = 500_000,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (id_a < id_b, cos ≥ τ).
 
@@ -212,9 +238,18 @@ def embedding_near_dup_pairs(
     side against the corpus and evaluate cosine in codegen. The scale
     path for all-pairs dedup is LSH bucketing
     (similarity.lsh_buckets) to generate candidates, then this exact
-    predicate on candidates only."""
+    predicate on candidates only. When ``probe`` is None the whole
+    input would be broadcast — guarded: refuses above
+    ``max_broadcast_rows`` rows with a pointer to the LSH path."""
     from det_module_spark.operators.similarity import _norm, pair_cosine_udf
 
+    if probe is None:
+        guard_broadcast_side(
+            embeddings,
+            "embedding_near_dup_pairs",
+            "dedup.embedding_near_dup_lsh",
+            max_broadcast_rows,
+        )
     a = (probe if probe is not None else embeddings).select(
         F.col(id_col).alias("id_a"),
         F.col(vec_col).alias("va"),

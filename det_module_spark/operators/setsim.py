@@ -79,8 +79,11 @@ def jaccard_prefix_pairs(
     )
     dfreq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df_"))
     # global rarity order; (df, tok) is a total order so every engine
-    # and partitioning agrees on each document's prefix
-    ranked = toks.join(F.broadcast(dfreq), "tok").select(
+    # and partitioning agrees on each document's prefix. dfreq is
+    # vocabulary-sized (corpus-derived, unbounded at 100 TB) so it is
+    # NOT broadcast-hinted — AQE broadcasts it while it is small and
+    # falls back to a shuffle join when it isn't.
+    ranked = toks.join(dfreq, "tok").select(
         "id", "tok", "df_"
     )
     w = Window.partitionBy("id").orderBy(F.asc("df_"), F.asc("tok"))
@@ -182,17 +185,15 @@ def jaccard_allpairs_bruteforce(
         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("inter"))
     )
+    # ``sizes`` is one row per document — corpus-sized, so no forced
+    # broadcast (AQE decides; this path is the test oracle anyway).
     return (
         inter.join(
-            F.broadcast(
-                sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
-            ),
+            sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a")),
             "id_a",
         )
         .join(
-            F.broadcast(
-                sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
-            ),
+            sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b")),
             "id_b",
         )
         .withColumn("union_sz", F.col("sz_a") + F.col("sz_b") - F.col("inter"))

@@ -765,6 +765,7 @@ def hard_negatives(
     vec_col: str = "embedding",
     label_col: str = "label",
     anchors: DataFrame | None = None,
+    max_broadcast_rows: int = 500_000,
 ) -> DataFrame:
     """Contrastive hard-negative mining: for each anchor vector, the
     ``k`` most cosine-similar vectors carrying a DIFFERENT label —
@@ -783,6 +784,15 @@ def hard_negatives(
     """
     from pyspark.sql import Window
 
+    if anchors is None:
+        from det_module_spark.operators.dedup import guard_broadcast_side
+
+        guard_broadcast_side(
+            df,
+            "hard_negatives",
+            "similarity.lsh_buckets / ivf_topk candidate generation",
+            max_broadcast_rows,
+        )
     a = (anchors if anchors is not None else df).select(
         F.col(id_col).alias("anchor_id"),
         F.col(label_col).alias("anchor_label"),

@@ -68,10 +68,31 @@ _LOG_SCHEMA = T.StructType(
 class CacheManifest:
     """Transaction-log-backed manifest keyed by spec hash."""
 
+    # pinned snapshots older than this many _pinned_log() calls have
+    # their localCheckpoint blocks freed (ADVICE r04: eager pins
+    # otherwise accumulate storage memory for the session's lifetime).
+    # A small window (not immediate unpersist) keeps recently returned
+    # frames computable for callers that haven't materialized yet.
+    _PIN_KEEP = 8
+
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
         self.root = root
         self.log_path = os.path.join(root, "_manifest_log")
+        self._pins: list = []
+
+    def _track_pin(self, ck) -> None:
+        """Remember a pinned snapshot; free blocks of pins that have
+        aged out of the keep-window. Unpersisting a localCheckpoint
+        is destructive (lineage truncated), so only clearly-stale
+        snapshots — _PIN_KEEP reads old — are released."""
+        self._pins.append(ck)
+        while len(self._pins) > self._PIN_KEEP:
+            old = self._pins.pop(0)
+            try:
+                old._jdf.queryExecution().logical().rdd().unpersist(False)
+            except Exception:  # noqa: BLE001 - best-effort memory release
+                pass
 
     # -- log primitives ---------------------------------------------
 
@@ -320,6 +341,7 @@ class CacheManifest:
             # fresh listing (which necessarily contains its fold) is
             # one retry away.
             if all(os.path.exists(f) for f in files):
+                self._track_pin(ck)
                 return ck
             continue
 

@@ -62,6 +62,24 @@ def ensure_protobuf() -> str:
             _VENDOR + os.pathsep + existing if existing else _VENDOR
         )
     importlib.invalidate_caches()
+    # ADVICE r04: the failed native import above may have CACHED a
+    # 'google' namespace package (e.g. google-auth installed without
+    # protobuf) in sys.modules; the vendored 'google' is a regular
+    # package (__init__.py) so namespace-path recalculation never
+    # sees it and the retry would raise. If the cached entry isn't
+    # ours, graft the vendor dir onto its __path__ (keeps any other
+    # google.* subpackages importable); drop stale half-imports of
+    # google.protobuf either way.
+    cached = sys.modules.get("google")
+    if cached is not None:
+        vendor_google = os.path.join(_VENDOR, "google")
+        paths = list(getattr(cached, "__path__", []) or [])
+        if vendor_google not in paths:
+            try:
+                cached.__path__.append(vendor_google)
+            except Exception:  # noqa: BLE001 - frozen/odd module: rebuild
+                del sys.modules["google"]
+    sys.modules.pop("google.protobuf", None)
     import google.protobuf  # noqa: F401 - the fallback
 
     PROTOBUF_MODE = "fallback"
@@ -255,10 +273,13 @@ def topk_distinct(
     from pyspark.sql import functions as F
 
     _ship_fallback(events.sparkSession)
+    # null values would raise int(None) inside the processor (ADVICE
+    # r04): a null contributes nothing to a top-k, so define the
+    # behavior as drop-before-state.
     prepared = events.select(
         F.col(key_col).cast("string").alias("key"),
         F.col(value_col).cast("long").alias("value"),
-    )
+    ).where(F.col("value").isNotNull())
     return prepared.groupBy("key").transformWithStateInPandas(
         statefulProcessor=TopKDistinctProcessor(k),
         outputStructType=TOPK_SCHEMA,
@@ -322,10 +343,12 @@ def bucket_counts(
     from pyspark.sql import functions as F
 
     _ship_fallback(events.sparkSession)
+    # null buckets would raise int(None) in the processor (ADVICE
+    # r04) — defined behavior: dropped before entering state.
     prepared = events.select(
         F.col(key_col).cast("string").alias("key"),
         F.col(bucket_col).cast("long").alias("bucket"),
-    )
+    ).where(F.col("bucket").isNotNull())
     return prepared.groupBy("key").transformWithStateInPandas(
         statefulProcessor=BucketCountProcessor(),
         outputStructType=BUCKETS_SCHEMA,

@@ -282,3 +282,72 @@ def test_merge_clears_oneof_siblings(sm):
     back.ParseFromString(a.SerializeToString())
     assert back.WhichOneof("method") == "listStateCall"
     assert back.listStateCall.stateName == "l"
+
+
+def test_touchlist_iadd_and_mutators_mark_presence(sm):
+    """ADVICE r04: '+=' (list.__iadd__), pop/remove/clear and slice
+    deletion must all route through the touch callback — an append
+    path that bypasses it silently drops the payload from the wire."""
+    msg = sm.ListStateCall(stateName="s")
+    msg.appendList.value += [b"a", b"b"]  # __iadd__, not extend()
+    back = sm.ListStateCall()
+    back.ParseFromString(msg.SerializeToString())
+    assert list(back.appendList.value) == [b"a", b"b"]
+    # the remaining mutators keep the container live too
+    lst = msg.appendList.value
+    lst.pop()
+    lst.remove(b"a")
+    lst += [b"z"]
+    back2 = sm.ListStateCall()
+    back2.ParseFromString(msg.SerializeToString())
+    assert list(back2.appendList.value) == [b"z"]
+
+
+def test_reparented_submessage_tracks_both_parents(sm):
+    """ADVICE r04: assigning one sub-message into a second parent must
+    not un-track the first — a later mutation through the shared child
+    serializes from BOTH parents (real protobuf copies on assignment,
+    so sharing can only arise here; composing callbacks keeps every
+    parent correct)."""
+    child = sm.ValueStateCall(stateName="v")
+    a = sm.StateVariableRequest()
+    b = sm.StateVariableRequest()
+    a.valueStateCall = child
+    b.valueStateCall = child
+    child.stateName = "renamed"
+    for parent in (a, b):
+        back = sm.StateVariableRequest()
+        back.ParseFromString(parent.SerializeToString())
+        assert back.valueStateCall.stateName == "renamed"
+
+
+def test_ensure_protobuf_with_cached_namespace_google(monkeypatch):
+    """ADVICE r04: a 'google' NAMESPACE package cached in sys.modules
+    (e.g. google-auth installed without protobuf) must not defeat the
+    fallback — ensure_protobuf grafts the vendor dir onto the cached
+    module's __path__ and the retry import succeeds."""
+    import types
+
+    import det_module_spark.streaming.state as st
+
+    saved = {
+        k: sys.modules.get(k)
+        for k in list(sys.modules)
+        if k == "google" or k.startswith("google.")
+    }
+    try:
+        for k in saved:
+            sys.modules.pop(k, None)
+        ns = types.ModuleType("google")
+        ns.__path__ = ["/nonexistent/site-packages/google"]  # namespace-ish
+        sys.modules["google"] = ns
+        monkeypatch.setattr(st, "PROTOBUF_MODE", None)
+        assert st.ensure_protobuf() == "fallback"
+        import google.protobuf  # noqa: F401 - resolves via grafted path
+
+        assert any("protofallback" in p for p in sys.modules["google"].__path__)
+    finally:
+        for k in list(sys.modules):
+            if k == "google" or k.startswith("google."):
+                sys.modules.pop(k, None)
+        sys.modules.update({k: v for k, v in saved.items() if v is not None})
