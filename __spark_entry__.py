@@ -1373,25 +1373,48 @@ _JOIN_DELTA_RETRACT_SQL = """
 """
 
 
+# One replay pass serves the three batch-keyed TWS queries below
+# (VERDICT r04 #5): they share the stream (events), the key
+# (event_type), and the micro-batch schedule (event_id%3), differing
+# only in which per-key summary they project — so the combined
+# processor computes all three state variables in ONE pass and each
+# query projects its columns. The memo holds the collected wide rows
+# (one per key per touched batch — key-cardinality-sized, control
+# plane) so the second and third query of a run pay ~nothing. Each
+# query's rows and oracle are UNCHANGED from the single-pass versions.
+_TWS_COMBINED_MEMO: dict[str, tuple] = {}
+
+
+def _tws_combined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    if sf_dir not in _TWS_COMBINED_MEMO:
+        from det_module_spark.streaming.replay import replay_combined_stats
+
+        ev = load_table(spark, sf_dir, "events").select(
+            (F.col("event_id") % 3).alias("batch"),
+            F.col("event_type"),
+            F.expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT)")
+            .cast("double")
+            .alias("value"),
+            (F.col("user_id") % 10).alias("bucket"),
+        )
+        out = replay_combined_stats(
+            ev, "batch", "event_type", "value", "bucket", k=3
+        )
+        _TWS_COMBINED_MEMO[sf_dir] = (out.collect(), out.schema)
+    rows, schema = _TWS_COMBINED_MEMO[sf_dir]
+    return spark.createDataFrame(rows, schema)
+
+
 def q_events_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     # transformWithState, driver-oracled: replay the events table
-    # through the TWS running-totals processor (Python state client →
+    # through the TWS running-totals state (Python state client →
     # protobuf wire protocol → RocksDB state store), one micro-batch
     # per event_id%3 bucket, UPDATE mode. The emitted rows are the
     # per-key cumulative (count, sum) trajectory, which the oracle
     # reproduces as a cumulative window over per-batch aggregates.
     # Values are integer cents in a double, so the float state
     # accumulates exactly and hashes clean (ROUND_NOTES float rules).
-    from det_module_spark.streaming.replay import replay_running_totals
-
-    ev = load_table(spark, sf_dir, "events").select(
-        (F.col("event_id") % 3).alias("batch"),
-        F.col("event_type"),
-        F.expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT)")
-        .cast("double")
-        .alias("value"),
-    )
-    out = replay_running_totals(ev, "batch", "event_type", "value")
+    out = _tws_combined(spark, sf_dir)
     return out.select("key", "n_events", "sum_value").orderBy(
         "key", "n_events"
     )
@@ -1417,16 +1440,11 @@ def q_events_topk_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # DISTINCT cent-values per event_type, replayed one micro-batch
     # per event_id%3 bucket; each touched batch emits the cumulative
     # top-3 as a desc CSV string. Bounded state (k rows per key) —
-    # the dropped tail can never re-enter a running top-k.
-    from det_module_spark.streaming.replay import replay_topk_distinct
-
-    ev = load_table(spark, sf_dir, "events").select(
-        (F.col("event_id") % 3).alias("batch"),
-        F.col("event_type"),
-        F.expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT)").alias("value"),
-    )
-    out = replay_topk_distinct(ev, "batch", "event_type", "value", k=3)
-    return out.orderBy("key", "topk")
+    # the dropped tail can never re-enter a running top-k. Projected
+    # from the shared combined TWS pass (same rows as the standalone
+    # ListState replay — see _tws_combined).
+    out = _tws_combined(spark, sf_dir)
+    return out.select("key", "topk").orderBy("key", "topk")
 
 
 _EVENTS_TOPK_SQL = """
@@ -1453,15 +1471,12 @@ def q_events_bucket_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bucket -> count map (bucket = user_id%10); each touched batch
     # emits (key, distinct buckets so far, events so far). Exercises
     # the userKey message family of the state protocol end-to-end.
-    from det_module_spark.streaming.replay import replay_bucket_counts
-
-    ev = load_table(spark, sf_dir, "events").select(
-        (F.col("event_id") % 3).alias("batch"),
-        F.col("event_type"),
-        (F.col("user_id") % 10).alias("bucket"),
-    )
-    out = replay_bucket_counts(ev, "batch", "event_type", "bucket")
-    return out.orderBy("key", "n_events")
+    # Projected from the shared combined TWS pass (same rows as the
+    # standalone MapState replay — see _tws_combined).
+    out = _tws_combined(spark, sf_dir)
+    return out.select(
+        "key", "n_buckets", F.col("n_bucket_events").alias("n_events")
+    ).orderBy("key", "n_events")
 
 
 _EVENTS_BUCKET_SQL = """

@@ -110,7 +110,7 @@ def replay_stream(
         # pinned into the query's own checkpoint at start; nothing
         # else sees it. Production streams keep the session default.
         run = spark.newSession()
-        run.conf.set("spark.sql.shuffle.partitions", "2")
+        run.conf.set("spark.sql.shuffle.partitions", "1")
         run.conf.set(
             "spark.sql.streaming.stateStore.maintenanceInterval", "1h"
         )
@@ -223,10 +223,10 @@ _ROCKSDB_CONF = {
     "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing"
     ".enabled": "true",
     # a TWS replay spins up one RocksDB instance per shuffle partition
-    # per micro-batch; the replay corpus has a handful of keys, so 2
-    # partitions halves store-init cost vs the harness default 4
-    # without touching semantics (production streams keep their own)
-    "spark.sql.shuffle.partitions": "2",
+    # per micro-batch; replay semantics are per-key, so ONE partition
+    # minimizes store-init cost without touching them (production
+    # streams keep their own partitioning)
+    "spark.sql.shuffle.partitions": "1",
 }
 
 
@@ -304,6 +304,41 @@ def replay_bucket_counts(
         df,
         batch_col,
         lambda s: bucket_counts(s, key_col=key_col, bucket_col=bucket_col),
+        output_mode="update",
+        extra_conf=_ROCKSDB_CONF,
+    )
+
+
+def replay_combined_stats(
+    df: DataFrame,
+    batch_col: str,
+    key_col: str,
+    value_col: str,
+    bucket_col: str,
+    k: int = 3,
+) -> DataFrame:
+    """Replay through the one-pass CombinedStatsProcessor (running
+    totals + top-k distinct + bucket counts in three state variables
+    of ONE processor). Emission schedule is identical to the three
+    single-purpose replays — one wide row per key per touched
+    micro-batch — so each summary's projection of the combined output
+    equals its standalone replay row-for-row (the single-purpose
+    processors stay the tested protocol-coverage units; this pass
+    exists because three replays over the same stream pay the fixed
+    micro-batch/state-store cost three times for one stream's worth
+    of semantics — VERDICT r04 #5)."""
+    from det_module_spark.streaming.state import combined_stats
+
+    return replay_stream(
+        df,
+        batch_col,
+        lambda s: combined_stats(
+            s,
+            key_col=key_col,
+            value_col=value_col,
+            bucket_col=bucket_col,
+            k=k,
+        ),
         output_mode="update",
         extra_conf=_ROCKSDB_CONF,
     )
