@@ -106,19 +106,21 @@ def main() -> None:
 
     qs = entry_mod.queries()
 
-    def run_one(label: str, timings: dict, item: tuple[str, object]) -> None:
+    def run_one(
+        label: str, timings: dict, item: tuple[str, object], d: str = sf_dir
+    ) -> None:
         name, fn = item
         t0 = time.time()
-        n = len(fn(spark, sf_dir).collect())
+        n = len(fn(spark, d).collect())
         dt = time.time() - t0
         timings[name] = round(dt, 3)
         print(f"# [{label}] {name}: {dt:.3f}s rows={n}", file=sys.stderr)
 
-    def run_seq(label: str) -> tuple[float, dict[str, float]]:
+    def run_seq(label: str, d: str = sf_dir) -> tuple[float, dict[str, float]]:
         timings: dict[str, float] = {}
         t0 = time.time()
         for item in qs.items():
-            run_one(label, timings, item)
+            run_one(label, timings, item, d)
         return time.time() - t0, timings
 
     # Deterministic stream packing. Baseline: each query goes to the
@@ -186,6 +188,61 @@ def main() -> None:
         conc_wall = statistics.median(conc_walls)
         conc_timings = {k: round(statistics.median(v), 3) for k, v in conc_samples.items()}
 
+    # Scaling-slope pass (VERDICT r04 #8): one extra sequential pass
+    # at a SECOND scale factor so the per-query scaling ratio is
+    # visible round-over-round. ratio = t(main)/t(lo); with sf0.1 vs
+    # sf0.01 the data ratio is 10x, so ratio >> 10 flags superlinear
+    # growth while ratio ~= 1 means the query is fixed-cost-bound at
+    # these sizes. Runs only in mode=both, is disable-able, and can
+    # never fail the bench.
+    slope: dict[str, dict] = {}
+    slope_dir = os.environ.get("SPARK_GRAFT_BENCH_SLOPE_DIR") or (
+        sf_dir.replace("sf0.1", "sf0.01")
+        if sf_dir.rstrip("/").endswith("sf0.1")
+        else ""
+    )
+    if (
+        mode == "both"
+        and os.environ.get("SPARK_GRAFT_BENCH_SLOPE", "1") != "0"
+        and slope_dir
+        and slope_dir != sf_dir
+        and os.path.isdir(slope_dir)
+        and seq_timings
+    ):
+        try:
+            m2 = re.search(r"sf([0-9.]+)", slope_dir)
+            sf_lo = float(m2.group(1)) if m2 else -1.0
+            data_ratio = sf / sf_lo if sf_lo > 0 else float("nan")
+            for t in TABLES:
+                load_table(spark, slope_dir, t).persist().count()
+            _, lo_timings = run_seq("slope", slope_dir)
+            for name, hi in seq_timings.items():
+                lo = lo_timings.get(name)
+                if lo:
+                    slope[name] = {
+                        "lo": lo,
+                        "hi": hi,
+                        "ratio": round(hi / lo, 2),
+                    }
+            for t in TABLES:
+                load_table(spark, slope_dir, t).unpersist()
+            superlinear = sorted(
+                n
+                for n, v in slope.items()
+                # fixed-cost floor: sub-second-at-lo queries measure
+                # overhead, not scaling; flag only real growth past
+                # the data ratio
+                if v["ratio"] > data_ratio * 1.2 and v["lo"] >= 0.3
+            )
+            slope["__meta__"] = {
+                "lo_sf": sf_lo,
+                "hi_sf": sf,
+                "data_ratio": round(data_ratio, 2),
+                "superlinear": superlinear,
+            }
+        except Exception as e:  # noqa: BLE001 - slope must never gate
+            print(f"# slope pass skipped: {e}", file=sys.stderr)
+
     # full per-query detail goes to a sidecar, never to the final line
     sidecar = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json")
     with open(sidecar, "w") as f:
@@ -206,6 +263,7 @@ def main() -> None:
                     k: round(max(v), 3) for k, v in sorted(conc_samples.items())
                 },
                 "stream_assignment": assignment,
+                "scaling_slope": slope,
             },
             f,
             indent=1,
@@ -228,6 +286,10 @@ def main() -> None:
         "queries": slowest,
         "queries_full": "BENCH_FULL.json",
     }
+    if slope:
+        meta = slope.get("__meta__", {})
+        summary["slope_lo_sf"] = meta.get("lo_sf")
+        summary["superlinear"] = meta.get("superlinear", [])
     line = json.dumps(summary)
     # hard guarantee: the driver keeps a bounded stdout tail; stay small
     while len(line) > 1500 and summary["queries"]:
