@@ -4349,6 +4349,96 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- round-5 additions: line-level dedup, NB classifier, perceptual
+# near-dup (new capability families — see operator docstrings) -------
+
+
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # C4/RefinedWeb-style boilerplate removal: lines (10-word windows
+    # of the whitespace corpus — it has no newline structure) present
+    # in >= 2 distinct docs are dropped from EVERY doc; docs are
+    # reassembled in line order. One freq agg + one equi-join + one
+    # per-doc agg — linear, no broadcast of the corpus-derived
+    # frequency table.
+    from det_module_spark.operators.linededup import (
+        line_dedup,
+        split_fixed_lines,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    lines = split_fixed_lines(docs, "doc_id", "text", 10)
+    return line_dedup(lines, min_docs=2, policy="drop_all").orderBy(
+        "doc_id"
+    )
+
+
+_LINE_DEDUP_LINES_SQL = """
+    WITH docs AS (
+      SELECT doc_id, string_split(text, ' ') AS toks
+      FROM documents WHERE text IS NOT NULL
+    ),
+    lines AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS idx,
+             array_to_string(list_slice(toks, i*10+1, i*10+10), ' ')
+               AS line
+      FROM docs,
+           UNNEST(range(CAST(ceil(len(toks)/10.0) AS BIGINT))) AS t(i)
+    )"""
+
+
+def q_line_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # C4-proper policy: the single globally-first occurrence (lowest
+    # doc id, then lowest idx) of each duplicated line survives.
+    from det_module_spark.operators.linededup import (
+        line_dedup,
+        split_fixed_lines,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    lines = split_fixed_lines(docs, "doc_id", "text", 10)
+    return line_dedup(lines, min_docs=2, policy="keep_first").orderBy(
+        "doc_id"
+    )
+
+
+def q_nb_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Multinomial Naive Bayes source classifier: fit on doc_id%5!=0,
+    # predict source for the held-out fifth. Closed-form fit = two
+    # hash aggs; scores are integer-quantized ln terms (1e-9 units)
+    # so the argmax and scoreq are cross-engine exact. Ties break to
+    # the lexicographically largest label.
+    from det_module_spark.operators.nbayes import nb_classify, nb_fit
+
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 5 != 0).select(
+        F.col("source").alias("label"), "text"
+    )
+    test = docs.filter(F.col("doc_id") % 5 == 0)
+    token_stats, class_stats = nb_fit(train, "label", "text")
+    return nb_classify(test, token_stats, class_stats).orderBy("doc_id")
+
+
+def q_media_ahash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Perceptual (average-hash) near-dup over the media table: sample
+    # 64 blob bytes per item (mapInPandas decode stand-in), 64-bit
+    # aHash in pure Column arithmetic, 8-byte-band LSH self-join,
+    # exact Hamming <= 7 — banding provably complete at that radius
+    # (pigeonhole). The oracle recomputes the same bytes via ascii()
+    # (the blobs are UTF-8 of ASCII text, so byte == codepoint).
+    from det_module_spark.operators.multimodal import (
+        ahash64,
+        ahash_near_dup_pairs,
+        media_from_documents,
+        sample_pixels,
+    )
+
+    media = media_from_documents(load_table(spark, sf_dir, "documents"))
+    hashes = ahash64(sample_pixels(media, n=64))
+    return ahash_near_dup_pairs(hashes, max_hamming=7).orderBy(
+        "media_a", "media_b"
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the reliability zonal extract (the aid-data triple) at
     sf0.001; driver checks rows>0."""
@@ -4368,6 +4458,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # simple single-shuffle SQL ops, lowest residual risk) lead _R6
 # together with any round-5 additions.
 _ROTATION_R5 = [
+    # new this round — driver must check first
+    "line_dedup",
+    "line_dedup_keep_first",
+    "nb_classify",
+    "media_ahash_pairs",
     # changed this round — driver must (re-)check first
     "setsim_prefix",
     "basket_pairs",
@@ -4434,6 +4529,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # 1 — _ROTATION_R4 entries go FIRST (fixed + never-yet-checked
     # queries); the literal below keeps its grouping for readability.
     return _rotate({
+        # --- round-5 additions ---
+        "line_dedup": q_line_dedup,
+        "line_dedup_keep_first": q_line_dedup_keep_first,
+        "nb_classify": q_nb_classify,
+        "media_ahash_pairs": q_media_ahash_pairs,
         # --- round-4 additions ---
         "join_delta_retract": q_join_delta_retract,
         "events_running_totals": q_events_running_totals,
@@ -7924,6 +8024,144 @@ QUALIFY ROW_NUMBER() OVER (
             FROM agg
         """,
     }
+    out["line_dedup"] = (
+        _LINE_DEDUP_LINES_SQL
+        + """,
+        freq AS (
+          SELECT line, COUNT(DISTINCT doc_id) AS ndocs
+          FROM lines GROUP BY line)
+        SELECT l.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_lines,
+               CAST(COUNT(*) FILTER (WHERE f.ndocs < 2) AS BIGINT)
+                 AS n_kept,
+               COALESCE(string_agg(l.line, ' ' ORDER BY l.idx)
+                          FILTER (WHERE f.ndocs < 2), '') AS clean_text
+        FROM lines l JOIN freq f USING (line)
+        GROUP BY l.doc_id
+    """
+    )
+    out["line_dedup_keep_first"] = (
+        _LINE_DEDUP_LINES_SQL
+        + """,
+        freq AS (
+          SELECT line, COUNT(DISTINCT doc_id) AS ndocs,
+                 MIN(doc_id) AS fdoc
+          FROM lines GROUP BY line),
+        ffirst AS (
+          SELECT l.line, MIN(l.idx) AS fidx
+          FROM lines l JOIN freq f
+            ON l.line = f.line AND l.doc_id = f.fdoc
+          GROUP BY l.line),
+        flagged AS (
+          SELECT l.doc_id, l.idx, l.line,
+                 (f.ndocs < 2 OR (l.doc_id = f.fdoc AND l.idx = ff.fidx))
+                   AS keep
+          FROM lines l
+          JOIN freq f USING (line)
+          JOIN ffirst ff ON ff.line = l.line)
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_lines,
+               CAST(COUNT(*) FILTER (WHERE keep) AS BIGINT) AS n_kept,
+               COALESCE(string_agg(line, ' ' ORDER BY idx)
+                          FILTER (WHERE keep), '') AS clean_text
+        FROM flagged
+        GROUP BY doc_id
+    """
+    )
+    out["nb_classify"] = """
+        WITH train AS (
+          SELECT source AS label, text FROM documents
+          WHERE doc_id % 5 <> 0),
+        test AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
+        ttoks AS (
+          SELECT label, term FROM (
+            SELECT label, unnest(string_split(text, ' ')) AS term
+            FROM train)
+          WHERE length(term) > 0),
+        tc AS (
+          SELECT label, term, COUNT(*) AS cnt
+          FROM ttoks GROUP BY label, term),
+        ts AS (
+          SELECT term, label,
+                 CAST(FLOOR(ln(CAST(cnt + 1 AS DOUBLE)) * 1e9 + 0.5)
+                      AS BIGINT) AS lnc1q
+          FROM tc),
+        cstats AS (
+          SELECT d.label,
+                 CAST(FLOOR(ln(CAST(d.ndl AS DOUBLE)) * 1e9 + 0.5)
+                      AS BIGINT)
+                   - CAST(FLOOR(ln(CAST((SELECT COUNT(*) FROM train)
+                                        AS DOUBLE)) * 1e9 + 0.5)
+                          AS BIGINT) AS priorq,
+                 CAST(FLOOR(ln(CAST(t.tot
+                                    + (SELECT COUNT(DISTINCT term)
+                                       FROM tc) AS DOUBLE))
+                            * 1e9 + 0.5) AS BIGINT) AS penaltyq
+          FROM (SELECT label, COUNT(*) AS ndl FROM train GROUP BY label) d
+          JOIN (SELECT label, CAST(SUM(cnt) AS BIGINT) AS tot
+                FROM tc GROUP BY label) t USING (label)),
+        dt AS (
+          SELECT doc_id, term FROM (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS term
+            FROM test)
+          WHERE length(term) > 0),
+        nd AS (SELECT doc_id, COUNT(*) AS n_toks FROM dt GROUP BY doc_id),
+        sums AS (
+          SELECT dt.doc_id, ts.label, CAST(SUM(ts.lnc1q) AS BIGINT)
+                   AS sumq
+          FROM dt JOIN ts USING (term)
+          GROUP BY dt.doc_id, ts.label),
+        scored AS (
+          SELECT nd.doc_id, c.label,
+                 c.priorq + COALESCE(s.sumq, 0)
+                   - nd.n_toks * c.penaltyq AS scoreq
+          FROM nd CROSS JOIN cstats c
+          LEFT JOIN sums s
+            ON s.doc_id = nd.doc_id AND s.label = c.label)
+        SELECT doc_id, label AS pred, CAST(scoreq AS BIGINT) AS scoreq
+        FROM scored
+        QUALIFY ROW_NUMBER() OVER (
+          PARTITION BY doc_id ORDER BY scoreq DESC, label DESC) = 1
+    """
+    out["media_ahash_pairs"] = """
+        WITH px AS (
+          SELECT doc_id AS media_id, CAST(i AS INT) AS i,
+                 ascii(substr(text,
+                              1 + CAST(FLOOR(i * length(text) / 64.0)
+                                       AS INT), 1)) AS p
+          FROM documents, UNNEST(range(64)) AS t(i)
+          WHERE text IS NOT NULL AND length(text) > 0),
+        h AS (
+          SELECT media_id,
+                 CAST(SUM(CASE WHEN p * 64 > tot AND i < 32
+                               THEN CAST(2 AS BIGINT) ** i
+                               ELSE 0 END) AS BIGINT) AS hi,
+                 CAST(SUM(CASE WHEN p * 64 > tot AND i >= 32
+                               THEN CAST(2 AS BIGINT) ** (i - 32)
+                               ELSE 0 END) AS BIGINT) AS lo
+          FROM (SELECT media_id, i, p,
+                       SUM(p) OVER (PARTITION BY media_id) AS tot
+                FROM px)
+          GROUP BY media_id),
+        bands AS (
+          SELECT media_id, hi, lo, j,
+                 CASE WHEN j < 4
+                      THEN CAST(FLOOR(hi / (2 ** (8 * j))) AS BIGINT)
+                             % 256
+                      ELSE CAST(FLOOR(lo / (2 ** (8 * (j - 4))))
+                                AS BIGINT) % 256
+                 END AS bv
+          FROM h, UNNEST(range(8)) AS t(j)),
+        cand AS (
+          SELECT DISTINCT a.media_id AS media_a, b.media_id AS media_b,
+                 CAST(bit_count(xor(CAST(a.hi AS BIT), CAST(b.hi AS BIT)))
+                      + bit_count(xor(CAST(a.lo AS BIT),
+                                      CAST(b.lo AS BIT)))
+                      AS BIGINT) AS hamming
+          FROM bands a JOIN bands b
+            ON a.j = b.j AND a.bv = b.bv AND a.media_id < b.media_id)
+        SELECT media_a, media_b, hamming FROM cand WHERE hamming <= 7
+    """
     try:
         out["approx_stats"] = _approx_stats_sql()
     except ValueError:

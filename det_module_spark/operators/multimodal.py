@@ -133,6 +133,148 @@ def frame_sample_plan(
     )
 
 
+PIXELS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("px", T.ArrayType(T.IntegerType()), True),
+    ]
+)
+
+
+def sample_pixels(media: DataFrame, n: int = 64) -> DataFrame:
+    """Decode-side half of perceptual hashing: sample ``n`` evenly
+    spaced bytes from each blob as grayscale "pixels" (a real decoder
+    would downscale the decoded image to an 8×8 luma grid; the byte
+    sampler is the deterministic stand-in with identical shape). Runs
+    as one Arrow-batched ``mapInPandas`` pass — blobs never leave
+    their partition, and only (media_id, content) columns are read so
+    parquet prunes everything else."""
+
+    def batches(it: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in it:
+            px = [
+                (
+                    [b[(i * len(b)) // n] for i in range(n)]
+                    if b is not None and len(b) > 0
+                    else None
+                )
+                for b in pdf["content"]
+            ]
+            yield pd.DataFrame({"media_id": pdf["media_id"], "px": px})
+
+    return media.select("media_id", "content").mapInPandas(
+        batches, schema=PIXELS_SCHEMA
+    )
+
+
+def ahash64(pixels: DataFrame) -> DataFrame:
+    """Average-hash: 64 bits, bit i set iff pixel i is above the mean
+    (strict ``p·64 > Σp`` — exact integer compare, no float mean).
+    Packed as two nonnegative 32-bit halves (hi = bits 0-31, lo =
+    32-63) so Hamming distance is two ``bit_count(xor)`` ops. Pure
+    per-row Column arithmetic — whole-stage codegen, no shuffle."""
+    with_tot = pixels.filter(F.col("px").isNotNull()).withColumn(
+        "tot", F.aggregate("px", F.lit(0), lambda a, x: a + x)
+    )
+
+    def half(lo_bit: int) -> F.Column:
+        return F.aggregate(
+            F.transform(
+                F.col("px"),
+                lambda x, i: F.when(
+                    (x * 64 > F.col("tot"))
+                    & (i >= lo_bit)
+                    & (i < lo_bit + 32),
+                    F.pow(F.lit(2.0), (i - lo_bit).cast("double")).cast(
+                        "long"
+                    ),
+                ).otherwise(F.lit(0).cast("long")),
+            ),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x,
+        )
+
+    return with_tot.select(
+        "media_id", half(0).alias("hi"), half(32).alias("lo")
+    )
+
+
+def ahash_near_dup_pairs(
+    hashes: DataFrame, max_hamming: int = 7
+) -> DataFrame:
+    """Banded perceptual near-dup join: slice each 64-bit hash into 8
+    byte bands; pairs agreeing on ANY band are candidates (equi-join
+    on (band, value) — the LSH shape, linear shuffle, no all-pairs);
+    exact Hamming distance then filters. For ``max_hamming < 8`` the
+    pigeonhole principle makes the banded join COMPLETE: ≤7 differing
+    bits cannot touch all 8 bands, so some band matches exactly.
+    → (media_a, media_b, hamming), media_a < media_b.
+
+    The hash table is corpus-derived: both the band frame and the
+    re-joined hash sides stay un-hinted (AQE picks the strategy)."""
+    if max_hamming >= 8:
+        raise ValueError(
+            "banding over 8 byte-bands is only complete for "
+            f"max_hamming < 8, got {max_hamming}"
+        )
+    bands = hashes.select(
+        "media_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("hi"), 8 * j).bitwiseAND(F.lit(255))
+                    for j in range(4)
+                ],
+                *[
+                    F.shiftright(F.col("lo"), 8 * j).bitwiseAND(F.lit(255))
+                    for j in range(4)
+                ],
+            )
+        ).alias("j", "bv"),
+    )
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.j") == F.col("b.j"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .select(
+            F.col("a.media_id").alias("media_a"),
+            F.col("b.media_id").alias("media_b"),
+        )
+        .distinct()
+    )
+    ha = hashes.select(
+        F.col("media_id").alias("media_a"),
+        F.col("hi").alias("hi_a"),
+        F.col("lo").alias("lo_a"),
+    )
+    hb = hashes.select(
+        F.col("media_id").alias("media_b"),
+        F.col("hi").alias("hi_b"),
+        F.col("lo").alias("lo_b"),
+    )
+    return (
+        cand.join(ha, "media_a")
+        .join(hb, "media_b")
+        .select(
+            "media_a",
+            "media_b",
+            (
+                F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b")))
+                + F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b")))
+            )
+            .cast("long")
+            .alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
 def media_from_documents(docs: DataFrame) -> DataFrame:
     """Synthesize a media table from the documents fixture: text bytes
     as blobs with kind round-robined — the deterministic stand-in used

@@ -64,6 +64,7 @@ ALLOWED_NESTED_LOOP = {
     "lm_score": "global token-total scalar (1 row)",
     "tpch_q11": "global value-sum scalar (1 row)",
     "tpch_q22": "global avg-balance scalar (1 row)",
+    "nb_classify": "class_stats table (one row per label — label vocabulary)",
 }
 
 
