@@ -4439,6 +4439,44 @@ def q_media_ahash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # DSIR data selection: importance weights of the raw corpus under
+    # contrastive unigram models (target = src0 docs), top-50 flagged
+    # via a TakeOrdered threshold scalar (ties all selected; no global
+    # window). Weights are integer-quantized ln sums — hash-exact.
+    from det_module_spark.operators.importance import (
+        dsir_select,
+        dsir_weights,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    target = docs.filter(F.col("source") == "src0")
+    raw = docs.filter(F.col("source") != "src0")
+    return dsir_select(dsir_weights(target, raw), k=50).orderBy("doc_id")
+
+
+def q_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Okapi BM25 scoring against a fixed query-term set; exact
+    # integer-rational arithmetic (see bm25_scores docstring), one
+    # row per matching doc.
+    from det_module_spark.operators.text import bm25_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bm25_scores(docs, ["spark", "window", "merge"]).orderBy(
+        "doc_id"
+    )
+
+
+def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Distributed Lloyd k-means (k=8, 2 rounds + final assign) on the
+    # embeddings table, exact integer arithmetic throughout; oracle is
+    # the identical unrolled iteration in SQL (kmeans_sql).
+    from det_module_spark.operators.kmeans import kmeans_fit_predict
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return kmeans_fit_predict(emb, k=8, iters=2).orderBy("vec_id")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the reliability zonal extract (the aid-data triple) at
     sf0.001; driver checks rows>0."""
@@ -4463,6 +4501,9 @@ _ROTATION_R5 = [
     "line_dedup_keep_first",
     "nb_classify",
     "media_ahash_pairs",
+    "dsir_select",
+    "bm25_retrieval",
+    "kmeans_clusters",
     # changed this round — driver must (re-)check first
     "setsim_prefix",
     "basket_pairs",
@@ -4534,6 +4575,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup_keep_first": q_line_dedup_keep_first,
         "nb_classify": q_nb_classify,
         "media_ahash_pairs": q_media_ahash_pairs,
+        "dsir_select": q_dsir_select,
+        "bm25_retrieval": q_bm25_retrieval,
+        "kmeans_clusters": q_kmeans_clusters,
         # --- round-4 additions ---
         "join_delta_retract": q_join_delta_retract,
         "events_running_totals": q_events_running_totals,
@@ -8162,6 +8206,97 @@ QUALIFY ROW_NUMBER() OVER (
             ON a.j = b.j AND a.bv = b.bv AND a.media_id < b.media_id)
         SELECT media_a, media_b, hamming FROM cand WHERE hamming <= 7
     """
+    out["dsir_select"] = """
+        WITH tgt AS (SELECT text FROM documents WHERE source = 'src0'),
+        rawd AS (SELECT doc_id, text FROM documents
+                 WHERE source <> 'src0'),
+        ct AS (
+          SELECT term, COUNT(*) AS cnt FROM (
+            SELECT unnest(string_split(text, ' ')) AS term FROM tgt)
+          WHERE length(term) > 0 GROUP BY term),
+        cr AS (
+          SELECT term, COUNT(*) AS cnt FROM (
+            SELECT unnest(string_split(text, ' ')) AS term FROM rawd)
+          WHERE length(term) > 0 GROUP BY term),
+        delta AS (
+          SELECT term,
+                 CAST(FLOOR(ln(CAST(COALESCE(ct.cnt, 0) + 1 AS DOUBLE))
+                            * 1e9 + 0.5) AS BIGINT)
+                 - CAST(FLOOR(ln(CAST(COALESCE(cr.cnt, 0) + 1 AS DOUBLE))
+                              * 1e9 + 0.5) AS BIGINT) AS deltaq,
+                 COALESCE(ct.cnt, 0) AS cnt_t,
+                 COALESCE(cr.cnt, 0) AS cnt_r
+          FROM ct FULL OUTER JOIN cr USING (term)),
+        tot AS (
+          SELECT COUNT(*) AS v, CAST(SUM(cnt_t) AS BIGINT) AS tt,
+                 CAST(SUM(cnt_r) AS BIGINT) AS tr FROM delta),
+        pen AS (
+          SELECT CAST(FLOOR(ln(CAST(tt + v AS DOUBLE)) * 1e9 + 0.5)
+                      AS BIGINT)
+                 - CAST(FLOOR(ln(CAST(tr + v AS DOUBLE)) * 1e9 + 0.5)
+                        AS BIGINT) AS p
+          FROM tot),
+        dt AS (
+          SELECT doc_id, term FROM (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS term
+            FROM rawd)
+          WHERE length(term) > 0),
+        sums AS (
+          SELECT dt.doc_id, CAST(COUNT(*) AS BIGINT) AS n_toks,
+                 CAST(SUM(d.deltaq) AS BIGINT) AS sumq
+          FROM dt JOIN delta d USING (term) GROUP BY dt.doc_id),
+        w AS (
+          SELECT doc_id, n_toks,
+                 sumq - n_toks * (SELECT p FROM pen) AS weightq
+          FROM sums),
+        th AS (
+          SELECT MIN(weightq) AS minw FROM (
+            SELECT weightq FROM w
+            ORDER BY weightq DESC, doc_id LIMIT 50))
+        SELECT doc_id, n_toks, weightq,
+               weightq >= (SELECT minw FROM th) AS selected
+        FROM w
+    """
+    out["bm25_retrieval"] = """
+        WITH toks AS (
+          SELECT doc_id, term FROM (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS term
+            FROM documents)
+          WHERE length(term) > 0),
+        dl AS (SELECT doc_id, COUNT(*) AS L FROM toks GROUP BY doc_id),
+        sc AS (SELECT COUNT(*) AS n, CAST(SUM(L) AS BIGINT) AS tt
+               FROM dl),
+        qt AS (SELECT doc_id, term FROM toks
+               WHERE term IN ('spark', 'window', 'merge')),
+        dft AS (SELECT term, COUNT(DISTINCT doc_id) AS df
+                FROM qt GROUP BY term),
+        idf AS (
+          SELECT term,
+                 CAST(FLOOR(ln(CAST(2 * (SELECT n FROM sc) - 2 * df + 1
+                                    AS DOUBLE)) * 1e9 + 0.5) AS BIGINT)
+                 - CAST(FLOOR(ln(CAST(2 * df + 1 AS DOUBLE)) * 1e9
+                              + 0.5) AS BIGINT) AS idfq
+          FROM dft),
+        ctd AS (SELECT doc_id, term, COUNT(*) AS c
+                FROM qt GROUP BY doc_id, term),
+        j AS (
+          SELECT ctd.doc_id, idf.idfq, ctd.c, dl.L
+          FROM ctd JOIN idf USING (term) JOIN dl USING (doc_id)),
+        terms AS (
+          SELECT doc_id,
+                 idfq * ((44 * c * (SELECT tt FROM sc) * 10000)
+                         // (20 * c * (SELECT tt FROM sc)
+                             + 6 * (SELECT tt FROM sc)
+                             + 18 * (SELECT n FROM sc) * L))
+                   AS term_scoreq
+          FROM j)
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits,
+               CAST(SUM(term_scoreq) AS BIGINT) AS scoreq
+        FROM terms GROUP BY doc_id
+    """
+    from det_module_spark.operators.kmeans import kmeans_sql
+
+    out["kmeans_clusters"] = kmeans_sql(k=8, iters=2)
     try:
         out["approx_stats"] = _approx_stats_sql()
     except ValueError:

@@ -537,3 +537,91 @@ def bigram_logprob(
             ).alias("avg_logprob"),
         )
     )
+
+
+def bm25_scores(
+    docs: DataFrame,
+    query_terms: list[str],
+    id_col: str = "doc_id",
+    text: str = "text",
+) -> DataFrame:
+    """Okapi BM25 retrieval scoring against a fixed query-term set
+    (k1 = 1.2, b = 0.75) — the classic sparse-retrieval ranking,
+    used in pipelines for query-based decontamination and RAG corpus
+    probes. → (id, n_hits, scoreq) for documents matching ≥1 term.
+
+    Exact-arithmetic formulation (ROUND_NOTES float rules): with
+    k1 = 6/5 and b = 3/4, the per-term saturation ratio
+
+        (k1+1)·c / (c + k1·(1 − b + b·L/avgdl))
+
+    over corpus totals N (docs) and T (tokens, so avgdl = T/N)
+    reduces to the integer rational 44·c·T / (20·c·T + 6·T + 18·L·N),
+    quantized by integer division to 1e-4 units; idf uses the
+    half-added form ln((N−df+0.5)/(df+0.5)) = ln(2N−2df+1) −
+    ln(2df+1) — lns of exact ints, quantized to 1e-9 longs. scoreq =
+    Σ idfq·ratioq is then an exact int64 (|idfq| < 2^35, ratioq <
+    2^22, ≤ a handful of query terms), order-independent and
+    cross-engine hash-stable. Magnitudes stay in range through
+    SF ~1e3× this corpus; beyond that, re-derive the quantization.
+
+    Scale shape: the term filter prunes the exploded corpus to query
+    vocabulary (tiny by construction — |Q| literals), so df counts,
+    per-doc counts, and the final agg all run on the filtered stream;
+    doc lengths are one un-filtered linear agg. N and T are
+    control-plane scalars. No window, no cross join wider than the
+    |Q|-row df table.
+    """
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    toks = docs.select(
+        F.col(id_col), F.explode(tokens(F.col(text))).alias("term")
+    ).filter(F.length("term") > 0)
+    doclen = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("L"))
+    scalars = doclen.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("L").alias("t")
+    ).collect()[0]
+    n_docs, tot = int(scalars.n), int(scalars.t)
+    qtoks = toks.filter(F.col("term").isin(*query_terms))
+    df_t = qtoks.groupBy("term").agg(
+        F.countDistinct(id_col).alias("df")
+    )
+    idfq = (
+        _text_lnq(F.lit(2 * n_docs) - 2 * F.col("df") + 1)
+        - _text_lnq(2 * F.col("df") + 1)
+    ).alias("idfq")
+    c_td = qtoks.groupBy(id_col, "term").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    joined = (
+        c_td.join(df_t.select("term", idfq), "term")
+        .join(doclen, id_col)
+    )
+    num = F.lit(44) * F.col("c") * F.lit(tot) * F.lit(10**4)
+    den = (
+        F.lit(20) * F.col("c") * F.lit(tot)
+        + F.lit(6 * tot)
+        + F.lit(18 * n_docs) * F.col("L")
+    )
+    ratioq = F.expr("ratio_num div ratio_den")
+    scored = joined.withColumn("ratio_num", num).withColumn(
+        "ratio_den", den
+    )
+    return (
+        scored.select(
+            F.col(id_col),
+            (F.col("idfq") * ratioq).alias("term_scoreq"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_hits"),
+            F.sum("term_scoreq").alias("scoreq"),
+        )
+    )
+
+
+def _text_lnq(col):
+    """lnq helper shared with nbayes: ln of exact ints in 1e-9 longs."""
+    from det_module_spark.operators.nbayes import _lnq
+
+    return _lnq(col if isinstance(col, Column) else F.lit(col))

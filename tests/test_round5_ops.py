@@ -236,3 +236,145 @@ def test_ahash_matches_oracle_formula_on_corpus(spark, sf_dir):
     }
     hashes.unpersist()
     assert banded == brute
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance weights
+# ---------------------------------------------------------------------------
+
+
+def _lnqi(x):
+    return math.floor(math.log(x) * 1e9 + 0.5)
+
+
+def test_dsir_weights_hand_computed(spark):
+    from det_module_spark.operators.importance import dsir_weights
+
+    target = spark.createDataFrame([("a a",)], "text string")
+    raw = spark.createDataFrame(
+        [(1, "a b"), (2, "b b")], "doc_id long, text string"
+    )
+    w = {r.doc_id: (r.n_toks, r.weightq) for r in dsir_weights(target, raw).collect()}
+    # models: c_T = {a:2}, c_R = {a:1, b:3}; V = 2, tot_T = 2, tot_R = 4
+    # delta(a) = lnq(3) - lnq(2); delta(b) = lnq(1) - lnq(4) = -lnq(4)
+    # penalty = lnq(4) - lnq(6)
+    pen = _lnqi(4) - _lnqi(6)
+    want1 = (_lnqi(3) - _lnqi(2)) - _lnqi(4) - 2 * pen
+    want2 = -2 * _lnqi(4) - 2 * pen
+    assert w == {1: (2, want1), 2: (2, want2)}
+    assert w[1][1] > w[2][1]  # doc 1 is more target-like
+
+
+def test_dsir_select_threshold_and_ties(spark):
+    from det_module_spark.operators.importance import dsir_select
+
+    w = spark.createDataFrame(
+        [(1, 5, 100), (2, 5, 90), (3, 5, 90), (4, 5, 10)],
+        "doc_id long, n_toks long, weightq long",
+    )
+    got = {r.doc_id: r.selected for r in dsir_select(w, k=2).collect()}
+    # k=2 threshold lands on 90; BOTH ties at 90 selected
+    assert got == {1: True, 2: True, 3: True, 4: False}
+
+
+# ---------------------------------------------------------------------------
+# BM25
+# ---------------------------------------------------------------------------
+
+
+def test_bm25_scores_ordering_and_exactness(spark):
+    from det_module_spark.operators.text import bm25_scores
+
+    docs = spark.createDataFrame(
+        [
+            (1, "x x x y"),       # heavy in x, short
+            (2, "x z z z z z z z"),  # one x, long
+            (3, "y z"),           # no x
+            (4, "y y"),
+            (5, "z y"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: (r.n_hits, r.scoreq) for r in bm25_scores(docs, ["x"]).collect()}
+    assert set(out) == {1, 2}  # only docs containing a query term
+    # x is rare (df 2 of 5 -> positive idf); doc 1 has higher tf and
+    # shorter length -> strictly higher score
+    assert out[1][1] > out[2][1] > 0
+    assert out[1][0] == out[2][0] == 1
+    # exact check for doc 1: N=5, T=18, df(x)=2, c=3, L=4
+    idfq = _lnqi(2 * 5 - 2 * 2 + 1) - _lnqi(2 * 2 + 1)
+    ratio = (44 * 3 * 18 * 10**4) // (20 * 3 * 18 + 6 * 18 + 18 * 5 * 4)
+    assert out[1][1] == idfq * ratio
+
+
+def test_bm25_rejects_empty_query(spark):
+    import pytest as _pytest
+
+    from det_module_spark.operators.text import bm25_scores
+
+    docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with _pytest.raises(ValueError, match="query_terms"):
+        bm25_scores(docs, [])
+
+
+# ---------------------------------------------------------------------------
+# k-means
+# ---------------------------------------------------------------------------
+
+
+def test_kmeans_separates_obvious_clusters(spark):
+    from det_module_spark.operators.kmeans import kmeans_fit_predict
+
+    # two tight blobs around (0.5, 0.5) and (-0.5, -0.5); seeds are
+    # vec 0 (blob A) and vec 1 (blob B)
+    rows = [
+        (0, [0.5, 0.5]),
+        (1, [-0.5, -0.5]),
+        (2, [0.52, 0.48]),
+        (3, [-0.49, -0.51]),
+        (4, [0.47, 0.53]),
+        (5, [-0.53, -0.47]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r.vec_id: r.cid for r in kmeans_fit_predict(df, k=2, iters=2).collect()}
+    assert out == {0: 0, 2: 0, 4: 0, 1: 1, 3: 1, 5: 1}
+
+
+def test_kmeans_empty_cluster_keeps_centroid(spark):
+    from det_module_spark.operators.kmeans import kmeans_fit_predict
+
+    # seed 1 sits far away with nothing near it after round 1 moves
+    # seed 0's centroid; all points still get assignments and exactly
+    # the two seeded cluster ids appear in output domain
+    rows = [(0, [0.0]), (1, [0.9]), (2, [0.05]), (3, [0.1])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = kmeans_fit_predict(df, k=2, iters=3).collect()
+    assert len(out) == 4
+    assert {r.cid for r in out} <= {0, 1}
+    assert all(r.distq >= 0 for r in out)
+
+
+def test_kmeans_matches_sql_oracle_on_fixture(spark, sf_dir):
+    import duckdb
+
+    from det_module_spark.operators.kmeans import (
+        kmeans_fit_predict,
+        kmeans_sql,
+    )
+    from det_module_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    got = sorted(
+        (r.vec_id, r.cid, r.distq)
+        for r in kmeans_fit_predict(emb, k=4, iters=1).collect()
+    )
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"'{sf_dir}/embeddings.parquet'"
+    )
+    want = sorted(
+        (int(a), int(b), int(c))
+        for a, b, c in con.sql(kmeans_sql(k=4, iters=1)).fetchall()
+    )
+    assert got == want

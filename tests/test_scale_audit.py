@@ -65,6 +65,7 @@ ALLOWED_NESTED_LOOP = {
     "tpch_q11": "global value-sum scalar (1 row)",
     "tpch_q22": "global avg-balance scalar (1 row)",
     "nb_classify": "class_stats table (one row per label — label vocabulary)",
+    "dsir_select": "top-k weight-threshold scalar (1 row)",
 }
 
 
@@ -137,6 +138,10 @@ BROADCAST_WHITELIST = {
     "det_module_spark/operators/cms.py": (
         1,
         "CMS sketch: depth x width rows, corpus-independent",
+    ),
+    "det_module_spark/operators/importance.py": (
+        1,
+        "dsir_select threshold: 1-row scalar (min of a TakeOrdered top-k)",
     ),
     "det_module_spark/operators/geometry.py": (
         2,
@@ -243,8 +248,12 @@ COLLECT_WHITELIST = {
         "IVF/PQ codebook fit samples: orderBy().limit(sample) bounded + deterministic",
     ),
     "det_module_spark/operators/text.py": (
+        2,
+        "1-row corpus scalars (token total; bm25 N+T pair)",
+    ),
+    "det_module_spark/operators/importance.py": (
         1,
-        "1-row corpus token total (scalar)",
+        "1-row model scalars (joint V + per-model token totals)",
     ),
     "det_module_spark/plans/cache.py": (
         4,
