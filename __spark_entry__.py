@@ -4439,6 +4439,45 @@ def q_media_ahash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Flagship composition v2 — the round-5 stages as ONE dataflow:
+    # line-level boilerplate removal (structure-aware dedup) → DSIR
+    # importance selection toward the src0 domain (top-100) → k-means
+    # diversity bucket per doc (cluster of its embedding). Each stage
+    # is individually oracled; the composition is oracle-checked
+    # end-to-end. Scale: the line freq agg prunes before DSIR's vocab
+    # join shuffles; k-means joins on the bounded centroid table; the
+    # only scalars are the documented control-plane ones.
+    from det_module_spark.operators.importance import (
+        dsir_select,
+        dsir_weights,
+    )
+    from det_module_spark.operators.kmeans import kmeans_fit_predict
+    from det_module_spark.operators.linededup import (
+        line_dedup,
+        split_fixed_lines,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    lines = split_fixed_lines(docs, "doc_id", "text", 10)
+    cleaned = (
+        line_dedup(lines, min_docs=2, policy="drop_all")
+        .filter(F.col("n_kept") >= 2)
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .select("doc_id", F.col("clean_text").alias("text"), "source")
+        # feeds three consumers (target model, raw model, scoring);
+        # materialize the cleaned corpus once
+        .localCheckpoint(eager=False)
+    )
+    target = cleaned.filter(F.col("source") == "src0")
+    raw = cleaned.filter(F.col("source") != "src0")
+    sel = dsir_select(dsir_weights(target, raw), k=100)
+    km = kmeans_fit_predict(
+        load_table(spark, sf_dir, "embeddings"), k=8, iters=1
+    ).select(F.col("vec_id").alias("doc_id"), "cid")
+    return sel.join(km, "doc_id").orderBy("doc_id")
+
+
 def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     # DSIR data selection: importance weights of the raw corpus under
     # contrastive unigram models (target = src0 docs), top-50 flagged
@@ -4504,6 +4543,7 @@ _ROTATION_R5 = [
     "dsir_select",
     "bm25_retrieval",
     "kmeans_clusters",
+    "corpus_pipeline_v2",
     # changed this round — driver must (re-)check first
     "setsim_prefix",
     "basket_pairs",
@@ -4578,6 +4618,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_select": q_dsir_select,
         "bm25_retrieval": q_bm25_retrieval,
         "kmeans_clusters": q_kmeans_clusters,
+        "corpus_pipeline_v2": q_corpus_pipeline_v2,
         # --- round-4 additions ---
         "join_delta_retract": q_join_delta_retract,
         "events_running_totals": q_events_running_totals,
@@ -8297,6 +8338,75 @@ QUALIFY ROW_NUMBER() OVER (
     from det_module_spark.operators.kmeans import kmeans_sql
 
     out["kmeans_clusters"] = kmeans_sql(k=8, iters=2)
+    out["corpus_pipeline_v2"] = (
+        _LINE_DEDUP_LINES_SQL
+        + f""",
+        lfreq AS (
+          SELECT line, COUNT(DISTINCT doc_id) AS ndocs
+          FROM lines GROUP BY line),
+        cleaned0 AS (
+          SELECT l.doc_id,
+                 COUNT(*) FILTER (WHERE f.ndocs < 2) AS n_kept,
+                 COALESCE(string_agg(l.line, ' ' ORDER BY l.idx)
+                            FILTER (WHERE f.ndocs < 2), '') AS text
+          FROM lines l JOIN lfreq f USING (line)
+          GROUP BY l.doc_id),
+        cleaned AS (
+          SELECT c.doc_id, c.text, d.source
+          FROM cleaned0 c JOIN documents d USING (doc_id)
+          WHERE c.n_kept >= 2),
+        tgt AS (SELECT text FROM cleaned WHERE source = 'src0'),
+        rawd AS (SELECT doc_id, text FROM cleaned
+                 WHERE source <> 'src0'),
+        ct AS (
+          SELECT term, COUNT(*) AS cnt FROM (
+            SELECT unnest(string_split(text, ' ')) AS term FROM tgt)
+          WHERE length(term) > 0 GROUP BY term),
+        cr AS (
+          SELECT term, COUNT(*) AS cnt FROM (
+            SELECT unnest(string_split(text, ' ')) AS term FROM rawd)
+          WHERE length(term) > 0 GROUP BY term),
+        delta AS (
+          SELECT term,
+                 CAST(FLOOR(ln(CAST(COALESCE(ct.cnt, 0) + 1 AS DOUBLE))
+                            * 1e9 + 0.5) AS BIGINT)
+                 - CAST(FLOOR(ln(CAST(COALESCE(cr.cnt, 0) + 1 AS DOUBLE))
+                              * 1e9 + 0.5) AS BIGINT) AS deltaq,
+                 COALESCE(ct.cnt, 0) AS cnt_t,
+                 COALESCE(cr.cnt, 0) AS cnt_r
+          FROM ct FULL OUTER JOIN cr USING (term)),
+        tot AS (
+          SELECT COUNT(*) AS v, CAST(SUM(cnt_t) AS BIGINT) AS tt,
+                 CAST(SUM(cnt_r) AS BIGINT) AS tr FROM delta),
+        pen AS (
+          SELECT CAST(FLOOR(ln(CAST(tt + v AS DOUBLE)) * 1e9 + 0.5)
+                      AS BIGINT)
+                 - CAST(FLOOR(ln(CAST(tr + v AS DOUBLE)) * 1e9 + 0.5)
+                        AS BIGINT) AS p
+          FROM tot),
+        dt AS (
+          SELECT doc_id, term FROM (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS term
+            FROM rawd)
+          WHERE length(term) > 0),
+        sums AS (
+          SELECT dt.doc_id, CAST(COUNT(*) AS BIGINT) AS n_toks,
+                 CAST(SUM(d.deltaq) AS BIGINT) AS sumq
+          FROM dt JOIN delta d USING (term) GROUP BY dt.doc_id),
+        w AS (
+          SELECT doc_id, n_toks,
+                 sumq - n_toks * (SELECT p FROM pen) AS weightq
+          FROM sums),
+        th AS (
+          SELECT MIN(weightq) AS minw FROM (
+            SELECT weightq FROM w
+            ORDER BY weightq DESC, doc_id LIMIT 100))
+        SELECT s.doc_id, s.n_toks, s.weightq,
+               s.weightq >= (SELECT minw FROM th) AS selected, k.cid
+        FROM w s JOIN ({kmeans_sql(k=8, iters=1)}) k
+          ON k.vec_id = s.doc_id
+    """
+    )
     try:
         out["approx_stats"] = _approx_stats_sql()
     except ValueError:

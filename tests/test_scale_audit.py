@@ -66,6 +66,7 @@ ALLOWED_NESTED_LOOP = {
     "tpch_q22": "global avg-balance scalar (1 row)",
     "nb_classify": "class_stats table (one row per label — label vocabulary)",
     "dsir_select": "top-k weight-threshold scalar (1 row)",
+    "corpus_pipeline_v2": "top-k weight-threshold scalar (1 row, via dsir_select)",
 }
 
 

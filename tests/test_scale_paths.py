@@ -153,3 +153,35 @@ def test_runner_error_state(spark, tmp_path):
     assert result.error and "source unavailable" in result.error
     # nothing committed to the cache
     assert eng.cache.read().count() == 0
+
+
+def test_dynamic_partition_pruning_from_dim_filter(spark, tmp_path):
+    """Runtime DPP: a fact table partitioned on the join key must be
+    pruned by a FILTERED dim at execution time — the plan's partition
+    filters carry a dynamicpruning subquery, so at 100 TB the scan
+    reads only the partitions the dim filter selects, without the
+    fact-side predicate existing statically."""
+    fact = spark.createDataFrame(
+        [Row(ds=f"d{i % 10}", v=i) for i in range(1000)]
+    )
+    path = str(tmp_path / "dpp_fact")
+    write_partitioned(fact, path, ["ds"])
+    dim = spark.createDataFrame(
+        [Row(ds=f"d{i}", tag="keep" if i < 2 else "drop") for i in range(10)]
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = (
+            spark.read.parquet(path)
+            .join(dim.filter(F.col("tag") == "keep"), "ds")
+            .select("ds", "v")
+        )
+        explained = joined._sc._jvm.PythonSQLUtils.explainString(
+            joined._jdf.queryExecution(), "formatted"
+        )
+        assert "dynamicpruning" in explained.lower(), explained
+        assert joined.count() == 200  # 2 of 10 partitions survive
+    finally:
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+        )
