@@ -4439,6 +4439,43 @@ def q_media_ahash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_agg_delta_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Grouped-aggregate IVM under inserts AND deletes: a standing
+    # per-priority (count, sum-cents) rollup of old orders receives a
+    # delta batch (new orders +1, every 7th old order -1); the merged
+    # view must equal a full recompute over the effective row set —
+    # which is exactly the oracle. Shuffle ∝ |delta|, not history.
+    from det_module_spark.operators.incremental import agg_delta_retract
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    old = orders.filter(F.col("o_orderkey") < 3000)
+    state = old.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("cents").alias("sum_cents"),
+    )
+    ins = orders.filter(
+        (F.col("o_orderkey") >= 3000) & (F.col("o_orderkey") < 4000)
+    ).withColumn("_w", F.lit(1))
+    dels = old.filter(F.col("o_orderkey") % 7 == 0).withColumn(
+        "_w", F.lit(-1)
+    )
+    delta = ins.unionByName(dels).select("o_orderpriority", "cents", "_w")
+    out = agg_delta_retract(
+        state,
+        delta,
+        ["o_orderpriority"],
+        "cents",
+        sum_alias="sum_cents",
+    )
+    return out.orderBy("o_orderpriority")
+
+
 def q_corpus_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Flagship composition v2 — the round-5 stages as ONE dataflow:
     # line-level boilerplate removal (structure-aware dedup) → DSIR
@@ -4544,6 +4581,7 @@ _ROTATION_R5 = [
     "bm25_retrieval",
     "kmeans_clusters",
     "corpus_pipeline_v2",
+    "agg_delta_retract",
     # changed this round — driver must (re-)check first
     "setsim_prefix",
     "basket_pairs",
@@ -4619,6 +4657,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_retrieval": q_bm25_retrieval,
         "kmeans_clusters": q_kmeans_clusters,
         "corpus_pipeline_v2": q_corpus_pipeline_v2,
+        "agg_delta_retract": q_agg_delta_retract,
         # --- round-4 additions ---
         "join_delta_retract": q_join_delta_retract,
         "events_running_totals": q_events_running_totals,
@@ -8246,6 +8285,21 @@ QUALIFY ROW_NUMBER() OVER (
           FROM bands a JOIN bands b
             ON a.j = b.j AND a.bv = b.bv AND a.media_id < b.media_id)
         SELECT media_a, media_b, hamming FROM cand WHERE hamming <= 7
+    """
+    out["agg_delta_retract"] = """
+        WITH base AS (
+          SELECT o_orderkey, o_orderpriority,
+                 CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+          FROM orders),
+        eff AS (
+          SELECT * FROM base
+          WHERE o_orderkey < 3000 AND o_orderkey % 7 <> 0
+          UNION ALL
+          SELECT * FROM base
+          WHERE o_orderkey >= 3000 AND o_orderkey < 4000)
+        SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(cents) AS BIGINT) AS sum_cents
+        FROM eff GROUP BY o_orderpriority
     """
     out["dsir_select"] = """
         WITH tgt AS (SELECT text FROM documents WHERE source = 'src0'),

@@ -169,3 +169,55 @@ def join_delta_retract(
         .agg(F.sum(w).alias(w))
         .filter(F.col(w) != 0)
     )
+
+
+def agg_delta_retract(
+    state: DataFrame,
+    delta: DataFrame,
+    keys: list[str],
+    value: str,
+    weight: str = "_w",
+    count_alias: str = "n_rows",
+    sum_alias: str = "sum_value",
+) -> DataFrame:
+    """Incremental GROUPED-AGGREGATE maintenance over retraction
+    multisets — the aggregate-side complement of ``join_delta_retract``
+    (together they maintain any join+rollup view under inserts AND
+    deletes without rescanning history).
+
+    ``state`` is the standing view: per ``keys``, ``count_alias`` =
+    Σw and ``sum_alias`` = Σw·x over everything applied so far.
+    ``delta`` carries rows (keys, value, signed ``weight``): +1 per
+    inserted copy, -1 per deleted copy (any multiplicity). COUNT and
+    SUM are the linear aggregates, so the delta folds in exactly:
+
+        count' = count + Σ_Δ w        sum' = sum + Σ_Δ w·x
+
+    Groups whose maintained count reaches 0 vanished from the data
+    and are dropped from the view (under consistent retractions a
+    zero count implies a zero sum). Exact for integer measures —
+    bit-identical to a full recompute, which is the oracle.
+
+    Scale shape: one |Δ|-keyed partial aggregation (map-side combine)
+    + one full-outer merge join on the group keys — shuffle ∝
+    |state| + |Δ groups|, independent of history length. MIN/MAX are
+    NOT maintainable this way under deletes (a retracted extremum
+    needs history); that asymmetry is inherent to IVM, not this
+    implementation — use merge_agg_state for insert-only min/max.
+    """
+    d = delta.groupBy(*keys).agg(
+        F.sum(weight).alias("__dn"),
+        F.sum(F.col(weight) * F.col(value)).alias("__ds"),
+    )
+    merged = state.join(d, keys, "full_outer").select(
+        *keys,
+        (
+            F.coalesce(F.col(count_alias), F.lit(0))
+            + F.coalesce(F.col("__dn"), F.lit(0))
+        ).alias(count_alias),
+        (
+            F.coalesce(F.col(sum_alias), F.lit(0))
+            + F.coalesce(F.col("__ds"), F.lit(0))
+        ).alias(sum_alias),
+    )
+    return merged.filter(F.col(count_alias) != 0)

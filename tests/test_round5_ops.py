@@ -378,3 +378,46 @@ def test_kmeans_matches_sql_oracle_on_fixture(spark, sf_dir):
         for a, b, c in con.sql(kmeans_sql(k=4, iters=1)).fetchall()
     )
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# grouped-aggregate retraction IVM
+# ---------------------------------------------------------------------------
+
+
+def test_agg_delta_retract_equals_recompute(spark):
+    from det_module_spark.operators.incremental import agg_delta_retract
+
+    hist = spark.createDataFrame(
+        [("a", 10), ("a", 20), ("b", 5), ("c", 7)], "k string, v long"
+    )
+    state = hist.groupBy("k").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("v").alias("sum_value"),
+    )
+    # delete one 'a' copy, delete BOTH c rows via weight -1... c has
+    # one row; also a double-insert for d (weight 2)
+    delta = spark.createDataFrame(
+        [("a", 10, -1), ("c", 7, -1), ("d", 3, 2), ("b", 1, 1)],
+        "k string, v long, _w long",
+    )
+    got = {
+        r.k: (r.n_rows, r.sum_value)
+        for r in agg_delta_retract(state, delta, ["k"], "v").collect()
+    }
+    # recompute: a={20}, b={5,1}, c gone, d={3,3}
+    assert got == {"a": (1, 20), "b": (2, 6), "d": (2, 6)}
+
+
+def test_agg_delta_retract_delta_only_group_and_noop(spark):
+    from det_module_spark.operators.incremental import agg_delta_retract
+
+    state = spark.createDataFrame(
+        [("x", 1, 100)], "k string, n_rows long, sum_value long"
+    )
+    # net-zero delta on a NEW group must not materialize it
+    delta = spark.createDataFrame(
+        [("y", 9, 1), ("y", 9, -1)], "k string, v long, _w long"
+    )
+    got = agg_delta_retract(state, delta, ["k"], "v").collect()
+    assert [(r.k, r.n_rows, r.sum_value) for r in got] == [("x", 1, 100)]
