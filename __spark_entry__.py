@@ -4553,6 +4553,121 @@ def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_fit_predict(emb, k=8, iters=2).orderBy("vec_id")
 
 
+def q_skyline_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Pareto frontier of parts (minimize retail price, maximize size):
+    # range-partition + per-partition one-pass + control-plane prefix
+    # maxes — the distributed form of the x-sorted running-max scan,
+    # vs the oracle's O(n^2) NOT-EXISTS dominance self-join.
+    from det_module_spark.operators.skyline import skyline
+
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_retailprice", "p_size"
+    )
+    return skyline(part, x="p_retailprice", y="p_size").orderBy(
+        "p_partkey"
+    )
+
+
+def q_bfs_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Multi-source BFS over the (undirected) customer<->supplier
+    # bipartite graph: minimum hop count within 4 hops from customers
+    # 1-3. Frontier expansion + visited anti-join — path-count-safe on
+    # dense graphs; the oracle's recursive CTE uses UNION(distinct)
+    # semantics for the same bound.
+    from det_module_spark.operators.graph import bfs_hops
+
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") < 5000
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    fwd = orders.join(li, orders.o_orderkey == li.l_orderkey).select(
+        F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+    )
+    edges = fwd.unionByName(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    sources = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") <= 3)
+        .select(
+            F.concat(F.lit("c"), F.col("c_custkey").cast("string")).alias(
+                "node"
+            )
+        )
+    )
+    return bfs_hops(edges, sources, max_hops=4).orderBy("node")
+
+
+def q_bom_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Bill-of-materials explosion: a deterministic part forest
+    # (parent = partkey DIV 4, per-edge qty = partkey % 3 + 1),
+    # flattened to every ancestor->descendant pair with path depth and
+    # extended quantity (sum over paths of the product of edge
+    # quantities). Level-wise closure joins vs the oracle's recursive
+    # CTE.
+    from det_module_spark.operators.hierarchy import transitive_closure
+
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_partkey") >= 4
+    )
+    edges = part.select(
+        F.expr("p_partkey DIV 4").alias("parent"),
+        F.col("p_partkey").alias("child"),
+        (F.pmod(F.col("p_partkey"), F.lit(3)) + 1).alias("qty"),
+    )
+    return transitive_closure(edges, qty="qty", max_depth=16).orderBy(
+        "ancestor", "descendant"
+    )
+
+
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Change-data-feed generation: diff two deterministic snapshots of
+    # orders (deletes where key % 11 == 0, inserts where key % 7 == 0,
+    # price bumps where key % 5 == 0) into the minimal I/U/D batch.
+    # One full-outer equi-join.
+    from det_module_spark.operators.scd import snapshot_diff
+
+    orders = load_table(spark, sf_dir, "orders")
+    old = orders.filter(F.col("o_orderkey") % 7 != 0)
+    new = orders.filter(F.col("o_orderkey") % 11 != 0).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 5 == 0, F.col("o_totalprice") + 100.0
+        ).otherwise(F.col("o_totalprice")),
+    )
+    return snapshot_diff(
+        old, new, "o_orderkey", ["o_totalprice"]
+    ).orderBy("o_orderkey")
+
+
+def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Homogeneity-attack audit: per (nation, segment) group, count
+    # distinct account-balance bands; k-anonymous groups with < 3
+    # distinct sensitive values are still risky.
+    from det_module_spark.operators.privacy import l_diversity_report
+
+    cust = load_table(spark, sf_dir, "customer").withColumn(
+        "bal_band", F.floor(F.col("c_acctbal") / 1000).cast("long")
+    )
+    return l_diversity_report(
+        cust, ["c_nationkey", "c_mktsegment"], "bal_band", l=3
+    )
+
+
+def q_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # DP-style histogram release: per-event-type counts with
+    # deterministic symmetric hash noise and small-group suppression.
+    # The noise derivation (md5 -> two bounded uniforms -> difference)
+    # is pure Column arithmetic, reproduced exactly in the oracle.
+    from det_module_spark.operators.privacy import dp_noisy_counts
+
+    events = load_table(spark, sf_dir, "events")
+    return dp_noisy_counts(
+        events, ["event_type"], seed="r5", noise_bound=8, min_count=10
+    ).orderBy("event_type")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the reliability zonal extract (the aid-data triple) at
     sf0.001; driver checks rows>0."""
@@ -4573,6 +4688,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # together with any round-5 additions.
 _ROTATION_R5 = [
     # new this round — driver must check first
+    "skyline_frontier",
+    "bfs_reach",
+    "bom_explode",
+    "snapshot_diff",
+    "l_diversity",
+    "dp_noisy_counts",
     "line_dedup",
     "line_dedup_keep_first",
     "nb_classify",
@@ -4649,6 +4770,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # queries); the literal below keeps its grouping for readability.
     return _rotate({
         # --- round-5 additions ---
+        "skyline_frontier": q_skyline_frontier,
+        "bfs_reach": q_bfs_reach,
+        "bom_explode": q_bom_explode,
+        "snapshot_diff": q_snapshot_diff,
+        "l_diversity": q_l_diversity,
+        "dp_noisy_counts": q_dp_noisy_counts,
         "line_dedup": q_line_dedup,
         "line_dedup_keep_first": q_line_dedup_keep_first,
         "nb_classify": q_nb_classify,
@@ -4880,6 +5007,17 @@ sh AS (
                 )) AS shingle
   FROM toks)
 """
+
+
+def _bom_oracle() -> str:
+    from det_module_spark.operators.hierarchy import closure_sql
+
+    return closure_sql(
+        """SELECT p_partkey // 4 AS parent, p_partkey AS child,
+                  p_partkey % 3 + 1 AS qty
+           FROM part WHERE p_partkey >= 4""",
+        max_depth=16,
+    )
 
 
 def _pagerank_oracle() -> str:
@@ -6716,6 +6854,7 @@ QUALIFY ROW_NUMBER() OVER (
             FROM documents d JOIN documents n ON n.doc_id = d.doc_id + 1
         """,
         "pagerank": _pagerank_oracle(),
+        "bom_explode": _bom_oracle(),
         "tpch_q1": """
             WITH base AS (
               SELECT l_returnflag, l_linestatus,
@@ -7956,6 +8095,83 @@ QUALIFY ROW_NUMBER() OVER (
             SELECT c_nationkey, c_mktsegment, COUNT(*) AS n_rows,
                    COUNT(*) < 5 AS is_risky
             FROM customer GROUP BY 1, 2
+        """,
+        "l_diversity": """
+            SELECT c_nationkey, c_mktsegment, COUNT(*) AS n_rows,
+                   COUNT(DISTINCT CAST(FLOOR(c_acctbal / 1000) AS BIGINT))
+                     AS n_sensitive,
+                   COUNT(DISTINCT CAST(FLOOR(c_acctbal / 1000) AS BIGINT)) < 3
+                     AS is_risky
+            FROM customer GROUP BY 1, 2
+        """,
+        "dp_noisy_counts": """
+            WITH g AS (
+              SELECT event_type, COUNT(*) AS n
+              FROM events GROUP BY event_type
+              HAVING COUNT(*) >= 10),
+            h AS (
+              SELECT event_type, n,
+                     md5('r5' || chr(31) || event_type) AS hh
+              FROM g)
+            SELECT event_type,
+                   CAST(n
+                        + (ascii(substr(hh, 1, 1)) * 96
+                           + ascii(substr(hh, 2, 1))) % 9
+                        - (ascii(substr(hh, 3, 1)) * 96
+                           + ascii(substr(hh, 4, 1))) % 9
+                     AS BIGINT) AS noisy_count
+            FROM h
+        """,
+        "skyline_frontier": """
+            SELECT p.p_partkey, p.p_retailprice, p.p_size
+            FROM part p
+            WHERE NOT EXISTS (
+              SELECT 1 FROM part q
+              WHERE q.p_retailprice <= p.p_retailprice
+                AND q.p_size >= p.p_size
+                AND (q.p_retailprice < p.p_retailprice
+                     OR q.p_size > p.p_size))
+        """,
+        "bfs_reach": """
+            WITH RECURSIVE fwd AS (
+              SELECT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+                     's' || CAST(l_suppkey AS VARCHAR) AS dst
+              FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+              WHERE o_orderkey < 5000),
+            edges AS (
+              SELECT src, dst FROM fwd
+              UNION ALL SELECT dst, src FROM fwd),
+            bfs AS (
+              SELECT 'c' || CAST(c_custkey AS VARCHAR) AS node, 0 AS d
+              FROM customer WHERE c_custkey <= 3
+              UNION
+              SELECT e.dst, bfs.d + 1
+              FROM bfs JOIN edges e ON bfs.node = e.src
+              WHERE bfs.d < 4)
+            SELECT node, CAST(MIN(d) AS INT) AS hops
+            FROM bfs GROUP BY node
+        """,
+        "snapshot_diff": """
+            WITH s_old AS (
+              SELECT o_orderkey, o_totalprice FROM orders
+              WHERE o_orderkey % 7 <> 0),
+            s_new AS (
+              SELECT o_orderkey,
+                     CASE WHEN o_orderkey % 5 = 0
+                          THEN o_totalprice + 100.0
+                          ELSE o_totalprice END AS o_totalprice
+              FROM orders WHERE o_orderkey % 11 <> 0),
+            d AS (
+              SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+                     CASE WHEN n.o_orderkey IS NULL THEN 'delete'
+                          WHEN o.o_orderkey IS NULL THEN 'insert'
+                          WHEN o.o_totalprice IS DISTINCT FROM n.o_totalprice
+                            THEN 'update' END AS change_op,
+                     o.o_totalprice AS old_o_totalprice,
+                     n.o_totalprice AS new_o_totalprice
+              FROM s_old o FULL OUTER JOIN s_new n
+                ON o.o_orderkey = n.o_orderkey)
+            SELECT * FROM d WHERE change_op IS NOT NULL
         """,
         "fd_check": """
             WITH v AS (

@@ -104,6 +104,59 @@ def connected_components(
     return labels
 
 
+def bfs_hops(
+    edges: DataFrame,
+    sources: DataFrame,
+    max_hops: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+    node: str = "node",
+) -> DataFrame:
+    """Multi-source breadth-first reach: → (node, hops) with hops =
+    the MINIMUM number of directed edges from any source node, for
+    every node within ``max_hops``. Sources themselves report hops=0;
+    unreachable nodes are absent.
+
+    Frontier expansion, not path enumeration: each round joins the
+    CURRENT frontier (nodes first discovered last round) to the edge
+    list, then anti-joins the visited set — so per-round work is
+    O(edges out of the frontier) and the state is one row per visited
+    node, never one row per path. That anti-join is what makes a
+    fixed-round BFS safe on dense graphs where the path count is
+    exponential. Oracle equivalence: a recursive CTE with UNION
+    (distinct) semantics and a depth guard computes the same minimum.
+
+    Scale shape per round: one equi-join frontier⋈edges + one distinct
+    + one anti-join against visited. The frontier is usually ≪ the
+    edge list, so AQE broadcasts it; visited is checkpointed each
+    round to keep lineage flat at large ``max_hops``.
+    """
+    e = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst")
+    ).localCheckpoint(eager=True)
+    visited = (
+        sources.select(F.col(node).alias("node"))
+        .distinct()
+        .withColumn("hops", F.lit(0))
+        .localCheckpoint(eager=True)
+    )
+    frontier = visited.select("node")
+    for depth in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(e, frontier.node == e.src)
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .withColumn("hops", F.lit(depth))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt.select("node")
+    return visited
+
+
 def _idiv(a, b):
     """Exact integer floor-division as Column arithmetic: (a - a%b)/b.
     The numerator is an exact multiple of b, so the double division is

@@ -57,3 +57,78 @@ def k_anonymity_report(
         .agg(F.count(F.lit(1)).alias("n_rows"))
         .withColumn("is_risky", F.col("n_rows") < k)
     )
+
+
+def l_diversity_report(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    l: int = 3,
+) -> DataFrame:
+    """l-diversity audit — the companion gate to ``k_anonymity_report``:
+    a group can be k-anonymous yet still leak if everyone in it shares
+    one sensitive value (homogeneity attack). Per quasi-identifier
+    combination → (quasi..., n_rows, n_sensitive, is_risky) where
+    ``n_sensitive`` counts DISTINCT sensitive values and ``is_risky``
+    marks groups with fewer than ``l`` of them.
+
+    One hash aggregation (count-distinct rewrites to a two-level
+    partial agg under whole-stage codegen — no extra shuffle beyond
+    the group keys)."""
+    return (
+        df.groupBy(*quasi_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct(sensitive_col).alias("n_sensitive"),
+        )
+        .withColumn("is_risky", F.col("n_sensitive") < l)
+    )
+
+
+def dp_noisy_counts(
+    df: DataFrame,
+    group_cols: list[str],
+    seed: str,
+    noise_bound: int = 8,
+    min_count: int = 10,
+) -> DataFrame:
+    """Differentially-private-STYLE released counts: per group →
+    (group..., noisy_count) where a symmetric integer perturbation in
+    [-noise_bound, +noise_bound] is added to the true count and groups
+    whose TRUE count is below ``min_count`` are suppressed entirely
+    (the standard contribution-bounded histogram release shape).
+
+    The noise here is derived from md5(seed ‖ group-key) — two
+    hash-uniforms whose difference is symmetric around 0 — NOT from a
+    calibrated Laplace/geometric sampler: determinism is what lets an
+    SQL oracle hash-match the release bit-for-bit on another engine.
+    A production ε-DP release swaps ``_hash_noise`` for a discrete
+    Laplace draw from a secure RNG; everything else (count sensitivity
+    1 per contribution, per-group noise, small-group suppression) is
+    the real mechanism.
+
+    Scale shape: one hash aggregation + codegen projections. The noise
+    expression is pure Column arithmetic (md5/ascii/pmod), so the whole
+    release stays JVM-side."""
+    key = F.concat_ws(
+        "\x1f", F.lit(seed), *[F.col(c).cast("string") for c in group_cols]
+    )
+    h = F.md5(key.cast("binary"))
+    span = noise_bound + 1
+    u1 = F.pmod(
+        F.ascii(F.substring(h, 1, 1)) * 96 + F.ascii(F.substring(h, 2, 1)),
+        F.lit(span),
+    )
+    u2 = F.pmod(
+        F.ascii(F.substring(h, 3, 1)) * 96 + F.ascii(F.substring(h, 4, 1)),
+        F.lit(span),
+    )
+    return (
+        df.groupBy(*group_cols)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") >= min_count)
+        .select(
+            *group_cols,
+            (F.col("__n") + (u1 - u2)).cast("long").alias("noisy_count"),
+        )
+    )

@@ -56,6 +56,51 @@ def cdc_apply(
     ).select(*out_cols)
 
 
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key: str,
+    compare_cols: list[str],
+) -> DataFrame:
+    """Generate a change feed by diffing two snapshots of a keyed
+    table — the inverse of ``cdc_apply`` (which consumes one), and the
+    batch equivalent of a lakehouse change-data-feed read.
+
+    → (key, change_op, old_<c>..., new_<c>...): 'insert' for keys only
+    in ``new``, 'delete' for keys only in ``old``, 'update' for keys in
+    both whose ``compare_cols`` differ (null-safe comparison — a
+    NULL→value transition IS an update). Unchanged keys are dropped, so
+    the result is exactly the minimal change batch that replays
+    ``old`` into ``new`` through ``cdc_apply``.
+
+    Scale shape: one full-outer equi-join on the key — a single hash
+    shuffle of each snapshot, and no shuffle at all of the (typically
+    dominant) unchanged mass beyond it. When both snapshots are
+    bucketed by the key the exchange disappears entirely; AQE picks a
+    broadcast when either side is small.
+    """
+    o = old.select(key, *compare_cols).alias("o")
+    n = new.select(key, *compare_cols).alias("n")
+    joined = o.join(n, F.col(f"o.{key}").eqNullSafe(F.col(f"n.{key}")), "full_outer")
+    in_old = F.col(f"o.{key}").isNotNull()
+    in_new = F.col(f"n.{key}").isNotNull()
+    changed = F.lit(False)
+    for c in compare_cols:
+        changed = changed | ~F.col(f"o.{c}").eqNullSafe(F.col(f"n.{c}"))
+    op = (
+        F.when(in_old & ~in_new, F.lit("delete"))
+        .when(~in_old & in_new, F.lit("insert"))
+        .when(changed, F.lit("update"))
+    )
+    out = [
+        F.coalesce(F.col(f"o.{key}"), F.col(f"n.{key}")).alias(key),
+        op.alias("change_op"),
+    ]
+    out += [F.col(f"o.{c}").alias(f"old_{c}") for c in compare_cols]
+    out += [F.col(f"n.{c}").alias(f"new_{c}") for c in compare_cols]
+    return joined.select(*out).filter(F.col("change_op").isNotNull())
+
+
 def scd2_history(
     initial: DataFrame,
     updates: DataFrame,

@@ -1,0 +1,302 @@
+"""Round-5 second-wave operator units: skyline (Pareto frontier),
+multi-source BFS, transitive closure / BOM explosion, snapshot diff
+(CDC generation), l-diversity, DP-style noisy counts."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from det_module_spark.operators.graph import bfs_hops
+from det_module_spark.operators.hierarchy import transitive_closure
+from det_module_spark.operators.privacy import (
+    dp_noisy_counts,
+    l_diversity_report,
+)
+from det_module_spark.operators.scd import cdc_apply, snapshot_diff
+from det_module_spark.operators.skyline import skyline
+
+
+# ---------------------------------------------------------------------------
+# skyline
+# ---------------------------------------------------------------------------
+
+
+def _pts(spark, rows):
+    return spark.createDataFrame(rows, "id long, x double, y long")
+
+
+def _brute_skyline(rows):
+    out = []
+    for r in rows:
+        if r[1] is None or r[2] is None:
+            continue
+        dominated = any(
+            q[1] is not None
+            and q[2] is not None
+            and q[1] <= r[1]
+            and q[2] >= r[2]
+            and (q[1] < r[1] or q[2] > r[2])
+            for q in rows
+        )
+        if not dominated:
+            out.append(r[0])
+    return sorted(out)
+
+
+def test_skyline_basic_frontier(spark):
+    rows = [
+        (1, 1.0, 10),  # frontier: cheapest
+        (2, 2.0, 20),  # frontier
+        (3, 3.0, 15),  # dominated by 2
+        (4, 2.5, 20),  # dominated by 2 (same y, pricier)
+        (5, 4.0, 25),  # frontier
+    ]
+    got = sorted(
+        r.id for r in skyline(_pts(spark, rows), "x", "y").collect()
+    )
+    assert got == _brute_skyline(rows) == [1, 2, 5]
+
+
+def test_skyline_ties_both_dims_all_survive(spark):
+    rows = [(1, 1.0, 5), (2, 1.0, 5), (3, 1.0, 4), (4, 0.5, 1)]
+    got = sorted(
+        r.id for r in skyline(_pts(spark, rows), "x", "y").collect()
+    )
+    # (1.0, 5) duplicates both survive; 3 loses its x-group; 4 is the
+    # cheapest so nothing with smaller x beats it
+    assert got == _brute_skyline(rows) == [1, 2, 4]
+
+
+def test_skyline_nulls_dropped(spark):
+    rows = [(1, None, 9), (2, 1.0, None), (3, 2.0, 3)]
+    got = [r.id for r in skyline(_pts(spark, rows), "x", "y").collect()]
+    assert got == [3]
+
+
+def test_skyline_matches_brute_force_across_partitions(spark):
+    # enough rows that repartitionByRange(32) actually splits; values
+    # chosen so the frontier crosses several partitions
+    rows = [
+        (i, float((i * 37) % 101), int((i * 53) % 89)) for i in range(400)
+    ]
+    got = sorted(
+        r.id
+        for r in skyline(
+            _pts(spark, rows), "x", "y", num_partitions=8
+        ).collect()
+    )
+    assert got == _brute_skyline(rows)
+
+
+def test_skyline_monotone_staircase_all_survive(spark):
+    # y rises with x: pricier points are always bigger, so no point
+    # dominates another and the whole staircase is the frontier
+    rows = [(i, float(i), i) for i in range(50)]
+    got = sorted(
+        r.id
+        for r in skyline(_pts(spark, rows), "x", "y", num_partitions=4).collect()
+    )
+    assert got == list(range(50))
+
+
+# ---------------------------------------------------------------------------
+# bfs_hops
+# ---------------------------------------------------------------------------
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src string, dst string")
+
+
+def _nodes(spark, ids):
+    return spark.createDataFrame([(i,) for i in ids], "node string")
+
+
+def test_bfs_min_hops_and_unreachable(spark):
+    e = _edges(
+        spark,
+        [("a", "b"), ("b", "c"), ("c", "d"), ("a", "c"), ("x", "y")],
+    )
+    got = {
+        r.node: r.hops
+        for r in bfs_hops(e, _nodes(spark, ["a"]), max_hops=3).collect()
+    }
+    # c via the shortcut a->c is 1 hop, not 2; x/y unreachable
+    assert got == {"a": 0, "b": 1, "c": 1, "d": 2}
+
+
+def test_bfs_multi_source_takes_minimum(spark):
+    e = _edges(spark, [("a", "b"), ("b", "c"), ("s", "c")])
+    got = {
+        r.node: r.hops
+        for r in bfs_hops(e, _nodes(spark, ["a", "s"]), max_hops=4).collect()
+    }
+    assert got == {"a": 0, "s": 0, "b": 1, "c": 1}
+
+
+def test_bfs_cycle_terminates_and_respects_cap(spark):
+    e = _edges(spark, [("a", "b"), ("b", "a"), ("b", "c"), ("c", "d")])
+    got = {
+        r.node: r.hops
+        for r in bfs_hops(e, _nodes(spark, ["a"]), max_hops=2).collect()
+    }
+    # d is 3 hops away — beyond the cap
+    assert got == {"a": 0, "b": 1, "c": 2}
+
+
+# ---------------------------------------------------------------------------
+# transitive_closure
+# ---------------------------------------------------------------------------
+
+
+def _bom(spark, rows):
+    return spark.createDataFrame(rows, "parent long, child long, qty long")
+
+
+def test_closure_chain_multiplies_quantities(spark):
+    # 1 -(2)-> 2 -(3)-> 3: the 1->3 path carries 2*3 = 6
+    out = transitive_closure(
+        _bom(spark, [(1, 2, 2), (2, 3, 3)]), qty="qty"
+    ).collect()
+    got = {(r.ancestor, r.descendant, r.depth): r.ext_qty for r in out}
+    assert got == {(1, 2, 1): 2, (2, 3, 1): 3, (1, 3, 2): 6}
+
+
+def test_closure_diamond_sums_over_paths(spark):
+    # 1->2->4 (2*1=2) and 1->3->4 (3*2=6): ext_qty(1,4,depth2) = 8
+    out = transitive_closure(
+        _bom(spark, [(1, 2, 2), (1, 3, 3), (2, 4, 1), (3, 4, 2)]),
+        qty="qty",
+    ).collect()
+    got = {(r.ancestor, r.descendant, r.depth): r.ext_qty for r in out}
+    assert got[(1, 4, 2)] == 8
+
+
+def test_closure_depth_cap_and_default_qty(spark):
+    chain = [(i, i + 1, 1) for i in range(1, 6)]  # 1->2->...->6
+    out = transitive_closure(
+        _bom(spark, chain), qty=None, max_depth=3
+    ).collect()
+    depths = {(r.ancestor, r.descendant): r.depth for r in out}
+    assert depths[(1, 4)] == 3
+    assert (1, 5) not in depths  # depth 4 > cap
+    assert all(r.ext_qty == 1 for r in out)
+
+
+def test_closure_parallel_edges_sum_at_depth_one(spark):
+    out = transitive_closure(
+        _bom(spark, [(1, 2, 2), (1, 2, 5)]), qty="qty"
+    ).collect()
+    assert {(r.ancestor, r.descendant, r.depth, r.ext_qty) for r in out} == {
+        (1, 2, 1, 7)
+    }
+
+
+# ---------------------------------------------------------------------------
+# snapshot_diff
+# ---------------------------------------------------------------------------
+
+
+def _snap(spark, rows):
+    return spark.createDataFrame(rows, "k long, v double, s string")
+
+
+def test_snapshot_diff_classifies_and_drops_unchanged(spark):
+    old = _snap(spark, [(1, 1.0, "a"), (2, 2.0, "b"), (3, 3.0, "c")])
+    new = _snap(spark, [(2, 2.0, "b"), (3, 9.0, "c"), (4, 4.0, "d")])
+    got = {
+        r.k: r.change_op
+        for r in snapshot_diff(old, new, "k", ["v", "s"]).collect()
+    }
+    assert got == {1: "delete", 3: "update", 4: "insert"}
+
+
+def test_snapshot_diff_null_transition_is_update(spark):
+    old = _snap(spark, [(1, None, "a")])
+    new = _snap(spark, [(1, 5.0, "a")])
+    rows = snapshot_diff(old, new, "k", ["v", "s"]).collect()
+    assert len(rows) == 1 and rows[0].change_op == "update"
+    assert rows[0].old_v is None and rows[0].new_v == 5.0
+
+
+def test_snapshot_diff_replays_through_cdc_apply(spark):
+    old = _snap(spark, [(1, 1.0, "a"), (2, 2.0, "b"), (3, 3.0, "c")])
+    new = _snap(spark, [(2, 2.5, "b"), (3, 3.0, "c"), (4, 4.0, "d")])
+    diff = snapshot_diff(old, new, "k", ["v", "s"])
+    changes = diff.select(
+        F.col("k"),
+        F.when(F.col("change_op") == "delete", "D")
+        .when(F.col("change_op") == "insert", "I")
+        .otherwise("U")
+        .alias("op"),
+        F.col("new_v").alias("v"),
+        F.col("new_s").alias("s"),
+        F.lit(1).alias("seq"),
+    )
+    replayed = cdc_apply(old, changes, "k", ["v", "s"])
+    assert sorted(
+        (r.k, r.v, r.s) for r in replayed.collect()
+    ) == sorted((r.k, r.v, r.s) for r in new.collect())
+
+
+# ---------------------------------------------------------------------------
+# privacy: l-diversity + dp noisy counts
+# ---------------------------------------------------------------------------
+
+
+def _people(spark, rows):
+    return spark.createDataFrame(rows, "zip string, age long, disease string")
+
+
+def test_l_diversity_flags_homogeneous_groups(spark):
+    df = _people(
+        spark,
+        [
+            ("94107", 1, "flu"),
+            ("94107", 2, "flu"),
+            ("94107", 3, "flu"),  # 3 rows, 1 sensitive value -> risky
+            ("10001", 1, "flu"),
+            ("10001", 2, "cold"),
+            ("10001", 3, "covid"),  # 3 distinct -> safe at l=3
+        ],
+    )
+    got = {
+        r.zip: (r.n_rows, r.n_sensitive, r.is_risky)
+        for r in l_diversity_report(df, ["zip"], "disease", l=3).collect()
+    }
+    assert got == {"94107": (3, 1, True), "10001": (3, 3, False)}
+
+
+def test_dp_noisy_counts_suppression_bound_and_determinism(spark):
+    rows = [(f"u{i}", "big") for i in range(50)] + [
+        (f"u{i}", "small") for i in range(5)
+    ]
+    df = spark.createDataFrame(rows, "user string, grp string")
+    out1 = {
+        r.grp: r.noisy_count
+        for r in dp_noisy_counts(
+            df, ["grp"], seed="s", noise_bound=8, min_count=10
+        ).collect()
+    }
+    # small group suppressed; noise bounded by construction
+    assert set(out1) == {"big"}
+    assert abs(out1["big"] - 50) <= 8
+    out2 = {
+        r.grp: r.noisy_count
+        for r in dp_noisy_counts(
+            df, ["grp"], seed="s", noise_bound=8, min_count=10
+        ).collect()
+    }
+    assert out1 == out2  # same seed -> identical release
+    out3 = dp_noisy_counts(
+        df, ["grp"], seed="other-seed", noise_bound=8, min_count=10
+    ).collect()
+    assert abs(out3[0].noisy_count - 50) <= 8
+
+
+def test_dp_noisy_counts_true_count_never_released_below_min(spark):
+    df = spark.createDataFrame(
+        [(i, "g") for i in range(9)], "id long, grp string"
+    )
+    assert (
+        dp_noisy_counts(df, ["grp"], seed="s", min_count=10).count() == 0
+    )

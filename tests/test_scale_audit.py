@@ -248,6 +248,10 @@ COLLECT_WHITELIST = {
         2,
         "IVF/PQ codebook fit samples: orderBy().limit(sample) bounded + deterministic",
     ),
+    "det_module_spark/operators/skyline.py": (
+        1,
+        "per-partition max(y) for prefix maxes: #partitions rows",
+    ),
     "det_module_spark/operators/text.py": (
         2,
         "1-row corpus scalars (token total; bm25 N+T pair)",
