@@ -4668,6 +4668,36 @@ def q_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type")
 
 
+def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Exact-phrase retrieval via positional-posting intersection:
+    # posexplode once, keep only the phrase's three terms (filter
+    # reaches the scan), then two (doc, pos - i) equi-joins.
+    from det_module_spark.operators.text import phrase_search
+
+    docs = load_table(spark, sf_dir, "documents")
+    return phrase_search(docs, ["slow", "hash", "batch"]).orderBy(
+        "doc_id"
+    )
+
+
+def q_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Density filter on the customer<->supplier graph: iterative
+    # peeling to the 12-core (drop nodes with undirected degree < 12
+    # until stable). Unrolled-peel SQL oracle; early exit once a round
+    # removes nothing.
+    from det_module_spark.operators.graph import k_core
+
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") < 5000
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = orders.join(li, orders.o_orderkey == li.l_orderkey).select(
+        F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+    )
+    return k_core(edges, k=12, rounds=6).orderBy("node")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the reliability zonal extract (the aid-data triple) at
     sf0.001; driver checks rows>0."""
@@ -4688,6 +4718,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # together with any round-5 additions.
 _ROTATION_R5 = [
     # new this round — driver must check first
+    "phrase_search",
+    "k_core",
     "skyline_frontier",
     "bfs_reach",
     "bom_explode",
@@ -4770,6 +4802,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # queries); the literal below keeps its grouping for readability.
     return _rotate({
         # --- round-5 additions ---
+        "phrase_search": q_phrase_search,
+        "k_core": q_k_core,
         "skyline_frontier": q_skyline_frontier,
         "bfs_reach": q_bfs_reach,
         "bom_explode": q_bom_explode,
@@ -5007,6 +5041,19 @@ sh AS (
                 )) AS shingle
   FROM toks)
 """
+
+
+def _k_core_oracle() -> str:
+    from det_module_spark.operators.graph import k_core_sql
+
+    return k_core_sql(
+        """SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+                  's' || CAST(l_suppkey AS VARCHAR) AS dst
+           FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+           WHERE o_orderkey < 5000""",
+        k=12,
+        rounds=6,
+    )
 
 
 def _bom_oracle() -> str:
@@ -6855,6 +6902,7 @@ QUALIFY ROW_NUMBER() OVER (
         """,
         "pagerank": _pagerank_oracle(),
         "bom_explode": _bom_oracle(),
+        "k_core": _k_core_oracle(),
         "tpch_q1": """
             WITH base AS (
               SELECT l_returnflag, l_linestatus,
@@ -6909,6 +6957,23 @@ QUALIFY ROW_NUMBER() OVER (
               AND o_orderdate < TIMESTAMP '1997-01-01'
             GROUP BY n_name
             ORDER BY revenue_c4 DESC, n_name
+        """,
+        "phrase_search": """
+            WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
+                       FROM documents),
+            t AS (SELECT doc_id, CAST(i AS INT) AS pos, toks[i+1] AS term
+                  FROM d, UNNEST(range(len(toks))) AS u(i)),
+            p0 AS (SELECT doc_id, pos AS start FROM t WHERE term = 'slow'),
+            p1 AS (SELECT doc_id, pos - 1 AS start FROM t
+                   WHERE term = 'hash'),
+            p2 AS (SELECT doc_id, pos - 2 AS start FROM t
+                   WHERE term = 'batch')
+            SELECT p0.doc_id, COUNT(*) AS n_matches,
+                   CAST(MIN(p0.start) AS INT) AS first_pos
+            FROM p0
+            JOIN p1 USING (doc_id, start)
+            JOIN p2 USING (doc_id, start)
+            GROUP BY p0.doc_id
         """,
         "inverted_index": """
             WITH t2 AS (

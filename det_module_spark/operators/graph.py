@@ -157,6 +157,84 @@ def bfs_hops(
     return visited
 
 
+def k_core(
+    edges: DataFrame,
+    k: int,
+    rounds: int = 8,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """k-core decomposition by iterative peeling: repeatedly drop
+    nodes with (undirected, deduplicated) degree < k until stable —
+    the standard density filter before community detection or as a
+    spam/bot subgraph extractor. → (node, degree) for the surviving
+    core, with degree counted WITHIN the core.
+
+    Fixed ``rounds`` cap for engine-exact parity (the SQL oracle
+    unrolls exactly ``rounds`` peels); the loop exits early when a
+    round removes nothing, which leaves the result identical to the
+    fully-unrolled form because peeling is monotone — once stable,
+    further rounds are no-ops on both engines.
+
+    Scale shape per round: one degree aggregation + two semi-joins of
+    the live edge list against the survivor set (equi-joins, AQE
+    broadcasts the survivor list once it shrinks). Edge list is
+    checkpointed per round to keep lineage flat.
+    """
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    sym = (
+        e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    cur = sym
+    prev_edges = cur.count()
+    for _ in range(rounds):
+        deg = cur.groupBy("a").agg(F.count(F.lit(1)).alias("c"))
+        keep = deg.filter(F.col("c") >= k).select("a")
+        cur = (
+            cur.join(keep, "a", "left_semi")
+            .join(
+                keep.select(F.col("a").alias("b")), "b", "left_semi"
+            )
+            .localCheckpoint(eager=True)
+        )
+        # count on the just-materialized checkpoint is near-free; an
+        # unchanged edge count means no endpoint was peeled (peeling
+        # is monotone), so the fixpoint is reached
+        n_edges = cur.count()
+        if n_edges == prev_edges:
+            break
+        prev_edges = n_edges
+    return (
+        cur.groupBy(F.col("a").alias("node"))
+        .agg(F.count(F.lit(1)).alias("degree"))
+        .filter(F.col("degree") >= k)
+    )
+
+
+def k_core_sql(edges_cte: str, k: int, rounds: int = 8) -> str:
+    """The identical peeling as one unrolled SQL statement for the
+    DuckDB oracle. ``edges_cte`` must produce directed (src, dst);
+    symmetrization/dedup happens here, mirroring ``k_core``."""
+    sql = f"""
+WITH fwd AS ({edges_cte}),
+e0 AS (SELECT src AS a, dst AS b FROM fwd WHERE src <> dst
+       UNION SELECT dst, src FROM fwd WHERE src <> dst)"""
+    prev = "e0"
+    for r in range(1, rounds + 1):
+        sql += f""",
+k{r} AS (SELECT a FROM (SELECT a, COUNT(*) AS c FROM {prev} GROUP BY a)
+         WHERE c >= {k}),
+e{r} AS (SELECT e.a, e.b FROM {prev} e
+         JOIN k{r} x ON e.a = x.a JOIN k{r} y ON e.b = y.a)"""
+        prev = f"e{r}"
+    return sql + f"""
+SELECT a AS node, COUNT(*) AS degree FROM {prev}
+GROUP BY a HAVING COUNT(*) >= {k}"""
+
+
 def _idiv(a, b):
     """Exact integer floor-division as Column arithmetic: (a - a%b)/b.
     The numerator is an exact multiple of b, so the double division is

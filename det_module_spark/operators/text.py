@@ -195,6 +195,44 @@ def build_inverted_index(
     )
 
 
+def phrase_search(
+    df: DataFrame,
+    phrase: list[str],
+    id_col: str = "doc_id",
+    text: str = "text",
+) -> DataFrame:
+    """Exact-phrase retrieval over a positional posting list: →
+    (id, n_matches, first_pos) for every document containing the
+    ``phrase`` tokens at consecutive positions.
+
+    The classic positional-index intersection: posexplode the corpus
+    once, keep ONLY the phrase's terms (the filter reaches the scan —
+    the postings of non-phrase terms are never materialized), then
+    equi-join term i's postings on (doc, pos - i). len(phrase)-1
+    shuffle-free-when-colocated joins keyed by (doc, aligned start);
+    each join's inputs are single-term posting lists, the small end of
+    a Zipfian corpus unless the phrase is all stopwords.
+    """
+    if len(phrase) < 1:
+        raise ValueError("phrase must have at least one term")
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(tokens(F.col(text))).alias("pos", "term"),
+    )
+    base = toks.filter(F.col("term") == phrase[0]).select(
+        id_col, F.col("pos").alias("start")
+    )
+    for i, t in enumerate(phrase[1:], start=1):
+        nxt = toks.filter(F.col("term") == t).select(
+            id_col, (F.col("pos") - i).alias("start")
+        )
+        base = base.join(nxt, [id_col, "start"])
+    return base.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_matches"),
+        F.min("start").alias("first_pos"),
+    )
+
+
 def unigram_logprob(
     df: DataFrame, id_col: str = "doc_id", text: str = "text"
 ) -> DataFrame:

@@ -5,7 +5,7 @@ multi-source BFS, transitive closure / BOM explosion, snapshot diff
 import pytest
 from pyspark.sql import functions as F
 
-from det_module_spark.operators.graph import bfs_hops
+from det_module_spark.operators.graph import bfs_hops, k_core
 from det_module_spark.operators.hierarchy import transitive_closure
 from det_module_spark.operators.privacy import (
     dp_noisy_counts,
@@ -13,6 +13,7 @@ from det_module_spark.operators.privacy import (
 )
 from det_module_spark.operators.scd import cdc_apply, snapshot_diff
 from det_module_spark.operators.skyline import skyline
+from det_module_spark.operators.text import phrase_search
 
 
 # ---------------------------------------------------------------------------
@@ -144,6 +145,52 @@ def test_bfs_cycle_terminates_and_respects_cap(spark):
 
 
 # ---------------------------------------------------------------------------
+# k_core
+# ---------------------------------------------------------------------------
+
+
+def test_k_core_peels_cascade(spark):
+    # triangle a-b-c (2-core) + pendant chain c-d-e: d survives the
+    # first peel (degree 2 via c and e) but falls once e is gone —
+    # the cascade is what distinguishes k-core from a degree filter
+    e = _edges(
+        spark,
+        [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d"), ("d", "e")],
+    )
+    got = {r.node: r.degree for r in k_core(e, k=2).collect()}
+    assert got == {"a": 2, "b": 2, "c": 2}
+
+
+def test_k_core_empty_when_k_exceeds_graph(spark):
+    e = _edges(spark, [("a", "b"), ("b", "c")])
+    assert k_core(e, k=3).count() == 0
+
+
+def test_k_core_dedups_and_symmetrizes(spark):
+    # duplicate + reverse edges must not inflate degrees
+    e = _edges(
+        spark,
+        [("a", "b"), ("b", "a"), ("a", "b"), ("b", "c"), ("a", "c")],
+    )
+    got = {r.node: r.degree for r in k_core(e, k=2).collect()}
+    assert got == {"a": 2, "b": 2, "c": 2}
+
+
+def test_k_core_respects_round_cap(spark):
+    # chain 0-1-2-3-4-5: the 2-core is empty, but each peel removes
+    # only the two endpoints. rounds=1 stops after one peel (0 and 5
+    # gone); the final degree>=k output filter then hides the NEW
+    # endpoints 1 and 4 (degree 1 in the remaining chain), exactly as
+    # the oracle's HAVING does
+    chain = [(str(i), str(i + 1)) for i in range(5)]
+    after_one = {
+        r.node for r in k_core(_edges(spark, chain), k=2, rounds=1).collect()
+    }
+    assert after_one == {"2", "3"}
+    assert k_core(_edges(spark, chain), k=2, rounds=8).count() == 0
+
+
+# ---------------------------------------------------------------------------
 # transitive_closure
 # ---------------------------------------------------------------------------
 
@@ -189,6 +236,55 @@ def test_closure_parallel_edges_sum_at_depth_one(spark):
     assert {(r.ancestor, r.descendant, r.depth, r.ext_qty) for r in out} == {
         (1, 2, 1, 7)
     }
+
+
+# ---------------------------------------------------------------------------
+# phrase_search
+# ---------------------------------------------------------------------------
+
+
+def _doc_df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_phrase_search_consecutive_only(spark):
+    df = _doc_df(
+        spark,
+        [
+            (1, "the quick brown fox"),
+            (2, "quick the brown fox"),  # terms present, order wrong
+            (3, "the quick red quick brown fox"),  # gap breaks it
+        ],
+    )
+    got = {
+        r.doc_id: (r.n_matches, r.first_pos)
+        for r in phrase_search(df, ["quick", "brown", "fox"]).collect()
+    }
+    assert got == {1: (1, 1), 3: (1, 3)}
+
+
+def test_phrase_search_counts_multiple_occurrences(spark):
+    df = _doc_df(spark, [(1, "a b a b a b"), (2, "b a")])
+    got = {
+        r.doc_id: (r.n_matches, r.first_pos)
+        for r in phrase_search(df, ["a", "b"]).collect()
+    }
+    # doc 2 is "b a" — reversed, no match
+    assert got == {1: (3, 0)}
+
+
+def test_phrase_search_single_term_and_repeated_term(spark):
+    df = _doc_df(spark, [(1, "x x y"), (2, "y")])
+    single = {
+        r.doc_id: r.n_matches
+        for r in phrase_search(df, ["x"]).collect()
+    }
+    assert single == {1: 2}
+    repeated = {
+        r.doc_id: (r.n_matches, r.first_pos)
+        for r in phrase_search(df, ["x", "x"]).collect()
+    }
+    assert repeated == {1: (1, 0)}
 
 
 # ---------------------------------------------------------------------------
