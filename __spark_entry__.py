@@ -4698,6 +4698,24 @@ def q_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
     return k_core(edges, k=12, rounds=6).orderBy("node")
 
 
+def q_snb_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The OTHER classic ER blocking strategy (vs fuzzy_name_pairs'
+    # deletion banding): sorted-neighborhood — rank by name via
+    # dense_ids (no global window), pair each record with its 5 sort
+    # successors through one rank-bucket equi-join, refine with
+    # thresholded levenshtein.
+    from det_module_spark.operators.fuzzyjoin import (
+        sorted_neighborhood_pairs,
+    )
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name"
+    )
+    return sorted_neighborhood_pairs(
+        cust, "c_custkey", "c_name", window=5, max_distance=1
+    ).orderBy("id_a", "id_b")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the reliability zonal extract (the aid-data triple) at
     sf0.001; driver checks rows>0."""
@@ -4718,6 +4736,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # together with any round-5 additions.
 _ROTATION_R5 = [
     # new this round — driver must check first
+    "snb_pairs",
     "phrase_search",
     "k_core",
     "skyline_frontier",
@@ -4802,6 +4821,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # queries); the literal below keeps its grouping for readability.
     return _rotate({
         # --- round-5 additions ---
+        "snb_pairs": q_snb_pairs,
         "phrase_search": q_phrase_search,
         "k_core": q_k_core,
         "skyline_frontier": q_skyline_frontier,
@@ -6957,6 +6977,22 @@ QUALIFY ROW_NUMBER() OVER (
               AND o_orderdate < TIMESTAMP '1997-01-01'
             GROUP BY n_name
             ORDER BY revenue_c4 DESC, n_name
+        """,
+        "snb_pairs": """
+            WITH r AS (
+              SELECT c_custkey, c_name,
+                     ROW_NUMBER() OVER (ORDER BY
+                       c_name || '|'
+                       || lpad(CAST(c_custkey AS VARCHAR), 12, '0'))
+                       - 1 AS rn
+              FROM customer)
+            SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+                   CAST(b.rn - a.rn AS BIGINT) AS rank_gap,
+                   CAST(levenshtein(a.c_name, b.c_name) AS INT)
+                     AS distance
+            FROM r a JOIN r b
+              ON b.rn > a.rn AND b.rn - a.rn <= 5
+            WHERE levenshtein(a.c_name, b.c_name) <= 1
         """,
         "phrase_search": """
             WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks

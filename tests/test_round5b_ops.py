@@ -335,6 +335,65 @@ def test_snapshot_diff_replays_through_cdc_apply(spark):
 
 
 # ---------------------------------------------------------------------------
+# sorted-neighborhood blocking
+# ---------------------------------------------------------------------------
+
+
+def test_snb_pairs_window_and_refine(spark):
+    from det_module_spark.operators.fuzzyjoin import (
+        sorted_neighborhood_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha"),
+            (2, "alphb"),  # lev 1 from alpha, adjacent in sort
+            (3, "beta"),
+            (4, "bexz"),  # lev 2 from beta -> refined out
+            (5, "zzzzz"),
+        ],
+        "id long, name string",
+    )
+    got = {
+        (r.id_a, r.id_b): (r.rank_gap, r.distance)
+        for r in sorted_neighborhood_pairs(
+            df, "id", "name", window=2, max_distance=1
+        ).collect()
+    }
+    assert got == {(1, 2): (1, 1)}
+    # without refine: every pair within 2 sort ranks survives
+    raw = {
+        (r.id_a, r.id_b): r.rank_gap
+        for r in sorted_neighborhood_pairs(
+            df, "id", "name", window=2
+        ).collect()
+    }
+    assert raw == {
+        (1, 2): 1, (1, 3): 2, (2, 3): 1, (2, 4): 2,
+        (3, 4): 1, (3, 5): 2, (4, 5): 1,
+    }
+
+
+def test_snb_pairs_matches_each_pair_once_across_buckets(spark):
+    # 40 identical-prefix keys force pairs that straddle rank-bucket
+    # boundaries; every (i, i+gap<=w) pair must appear exactly once
+    from det_module_spark.operators.fuzzyjoin import (
+        sorted_neighborhood_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"k{i:03d}") for i in range(40)], "id long, name string"
+    )
+    rows = sorted_neighborhood_pairs(df, "id", "name", window=3).collect()
+    got = sorted((r.id_a, r.id_b) for r in rows)
+    want = sorted(
+        (i, j) for i in range(40) for j in range(i + 1, min(i + 4, 40))
+    )
+    assert got == want
+    assert len(rows) == len(set(got))  # no duplicates
+
+
+# ---------------------------------------------------------------------------
 # privacy: l-diversity + dp noisy counts
 # ---------------------------------------------------------------------------
 
