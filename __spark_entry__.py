@@ -4716,6 +4716,19 @@ def q_snb_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+def q_mmr_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Diversified retrieval: MMR greedy (λ=0.5, ×2-scaled integer
+    # objective) over the top-12 relevance pool per query vector.
+    # Quantized int64 dot products end-to-end; the oracle unrolls the
+    # four selection steps as CTEs.
+    from det_module_spark.operators.mmr import mmr_select
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return mmr_select(
+        emb.filter(F.col("vec_id") < 3), emb, k=4, pool=12
+    ).orderBy("query_id", "sel_rank")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the reliability zonal extract (the aid-data triple) at
     sf0.001; driver checks rows>0."""
@@ -4736,6 +4749,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # together with any round-5 additions.
 _ROTATION_R5 = [
     # new this round — driver must check first
+    "mmr_select",
     "snb_pairs",
     "phrase_search",
     "k_core",
@@ -4821,6 +4835,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # queries); the literal below keeps its grouping for readability.
     return _rotate({
         # --- round-5 additions ---
+        "mmr_select": q_mmr_select,
         "snb_pairs": q_snb_pairs,
         "phrase_search": q_phrase_search,
         "k_core": q_k_core,
@@ -5061,6 +5076,12 @@ sh AS (
                 )) AS shingle
   FROM toks)
 """
+
+
+def _mmr_oracle() -> str:
+    from det_module_spark.operators.mmr import mmr_sql
+
+    return mmr_sql("vec_id < 3", k=4, pool=12, dim=64)
 
 
 def _k_core_oracle() -> str:
@@ -6923,6 +6944,7 @@ QUALIFY ROW_NUMBER() OVER (
         "pagerank": _pagerank_oracle(),
         "bom_explode": _bom_oracle(),
         "k_core": _k_core_oracle(),
+        "mmr_select": _mmr_oracle(),
         "tpch_q1": """
             WITH base AS (
               SELECT l_returnflag, l_linestatus,

@@ -335,6 +335,63 @@ def test_snapshot_diff_replays_through_cdc_apply(spark):
 
 
 # ---------------------------------------------------------------------------
+# MMR diversified selection
+# ---------------------------------------------------------------------------
+
+
+def _vecs(spark, rows):
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_mmr_prefers_diverse_over_redundant(spark):
+    from det_module_spark.operators.mmr import mmr_select
+
+    # query along +x; candidates: 10 (strong +x), 11 (same direction,
+    # slightly weaker — redundant), 12 (oblique — diverse). Plain
+    # top-2 would pick 10 then 11; MMR must pick 10 then 12.
+    q = _vecs(spark, [(0, [1.0, 0.0])])
+    c = _vecs(
+        spark,
+        [
+            (0, [1.0, 0.0]),
+            (10, [2.0, 0.0]),
+            (11, [1.9, 0.0]),
+            (12, [1.0, 1.2]),
+        ],
+    )
+    got = [
+        (r.sel_rank, r.vec_id)
+        for r in mmr_select(q, c, k=2, pool=3)
+        .orderBy("sel_rank")
+        .collect()
+    ]
+    assert got == [(1, 10), (2, 12)]
+
+
+def test_mmr_first_pick_is_pure_relevance_with_id_tiebreak(spark):
+    from det_module_spark.operators.mmr import mmr_select
+
+    q = _vecs(spark, [(0, [1.0, 0.0])])
+    c = _vecs(
+        spark, [(0, [1.0, 0.0]), (5, [3.0, 0.0]), (4, [3.0, 0.0])]
+    )
+    got = [
+        (r.sel_rank, r.vec_id)
+        for r in mmr_select(q, c, k=1, pool=5).collect()
+    ]
+    assert got == [(1, 4)]  # equal relevance -> smaller id wins
+
+
+def test_mmr_k_capped_by_pool(spark):
+    from det_module_spark.operators.mmr import mmr_select
+
+    q = _vecs(spark, [(0, [1.0, 0.0])])
+    c = _vecs(spark, [(0, [1.0, 0.0]), (1, [1.0, 1.0]), (2, [0.5, 0.5])])
+    rows = mmr_select(q, c, k=10, pool=12).collect()
+    assert len(rows) == 2  # only two non-query candidates exist
+
+
+# ---------------------------------------------------------------------------
 # sorted-neighborhood blocking
 # ---------------------------------------------------------------------------
 

@@ -55,6 +55,7 @@ ALLOWED_NESTED_LOOP = {
     "dedup_embedding_cosine": "probe side bounded + guarded (dedup.guard_broadcast_side)",
     "hard_negatives": "anchor side bounded + guarded (similarity.hard_negatives)",
     "similarity_cosine_topk": "query-vector frame (k rows)",
+    "mmr_select": "query-vector frame (bounded by contract, like cosine_topk)",
     "similarity_pq_topk": "query-vector frame (k rows)",
     "spatial_nearest": "centroid table (one row per boundary)",
     "zonal_weighted_spatial": "polygon bounds (one row per boundary)",
@@ -167,6 +168,10 @@ BROADCAST_WHITELIST = {
     "det_module_spark/operators/similarity.py": (
         6,
         "query/anchor vectors (k rows, guarded) + IVF/PQ codebooks (fixed size)",
+    ),
+    "det_module_spark/operators/mmr.py": (
+        1,
+        "query-vector frame: bounded by contract (same as cosine_topk)",
     ),
     "det_module_spark/operators/spatial.py": (
         4,
