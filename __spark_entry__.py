@@ -1514,10 +1514,12 @@ def q_events_session_flush(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
     )
     # batch count is a pure harness knob: emission content is batch-
-    # schedule independent (see replay_session_flush), so 4 batches
-    # buys the same semantics as 6 at ~2/3 the replay cost
+    # schedule independent (see replay_session_flush). 3 batches is
+    # the floor that still exercises cross-batch timer carry twice
+    # (two watermark advances with live timers) — same hashes as 4/6
+    # at the lowest fixed micro-batch cost
     w = Window.orderBy("ts", "event_id")
-    df = ev.withColumn("batch", F.ntile(4).over(w) - 1).drop("event_id")
+    df = ev.withColumn("batch", F.ntile(3).over(w) - 1).drop("event_id")
     out = replay_session_flush(
         df, "batch", "key", "ts", gap_ms=3_600_000, watermark="30 minutes"
     )
