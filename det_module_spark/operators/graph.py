@@ -218,16 +218,19 @@ def k_core_sql(edges_cte: str, k: int, rounds: int = 8) -> str:
     """The identical peeling as one unrolled SQL statement for the
     DuckDB oracle. ``edges_cte`` must produce directed (src, dst);
     symmetrization/dedup happens here, mirroring ``k_core``."""
+    # MATERIALIZED: each e{r} references e{r-1} three times (directly
+    # + twice through k{r}); inlining would expand the plan 3^rounds
     sql = f"""
 WITH fwd AS ({edges_cte}),
-e0 AS (SELECT src AS a, dst AS b FROM fwd WHERE src <> dst
+e0 AS MATERIALIZED (SELECT src AS a, dst AS b FROM fwd WHERE src <> dst
        UNION SELECT dst, src FROM fwd WHERE src <> dst)"""
     prev = "e0"
     for r in range(1, rounds + 1):
         sql += f""",
-k{r} AS (SELECT a FROM (SELECT a, COUNT(*) AS c FROM {prev} GROUP BY a)
-         WHERE c >= {k}),
-e{r} AS (SELECT e.a, e.b FROM {prev} e
+k{r} AS MATERIALIZED (
+  SELECT a FROM (SELECT a, COUNT(*) AS c FROM {prev} GROUP BY a)
+  WHERE c >= {k}),
+e{r} AS MATERIALIZED (SELECT e.a, e.b FROM {prev} e
          JOIN k{r} x ON e.a = x.a JOIN k{r} y ON e.b = y.a)"""
         prev = f"e{r}"
     return sql + f"""

@@ -152,12 +152,12 @@ scored AS (
   SELECT q.query_id, c.vec_id AS cand_id, c.embedding AS cv,
          CAST({rel} AS BIGINT) AS rel
   FROM embeddings c, q WHERE q.query_id <> c.vec_id),
-cand AS (
+cand AS MATERIALIZED (
   SELECT query_id, cand_id, cv, rel FROM (
     SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
               ORDER BY rel DESC, cand_id ASC) AS rn
     FROM scored) WHERE rn <= {pool}),
-sims AS (
+sims AS MATERIALIZED (
   SELECT a.query_id, a.cand_id AS ia, b.cand_id AS ib,
          CAST({sim} AS BIGINT) AS sim
   FROM cand a JOIN cand b
@@ -186,7 +186,7 @@ s{step} AS (
     SELECT query_id, cand_id, score, ROW_NUMBER() OVER (
       PARTITION BY query_id ORDER BY score DESC, cand_id ASC) AS rn
     FROM m{step}) WHERE rn = 1),
-sel{step} AS (SELECT query_id, cand_id FROM {prev_sel}
+sel{step} AS MATERIALIZED (SELECT query_id, cand_id FROM {prev_sel}
               UNION ALL SELECT query_id, cand_id FROM s{step})"""
         prev_sel = f"sel{step}"
     picks = " UNION ALL ".join(
