@@ -205,29 +205,54 @@ def phrase_search(
     (id, n_matches, first_pos) for every document containing the
     ``phrase`` tokens at consecutive positions.
 
-    The classic positional-index intersection: posexplode the corpus
-    once, keep ONLY the phrase's terms (the filter reaches the scan —
-    the postings of non-phrase terms are never materialized), then
-    equi-join term i's postings on (doc, pos - i). len(phrase)-1
-    shuffle-free-when-colocated joins keyed by (doc, aligned start);
-    each join's inputs are single-term posting lists, the small end of
-    a Zipfian corpus unless the phrase is all stopwords.
+    Join-free single-scan formulation (the naive per-term positional
+    join re-reads the corpus once PER TERM — ``.explain`` showed three
+    parquet scans for a 3-word phrase): posexplode once, map each
+    token to the phrase offsets it could fill (a literal term → [i]
+    map; non-phrase tokens explode to nothing, so the corpus shrinks
+    to phrase-term postings inside the scan stage), re-key every hit
+    by its implied start position ``pos − i``, and a start is a match
+    iff it collected all len(phrase) offsets — (doc, start, i) is
+    unique by construction, so a plain count works.
+
+    Scale shape: one scan + one codegen'd map-lookup explode + two
+    hash aggregations (by (doc, start), then by doc). The only
+    shuffled rows are phrase-term hits — the same volume the join plan
+    shuffled, without its N scans and N−1 joins. Handles repeated
+    phrase terms naturally (a token fills several offsets).
     """
     if len(phrase) < 1:
         raise ValueError("phrase must have at least one term")
+    offsets: dict[str, list[int]] = {}
+    for i, t in enumerate(phrase):
+        offsets.setdefault(t, []).append(i)
+    terms = list(offsets)
+    mapping = F.map_from_arrays(
+        F.array(*[F.lit(t) for t in terms]),
+        F.array(
+            *[
+                F.array(*[F.lit(i) for i in offsets[t]])
+                for t in terms
+            ]
+        ),
+    )
     toks = df.select(
         F.col(id_col),
         F.posexplode(tokens(F.col(text))).alias("pos", "term"),
     )
-    base = toks.filter(F.col("term") == phrase[0]).select(
-        id_col, F.col("pos").alias("start")
+    hits = toks.select(
+        F.col(id_col),
+        F.col("pos"),
+        F.explode(mapping[F.col("term")]).alias("i"),
+    ).select(
+        id_col, (F.col("pos") - F.col("i")).alias("start")
+    ).filter(F.col("start") >= 0)
+    starts = (
+        hits.groupBy(id_col, "start")
+        .agg(F.count(F.lit(1)).alias("__filled"))
+        .filter(F.col("__filled") == len(phrase))
     )
-    for i, t in enumerate(phrase[1:], start=1):
-        nxt = toks.filter(F.col("term") == t).select(
-            id_col, (F.col("pos") - i).alias("start")
-        )
-        base = base.join(nxt, [id_col, "start"])
-    return base.groupBy(id_col).agg(
+    return starts.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_matches"),
         F.min("start").alias("first_pos"),
     )
