@@ -4718,6 +4718,46 @@ def q_snb_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+def q_retrieval_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Flagship retrieval composition: sparse ranking (exact-integer
+    # BM25) -> top-20 candidates (TakeOrdered, no global window on the
+    # corpus) -> dense redundancy filter (drop any candidate whose
+    # quantized-embedding dot with a higher-ranked candidate exceeds
+    # the threshold) -> top-5. The 20-row candidate frame bounds the
+    # rank window and the pairwise join by construction.
+    from pyspark.sql import Window
+
+    from det_module_spark.operators.mmr import int_dot, quantize_vec
+    from det_module_spark.operators.text import bm25_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    bm = bm25_scores(docs, ["slow", "hash", "batch"])
+    cand = bm.orderBy(F.desc("scoreq"), F.asc("doc_id")).limit(20)
+    w = Window.orderBy(F.desc("scoreq"), F.asc("doc_id"))
+    cand = cand.withColumn("rank", F.row_number().over(w))
+    cv = cand.join(emb, cand.doc_id == emb.vec_id).select(
+        "rank",
+        "doc_id",
+        "scoreq",
+        quantize_vec(F.col("embedding")).alias("v"),
+    )
+    a, b = cv.alias("a"), cv.alias("b")
+    red = (
+        a.join(
+            b,
+            (F.col("b.rank") < F.col("a.rank"))
+            & (int_dot(F.col("a.v"), F.col("b.v")) > 300000),
+        )
+        .select(F.col("a.doc_id").alias("doc_id"))
+        .distinct()
+    )
+    surv = cv.join(red, "doc_id", "left_anti")
+    return surv.orderBy("rank").limit(5).select(
+        "rank", "doc_id", "scoreq"
+    )
+
+
 def q_mmr_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Diversified retrieval: MMR greedy (λ=0.5, ×2-scaled integer
     # objective) over the top-12 relevance pool per query vector.
@@ -4751,6 +4791,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # together with any round-5 additions.
 _ROTATION_R5 = [
     # new this round — driver must check first
+    "retrieval_pipeline",
     "mmr_select",
     "snb_pairs",
     "phrase_search",
@@ -4837,6 +4878,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # queries); the literal below keeps its grouping for readability.
     return _rotate({
         # --- round-5 additions ---
+        "retrieval_pipeline": q_retrieval_pipeline,
         "mmr_select": q_mmr_select,
         "snb_pairs": q_snb_pairs,
         "phrase_search": q_phrase_search,
@@ -5078,6 +5120,72 @@ sh AS (
                 )) AS shingle
   FROM toks)
 """
+
+
+def _bm25_cte(terms: tuple) -> str:
+    """DuckDB CTE chain ending in ``bm(doc_id, n_hits, scoreq)`` — the
+    exact integer-rational BM25 of operators/text.bm25_scores (same
+    k1=6/5, b=3/4 reduction; see its docstring for the derivation)."""
+    tl = ", ".join(f"'{t}'" for t in terms)
+    return f"""toks AS (
+          SELECT doc_id, term FROM (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS term
+            FROM documents)
+          WHERE length(term) > 0),
+        dl AS (SELECT doc_id, COUNT(*) AS L FROM toks GROUP BY doc_id),
+        sc AS (SELECT COUNT(*) AS n, CAST(SUM(L) AS BIGINT) AS tt
+               FROM dl),
+        qt AS (SELECT doc_id, term FROM toks
+               WHERE term IN ({tl})),
+        dft AS (SELECT term, COUNT(DISTINCT doc_id) AS df
+                FROM qt GROUP BY term),
+        idf AS (
+          SELECT term,
+                 CAST(FLOOR(ln(CAST(2 * (SELECT n FROM sc) - 2 * df + 1
+                                    AS DOUBLE)) * 1e9 + 0.5) AS BIGINT)
+                 - CAST(FLOOR(ln(CAST(2 * df + 1 AS DOUBLE)) * 1e9
+                              + 0.5) AS BIGINT) AS idfq
+          FROM dft),
+        ctd AS (SELECT doc_id, term, COUNT(*) AS c
+                FROM qt GROUP BY doc_id, term),
+        j AS (
+          SELECT ctd.doc_id, idf.idfq, ctd.c, dl.L
+          FROM ctd JOIN idf USING (term) JOIN dl USING (doc_id)),
+        terms AS (
+          SELECT doc_id,
+                 idfq * ((44 * c * (SELECT tt FROM sc) * 10000)
+                         // (20 * c * (SELECT tt FROM sc)
+                             + 6 * (SELECT tt FROM sc)
+                             + 18 * (SELECT n FROM sc) * L))
+                   AS term_scoreq
+          FROM j),
+        bm AS MATERIALIZED (
+          SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits,
+                 CAST(SUM(term_scoreq) AS BIGINT) AS scoreq
+          FROM terms GROUP BY doc_id)"""
+
+
+def _retrieval_pipeline_oracle() -> str:
+    from det_module_spark.operators.mmr import _sql_qdot
+
+    dot = _sql_qdot("ea.embedding", "eb.embedding", 64)
+    return f"""
+        WITH {_bm25_cte(('slow', 'hash', 'batch'))},
+        cand AS MATERIALIZED (
+          SELECT doc_id, scoreq,
+                 CAST(ROW_NUMBER() OVER (ORDER BY scoreq DESC,
+                                         doc_id ASC) AS INT) AS rank
+          FROM bm QUALIFY rank <= 20),
+        red AS (
+          SELECT a.doc_id FROM cand a
+          JOIN cand b ON b.rank < a.rank
+          JOIN embeddings ea ON ea.vec_id = a.doc_id
+          JOIN embeddings eb ON eb.vec_id = b.doc_id
+          WHERE {dot} > 300000),
+        surv AS (SELECT * FROM cand
+                 WHERE doc_id NOT IN (SELECT doc_id FROM red))
+        SELECT rank, doc_id, scoreq FROM surv
+        ORDER BY rank LIMIT 5"""
 
 
 def _mmr_oracle() -> str:
@@ -6947,6 +7055,7 @@ QUALIFY ROW_NUMBER() OVER (
         "bom_explode": _bom_oracle(),
         "k_core": _k_core_oracle(),
         "mmr_select": _mmr_oracle(),
+        "retrieval_pipeline": _retrieval_pipeline_oracle(),
         "tpch_q1": """
             WITH base AS (
               SELECT l_returnflag, l_linestatus,
@@ -8693,43 +8802,10 @@ QUALIFY ROW_NUMBER() OVER (
                weightq >= (SELECT minw FROM th) AS selected
         FROM w
     """
-    out["bm25_retrieval"] = """
-        WITH toks AS (
-          SELECT doc_id, term FROM (
-            SELECT doc_id, unnest(string_split(text, ' ')) AS term
-            FROM documents)
-          WHERE length(term) > 0),
-        dl AS (SELECT doc_id, COUNT(*) AS L FROM toks GROUP BY doc_id),
-        sc AS (SELECT COUNT(*) AS n, CAST(SUM(L) AS BIGINT) AS tt
-               FROM dl),
-        qt AS (SELECT doc_id, term FROM toks
-               WHERE term IN ('spark', 'window', 'merge')),
-        dft AS (SELECT term, COUNT(DISTINCT doc_id) AS df
-                FROM qt GROUP BY term),
-        idf AS (
-          SELECT term,
-                 CAST(FLOOR(ln(CAST(2 * (SELECT n FROM sc) - 2 * df + 1
-                                    AS DOUBLE)) * 1e9 + 0.5) AS BIGINT)
-                 - CAST(FLOOR(ln(CAST(2 * df + 1 AS DOUBLE)) * 1e9
-                              + 0.5) AS BIGINT) AS idfq
-          FROM dft),
-        ctd AS (SELECT doc_id, term, COUNT(*) AS c
-                FROM qt GROUP BY doc_id, term),
-        j AS (
-          SELECT ctd.doc_id, idf.idfq, ctd.c, dl.L
-          FROM ctd JOIN idf USING (term) JOIN dl USING (doc_id)),
-        terms AS (
-          SELECT doc_id,
-                 idfq * ((44 * c * (SELECT tt FROM sc) * 10000)
-                         // (20 * c * (SELECT tt FROM sc)
-                             + 6 * (SELECT tt FROM sc)
-                             + 18 * (SELECT n FROM sc) * L))
-                   AS term_scoreq
-          FROM j)
-        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits,
-               CAST(SUM(term_scoreq) AS BIGINT) AS scoreq
-        FROM terms GROUP BY doc_id
-    """
+    out["bm25_retrieval"] = (
+        f"WITH {_bm25_cte(('spark', 'window', 'merge'))}\n"
+        "SELECT doc_id, n_hits, scoreq FROM bm"
+    )
     from det_module_spark.operators.kmeans import kmeans_sql
 
     out["kmeans_clusters"] = kmeans_sql(k=8, iters=2)

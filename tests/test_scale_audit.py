@@ -56,6 +56,7 @@ ALLOWED_NESTED_LOOP = {
     "hard_negatives": "anchor side bounded + guarded (similarity.hard_negatives)",
     "similarity_cosine_topk": "query-vector frame (k rows)",
     "mmr_select": "query-vector frame (bounded by contract, like cosine_topk)",
+    "retrieval_pipeline": "candidate frame (20 rows by limit) self-join",
     "similarity_pq_topk": "query-vector frame (k rows)",
     "spatial_nearest": "centroid table (one row per boundary)",
     "zonal_weighted_spatial": "polygon bounds (one row per boundary)",
