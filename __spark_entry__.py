@@ -4718,6 +4718,36 @@ def q_snb_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+def q_woe_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Supervised binning: weight-of-evidence + IV of extended price
+    # (8 exact equi-depth bins) against the returned-flag label, all
+    # int64 (quantized-ln + truncating DIV) — see encoding.woe_binning.
+    from det_module_spark.operators.encoding import woe_binning
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        _cents("l_extendedprice").alias("v"),
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("tb"),
+        (F.col("l_returnflag") == "R").cast("int").alias("y"),
+    )
+    return woe_binning(li, "v", "tb", "y", n_bins=8).orderBy("bucket")
+
+
+def q_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Leakage-safe categorical encoding: out-of-fold mean of the
+    # fulfilled-order label per priority class, every (cat x fold)
+    # cell emitted. Two hash aggs + a literal fold-range explode.
+    from det_module_spark.operators.encoding import target_encode_oof
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        (F.col("o_orderstatus") == "F").cast("int").alias("y"),
+        F.pmod(F.col("o_orderkey"), F.lit(5)).alias("fold5"),
+    )
+    return target_encode_oof(
+        orders, "o_orderpriority", "y", "fold5", n_folds=5
+    ).orderBy("cat", "fold")
+
+
 def q_retrieval_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Flagship retrieval composition: sparse ranking (exact-integer
     # BM25) -> top-20 candidates (TakeOrdered, no global window on the
@@ -4791,6 +4821,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # together with any round-5 additions.
 _ROTATION_R5 = [
     # new this round — driver must check first
+    "woe_bins",
+    "target_encode",
     "retrieval_pipeline",
     "mmr_select",
     "snb_pairs",
@@ -4878,6 +4910,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # queries); the literal below keeps its grouping for readability.
     return _rotate({
         # --- round-5 additions ---
+        "woe_bins": q_woe_bins,
+        "target_encode": q_target_encode,
         "retrieval_pipeline": q_retrieval_pipeline,
         "mmr_select": q_mmr_select,
         "snb_pairs": q_snb_pairs,
@@ -7110,6 +7144,56 @@ QUALIFY ROW_NUMBER() OVER (
               AND o_orderdate < TIMESTAMP '1997-01-01'
             GROUP BY n_name
             ORDER BY revenue_c4 DESC, n_name
+        """,
+        "woe_bins": """
+            WITH base AS (
+              SELECT CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)
+                       AS v,
+                     l_orderkey * 10 + l_linenumber AS tb,
+                     CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+              FROM lineitem),
+            b AS (SELECT NTILE(8) OVER (ORDER BY v, tb) AS bucket, y
+                  FROM base),
+            bins AS (SELECT bucket, COUNT(*) AS n,
+                            CAST(SUM(y) AS BIGINT) AS goods
+                     FROM b GROUP BY bucket),
+            e AS (SELECT bucket, n, goods, n - goods AS bads,
+                         2 * goods + 1 AS g2,
+                         2 * (n - goods) + 1 AS b2
+                  FROM bins),
+            t AS (SELECT CAST(SUM(g2) AS BIGINT) AS gtot,
+                         CAST(SUM(b2) AS BIGINT) AS btot FROM e)
+            SELECT bucket, n, goods, bads,
+                   CAST(FLOOR(ln(CAST(g2 * btot AS DOUBLE)) * 1e9 + 0.5)
+                        AS BIGINT)
+                 - CAST(FLOOR(ln(CAST(b2 * gtot AS DOUBLE)) * 1e9 + 0.5)
+                        AS BIGINT) AS woeq,
+                   ((g2 * 1000000 // gtot - b2 * 1000000 // btot) * woeq)
+                     // 1000000 AS ivq
+            FROM e, t
+        """,
+        "target_encode": """
+            WITH base AS (
+              SELECT o_orderpriority AS cat, o_orderkey % 5 AS fold,
+                     CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END
+                       AS y
+              FROM orders),
+            pf AS (SELECT cat, fold, COUNT(*) AS n_f,
+                          CAST(SUM(y) AS BIGINT) AS sum_f
+                   FROM base GROUP BY 1, 2),
+            tot AS (SELECT cat, CAST(SUM(n_f) AS BIGINT) AS n_tot,
+                           CAST(SUM(sum_f) AS BIGINT) AS sum_tot
+                    FROM pf GROUP BY cat),
+            grid AS (SELECT cat, n_tot, sum_tot, f.fold
+                     FROM tot, UNNEST(range(5)) AS f(fold))
+            SELECT g.cat, CAST(g.fold AS INT) AS fold,
+                   g.n_tot - COALESCE(pf.n_f, 0) AS n_oof,
+                   CASE WHEN g.n_tot - COALESCE(pf.n_f, 0) > 0 THEN
+                     ((g.sum_tot - COALESCE(pf.sum_f, 0)) * 1000000)
+                       // (g.n_tot - COALESCE(pf.n_f, 0))
+                   END AS oof_meanq
+            FROM grid g LEFT JOIN pf
+              ON pf.cat = g.cat AND pf.fold = g.fold
         """,
         "snb_pairs": """
             WITH r AS (

@@ -451,6 +451,61 @@ def test_snb_pairs_matches_each_pair_once_across_buckets(spark):
 
 
 # ---------------------------------------------------------------------------
+# encoding: WOE binning + out-of-fold target encoding
+# ---------------------------------------------------------------------------
+
+
+def test_woe_binning_signs_and_iv(spark):
+    import math
+
+    from det_module_spark.operators.encoding import woe_binning
+
+    # bin 1 (v in 0..9): all goods; bin 2 (v in 10..19): all bads
+    rows = [(v, v, 1 if v < 10 else 0) for v in range(20)]
+    df = spark.createDataFrame(rows, "v long, tb long, y int")
+    out = {r.bucket: r for r in woe_binning(df, "v", "tb", "y", 2).collect()}
+    assert out[1].goods == 10 and out[1].bads == 0
+    assert out[2].goods == 0 and out[2].bads == 10
+    # bin 1: g2=21, b2=1; totals gtot=22, btot=22
+    # woeq = lnq(21*22) - lnq(1*22)
+    assert out[1].woeq == math.floor(math.log(21 * 22) * 1e9 + 0.5) - \
+        math.floor(math.log(22) * 1e9 + 0.5)
+    assert out[1].woeq > 0 > out[2].woeq
+    assert out[1].ivq > 0 and out[2].ivq > 0  # IV contributions positive
+
+
+def test_target_encode_oof_excludes_own_fold(spark):
+    from det_module_spark.operators.encoding import target_encode_oof
+
+    # category 'a': fold 0 all label-1 (3 rows), fold 1 all label-0
+    # (3 rows) -> fold 0's encoding sees only fold 1 (mean 0) and vice
+    # versa (mean 1); fold 2 has no rows -> full-category mean 0.5
+    rows = [("a", 1, 0)] * 3 + [("a", 0, 1)] * 3
+    df = spark.createDataFrame(rows, "cat string, y int, f int")
+    got = {
+        (r.cat, r.fold): (r.n_oof, r.oof_meanq)
+        for r in target_encode_oof(df, "cat", "y", "f", 3).collect()
+    }
+    assert got[("a", 0)] == (3, 0)
+    assert got[("a", 1)] == (3, 1_000_000)
+    assert got[("a", 2)] == (6, 500_000)
+
+
+def test_target_encode_oof_null_when_category_is_single_fold(spark):
+    from det_module_spark.operators.encoding import target_encode_oof
+
+    df = spark.createDataFrame(
+        [("solo", 1, 0), ("solo", 0, 0)], "cat string, y int, f int"
+    )
+    got = {
+        r.fold: (r.n_oof, r.oof_meanq)
+        for r in target_encode_oof(df, "cat", "y", "f", 2).collect()
+    }
+    assert got[0] == (0, None)  # nothing outside its only fold
+    assert got[1] == (2, 500_000)
+
+
+# ---------------------------------------------------------------------------
 # privacy: l-diversity + dp noisy counts
 # ---------------------------------------------------------------------------
 
