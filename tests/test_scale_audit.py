@@ -57,6 +57,7 @@ ALLOWED_NESTED_LOOP = {
     "similarity_cosine_topk": "query-vector frame (k rows)",
     "mmr_select": "query-vector frame (bounded by contract, like cosine_topk)",
     "retrieval_pipeline": "candidate frame (20 rows by limit) self-join",
+    "woe_bins": "bin-totals scalar (1 row) joined for shares",
     "similarity_pq_topk": "query-vector frame (k rows)",
     "spatial_nearest": "centroid table (one row per boundary)",
     "zonal_weighted_spatial": "polygon bounds (one row per boundary)",
