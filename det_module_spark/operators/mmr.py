@@ -30,7 +30,7 @@ from pyspark.sql import types as T
 QUANT = 1024
 
 
-def _qvec(col):
+def quantize_vec(col):
     """Quantized int64 copy of a float vector column."""
     return F.transform(
         col,
@@ -40,7 +40,7 @@ def _qvec(col):
     )
 
 
-def _intdot(a, b):
+def int_dot(a, b):
     """Exact int64 dot product of two quantized vector columns."""
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),
@@ -63,14 +63,14 @@ def mmr_select(
     (= relevance for the first pick, rel − max-sim-to-selected after).
     """
     q = queries.select(
-        F.col(id_col).alias("query_id"), _qvec(F.col(vec_col)).alias("qv")
+        F.col(id_col).alias("query_id"), quantize_vec(F.col(vec_col)).alias("qv")
     )
     c = corpus.select(
-        F.col(id_col).alias("cand_id"), _qvec(F.col(vec_col)).alias("cv")
+        F.col(id_col).alias("cand_id"), quantize_vec(F.col(vec_col)).alias("cv")
     )
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("cand_id"))
-        .withColumn("rel", _intdot(F.col("qv"), F.col("cv")))
+        .withColumn("rel", int_dot(F.col("qv"), F.col("cv")))
         .drop("qv")
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -92,41 +92,52 @@ def mmr_select(
     )
 
     def greedy(pdf):
-        import numpy as np
         import pandas as pd
 
         pdf = pdf.sort_values("cand_id").reset_index(drop=True)
-        ids = pdf["cand_id"].to_numpy()
-        rel = pdf["rel"].to_numpy()
-        mat = np.asarray(list(pdf["cv"]), dtype=np.int64)
-        sim = mat @ mat.T  # exact int64
-        n = len(ids)
-        selected: list[int] = []
-        rows = []
-        for rank in range(1, min(k, n) + 1):
-            if selected:
-                maxsim = sim[:, selected].max(axis=1)
-                score = rel - maxsim
-            else:
-                score = rel.copy()
-            score[selected] = np.iinfo(np.int64).min
-            # argmax with id-asc tie-break: ids are sorted, so the
-            # first maximal position is the smallest id
-            best = int(np.argmax(score))
-            rows.append(
-                (
-                    int(pdf["query_id"].iloc[0]),
-                    rank,
-                    int(ids[best]),
-                    int(score[best]),
-                )
+        qid = int(pdf["query_id"].iloc[0])
+        rows = [
+            (qid, rank, vid, score)
+            for rank, vid, score in greedy_kernel(
+                pdf["cand_id"].tolist(),
+                pdf["rel"].tolist(),
+                list(pdf["cv"]),
+                k,
             )
-            selected.append(best)
+        ]
         return pd.DataFrame(
             rows, columns=["query_id", "sel_rank", "vec_id", "mmr_score"]
         )
 
     return cand.groupBy("query_id").applyInPandas(greedy, out_schema)
+
+
+def greedy_kernel(ids, rel, vecs, k):
+    """The per-group MMR greedy over PRE-SORTED-by-id candidates:
+    → [(sel_rank, id, score)]. Exact int64 numpy; module-level so the
+    property suite can drive it against a reference implementation."""
+    import numpy as np
+
+    ids = np.asarray(ids, dtype=np.int64)
+    rel = np.asarray(rel, dtype=np.int64)
+    mat = np.asarray(list(vecs), dtype=np.int64)
+    sim = mat @ mat.T  # exact int64
+    n = len(ids)
+    selected: list[int] = []
+    out = []
+    for rank in range(1, min(k, n) + 1):
+        if selected:
+            maxsim = sim[:, selected].max(axis=1)
+            score = rel - maxsim
+        else:
+            score = rel.copy()
+        score[selected] = np.iinfo(np.int64).min
+        # argmax with id-asc tie-break: ids are sorted, so the first
+        # maximal position is the smallest id
+        best = int(np.argmax(score))
+        out.append((rank, int(ids[best]), int(score[best])))
+        selected.append(best)
+    return out
 
 
 def _sql_qdot(a: str, b: str, dim: int) -> str:

@@ -151,3 +151,58 @@ def test_k_core_sql_matches_peeling(edges, k):
         for r in duckdb.sql(k_core_sql(cte, k=k, rounds=12)).fetchall()
     }
     assert got == _ref_k_core(edges, k, rounds=12)
+
+
+# ---------------------------------------------------------------------------
+# MMR greedy kernel == reference implementation
+# ---------------------------------------------------------------------------
+
+mmr_cases = st.lists(
+    st.tuples(
+        st.integers(min_value=-5, max_value=5),
+        st.integers(min_value=-5, max_value=5),
+        st.integers(min_value=-5, max_value=5),
+    ),
+    min_size=1,
+    max_size=10,
+    unique=True,
+)
+
+
+def _ref_mmr(ids, rel, vecs, k):
+    """Plain-python MMR: argmax of rel − max-sim-to-selected with
+    (score desc, id asc) ordering; first pick is pure relevance."""
+    remaining = list(range(len(ids)))
+    selected: list[int] = []
+    out = []
+
+    def dot(a, b):
+        return sum(x * y for x, y in zip(a, b))
+
+    for rank in range(1, min(k, len(ids)) + 1):
+        best = None
+        for i in remaining:
+            if selected:
+                score = rel[i] - max(dot(vecs[i], vecs[s]) for s in selected)
+            else:
+                score = rel[i]
+            cand = (-score, ids[i], i)
+            if best is None or cand < best:
+                best = cand
+        out.append((rank, ids[best[2]], -best[0]))
+        selected.append(best[2])
+        remaining.remove(best[2])
+    return out
+
+
+@given(mmr_cases, st.integers(min_value=1, max_value=6))
+@settings(max_examples=150, deadline=None)
+def test_mmr_greedy_kernel_matches_reference(pts, k):
+    from det_module_spark.operators.mmr import greedy_kernel
+
+    # candidate ids 0..n-1 (sorted, the kernel's contract); vec = the
+    # 3-tuple; relevance = dot with a fixed query direction
+    ids = list(range(len(pts)))
+    vecs = [list(p) for p in pts]
+    rel = [3 * p[0] - 2 * p[1] + p[2] for p in pts]
+    assert greedy_kernel(ids, rel, vecs, k) == _ref_mmr(ids, rel, vecs, k)
