@@ -4718,6 +4718,54 @@ def q_snb_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+def q_log_as_of(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Point-in-time read over a synthesized I/U/D change log (insert
+    # at seq 10, delete at 15 for key%7==0, update at 20 for key%3==0)
+    # cut at seq 25: exercises deletion, update, and update-after-
+    # delete revival. One pushed-down filter + one per-key window.
+    from det_module_spark.operators.scd import log_as_of
+
+    orders = load_table(spark, sf_dir, "orders")
+    ins = orders.select(
+        "o_orderkey",
+        F.lit(10).cast("long").alias("seq"),
+        F.lit("I").alias("op"),
+        F.col("o_totalprice").alias("price"),
+    )
+    dels = orders.filter(F.col("o_orderkey") % 7 == 0).select(
+        "o_orderkey",
+        F.lit(15).cast("long").alias("seq"),
+        F.lit("D").alias("op"),
+        F.lit(None).cast("double").alias("price"),
+    )
+    upds = orders.filter(F.col("o_orderkey") % 3 == 0).select(
+        "o_orderkey",
+        F.lit(20).cast("long").alias("seq"),
+        F.lit("U").alias("op"),
+        (F.col("o_totalprice") + 100.0).alias("price"),
+    )
+    log = ins.unionByName(dels).unionByName(upds)
+    return log_as_of(
+        log, "o_orderkey", "seq", ["price"], as_of=25
+    ).orderBy("o_orderkey")
+
+
+def q_quantile_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Cross-source score calibration: per-returnflag price
+    # distributions mapped onto a shared reference (mean over groups
+    # of per-bucket means), all truncating-int64 arithmetic.
+    from det_module_spark.operators.profile import quantile_normalize_map
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("grp"),
+        _cents("l_extendedprice").alias("v"),
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("tb"),
+    )
+    return quantile_normalize_map(li, "grp", "v", "tb", 10).orderBy(
+        "grp", "bucket"
+    )
+
+
 def q_woe_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Supervised binning: weight-of-evidence + IV of extended price
     # (8 exact equi-depth bins) against the returned-flag label, all
@@ -4821,6 +4869,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # together with any round-5 additions.
 _ROTATION_R5 = [
     # new this round — driver must check first
+    "log_as_of",
+    "quantile_norm",
     "woe_bins",
     "target_encode",
     "retrieval_pipeline",
@@ -4910,6 +4960,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # queries); the literal below keeps its grouping for readability.
     return _rotate({
         # --- round-5 additions ---
+        "log_as_of": q_log_as_of,
+        "quantile_norm": q_quantile_norm,
         "woe_bins": q_woe_bins,
         "target_encode": q_target_encode,
         "retrieval_pipeline": q_retrieval_pipeline,
@@ -7144,6 +7196,50 @@ QUALIFY ROW_NUMBER() OVER (
               AND o_orderdate < TIMESTAMP '1997-01-01'
             GROUP BY n_name
             ORDER BY revenue_c4 DESC, n_name
+        """,
+        "log_as_of": """
+            WITH log AS (
+              SELECT o_orderkey, 10 AS seq, 'I' AS op,
+                     o_totalprice AS price
+              FROM orders
+              UNION ALL
+              SELECT o_orderkey, 15, 'D', NULL FROM orders
+              WHERE o_orderkey % 7 = 0
+              UNION ALL
+              SELECT o_orderkey, 20, 'U', o_totalprice + 100
+              FROM orders WHERE o_orderkey % 3 = 0),
+            latest AS (
+              SELECT o_orderkey, op, price,
+                     ROW_NUMBER() OVER (PARTITION BY o_orderkey
+                                        ORDER BY seq DESC) AS rn
+              FROM log WHERE seq <= 25)
+            SELECT o_orderkey, price FROM latest
+            WHERE rn = 1 AND op <> 'D'
+        """,
+        "quantile_norm": """
+            WITH base AS (
+              SELECT l_returnflag AS grp,
+                     CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)
+                       AS v,
+                     l_orderkey * 10 + l_linenumber AS tb
+              FROM lineitem),
+            b AS (SELECT grp,
+                         NTILE(10) OVER (PARTITION BY grp
+                                         ORDER BY v, tb) AS bucket, v
+                  FROM base),
+            gb AS (SELECT grp, bucket, COUNT(*) AS n,
+                          CAST(SUM(v) AS BIGINT) AS s
+                   FROM b GROUP BY 1, 2),
+            g2 AS (SELECT grp, bucket, n,
+                          (s * 1000000) // n AS group_meanq
+                   FROM gb),
+            ref AS (SELECT bucket,
+                           CAST(SUM(group_meanq) AS BIGINT) // COUNT(*)
+                             AS ref_meanq
+                    FROM g2 GROUP BY bucket)
+            SELECT g2.grp, g2.bucket, g2.n, g2.group_meanq,
+                   ref.ref_meanq
+            FROM g2 JOIN ref USING (bucket)
         """,
         "woe_bins": """
             WITH base AS (

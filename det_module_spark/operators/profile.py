@@ -271,3 +271,47 @@ def grouped_linfit(
             denom != 0, F.floor(intercept * scale + F.lit(0.5)) / scale
         ).alias("intercept"),
     )
+
+
+def quantile_normalize_map(
+    df: DataFrame,
+    group: str,
+    value: str,
+    tiebreak: str,
+    n_buckets: int = 10,
+) -> DataFrame:
+    """Quantile-normalization mapping table: → (group, bucket, n,
+    group_meanq, ref_meanq). Each group's values are ranked into
+    ``n_buckets`` exact equi-depth buckets (per-group window — scales
+    with the group count), and the reference value for bucket b is the
+    mean over groups of the per-(group, bucket) means: replacing a
+    group's bucket-b values with ref b gives every group the same
+    distribution while preserving within-group order — the classic
+    cross-source score calibration (quantile normalization).
+
+    Integer contract: ``value`` must be integer-valued (quantize
+    first); means are 1e6-quantized via truncating int64 division on
+    both engines, and the reference mean averages the quantized group
+    means (documented choice — it makes the reference independent of
+    group sizes AND keeps every step exact int64).
+    """
+    w = Window.partitionBy(group).orderBy(F.asc(value), F.asc(tiebreak))
+    bucketed = df.withColumn("bucket", F.ntile(n_buckets).over(w))
+    gb = (
+        bucketed.groupBy(group, "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col(value).cast("long")).alias("s"),
+        )
+        .withColumn("group_meanq", F.expr("(s * 1000000) DIV n"))
+    )
+    ref = gb.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum("group_meanq").alias("sm"),
+    ).select(
+        "bucket", F.expr("sm DIV n_groups").alias("ref_meanq")
+    )
+    return (
+        gb.join(ref, "bucket")
+        .select(group, "bucket", "n", "group_meanq", "ref_meanq")
+    )

@@ -56,6 +56,36 @@ def cdc_apply(
     ).select(*out_cols)
 
 
+def log_as_of(
+    log: DataFrame,
+    key: str,
+    seq: str,
+    value_cols: list[str],
+    as_of,
+    op: str = "op",
+) -> DataFrame:
+    """Point-in-time reconstruction from an I/U/D change log — the
+    read side of the CDC family (``cdc_apply`` folds a batch forward,
+    ``snapshot_diff`` derives a batch, this replays the log to a cut):
+    the table state AS OF ``as_of`` is, per key, the change with the
+    highest ``seq`` ≤ ``as_of``, dropped when that change is a 'D'.
+
+    ``seq`` must be unique per key (commit LSN / event time) — the
+    same total-order contract as ``cdc_apply``.
+
+    Scale shape: one pushed-down range filter (``seq <= as_of``
+    reaches the scan — on a log partitioned by day the cut prunes
+    partitions) + one per-key window. No joins.
+    """
+    w = Window.partitionBy(key).orderBy(F.desc(seq))
+    latest = (
+        log.filter(F.col(seq) <= F.lit(as_of))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+    )
+    return latest.filter(F.col(op) != "D").select(key, *value_cols)
+
+
 def snapshot_diff(
     old: DataFrame,
     new: DataFrame,

@@ -451,6 +451,58 @@ def test_snb_pairs_matches_each_pair_once_across_buckets(spark):
 
 
 # ---------------------------------------------------------------------------
+# log_as_of + quantile normalization
+# ---------------------------------------------------------------------------
+
+
+def test_log_as_of_cut_points(spark):
+    from det_module_spark.operators.scd import log_as_of
+
+    log = spark.createDataFrame(
+        [
+            (1, 10, "I", 100.0),
+            (1, 20, "D", None),
+            (1, 30, "U", 150.0),  # revival after delete
+            (2, 10, "I", 200.0),
+            (2, 25, "U", 250.0),
+        ],
+        "k long, seq long, op string, price double",
+    )
+
+    def state(as_of):
+        return {
+            r.k: r.price
+            for r in log_as_of(log, "k", "seq", ["price"], as_of).collect()
+        }
+
+    assert state(15) == {1: 100.0, 2: 200.0}
+    assert state(22) == {2: 200.0}  # key 1 deleted at 20
+    assert state(35) == {1: 150.0, 2: 250.0}  # revived + updated
+
+
+def test_quantile_normalize_map_shifted_groups(spark):
+    from det_module_spark.operators.profile import quantile_normalize_map
+
+    # group b is group a shifted by +100: per-bucket means differ by
+    # 100 and the reference sits exactly between them
+    rows = [("a", v, v) for v in range(10)] + [
+        ("b", v + 100, v) for v in range(10)
+    ]
+    df = spark.createDataFrame(rows, "grp string, v long, tb long")
+    out = quantile_normalize_map(df, "grp", "v", "tb", n_buckets=5)
+    got = {
+        (r.grp, r.bucket): (r.n, r.group_meanq, r.ref_meanq)
+        for r in out.collect()
+    }
+    for b in range(1, 6):
+        na, ma, ra = got[("a", b)]
+        nb, mb, rb = got[("b", b)]
+        assert na == nb == 2
+        assert mb - ma == 100 * 1_000_000
+        assert ra == rb == (ma + mb) // 2
+
+
+# ---------------------------------------------------------------------------
 # encoding: WOE binning + out-of-fold target encoding
 # ---------------------------------------------------------------------------
 
