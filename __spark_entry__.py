@@ -4849,6 +4849,142 @@ def q_mmr_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "sel_rank")
 
 
+def _weighted_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # symmetrized customer<->supplier graph weighted by the MINIMUM
+    # line quantity over the pair's lineitems (one agg; parallel edges
+    # collapse so each relaxation round touches each pair once)
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") < 5000
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    fwd = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias(
+                "src"
+            ),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias(
+                "dst"
+            ),
+        )
+        .agg(F.min(F.col("l_quantity").cast("long")).alias("w"))
+    )
+    return fwd.unionByName(
+        fwd.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"), "w"
+        )
+    )
+
+
+def q_sssp_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Weighted shortest paths (Bellman-Ford relaxation rounds) from
+    # customers 1-3 over the symmetrized quantity-weighted bipartite
+    # graph; integer distances, monotone early-exit ≡ unrolled oracle.
+    from det_module_spark.operators.graph import sssp
+
+    sources = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") <= 3)
+        .select(
+            F.concat(F.lit("c"), F.col("c_custkey").cast("string")).alias(
+                "node"
+            )
+        )
+    )
+    return sssp(
+        _weighted_edges(spark, sf_dir), sources, rounds=4
+    ).orderBy("node")
+
+
+def q_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # HITS hubs/authorities, 2 unnormalized integer rounds over the
+    # DIRECTED customer->supplier graph: customers score as hubs,
+    # suppliers as authorities — same ranking as the normalized form.
+    from det_module_spark.operators.graph import hits
+
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") < 5000
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = orders.join(li, orders.o_orderkey == li.l_orderkey).select(
+        F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+    )
+    return hits(edges, rounds=2).orderBy("node")
+
+
+def q_delta_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Incremental dedup — THE daily-ingest shape: the corpus
+    # (doc_id % 10 != 0) is banded once into a persistable LSH posting
+    # index; the new batch (doc_id % 10 == 0) is banded and probed
+    # against it with ONE (band, bucket) equi-join. Work ∝ batch, not
+    # corpus²; candidates then feed the usual exact verifier.
+    from det_module_spark.operators.dedup import (
+        minhash_lsh_index,
+        minhash_lsh_probe,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus_sigs = minhash_signatures(
+        docs.filter(F.col("doc_id") % 10 != 0), num_hashes=16
+    )
+    delta_sigs = minhash_signatures(
+        docs.filter(F.col("doc_id") % 10 == 0), num_hashes=16
+    )
+    index = minhash_lsh_index(corpus_sigs, bands=8, rows=2)
+    return minhash_lsh_probe(index, delta_sigs, bands=8, rows=2).orderBy(
+        "probe_id", "index_id"
+    )
+
+
+def q_acf_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Autocorrelation of the per-type event-value series at lags 1-3:
+    # exact int64 moments per (type, lag) via one grouped lag window +
+    # one agg; only the final sqrt/divide is float (IEEE-pinned).
+    from det_module_spark.operators.profile import acf_exact
+
+    ev = _events(spark, sf_dir).select(
+        "event_type", "ts", "event_id", _cents("value").alias("v")
+    )
+    return acf_exact(
+        ev, "event_type", ["ts", "event_id"], "v", max_lag=3
+    ).orderBy("event_type", "lag")
+
+
+def q_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Independence audit: order priority x order status contingency
+    # table with per-cell quantized chi-square contributions and the
+    # statistic + dof in the grand-total row.
+    from det_module_spark.operators.quality import chi_square_independence
+
+    orders = load_table(spark, sf_dir, "orders")
+    return chi_square_independence(
+        orders, "o_orderpriority", "o_orderstatus"
+    ).orderBy(F.col("a").asc_nulls_last(), F.col("b").asc_nulls_last())
+
+
+def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # First/last-touch conversion attribution: one per-user window
+    # (ignore-nulls first/last over the strictly-preceding frame),
+    # purchases credited to view/click/signup exposures.
+    from det_module_spark.operators.attribution import (
+        attribution_report,
+        touch_attribution,
+    )
+
+    ev = _events(spark, sf_dir)
+    conv = touch_attribution(
+        ev,
+        "user_id",
+        ["ts", "event_id"],
+        channel=F.col("event_type"),
+        is_touch=F.col("event_type").isin("view", "click", "signup"),
+        is_conv=F.col("event_type") == "purchase",
+        value=_cents("value"),
+    )
+    return attribution_report(conv).orderBy("model", "channel")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the reliability zonal extract (the aid-data triple) at
     sf0.001; driver checks rows>0."""
@@ -4869,6 +5005,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # together with any round-5 additions.
 _ROTATION_R5 = [
     # new this round — driver must check first
+    "sssp_dist",
+    "hits_scores",
+    "delta_dedup",
+    "acf_lags",
+    "chi_square",
+    "attribution",
     "log_as_of",
     "quantile_norm",
     "woe_bins",
@@ -4960,6 +5102,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # queries); the literal below keeps its grouping for readability.
     return _rotate({
         # --- round-5 additions ---
+        "sssp_dist": q_sssp_dist,
+        "hits_scores": q_hits_scores,
+        "delta_dedup": q_delta_dedup,
+        "acf_lags": q_acf_lags,
+        "chi_square": q_chi_square,
+        "attribution": q_attribution,
         "log_as_of": q_log_as_of,
         "quantile_norm": q_quantile_norm,
         "woe_bins": q_woe_bins,
@@ -5291,6 +5439,34 @@ def _k_core_oracle() -> str:
         k=12,
         rounds=6,
     )
+
+
+_CS_EDGES = """SELECT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+       's' || CAST(l_suppkey AS VARCHAR) AS dst
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+ WHERE o_orderkey < 5000"""
+
+
+def _sssp_oracle() -> str:
+    from det_module_spark.operators.graph import sssp_sql
+
+    edges = """WITH fwd AS (
+        SELECT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+               's' || CAST(l_suppkey AS VARCHAR) AS dst,
+               MIN(CAST(l_quantity AS BIGINT)) AS w
+          FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         WHERE o_orderkey < 5000 GROUP BY 1, 2)
+      SELECT src, dst, w FROM fwd
+      UNION ALL SELECT dst, src, w FROM fwd"""
+    sources = """SELECT 'c' || CAST(c_custkey AS VARCHAR) AS node
+                   FROM customer WHERE c_custkey <= 3"""
+    return sssp_sql(edges, sources, rounds=4)
+
+
+def _hits_oracle() -> str:
+    from det_module_spark.operators.graph import hits_sql
+
+    return hits_sql(_CS_EDGES, rounds=2)
 
 
 def _bom_oracle() -> str:
@@ -5626,6 +5802,33 @@ def _minhash_lsh_sql(num_hashes: int = 16, bands: int = 8, rows: int = 2) -> str
     SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
     FROM bkts a JOIN bkts b
       ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    """
+    )
+
+
+def _delta_dedup_sql(num_hashes: int = 16, bands: int = 8, rows: int = 2) -> str:
+    """Incremental-dedup oracle: signatures over ALL docs (identical
+    per-doc algebra to the engine's split computation), banded once,
+    then delta rows (doc_id % 10 = 0) probe corpus rows (% 10 != 0)
+    on (band, bucket)."""
+    band_selects = []
+    for b in range(bands):
+        cols = ", ".join(
+            f"CAST(mh_{b * rows + r} AS VARCHAR)" for r in range(rows)
+        )
+        band_selects.append(
+            f"SELECT doc_id, {b} AS band,"
+            f" md5(concat_ws(',', {cols})) AS bucket FROM sigs"
+        )
+    bands_sql = "\n      UNION ALL ".join(band_selects)
+    return (
+        f"WITH sigs AS ({_minhash_sql(num_hashes)}),\n"
+        f"    bkts AS MATERIALIZED ({bands_sql})\n"
+        """
+    SELECT DISTINCT p.doc_id AS probe_id, i.doc_id AS index_id
+    FROM bkts p JOIN bkts i
+      ON p.band = i.band AND p.bucket = i.bucket
+    WHERE p.doc_id % 10 = 0 AND i.doc_id % 10 <> 0
     """
     )
 
@@ -7196,6 +7399,119 @@ QUALIFY ROW_NUMBER() OVER (
               AND o_orderdate < TIMESTAMP '1997-01-01'
             GROUP BY n_name
             ORDER BY revenue_c4 DESC, n_name
+        """,
+        "sssp_dist": _sssp_oracle(),
+        "hits_scores": _hits_oracle(),
+        "delta_dedup": _delta_dedup_sql(16, bands=8, rows=2),
+        "acf_lags": """
+            WITH base AS (
+              SELECT event_type AS grp, ts, event_id,
+                     CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS v
+              FROM events),
+            pairs AS (
+              SELECT grp, 1 AS lag, v AS x,
+                     LAG(v, 1) OVER (PARTITION BY grp
+                                     ORDER BY ts, event_id) AS y
+              FROM base
+              UNION ALL
+              SELECT grp, 2, v,
+                     LAG(v, 2) OVER (PARTITION BY grp
+                                     ORDER BY ts, event_id)
+              FROM base
+              UNION ALL
+              SELECT grp, 3, v,
+                     LAG(v, 3) OVER (PARTITION BY grp
+                                     ORDER BY ts, event_id)
+              FROM base),
+            m AS (
+              SELECT grp, lag, COUNT(*) AS n,
+                     CAST(SUM(x) AS BIGINT) AS sx,
+                     CAST(SUM(y) AS BIGINT) AS sy,
+                     CAST(SUM(x * x) AS BIGINT) AS sxx,
+                     CAST(SUM(y * y) AS BIGINT) AS syy,
+                     CAST(SUM(x * y) AS BIGINT) AS sxy
+              FROM pairs WHERE y IS NOT NULL GROUP BY 1, 2)
+            SELECT grp AS event_type, lag, n,
+                   CASE WHEN n * sxx - sx * sx > 0
+                         AND n * syy - sy * sy > 0
+                        THEN CAST(FLOOR(
+                          CAST(n * sxy - sx * sy AS DOUBLE)
+                          / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                                 * CAST(n * syy - sy * sy AS DOUBLE))
+                          * 1e6 + 0.5) AS BIGINT)
+                   END AS corrq
+            FROM m
+            ORDER BY event_type, lag
+        """,
+        "chi_square": """
+            WITH cells AS (
+              SELECT CAST(o_orderpriority AS VARCHAR) AS a,
+                     CAST(o_orderstatus AS VARCHAR) AS b,
+                     COUNT(*) AS o
+              FROM orders GROUP BY 1, 2),
+            r AS (SELECT a, CAST(SUM(o) AS BIGINT) AS r_tot
+                  FROM cells GROUP BY a),
+            c AS (SELECT b, CAST(SUM(o) AS BIGINT) AS c_tot
+                  FROM cells GROUP BY b),
+            g AS (SELECT CAST(SUM(o) AS BIGINT) AS n_tot FROM cells),
+            j AS (SELECT cells.a, cells.b, o, r_tot, c_tot, n_tot
+                  FROM cells JOIN r USING (a) JOIN c USING (b)
+                  CROSS JOIN g),
+            pc AS (
+              SELECT a, b, o AS observed,
+                     CAST(FLOOR(CAST(r_tot * c_tot AS DOUBLE)
+                                / CAST(n_tot AS DOUBLE) * 1e6 + 0.5)
+                          AS BIGINT) AS expected_q,
+                     CAST(FLOOR(
+                       CAST(o * n_tot - r_tot * c_tot AS DOUBLE)
+                       * CAST(o * n_tot - r_tot * c_tot AS DOUBLE)
+                       / CAST(r_tot * c_tot * n_tot AS DOUBLE)
+                       * 1e6 + 0.5) AS BIGINT) AS contrib_q
+              FROM j)
+            SELECT a, b, observed, expected_q, contrib_q,
+                   CAST(NULL AS BIGINT) AS dof
+            FROM pc
+            UNION ALL
+            SELECT NULL, NULL, CAST(SUM(observed) AS BIGINT),
+                   CAST(SUM(expected_q) AS BIGINT),
+                   CAST(SUM(contrib_q) AS BIGINT),
+                   ((SELECT COUNT(*) FROM r) - 1)
+                   * ((SELECT COUNT(*) FROM c) - 1)
+            FROM pc
+            ORDER BY a NULLS LAST, b NULLS LAST
+        """,
+        "attribution": """
+            WITH ev AS (
+              SELECT user_id, ts, event_id, event_type,
+                     CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS value_c,
+                     CASE WHEN event_type IN ('view', 'click', 'signup')
+                          THEN event_type END AS touch_ch
+              FROM events),
+            ann AS (
+              SELECT event_type, value_c,
+                     FIRST_VALUE(touch_ch IGNORE NULLS) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING) AS first_touch,
+                     LAST_VALUE(touch_ch IGNORE NULLS) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING) AS last_touch
+              FROM ev),
+            conv AS (
+              SELECT COALESCE(first_touch, '(none)') AS first_touch,
+                     COALESCE(last_touch, '(none)') AS last_touch,
+                     value_c
+              FROM ann WHERE event_type = 'purchase'),
+            m AS (
+              SELECT 'first_touch' AS model, first_touch AS channel,
+                     value_c FROM conv
+              UNION ALL
+              SELECT 'last_touch', last_touch, value_c FROM conv)
+            SELECT model, channel, COUNT(*) AS n_conv,
+                   CAST(SUM(value_c) AS BIGINT) AS value_c
+            FROM m GROUP BY 1, 2
+            ORDER BY model, channel
         """,
         "log_as_of": """
             WITH log AS (

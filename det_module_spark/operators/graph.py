@@ -591,3 +591,168 @@ l{r} AS (SELECT verts.id,
          LEFT JOIN b{r} ON verts.id = b{r}.a)"""
         prev = f"l{r}"
     return sql + f"\nSELECT id, community FROM {prev}"
+
+
+def sssp(
+    edges: DataFrame,
+    sources: DataFrame,
+    rounds: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+    node: str = "node",
+) -> DataFrame:
+    """Weighted multi-source shortest paths: → (node, dist) with dist
+    = the minimum total edge weight from any source over paths of at
+    most ``rounds`` edges. Integer weights make every distance exact,
+    so a fixed round count is bit-identical to the oracle's unrolled
+    Bellman-Ford CTEs (graph parity pattern of pagerank/k_core).
+
+    Synchronous Bellman-Ford relaxation: each round extends the
+    current tentative-distance table through every edge and folds the
+    candidates back with one min-aggregation — per-round cost is one
+    equi-join dist⋈edges (AQE broadcasts dist while it is small) plus
+    one hash agg keyed by node; state is one row per reached node,
+    never per path. Relaxation is monotone non-increasing, so an
+    early exit at the fixpoint leaves the result identical to the
+    fully-unrolled form. Negative weights are rejected: with them a
+    truncated Bellman-Ford is not a shortest-path answer.
+
+    100 TB shape: dist and the frontier delta are node-sized (≪ edge
+    list); each round shuffles the edge list once on src. For huge
+    diameters prefer delta-stepping on a cluster, but bounded-hop
+    reach (this form) is the common production ask.
+    """
+    e = edges.select(
+        F.col(src).alias("src"),
+        F.col(dst).alias("dst"),
+        F.col(weight).cast("long").alias("w"),
+    ).localCheckpoint(eager=True)
+    if e.filter(F.col("w") < 0).limit(1).count() > 0:
+        raise ValueError("sssp requires non-negative integer weights")
+    dist = (
+        sources.select(F.col(node).alias("node"))
+        .distinct()
+        .withColumn("dist", F.lit(0).cast("long"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(rounds):
+        cand = (
+            dist.join(e, dist.node == e.src)
+            .select(F.col("dst").alias("node"), (F.col("dist") + F.col("w")).alias("dist"))
+        )
+        new = (
+            dist.unionByName(cand)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+        # monotone: the fixpoint is reached exactly when no node's
+        # tentative distance improved (anti-join on the pair is empty)
+        if new.join(dist, ["node", "dist"], "left_anti").isEmpty():
+            dist = new
+            break
+        dist = new
+    return dist
+
+
+def sssp_sql(edges_cte: str, sources_cte: str, rounds: int = 4) -> str:
+    """The identical relaxation as unrolled MATERIALIZED CTEs for the
+    DuckDB oracle. ``edges_cte`` → (src, dst, w); ``sources_cte`` →
+    (node)."""
+    sql = f"""
+WITH edges AS MATERIALIZED ({edges_cte}),
+d0 AS MATERIALIZED (SELECT DISTINCT node, CAST(0 AS BIGINT) AS dist
+                    FROM ({sources_cte}))"""
+    prev = "d0"
+    for r in range(1, rounds + 1):
+        sql += f""",
+d{r} AS MATERIALIZED (
+  SELECT node, MIN(dist) AS dist FROM (
+    SELECT node, dist FROM {prev}
+    UNION ALL
+    SELECT e.dst AS node, d.dist + e.w AS dist
+    FROM {prev} d JOIN edges e ON d.node = e.src)
+  GROUP BY node)"""
+        prev = f"d{r}"
+    return sql + f"\nSELECT node, CAST(dist AS BIGINT) AS dist FROM {prev}"
+
+
+def hits(
+    edges: DataFrame,
+    rounds: int = 2,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """HITS hubs & authorities, UNNORMALIZED integer iterates:
+    → (node, hub, auth) after ``rounds`` mutual-reinforcement rounds
+    from h₀ = 1 (auth(v) = Σ_{u→v} hub(u); hub(u) = Σ_{u→v} auth(v)).
+
+    Dropping the usual L2 normalization keeps every iterate an exact
+    int64 — the RANKING is identical (normalization is a positive
+    scalar per round) and exactness is what lets the oracle's unrolled
+    CTEs hash-match. Iterates grow like (max_indeg·max_outdeg)^rounds:
+    with the default 2 rounds this stays far inside int64 for degree
+    sums up to ~1e4 per node (Spark 4 ANSI mode throws on overflow
+    rather than wrapping, so a violation is loud, not silent).
+
+    Per round: two edge-list shuffles (agg by dst, then by src) — the
+    same shape as one PageRank iteration; no windows, no collects.
+    """
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    hub = nodes.withColumn("hub", F.lit(1).cast("long"))
+    auth = None
+    for _ in range(rounds):
+        auth = (
+            e.join(hub.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("hub").alias("auth"))
+        )
+        hub = (
+            e.join(auth.withColumnRenamed("node", "dst"), "dst")
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.sum("auth").alias("hub"))
+        )
+    return (
+        nodes.join(hub, "node", "left")
+        .join(auth, "node", "left")
+        .select(
+            "node",
+            F.coalesce("hub", F.lit(0)).alias("hub"),
+            F.coalesce("auth", F.lit(0)).alias("auth"),
+        )
+    )
+
+
+def hits_sql(edges_cte: str, rounds: int = 2) -> str:
+    """Unrolled-CTE twin of :func:`hits` for the DuckDB oracle."""
+    sql = f"""
+WITH edges AS MATERIALIZED (SELECT DISTINCT src, dst FROM ({edges_cte})),
+nodes AS MATERIALIZED (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+h0 AS (SELECT node, CAST(1 AS BIGINT) AS hub FROM nodes)"""
+    prev_h = "h0"
+    r = 0
+    for r in range(1, rounds + 1):
+        sql += f""",
+a{r} AS MATERIALIZED (
+  SELECT e.dst AS node, CAST(SUM(h.hub) AS BIGINT) AS auth
+  FROM edges e JOIN {prev_h} h ON e.src = h.node GROUP BY e.dst),
+h{r} AS MATERIALIZED (
+  SELECT e.src AS node, CAST(SUM(a.auth) AS BIGINT) AS hub
+  FROM edges e JOIN a{r} a ON e.dst = a.node GROUP BY e.src)"""
+        prev_h = f"h{r}"
+    return sql + f"""
+SELECT nodes.node, COALESCE(h{r}.hub, 0) AS hub,
+       COALESCE(a{r}.auth, 0) AS auth
+FROM nodes LEFT JOIN h{r} ON nodes.node = h{r}.node
+LEFT JOIN a{r} ON nodes.node = a{r}.node"""

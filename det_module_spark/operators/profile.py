@@ -315,3 +315,80 @@ def quantile_normalize_map(
         gb.join(ref, "bucket")
         .select(group, "bucket", "n", "group_meanq", "ref_meanq")
     )
+
+
+def acf_exact(
+    df: DataFrame,
+    group: str,
+    order_cols: list[str],
+    value: str,
+    max_lag: int = 3,
+    out_scale: int = 10**6,
+) -> DataFrame:
+    """Per-group autocorrelation function at lags 1..``max_lag`` from
+    exact integer moments: → (group, lag, n, corrq) with corrq =
+    round(out_scale · Pearson r of (x_t, x_{t−lag})).
+
+    ``value`` must be integer-valued (quantize first); ``order_cols``
+    must be a deterministic total order within each group (include a
+    tiebreak column). One window pass materializes all ``max_lag``
+    lagged copies (partitioned BY GROUP — never a global sort), an
+    inline posexplode turns them into (lag, x, y) rows, and one hash
+    agg per (group, lag) accumulates n, Σx, Σy, Σx², Σy², Σxy exactly
+    in int64 — order-independent, so the result is partition-count
+    independent and oracle-able. The final r uses doubles only for
+    the two variance products and the sqrt/divide: every float op has
+    exact-int operands, and IEEE ×, /, √ are correctly rounded, so
+    the result is bit-identical across engines. Keep n·Σx² inside
+    int64 (ANSI Spark throws loudly on violation, never wraps).
+
+    Scale: lag windows only ever sort within a group partition; the
+    moment agg is one shuffle keyed by (group, lag). The seasonality
+    companion to grouped_linfit's trend.
+    """
+    w = Window.partitionBy(group).orderBy(*order_cols)
+    xl = F.col(value).cast("long")
+    # window exprs must land in their own Project before the explode
+    # (Spark rejects window functions inside generator arguments)
+    lagged = df.select(
+        F.col(group).alias("grp"),
+        xl.alias("x"),
+        *[F.lag(xl, k).over(w).alias(f"y_{k}") for k in range(1, max_lag + 1)],
+    )
+    lag_structs = [
+        F.struct(
+            F.lit(k).alias("lag"),
+            F.col("x").alias("x"),
+            F.col(f"y_{k}").alias("y"),
+        )
+        for k in range(1, max_lag + 1)
+    ]
+    pairs = (
+        lagged.select("grp", F.explode(F.array(*lag_structs)).alias("p"))
+        .select("grp", "p.lag", "p.x", "p.y")
+        .where(F.col("y").isNotNull())
+    )
+    m = pairs.groupBy("grp", "lag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    # covariance/variance numerators stay exact in int64; the product
+    # under the sqrt would overflow, so it moves to double (operands
+    # exact ⇒ deterministic rounding everywhere)
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    vx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    vy = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    den = F.sqrt(vx * vy)
+    return m.select(
+        F.col("grp").alias(group),
+        "lag",
+        "n",
+        F.when(
+            (vx > 0) & (vy > 0),
+            F.floor(num / den * F.lit(float(out_scale)) + F.lit(0.5)).cast("long"),
+        ).alias("corrq"),
+    )

@@ -144,3 +144,81 @@ def psi_drift(
         (F.floor(p_a * scale + F.lit(0.5)) / scale).alias("p_after"),
         (F.floor(term * scale + F.lit(0.5)) / scale).alias("psi_term"),
     )
+
+
+def chi_square_independence(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+    out_scale: int = 10**6,
+) -> DataFrame:
+    """Chi-square test of independence between two categoricals:
+    → one row per observed contingency cell (a, b, observed,
+    expected_q, contrib_q) plus the grand-total row (a = b = NULL)
+    carrying the statistic Σ contrib_q and the degrees of freedom —
+    drift / segmentation-significance audit for pipeline intake.
+
+    Identity used: (o − r·c/N)² / (r·c/N) = (o·N − r·c)² / (r·c·N).
+    o·N, r·c and r·c·N are exact in int64 up to ~1e9-row inputs; the
+    square and division run in double (exact-int operands ⇒ IEEE
+    deterministic), and each CELL's contribution is quantized to an
+    int64 at ``out_scale`` BEFORE summing, so the total is an
+    order-independent integer sum — hash-stable across engines and
+    partition counts.
+
+    One scan: cell counts via groupBy(a, b); row/col/grand totals are
+    re-aggregations of that (tiny) cell table, joined back — no second
+    pass over the data, no windows, no collects.
+    """
+    # categorical labels travel as strings so the grand-total row's
+    # NULL markers union cleanly for any input type
+    cells = df.groupBy(
+        F.col(col_a).cast("string").alias("a"),
+        F.col(col_b).cast("string").alias("b"),
+    ).agg(F.count(F.lit(1)).alias("o"))
+    rows = cells.groupBy("a").agg(F.sum("o").alias("r_tot"))
+    colst = cells.groupBy("b").agg(F.sum("o").alias("c_tot"))
+    grand = cells.select(F.sum("o").alias("n_tot"))
+    j = cells.join(rows, "a").join(colst, "b").crossJoin(F.broadcast(grand))
+    num = (F.col("o") * F.col("n_tot") - F.col("r_tot") * F.col("c_tot")).cast(
+        "double"
+    )
+    den = (F.col("r_tot") * F.col("c_tot") * F.col("n_tot")).cast("double")
+    scale = F.lit(float(out_scale))
+    per_cell = j.select(
+        "a",
+        "b",
+        F.col("o").alias("observed"),
+        # expected count r·c/N, quantized (exact-int operands)
+        F.floor(
+            (F.col("r_tot") * F.col("c_tot")).cast("double")
+            / F.col("n_tot").cast("double")
+            * scale
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("expected_q"),
+        F.floor(num * num / den * scale + F.lit(0.5))
+        .cast("long")
+        .alias("contrib_q"),
+    )
+    dof = (
+        rows.select(F.count(F.lit(1)).alias("nr"))
+        .crossJoin(colst.select(F.count(F.lit(1)).alias("nc")))
+        .select(((F.col("nr") - 1) * (F.col("nc") - 1)).alias("d"))
+    )
+    total = per_cell.agg(
+        F.sum("observed").alias("observed"),
+        F.sum("expected_q").alias("expected_q"),
+        F.sum("contrib_q").alias("contrib_q"),
+    ).crossJoin(F.broadcast(dof)).select(
+        F.lit(None).cast("string").alias("a"),
+        F.lit(None).cast("string").alias("b"),
+        "observed",
+        "expected_q",
+        "contrib_q",
+        F.col("d").alias("dof"),
+    )
+    return per_cell.withColumn("dof", F.lit(None).cast("long")).unionByName(
+        total
+    )

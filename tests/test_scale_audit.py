@@ -69,6 +69,7 @@ ALLOWED_NESTED_LOOP = {
     "tpch_q22": "global avg-balance scalar (1 row)",
     "nb_classify": "class_stats table (one row per label — label vocabulary)",
     "dsir_select": "top-k weight-threshold scalar (1 row)",
+    "chi_square": "grand-total and dof scalars (1 row each)",
     "corpus_pipeline_v2": "top-k weight-threshold scalar (1 row, via dsir_select)",
 }
 
@@ -160,8 +161,9 @@ BROADCAST_WHITELIST = {
         "right side broadcast only when caller passes broadcast_right=True",
     ),
     "det_module_spark/operators/quality.py": (
-        1,
-        "dictionary: distinct-value-sized, dict_encode contract is low cardinality",
+        3,
+        "dictionary: distinct-value-sized, dict_encode contract is low "
+        "cardinality; chi_square grand-total and dof frames: 1 row each",
     ),
     "det_module_spark/operators/msr.py": (
         1,
