@@ -4985,6 +4985,175 @@ def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return attribution_report(conv).orderBy("model", "channel")
 
 
+def q_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # MATCH_RECOGNIZE-lite: per-user event strings (v/c/s/p/e chars,
+    # ordered by (µs, event_id)) matched against 'v[vc]*p' — a view,
+    # any run of views/clicks, then a purchase. One collect_list
+    # shuffle keyed by user; regex in the Java∩RE2 subset.
+    from det_module_spark.operators.seqpattern import sequence_pattern_counts
+
+    # ts is TIMESTAMP_NTZ; the UTC-pinned session makes the cast to
+    # instant exact, so unix_micros ≡ the oracle's epoch_us
+    ev = _events(spark, sf_dir).select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        "event_id",
+        "event_type",
+    )
+    return sequence_pattern_counts(
+        ev,
+        "user_id",
+        ["us", "event_id"],
+        "event_type",
+        {"view": "v", "click": "c", "signup": "s", "purchase": "p",
+         "error": "e"},
+        "v[vc]*p",
+    ).orderBy("key")
+
+
+def q_streak_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # gaps-and-islands: per-user consecutive-active-day streaks via
+    # the day - row_number island anchor (windows sort only inside
+    # the user partition).
+    from det_module_spark.operators.seqpattern import longest_streaks
+
+    ev = _events(spark, sf_dir)
+    return longest_streaks(ev, "user_id", F.to_date("ts")).orderBy("key")
+
+
+def q_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # interval coalescing: each event spans [ts, ts + (event_id%7+1)
+    # minutes) — deterministic variable lengths, so this exercises
+    # genuine overlap merging (running-max island boundary), not the
+    # fixed-gap sessionize special case.
+    from det_module_spark.operators.seqpattern import coalesce_intervals
+
+    ev = _events(spark, sf_dir)
+    s = F.unix_timestamp("ts")
+    e = s + (F.col("event_id") % 7 + 1) * 60
+    return coalesce_intervals(ev, "user_id", s, e).orderBy(
+        "key", "start_s", "end_s"
+    )
+
+
+def q_precede_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # first-occurrence precedence matrix: for each ordered pair of
+    # event types, #users whose first A came strictly before their
+    # first B (µs timestamps, type-name tiebreak).
+    from det_module_spark.operators.seqpattern import precedence_counts
+
+    ev = _events(spark, sf_dir)
+    return precedence_counts(
+        ev,
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")),
+    ).orderBy("type_a", "type_b")
+
+
+def q_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # common-neighbor link prediction between customers sharing
+    # suppliers (Adamic-Adar 1/ln(deg) weights quantized to int64
+    # per-neighbor before the pair sum); top-100 candidate links.
+    from det_module_spark.operators.graph import adamic_adar
+
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") < 5000
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = orders.join(li, orders.o_orderkey == li.l_orderkey).select(
+        F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+    )
+    return (
+        adamic_adar(edges)
+        .orderBy(F.desc("aa_q"), "node_a", "node_b")
+        .limit(100)
+    )
+
+
+def q_sq8_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # int8 scalar quantization audit: per-dim min/max codebook (64
+    # rows — a schema constant), per-vector code checksum + quantized
+    # reconstruction error. Per-dim error terms land in int64 BEFORE
+    # the per-vector sum (order-independent).
+    from det_module_spark.operators.quantize import sq8_quantize
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        sq8_quantize(emb).withColumnRenamed("id", "vec_id").orderBy("vec_id")
+    )
+
+
+def q_unicode_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # corpus intake canonicalization: NFC (Arrow pandas UDF) +
+    # control-char strip + ASCII-whitespace collapse; md5 computed
+    # JVM-side over the cleaned UTF-8.
+    from det_module_spark.operators.text import unicode_clean
+
+    docs = load_table(spark, sf_dir, "documents")
+    return unicode_clean(docs).orderBy("doc_id")
+
+
+def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # reciprocal-rank fusion of a sparse run (integer-exact BM25,
+    # top-20) and a dense run (quantized-int dot vs the vec_id=1
+    # query embedding, top-20): rrf_q = Σ 1e6 div (60 + rank). Both
+    # rank windows run over 20-row TakeOrdered frames; the query
+    # vector is a 1-row broadcast.
+    from pyspark.sql import Window
+
+    from det_module_spark.operators.mmr import int_dot, quantize_vec
+    from det_module_spark.operators.text import bm25_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    sparse = (
+        bm25_scores(docs, ["spark", "window", "merge"])
+        .orderBy(F.desc("scoreq"), "doc_id")
+        .limit(20)
+    )
+    ws = Window.orderBy(F.desc("scoreq"), "doc_id")
+    sparse_r = sparse.select(
+        "doc_id", F.row_number().over(ws).cast("long").alias("rank_sparse")
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = emb.where(F.col("vec_id") == 1).select(
+        quantize_vec(F.col("embedding")).alias("qv")
+    )
+    dots = (
+        emb.select(
+            F.col("vec_id").alias("doc_id"),
+            quantize_vec(F.col("embedding")).alias("cv"),
+        )
+        .crossJoin(F.broadcast(qv))
+        .select("doc_id", int_dot(F.col("cv"), F.col("qv")).alias("dot"))
+    )
+    dense = dots.orderBy(F.desc("dot"), "doc_id").limit(20)
+    wd = Window.orderBy(F.desc("dot"), "doc_id")
+    dense_r = dense.select(
+        "doc_id", F.row_number().over(wd).cast("long").alias("rank_dense")
+    )
+    fused = sparse_r.join(dense_r, "doc_id", "full_outer")
+
+    def contrib(c: str):
+        return F.when(
+            F.col(c).isNotNull(), F.expr(f"1000000 div (60 + {c})")
+        ).otherwise(F.lit(0))
+
+    return (
+        fused.select(
+            "doc_id",
+            "rank_sparse",
+            "rank_dense",
+            (contrib("rank_sparse") + contrib("rank_dense"))
+            .cast("long")
+            .alias("rrf_q"),
+        )
+        .orderBy(F.desc("rrf_q"), "doc_id")
+        .limit(10)
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the reliability zonal extract (the aid-data triple) at
     sf0.001; driver checks rows>0."""
@@ -5005,6 +5174,14 @@ def entry(spark: SparkSession) -> DataFrame:
 # together with any round-5 additions.
 _ROTATION_R5 = [
     # new this round — driver must check first
+    "pattern_match",
+    "streak_days",
+    "interval_merge",
+    "precede_pairs",
+    "adamic_adar",
+    "sq8_error",
+    "unicode_normalize",
+    "rrf_fusion",
     "sssp_dist",
     "hits_scores",
     "delta_dedup",
@@ -5102,6 +5279,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # queries); the literal below keeps its grouping for readability.
     return _rotate({
         # --- round-5 additions ---
+        "pattern_match": q_pattern_match,
+        "streak_days": q_streak_days,
+        "interval_merge": q_interval_merge,
+        "precede_pairs": q_precede_pairs,
+        "adamic_adar": q_adamic_adar,
+        "sq8_error": q_sq8_error,
+        "unicode_normalize": q_unicode_normalize,
+        "rrf_fusion": q_rrf_fusion,
         "sssp_dist": q_sssp_dist,
         "hits_scores": q_hits_scores,
         "delta_dedup": q_delta_dedup,
@@ -5467,6 +5652,53 @@ def _hits_oracle() -> str:
     from det_module_spark.operators.graph import hits_sql
 
     return hits_sql(_CS_EDGES, rounds=2)
+
+
+def _adamic_adar_oracle() -> str:
+    from det_module_spark.operators.graph import adamic_adar_sql
+
+    return (
+        adamic_adar_sql(_CS_EDGES)
+        + "\nORDER BY aa_q DESC, node_a, node_b LIMIT 100"
+    )
+
+
+def _sq8_oracle() -> str:
+    from det_module_spark.operators.quantize import sq8_sql
+
+    return sq8_sql(dim=64) + "\nORDER BY vec_id"
+
+
+def _rrf_oracle() -> str:
+    from det_module_spark.operators.mmr import _sql_qdot
+
+    dot = _sql_qdot("e.embedding", "q.embedding", 64)
+    return f"""
+        WITH {_bm25_cte(('spark', 'window', 'merge'))},
+        sparse AS MATERIALIZED (
+          SELECT doc_id,
+                 CAST(ROW_NUMBER() OVER (ORDER BY scoreq DESC, doc_id)
+                      AS BIGINT) AS rank_sparse
+          FROM bm
+          QUALIFY rank_sparse <= 20),
+        q AS (SELECT embedding FROM embeddings WHERE vec_id = 1),
+        dots AS (SELECT e.vec_id AS doc_id, {dot} AS dot
+                 FROM embeddings e, q),
+        dense AS MATERIALIZED (
+          SELECT doc_id,
+                 CAST(ROW_NUMBER() OVER (ORDER BY dot DESC, doc_id)
+                      AS BIGINT) AS rank_dense
+          FROM dots
+          QUALIFY rank_dense <= 20),
+        fused AS (
+          SELECT COALESCE(s.doc_id, d.doc_id) AS doc_id,
+                 s.rank_sparse, d.rank_dense,
+                 COALESCE(1000000 // (60 + s.rank_sparse), 0)
+                 + COALESCE(1000000 // (60 + d.rank_dense), 0) AS rrf_q
+          FROM sparse s FULL OUTER JOIN dense d ON s.doc_id = d.doc_id)
+        SELECT doc_id, rank_sparse, rank_dense,
+               CAST(rrf_q AS BIGINT) AS rrf_q
+        FROM fused ORDER BY rrf_q DESC, doc_id LIMIT 10"""
 
 
 def _bom_oracle() -> str:
@@ -7400,6 +7632,92 @@ QUALIFY ROW_NUMBER() OVER (
             GROUP BY n_name
             ORDER BY revenue_c4 DESC, n_name
         """,
+        "pattern_match": """
+            WITH seqs AS (
+              SELECT user_id AS key,
+                     string_agg(CASE event_type
+                                WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'
+                                WHEN 'signup' THEN 's'
+                                WHEN 'purchase' THEN 'p'
+                                WHEN 'error' THEN 'e' ELSE 'x' END, ''
+                                ORDER BY epoch_us(ts), event_id) AS seq
+              FROM events GROUP BY user_id)
+            SELECT key, CAST(length(seq) AS BIGINT) AS seq_len,
+                   CAST(len(regexp_extract_all(seq, 'v[vc]*p')) AS BIGINT)
+                     AS n_matches
+            FROM seqs ORDER BY key
+        """,
+        "streak_days": """
+            WITH days AS (
+              SELECT DISTINCT user_id AS key, CAST(ts AS DATE) AS day
+              FROM events),
+            anch AS (
+              SELECT key, day,
+                     day - CAST(ROW_NUMBER() OVER (
+                       PARTITION BY key ORDER BY day) AS INTEGER) AS anchor
+              FROM days),
+            st AS (SELECT key, anchor, COUNT(*) AS len
+                   FROM anch GROUP BY 1, 2)
+            SELECT key, CAST(SUM(len) AS BIGINT) AS n_active_days,
+                   CAST(COUNT(*) AS BIGINT) AS n_streaks,
+                   CAST(MAX(len) AS BIGINT) AS longest_streak
+            FROM st GROUP BY key ORDER BY key
+        """,
+        "interval_merge": """
+            WITH base AS (
+              SELECT user_id AS key,
+                     CAST(FLOOR(epoch(ts)) AS BIGINT) AS s,
+                     CAST(FLOOR(epoch(ts)) AS BIGINT)
+                       + (event_id % 7 + 1) * 60 AS e
+              FROM events),
+            flagged AS (
+              SELECT key, s, e,
+                     CASE WHEN s <= MAX(e) OVER (
+                            PARTITION BY key ORDER BY s, e
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING)
+                          THEN 0 ELSE 1 END AS new_island
+              FROM base),
+            islanded AS (
+              SELECT key, s, e,
+                     SUM(new_island) OVER (
+                       PARTITION BY key ORDER BY s, e
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS island
+              FROM flagged)
+            SELECT key, MIN(s) AS start_s, MAX(e) AS end_s,
+                   CAST(COUNT(*) AS BIGINT) AS n_merged
+            FROM islanded GROUP BY key, island
+            ORDER BY key, start_s, end_s
+        """,
+        "precede_pairs": """
+            WITH firsts AS (
+              SELECT user_id AS key, event_type AS t,
+                     MIN(epoch_us(ts)) AS first_ts
+              FROM events GROUP BY 1, 2)
+            SELECT a.t AS type_a, b.t AS type_b,
+                   CAST(COUNT(*) AS BIGINT) AS n_keys
+            FROM firsts a JOIN firsts b
+              ON a.key = b.key AND a.t <> b.t
+             AND (a.first_ts < b.first_ts
+                  OR (a.first_ts = b.first_ts AND a.t < b.t))
+            GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "adamic_adar": _adamic_adar_oracle(),
+        "sq8_error": _sq8_oracle(),
+        "unicode_normalize": """
+            WITH c AS (
+              SELECT doc_id,
+                     trim(regexp_replace(regexp_replace(
+                       nfc_normalize(text),
+                       '[\\x00-\\x1f\\x7f]', ' ', 'g'),
+                       '[ \\t\\n\\r\\f\\x0b]+', ' ', 'g')) AS clean
+              FROM documents)
+            SELECT doc_id, CAST(length(clean) AS BIGINT) AS clean_len,
+                   md5(clean) AS clean_md5
+            FROM c ORDER BY doc_id
+        """,
+        "rrf_fusion": _rrf_oracle(),
         "sssp_dist": _sssp_oracle(),
         "hits_scores": _hits_oracle(),
         "delta_dedup": _delta_dedup_sql(16, bands=8, rows=2),

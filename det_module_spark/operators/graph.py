@@ -756,3 +756,71 @@ SELECT nodes.node, COALESCE(h{r}.hub, 0) AS hub,
        COALESCE(a{r}.auth, 0) AS auth
 FROM nodes LEFT JOIN h{r} ON nodes.node = h{r}.node
 LEFT JOIN a{r} ON nodes.node = a{r}.node"""
+
+
+def adamic_adar(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_degree: int = 10_000,
+    w_scale: int = 10**6,
+) -> DataFrame:
+    """Common-neighbor link prediction with Adamic-Adar weighting:
+    → (node_a, node_b, n_common, aa_q) for unordered left-node pairs
+    sharing ≥1 right-node neighbor, aa_q = Σ_shared floor(w_scale /
+    ln(deg(n)) + 0.5) — shared neighbors weighted inversely by how
+    promiscuous they are.
+
+    Scale shape: the pair generation is a self-equi-join of the edge
+    list on the shared-neighbor side — fan-out deg² per neighbor, so
+    hubs above ``max_degree`` are dropped BEFORE the join (standard
+    AA practice: a hub's weight 1/ln(deg) is negligible and its deg²
+    pairs are the entire cost; the cap turns a quadratic blow-up into
+    a documented, tunable bound). Degree-1 neighbors form no pairs
+    and are dropped too. Per-neighbor weights are quantized to int64
+    BEFORE the pair sum, so aa_q is order-independent; ln over exact
+    small ints is libm-stable across engines (playbook #9).
+    """
+    e = edges.select(
+        F.col(src).alias("a"), F.col(dst).alias("n")
+    ).distinct()
+    deg = e.groupBy("n").agg(F.count(F.lit(1)).alias("deg"))
+    wq = F.floor(
+        F.lit(float(w_scale)) / F.log(F.col("deg").cast("double")) + F.lit(0.5)
+    ).cast("long")
+    keep = deg.where(
+        (F.col("deg") >= 2) & (F.col("deg") <= max_degree)
+    ).select("n", wq.alias("wq"))
+    ej = e.join(keep, "n")
+    l, r = ej.alias("l"), ej.alias("r")
+    return (
+        l.join(r, "n")
+        .where(F.col("l.a") < F.col("r.a"))
+        .groupBy(
+            F.col("l.a").alias("node_a"), F.col("r.a").alias("node_b")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_common"),
+            F.sum(F.col("l.wq")).alias("aa_q"),
+        )
+    )
+
+
+def adamic_adar_sql(edges_cte: str, w_scale: int = 10**6) -> str:
+    """DuckDB twin of :func:`adamic_adar` (no degree cap applied —
+    callers must pass a cap larger than any oracle-corpus degree, or
+    mirror the filter in ``edges_cte``)."""
+    return f"""
+WITH e AS MATERIALIZED (SELECT DISTINCT src AS a, dst AS n
+                        FROM ({edges_cte})),
+keep AS MATERIALIZED (
+  SELECT n, CAST(FLOOR({float(w_scale)}
+                       / ln(CAST(COUNT(*) AS DOUBLE)) + 0.5) AS BIGINT) AS wq
+  FROM e GROUP BY n HAVING COUNT(*) >= 2)
+SELECT l.a AS node_a, r.a AS node_b,
+       CAST(COUNT(*) AS BIGINT) AS n_common,
+       CAST(SUM(l.wq) AS BIGINT) AS aa_q
+FROM (SELECT e.a, e.n, keep.wq FROM e JOIN keep USING (n)) l
+JOIN (SELECT e.a, e.n FROM e JOIN keep USING (n)) r
+  ON l.n = r.n AND l.a < r.a
+GROUP BY l.a, r.a"""

@@ -10,6 +10,7 @@ limited only by the scan.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -688,3 +689,49 @@ def _text_lnq(col):
     from det_module_spark.operators.nbayes import _lnq
 
     return _lnq(col if isinstance(col, Column) else F.lit(col))
+
+
+def unicode_clean(
+    docs: DataFrame, id_col: str = "doc_id", text: str = "text"
+) -> DataFrame:
+    """Unicode canonicalization for corpus intake: → (id, clean_len,
+    clean_md5). Pipeline: NFC-normalize (composes e+◌́ → é, the form
+    dedup hashes must agree on), replace C0/DEL control characters
+    with a space, collapse ASCII whitespace runs to one space, trim.
+
+    NFC runs in an Arrow-batched pandas UDF (Python ``unicodedata`` —
+    Spark has no JVM normalize builtin; this is the documented
+    slow-path exception, linear and shuffle-free). The control-strip
+    and whitespace-collapse use explicit ASCII classes (``[ \\t\\n\\r
+    \\f\\x0b]``, never ``\\s``) so Python/Java/RE2 regex dialects
+    can't disagree on Unicode-whitespace membership. The md5 is
+    computed JVM-side over the cleaned UTF-8 bytes and matches any
+    engine's md5-of-utf8.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _nfc(s: pd.Series) -> pd.Series:
+        import unicodedata
+
+        return s.map(
+            lambda v: None if v is None else unicodedata.normalize("NFC", v)
+        )
+
+    cleaned = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(
+                _nfc(F.col(text)), "[\\x00-\\x1f\\x7f]", " "
+            ),
+            "[ \\t\\n\\r\\f\\x0b]+",
+            " ",
+        )
+    )
+    return docs.select(
+        F.col(id_col),
+        cleaned.alias("clean"),
+    ).select(
+        id_col,
+        F.length("clean").cast("long").alias("clean_len"),
+        F.md5("clean").alias("clean_md5"),
+    )

@@ -70,6 +70,7 @@ ALLOWED_NESTED_LOOP = {
     "nb_classify": "class_stats table (one row per label — label vocabulary)",
     "dsir_select": "top-k weight-threshold scalar (1 row)",
     "chi_square": "grand-total and dof scalars (1 row each)",
+    "rrf_fusion": "query-vector frame (1 row)",
     "corpus_pipeline_v2": "top-k weight-threshold scalar (1 row, via dsir_select)",
 }
 
@@ -186,9 +187,10 @@ BROADCAST_WHITELIST = {
         "seasonal baseline: one row per (key, hour-of-week) bucket",
     ),
     "__spark_entry__.py": (
-        35,
+        36,
         "TPC-H dims (nation/region/part/supp at their spec'd scale ratios) "
-        "+ 1-row scalar aggregates (totals, maxima, batch-boundary constants)",
+        "+ 1-row scalar aggregates (totals, maxima, batch-boundary "
+        "constants, the rrf_fusion query vector)",
     ),
 }
 
