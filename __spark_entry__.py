@@ -5154,6 +5154,98 @@ def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # α=1/2 EWMA in exact fixed point (8-lag truncation, dyadic
+    # weights ×256): per-type smoothed value series, hash-identical
+    # across engines because no float recurrence exists.
+    from det_module_spark.operators.profile import ewma_exact
+
+    ev = _events(spark, sf_dir).select(
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        "event_id",
+        _cents("value").alias("v"),
+    )
+    return ewma_exact(ev, "event_type", ["us", "event_id"], "v", k=8).orderBy(
+        "grp", "us", "event_id"
+    )
+
+
+def q_cusum_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # division-free CUSUM level-shift detection per event type:
+    # running Σ(n·x − Σx) extremes + the earliest argmax timestamp
+    # (the estimated change point), all exact int64.
+    from det_module_spark.operators.profile import cusum_levels
+
+    ev = _events(spark, sf_dir).select(
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        "event_id",
+        _cents("value").alias("v"),
+    )
+    return cusum_levels(ev, "event_type", ["us", "event_id"], "v").orderBy(
+        "grp"
+    )
+
+
+def q_random_walk_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # deterministic DeepWalk-style walk corpus: 5 seed customers, 4
+    # steps over the symmetrized customer<->supplier graph; next hop
+    # = md5(walk:step:node) mod outdeg against the ranked adjacency
+    # list (one equi-join per step, frontier ≤ #walks).
+    from det_module_spark.operators.graph import random_walks
+
+    edges = _weighted_edges(spark, sf_dir).select("src", "dst")
+    seeds = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") <= 5)
+        .select(
+            F.concat(F.lit("c"), F.col("c_custkey").cast("string")).alias(
+                "node"
+            )
+        )
+    )
+    return random_walks(edges, seeds, steps=4).orderBy(
+        "walk_id", "step", "node"
+    )
+
+
+def q_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # hashing-trick collision audit over three order features folded
+    # into 64 signed slots; the date feature (~thousands of distinct
+    # values) forces real collisions.
+    from det_module_spark.operators.encoding import feature_hash_profile
+
+    orders = load_table(spark, sf_dir, "orders")
+    return feature_hash_profile(
+        orders, ["o_orderpriority", "o_orderstatus", "o_orderdate"], 64
+    ).orderBy("bucket")
+
+
+def q_negative_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # popularity-biased negative sampling: 3 deterministic hash-drawn
+    # negatives per customer from the top-50 most-purchased parts the
+    # customer never bought (bounded pool broadcast; anti-join seen).
+    from det_module_spark.operators.sampling import negative_sample
+
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") < 5000
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    inter = orders.join(li, orders.o_orderkey == li.l_orderkey).select(
+        F.col("o_custkey").alias("cust"), F.col("l_partkey").alias("part")
+    )
+    return (
+        negative_sample(inter, "cust", "part", pool_size=50, k=3)
+        .select(
+            F.col("user").alias("user_id"),
+            F.col("item").alias("item_id"),
+            "neg_rank",
+        )
+        .orderBy("user_id", "neg_rank")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the reliability zonal extract (the aid-data triple) at
     sf0.001; driver checks rows>0."""
@@ -5174,6 +5266,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # together with any round-5 additions.
 _ROTATION_R5 = [
     # new this round — driver must check first
+    "ewma_smooth",
+    "cusum_shift",
+    "random_walk_corpus",
+    "feature_hash",
+    "negative_sample",
     "pattern_match",
     "streak_days",
     "interval_merge",
@@ -5279,6 +5376,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # queries); the literal below keeps its grouping for readability.
     return _rotate({
         # --- round-5 additions ---
+        "ewma_smooth": q_ewma_smooth,
+        "cusum_shift": q_cusum_shift,
+        "random_walk_corpus": q_random_walk_corpus,
+        "feature_hash": q_feature_hash,
+        "negative_sample": q_negative_sample,
         "pattern_match": q_pattern_match,
         "streak_days": q_streak_days,
         "interval_merge": q_interval_merge,
@@ -5652,6 +5754,121 @@ def _hits_oracle() -> str:
     from det_module_spark.operators.graph import hits_sql
 
     return hits_sql(_CS_EDGES, rounds=2)
+
+
+_EV_CENTS_BASE = """SELECT event_type AS grp, epoch_us(ts) AS us,
+       event_id, CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS x
+  FROM events"""
+
+
+def _ewma_oracle(k: int = 8) -> str:
+    lag_cols = ", ".join(
+        f"LAG(x, {i}) OVER w AS x{i}" for i in range(1, k)
+    )
+    ewma_terms = " + ".join(
+        f"COALESCE(x{i} * {1 << (k - 1 - i)}, 0)" if i else
+        f"COALESCE(x * {1 << (k - 1)}, 0)"
+        for i in range(k)
+    )
+    mass_terms = " + ".join(
+        f"CASE WHEN x{i} IS NOT NULL THEN {1 << (k - 1 - i)} ELSE 0 END"
+        if i else
+        f"CASE WHEN x IS NOT NULL THEN {1 << (k - 1)} ELSE 0 END"
+        for i in range(k)
+    )
+    return f"""
+WITH base AS ({_EV_CENTS_BASE}),
+l AS (SELECT grp, us, event_id, x, {lag_cols}
+      FROM base
+      WINDOW w AS (PARTITION BY grp ORDER BY us, event_id))
+SELECT grp, us, event_id,
+       CAST({ewma_terms} AS BIGINT) AS ewma_q,
+       CAST({mass_terms} AS BIGINT) AS wsum
+FROM l ORDER BY grp, us, event_id"""
+
+
+_CUSUM_ORACLE = f"""
+WITH base AS ({_EV_CENTS_BASE}),
+tot AS (SELECT grp, COUNT(*) AS n, CAST(SUM(x) AS BIGINT) AS sx
+        FROM base GROUP BY grp),
+run AS (SELECT base.grp, n, us, event_id,
+               CAST(SUM(n * x - sx) OVER (
+                 PARTITION BY base.grp ORDER BY us, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS s
+        FROM base JOIN tot USING (grp)),
+agg AS (SELECT grp, n, us AS at_max_0, s,
+               ROW_NUMBER() OVER (
+                 PARTITION BY grp ORDER BY s DESC, us, event_id) AS rk,
+               CAST(MIN(s) OVER (PARTITION BY grp) AS BIGINT) AS s_min,
+               CAST(MAX(s) OVER (PARTITION BY grp) AS BIGINT) AS s_max
+        FROM run)
+SELECT grp, n, s_max, s_min, at_max_0 FROM agg WHERE rk = 1 ORDER BY grp"""
+
+
+def _random_walk_oracle() -> str:
+    from det_module_spark.operators.graph import random_walks_sql
+
+    edges = """WITH fwd AS (
+        SELECT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+               's' || CAST(l_suppkey AS VARCHAR) AS dst
+          FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         WHERE o_orderkey < 5000 GROUP BY 1, 2)
+      SELECT src, dst FROM fwd
+      UNION ALL SELECT dst, src FROM fwd"""
+    seeds = """SELECT 'c' || CAST(c_custkey AS VARCHAR) AS node
+                 FROM customer WHERE c_custkey <= 5"""
+    return (
+        random_walks_sql(edges, seeds, steps=4)
+        + "\nORDER BY walk_id, step, node"
+    )
+
+
+_FEATURE_HASH_ORACLE = """
+WITH toks AS (
+  SELECT unnest([
+    'o_orderpriority=' || CAST(o_orderpriority AS VARCHAR),
+    'o_orderstatus=' || CAST(o_orderstatus AS VARCHAR),
+    'o_orderdate=' || CAST(o_orderdate AS VARCHAR)]) AS tok
+  FROM orders),
+h AS (SELECT tok,
+             CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) AS hv
+      FROM toks)
+SELECT hv % 64 AS bucket, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(DISTINCT tok) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN hv % 128 < 64 THEN 1 ELSE -1 END) AS BIGINT)
+         AS net_sign
+FROM h GROUP BY 1 ORDER BY 1"""
+
+
+_NEGATIVE_SAMPLE_ORACLE = """
+WITH inter AS (
+  SELECT o_custkey AS u_id, l_partkey AS i_id
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+  WHERE o_orderkey < 5000),
+pop AS MATERIALIZED (
+  SELECT i_id FROM (
+    SELECT i_id, COUNT(*) AS n_inter FROM inter GROUP BY i_id
+    ORDER BY n_inter DESC, i_id LIMIT 50)),
+users AS (SELECT DISTINCT u_id FROM inter),
+seen AS (SELECT DISTINCT u_id, i_id FROM inter),
+unseen AS (
+  SELECT c.u_id, c.i_id
+  FROM (SELECT u.u_id, p.i_id FROM users u CROSS JOIN pop p) c
+  ANTI JOIN seen s ON c.u_id = s.u_id AND c.i_id = s.i_id),
+drawn AS (
+  SELECT u_id, i_id,
+         CAST(concat('0x', substr(md5(
+           'neg:' || CAST(u_id AS VARCHAR) || ':'
+                  || CAST(i_id AS VARCHAR)), 1, 15)) AS BIGINT)
+           % 1000000 AS draw
+  FROM unseen)
+SELECT u_id AS user_id, i_id AS item_id,
+       CAST(ROW_NUMBER() OVER (
+         PARTITION BY u_id ORDER BY draw, i_id) AS BIGINT) AS neg_rank
+FROM drawn
+QUALIFY neg_rank <= 3
+ORDER BY user_id, neg_rank"""
 
 
 def _adamic_adar_oracle() -> str:
@@ -7632,6 +7849,11 @@ QUALIFY ROW_NUMBER() OVER (
             GROUP BY n_name
             ORDER BY revenue_c4 DESC, n_name
         """,
+        "ewma_smooth": _ewma_oracle(8),
+        "cusum_shift": _CUSUM_ORACLE,
+        "random_walk_corpus": _random_walk_oracle(),
+        "feature_hash": _FEATURE_HASH_ORACLE,
+        "negative_sample": _NEGATIVE_SAMPLE_ORACLE,
         "pattern_match": """
             WITH seqs AS (
               SELECT user_id AS key,

@@ -141,3 +141,52 @@ def target_encode_oof(
             F.expr(f"(sum_oof * {_SHARE_Q}) DIV n_oof"),
         ).alias("oof_meanq"),
     )
+
+
+def feature_hash_profile(
+    df: DataFrame, features: list[str], buckets: int = 64
+) -> DataFrame:
+    """Hashing-trick audit: hash every (feature, value) token into
+    ``buckets`` slots with a deterministic md5 draw plus a ± sign bit
+    (the feature-hashing construction of Weinberger et al.'s public
+    formulation), then profile the folding: → (bucket, n_rows,
+    n_tokens, net_sign) where n_tokens counts DISTINCT tokens folded
+    into the slot (collisions ⇔ n_tokens > 1) and net_sign = Σ± shows
+    how much the sign trick cancels collision mass.
+
+    This is the report a pipeline reads before committing to a
+    hashed feature space: which slots collide, and whether the
+    signed sum keeps the inner-product estimator unbiased enough at
+    the chosen width. One explode to |features| rows per input row,
+    one hash agg keyed by bucket — linear, no joins, no vocabulary
+    table (the entire point of the hashing trick at 100 TB: the
+    encoder is stateless).
+    """
+    from det_module_spark.operators.dedup import stable_hash64
+
+    toks = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        "=", F.lit(c), F.col(c).cast("string")
+                    ).alias("tok")
+                    for c in features
+                ]
+            )
+        ).alias("tok")
+    )
+    # sign bit = bit just above the bucket field: (h div buckets) % 2
+    # == (h % (2·buckets)) < buckets — pure mod, exact at 60-bit h
+    # (a float division would round above 2^53; playbook #7)
+    h = stable_hash64(F.col("tok"))
+    hashed = toks.select(
+        "tok",
+        (h % buckets).alias("bucket"),
+        F.when(h % (2 * buckets) < buckets, 1).otherwise(-1).alias("sign"),
+    )
+    return hashed.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("tok").alias("n_tokens"),
+        F.sum("sign").alias("net_sign"),
+    )

@@ -22,7 +22,7 @@ round, not a collect of data).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -824,3 +824,100 @@ FROM (SELECT e.a, e.n, keep.wq FROM e JOIN keep USING (n)) l
 JOIN (SELECT e.a, e.n FROM e JOIN keep USING (n)) r
   ON l.n = r.n AND l.a < r.a
 GROUP BY l.a, r.a"""
+
+
+def random_walks(
+    edges: DataFrame,
+    seeds: DataFrame,
+    steps: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+    node: str = "node",
+) -> DataFrame:
+    """Deterministic graph random walks (the node2vec/DeepWalk input
+    generator): → (walk_id, step, node) with step 0 at the seed. The
+    "random" next hop from node u at step t of walk w is the
+    neighbor whose per-source rank equals md5-hash(w:t:u) mod
+    outdeg(u) — a fixed universal-hash draw, so walks are exactly
+    reproducible, shard-independent, and cross-engine oracle-able
+    (the usual trade for hash-seeded sampling in this repo; swap the
+    hash for a seeded RNG when statistical independence across steps
+    matters more than replayability).
+
+    Per step: one equi-join of the frontier (one row per live walk)
+    against the ranked adjacency list on (node, rank) — never a
+    fan-out join. Adjacency ranks come from one per-source window
+    (sorts inside the source's neighbor list only). Walks ending at
+    a sink node stop. Frontier size ≤ #walks throughout; the edge
+    list shuffles once per step on the join key.
+    """
+    from det_module_spark.operators.dedup import stable_hash64
+
+    e = edges.select(
+        F.col(src).alias("u"), F.col(dst).alias("v")
+    ).distinct()
+    wn = Window.partitionBy("u").orderBy("v")
+    nbrs = e.select(
+        "u", "v", (F.row_number().over(wn) - 1).alias("rk")
+    ).localCheckpoint(eager=True)
+    deg = nbrs.groupBy("u").agg(F.count(F.lit(1)).alias("outdeg"))
+    frontier = seeds.select(
+        F.col(node).alias("walk_id"), F.col(node).alias("cur")
+    ).distinct()
+    out = frontier.select(
+        "walk_id", F.lit(0).alias("step"), F.col("cur").alias("node")
+    )
+    for t in range(1, steps + 1):
+        draw = stable_hash64(
+            F.concat_ws(":", F.col("walk_id"), F.lit(str(t - 1)), F.col("cur"))
+        )
+        picked = (
+            frontier.join(deg, frontier.cur == deg.u)
+            .select(
+                "walk_id", "cur", (draw % F.col("outdeg")).alias("pick")
+            )
+            .join(
+                nbrs,
+                (F.col("cur") == nbrs.u) & (F.col("pick") == nbrs.rk),
+            )
+            .select("walk_id", F.col("v").alias("cur"))
+        )
+        frontier = picked.localCheckpoint(eager=True)
+        out = out.unionByName(
+            frontier.select(
+                "walk_id", F.lit(t).alias("step"), F.col("cur").alias("node")
+            )
+        )
+    return out
+
+
+def random_walks_sql(
+    edges_cte: str, seeds_cte: str, steps: int = 3
+) -> str:
+    """Unrolled-CTE twin of :func:`random_walks` for the DuckDB
+    oracle (same md5 draw, same per-source neighbor ranks)."""
+    sql = f"""
+WITH e AS MATERIALIZED (SELECT DISTINCT src AS u, dst AS v
+                        FROM ({edges_cte})),
+nbrs AS MATERIALIZED (
+  SELECT u, v, ROW_NUMBER() OVER (PARTITION BY u ORDER BY v) - 1 AS rk
+  FROM e),
+deg AS MATERIALIZED (SELECT u, COUNT(*) AS outdeg FROM nbrs GROUP BY u),
+f0 AS (SELECT DISTINCT node AS walk_id, node AS cur
+       FROM ({seeds_cte}))"""
+    for t in range(1, steps + 1):
+        draw = (
+            "CAST(concat('0x', substr(md5(concat_ws(':', walk_id, "
+            f"'{t - 1}', cur)), 1, 15)) AS BIGINT)"
+        )
+        sql += f""",
+f{t} AS MATERIALIZED (
+  SELECT p.walk_id, nbrs.v AS cur
+  FROM (SELECT walk_id, cur, {draw} % outdeg AS pick
+        FROM f{t - 1} JOIN deg ON cur = deg.u) p
+  JOIN nbrs ON p.cur = nbrs.u AND p.pick = nbrs.rk)"""
+    selects = [
+        f"SELECT walk_id, {t} AS step, cur AS node FROM f{t}"
+        for t in range(steps + 1)
+    ]
+    return sql + "\n" + "\nUNION ALL ".join(selects)

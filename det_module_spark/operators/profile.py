@@ -392,3 +392,107 @@ def acf_exact(
             F.floor(num / den * F.lit(float(out_scale)) + F.lit(0.5)).cast("long"),
         ).alias("corrq"),
     )
+
+
+def ewma_exact(
+    df: DataFrame,
+    group: str,
+    order_cols: list[str],
+    value: str,
+    k: int = 8,
+) -> DataFrame:
+    """Exponentially weighted moving average with α = 1/2, truncated
+    at ``k`` lags and held in EXACT fixed point: → one row per input
+    row with ewma_q = Σ_{i<k} x_{t−i}·2^(k−1−i) and wsum = the weight
+    mass actually present (2^k − 2^(k−1−m) for m available lags), so
+    the caller's ewma = ewma_q / wsum is a ratio of exact int64s.
+
+    α = 1/2 makes every EWMA weight α(1−α)^i = 2^-(i+1) a dyadic
+    rational; scaling by 2^k turns the truncated recurrence into pure
+    integer arithmetic — order-independent, overflow-loud (ANSI), and
+    hash-identical across engines, unlike the float recurrence whose
+    result depends on accumulation order. Truncation discards < 2^-k
+    of the weight mass (< 0.4% at k = 8). ``value`` must be integer
+    (quantize first); ``order_cols`` must be a deterministic total
+    order within the group.
+
+    Scale: one window pass partitioned BY GROUP materializes the k
+    lags (never a global sort); everything after is per-row Column
+    arithmetic. The smoothing companion to acf_exact's seasonality.
+    """
+    w = Window.partitionBy(group).orderBy(*order_cols)
+    xl = F.col(value).cast("long")
+    lags = [xl] + [F.lag(xl, i).over(w) for i in range(1, k)]
+    ewma_q = None
+    wsum = None
+    for i, lg in enumerate(lags):
+        wt = 1 << (k - 1 - i)
+        term = F.when(lg.isNotNull(), lg * F.lit(wt)).otherwise(F.lit(0))
+        mass = F.when(lg.isNotNull(), F.lit(wt)).otherwise(F.lit(0))
+        ewma_q = term if ewma_q is None else ewma_q + term
+        wsum = mass if wsum is None else wsum + mass
+    return df.select(
+        F.col(group).alias("grp"),
+        *[F.col(c) for c in order_cols],
+        ewma_q.cast("long").alias("ewma_q"),
+        wsum.cast("long").alias("wsum"),
+    )
+
+
+def cusum_levels(
+    df: DataFrame,
+    group: str,
+    order_cols: list[str],
+    value: str,
+) -> DataFrame:
+    """CUSUM level-shift detection per group, division-free: → one
+    row per group (grp, n, s_max, s_min, at_max_0) where s_t is the
+    running sum of n·x_i − Σx (i.e. n × the classic cumulative
+    deviation from the group mean — same sign structure, exact int64)
+    and at_max_0 is the FIRST ``order_cols[0]`` value at which s_t
+    attains its maximum (the estimated change point: the mean shifts
+    downward right after it).
+
+    Multiplying through by n avoids the mean division entirely, so
+    every intermediate is an exact integer and the argmax is
+    well-defined across engines. Keep n²·max|x| inside int64 — holds
+    through ~10⁶-row groups of 10⁶-unit values; beyond that rescale
+    ``value`` first (ANSI Spark throws loudly, never wraps).
+
+    One agg for (n, Σx), one per-group window for the running sum,
+    one row_number to pick the earliest maximum — all partitioned by
+    the group key; no global sort, no collects.
+    """
+    xl = F.col(value).cast("long")
+    base = df.select(
+        F.col(group).alias("grp"),
+        *[F.col(c) for c in order_cols],
+        xl.alias("x"),
+    )
+    tot = base.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("x").alias("sx")
+    )
+    w = Window.partitionBy("grp").orderBy(*order_cols)
+    run = (
+        base.join(tot, "grp")
+        .withColumn("dev", F.col("n") * F.col("x") - F.col("sx"))
+        .withColumn(
+            "s",
+            F.sum("dev").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+    )
+    pick = Window.partitionBy("grp").orderBy(
+        F.desc("s"), *[F.asc(c) for c in order_cols]
+    )
+    ranked = run.select(
+        "grp",
+        "n",
+        "s",
+        F.col(order_cols[0]).alias("at_max_0"),
+        F.row_number().over(pick).alias("rk"),
+        F.min("s").over(Window.partitionBy("grp")).alias("s_min"),
+        F.max("s").over(Window.partitionBy("grp")).alias("s_max"),
+    )
+    return ranked.where(F.col("rk") == 1).select(
+        "grp", "n", "s_max", "s_min", "at_max_0"
+    )

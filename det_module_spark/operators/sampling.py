@@ -239,3 +239,55 @@ def assign_split(
     for name, cut in reversed(cuts):
         expr = F.when(b < cut, name).otherwise(expr)
     return df.withColumn(out, expr)
+
+
+def negative_sample(
+    interactions: DataFrame,
+    user: str,
+    item: str,
+    pool_size: int = 50,
+    k: int = 3,
+    seed: str = "neg",
+) -> DataFrame:
+    """Popularity-based negative sampling for recommendation /
+    contrastive training: → (user, item, neg_rank) with ``k``
+    deterministic negatives per user drawn from the ``pool_size``
+    most-interacted items the user has NOT interacted with.
+
+    Construction: the candidate pool is a TakeOrdered top-``pool_size``
+    of item interaction counts — a bounded frame independent of user
+    count, broadcast by design; users cross the pool (|users| ×
+    pool_size rows, linear in users), seen pairs leave via one
+    left-anti join on (user, item), and each user keeps the k
+    smallest md5 draws (window over ≤ pool_size rows per user).
+    Popularity-biased negatives are the standard production choice —
+    uniform negatives are mostly too easy — and the hash draw makes
+    the sample replayable and cross-engine checkable.
+    """
+    from pyspark.sql import Window
+
+    pop = (
+        interactions.groupBy(F.col(item).alias("item"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+        .orderBy(F.desc("n_inter"), "item")
+        .limit(pool_size)
+        .select("item")
+    )
+    users = interactions.select(F.col(user).alias("user")).distinct()
+    cand = users.crossJoin(F.broadcast(pop))
+    seen = interactions.select(
+        F.col(user).alias("user"), F.col(item).alias("item")
+    ).distinct()
+    unseen = cand.join(seen, ["user", "item"], "left_anti")
+    draw = _bucket(
+        F.concat_ws(":", F.col("user").cast("string"),
+                    F.col("item").cast("string")),
+        seed,
+    )
+    w = Window.partitionBy("user").orderBy("draw", "item")
+    return (
+        unseen.withColumn("draw", draw)
+        .withColumn("neg_rank", F.row_number().over(w))
+        .where(F.col("neg_rank") <= k)
+        .select("user", "item", "neg_rank")
+    )

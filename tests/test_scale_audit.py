@@ -71,6 +71,7 @@ ALLOWED_NESTED_LOOP = {
     "dsir_select": "top-k weight-threshold scalar (1 row)",
     "chi_square": "grand-total and dof scalars (1 row each)",
     "rrf_fusion": "query-vector frame (1 row)",
+    "negative_sample": "popularity pool (top-50 TakeOrdered frame)",
     "corpus_pipeline_v2": "top-k weight-threshold scalar (1 row, via dsir_select)",
 }
 
@@ -185,6 +186,11 @@ BROADCAST_WHITELIST = {
     "det_module_spark/operators/anomaly.py": (
         1,
         "seasonal baseline: one row per (key, hour-of-week) bucket",
+    ),
+    "det_module_spark/operators/sampling.py": (
+        1,
+        "negative_sample popularity pool: top-pool_size TakeOrdered frame, "
+        "corpus-independent bound",
     ),
     "__spark_entry__.py": (
         36,
