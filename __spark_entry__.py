@@ -5246,6 +5246,94 @@ def q_negative_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rendezvous_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # HRW/rendezvous consistent placement: per-shard key counts under
+    # 8 shards plus how many keys MOVE when a 9th is added (~1/9 —
+    # the minimal-movement property vs ~8/9 for mod-hashing). The
+    # argmax is row-local (array_max over 8 structs, no explode).
+    from det_module_spark.operators.layout import rendezvous_assign
+
+    cust = load_table(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    assigned = cust.select(
+        rendezvous_assign(cust, k, 8).alias("shard"),
+        rendezvous_assign(cust, k, 9).alias("shard9"),
+    )
+    return (
+        assigned.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum(
+                F.when(F.col("shard") != F.col("shard9"), 1).otherwise(0)
+            ).alias("n_moved"),
+        )
+        .orderBy("shard")
+    )
+
+
+def q_doc_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # per-document character entropy (gibberish/repetition signal):
+    # exact 1e-9-quantized ln terms summed in int64, integer division
+    # at the end.
+    from det_module_spark.operators.text import char_entropy
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        char_entropy(docs)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    )
+
+
+def q_kfold_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # deterministic 5-fold assignment balance audit: docs per
+    # (fold, lang) — the split a CV/ablation harness would read.
+    from det_module_spark.operators.sampling import kfold_assign
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            kfold_assign(F.col("doc_id"), 5).alias("fold"), "lang"
+        )
+        .groupBy("fold", "lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("fold", "lang")
+    )
+
+
+def q_blocking_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # blocking-quality audit for the dedup pipeline: recall/precision
+    # of the MinHash-LSH candidate generator against the exact n-gram
+    # Jaccard truth pairs (threshold 0.12). The truth side is the
+    # quadratic verifier — this is the offline eval you run at a
+    # sampled SF before trusting the banding at full scale.
+    docs = load_table(spark, sf_dir, "documents")
+    truth = ngram_jaccard_pairs(docs, n=3, threshold=0.12).select(
+        "id_a", "id_b"
+    )
+    sigs = minhash_signatures(docs, num_hashes=16)
+    cand = minhash_lsh_pairs(sigs, bands=8, rows=2).select("id_a", "id_b")
+    t = truth.agg(F.count(F.lit(1)).alias("n_truth"))
+    c = cand.agg(F.count(F.lit(1)).alias("n_cand"))
+    h = truth.join(cand, ["id_a", "id_b"]).agg(
+        F.count(F.lit(1)).alias("n_hit")
+    )
+    j = t.crossJoin(c).crossJoin(h)
+    return j.select(
+        "n_truth",
+        "n_cand",
+        "n_hit",
+        F.when(
+            F.col("n_truth") > 0,
+            F.expr("n_hit * 1000000 div n_truth"),
+        ).alias("recall_ppm"),
+        F.when(
+            F.col("n_cand") > 0,
+            F.expr("n_hit * 1000000 div n_cand"),
+        ).alias("precision_ppm"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the reliability zonal extract (the aid-data triple) at
     sf0.001; driver checks rows>0."""
@@ -5266,6 +5354,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # together with any round-5 additions.
 _ROTATION_R5 = [
     # new this round — driver must check first
+    "rendezvous_shards",
+    "doc_entropy",
+    "kfold_balance",
+    "blocking_eval",
     "ewma_smooth",
     "cusum_shift",
     "random_walk_corpus",
@@ -5376,6 +5468,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # queries); the literal below keeps its grouping for readability.
     return _rotate({
         # --- round-5 additions ---
+        "rendezvous_shards": q_rendezvous_shards,
+        "doc_entropy": q_doc_entropy,
+        "kfold_balance": q_kfold_balance,
+        "blocking_eval": q_blocking_eval,
         "ewma_smooth": q_ewma_smooth,
         "cusum_shift": q_cusum_shift,
         "random_walk_corpus": q_random_walk_corpus,
@@ -5754,6 +5850,72 @@ def _hits_oracle() -> str:
     from det_module_spark.operators.graph import hits_sql
 
     return hits_sql(_CS_EDGES, rounds=2)
+
+
+def _rendezvous_oracle() -> str:
+    from det_module_spark.operators.layout import rendezvous_draw_sql
+
+    d = rendezvous_draw_sql("c_custkey", "s")
+    return f"""
+WITH d8 AS (SELECT c_custkey AS k, CAST(s AS INTEGER) AS s, {d} AS h
+            FROM customer, range(8) t(s)),
+a8 AS (SELECT k, s AS shard FROM d8
+       QUALIFY ROW_NUMBER() OVER (
+         PARTITION BY k ORDER BY h DESC, s DESC) = 1),
+d9 AS (SELECT c_custkey AS k, CAST(s AS INTEGER) AS s, {d} AS h
+       FROM customer, range(9) t(s)),
+a9 AS (SELECT k, s AS shard9 FROM d9
+       QUALIFY ROW_NUMBER() OVER (
+         PARTITION BY k ORDER BY h DESC, s DESC) = 1)
+SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_keys,
+       CAST(SUM(CASE WHEN shard <> shard9 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_moved
+FROM a8 JOIN a9 USING (k) GROUP BY shard ORDER BY shard"""
+
+
+_DOC_ENTROPY_ORACLE = """
+WITH chars AS (
+  SELECT doc_id, substring(text, CAST(i AS INTEGER), 1) AS ch
+  FROM (SELECT doc_id, text,
+               unnest(range(1, length(text) + 1)) AS i
+        FROM documents)),
+counts AS (SELECT doc_id, ch, COUNT(*) AS c FROM chars GROUP BY 1, 2),
+per AS (
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_chars,
+         CAST(COUNT(*) AS BIGINT) AS n_distinct,
+         CAST(SUM(c * CAST(FLOOR(ln(CAST(c AS DOUBLE)) * 1e9 + 0.5)
+                           AS BIGINT)) AS BIGINT) AS clnc
+  FROM counts GROUP BY 1)
+SELECT doc_id, n_chars, n_distinct,
+       CAST(FLOOR(ln(CAST(n_chars AS DOUBLE)) * 1e9 + 0.5) AS BIGINT)
+         - clnc // n_chars AS ent_q
+FROM per ORDER BY doc_id"""
+
+
+_KFOLD_ORACLE = """
+SELECT CAST(concat('0x', substr(md5(
+         'fold:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 5
+         AS fold,
+       lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM documents GROUP BY 1, 2 ORDER BY fold, lang"""
+
+
+def _blocking_eval_oracle() -> str:
+    return f"""
+WITH truth AS MATERIALIZED (
+  SELECT id_a, id_b FROM ({_jaccard_sql(0.12)})),
+cand AS MATERIALIZED (
+  SELECT id_a, id_b FROM ({_minhash_lsh_sql(16, 8, 2)})),
+t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_truth FROM truth),
+c AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cand FROM cand),
+h AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_hit
+      FROM truth JOIN cand USING (id_a, id_b))
+SELECT n_truth, n_cand, n_hit,
+       CASE WHEN n_truth > 0 THEN n_hit * 1000000 // n_truth END
+         AS recall_ppm,
+       CASE WHEN n_cand > 0 THEN n_hit * 1000000 // n_cand END
+         AS precision_ppm
+FROM t, c, h"""
 
 
 _EV_CENTS_BASE = """SELECT event_type AS grp, epoch_us(ts) AS us,
@@ -7849,6 +8011,10 @@ QUALIFY ROW_NUMBER() OVER (
             GROUP BY n_name
             ORDER BY revenue_c4 DESC, n_name
         """,
+        "rendezvous_shards": _rendezvous_oracle(),
+        "doc_entropy": _DOC_ENTROPY_ORACLE,
+        "kfold_balance": _KFOLD_ORACLE,
+        "blocking_eval": _blocking_eval_oracle(),
         "ewma_smooth": _ewma_oracle(8),
         "cusum_shift": _CUSUM_ORACLE,
         "random_walk_corpus": _random_walk_oracle(),

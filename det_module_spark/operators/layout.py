@@ -114,3 +114,45 @@ def shard_plan(
             F.max(order_col).alias("last_key"),
         )
     )
+
+
+def rendezvous_assign(
+    df: DataFrame, key: Column, shards: int, seed: str = "hrw"
+) -> Column:
+    """Highest-random-weight (rendezvous) shard assignment: the shard
+    s ∈ [0, shards) maximizing hash(key, s) — the consistent-placement
+    scheme whose defining property is MINIMAL MOVEMENT: growing to
+    shards+1 relocates only ≈ 1/(shards+1) of keys (exactly those
+    whose new shard's draw beats all previous), vs ≈ all of them for
+    `hash(key) % shards`.
+
+    Returned as a Column so callers embed it in any projection. The
+    argmax runs entirely row-local (an array_max over `shards`
+    structs, JVM-side, no explode — no row-count blow-up at 100 TB);
+    ties break toward the higher shard id, mirrored in SQL twins via
+    ORDER BY h DESC, s DESC. ``df`` is unused except to document the
+    call shape; the expression is pure.
+    """
+    from det_module_spark.operators.dedup import stable_hash64
+
+    draws = [
+        F.struct(
+            stable_hash64(
+                F.concat_ws(":", F.lit(seed), key.cast("string"), F.lit(str(s)))
+            ).alias("h"),
+            F.lit(s).alias("s"),
+        )
+        for s in range(shards)
+    ]
+    return F.array_max(F.array(*draws))["s"]
+
+
+def rendezvous_draw_sql(key_expr: str, shard: str, seed: str = "hrw") -> str:
+    """The per-(key, shard) draw of :func:`rendezvous_assign` as a
+    DuckDB expression (same md5 algebra), for oracle argmax via
+    ROW_NUMBER over (h DESC, s DESC)."""
+    return (
+        "CAST(concat('0x', substr(md5(concat_ws(':', "
+        f"'{seed}', CAST({key_expr} AS VARCHAR), "
+        f"CAST({shard} AS VARCHAR))), 1, 15)) AS BIGINT)"
+    )

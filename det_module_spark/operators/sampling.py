@@ -291,3 +291,15 @@ def negative_sample(
         .where(F.col("neg_rank") <= k)
         .select("user", "item", "neg_rank")
     )
+
+
+def kfold_assign(key: Column, k: int, seed: str = "fold") -> Column:
+    """Deterministic k-fold id in [0, k) from the row's stable key —
+    the cross-validation / ablation-split primitive. Pure hash
+    Column: reproducible across runs, engines, and partitionings;
+    compose with a grouping key (e.g. dedup cluster id, as
+    leakage_safe_split does) to keep near-duplicates in one fold.
+    """
+    return stable_hash64(
+        F.concat(F.lit(f"{seed}:"), key.cast("string"))
+    ) % F.lit(k)

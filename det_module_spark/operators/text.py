@@ -735,3 +735,37 @@ def unicode_clean(
         F.length("clean").cast("long").alias("clean_len"),
         F.md5("clean").alias("clean_md5"),
     )
+
+
+def char_entropy(
+    docs: DataFrame, id_col: str = "doc_id", text: str = "text"
+) -> DataFrame:
+    """Per-document character-distribution entropy in nats, exact to
+    the 1e-9 log quantum: → (id, n_chars, n_distinct, ent_q) with
+    ent_q = lnq(L) − (Σ_c count_c·lnq(count_c)) div L, where lnq(x) =
+    floor(ln(x)·1e9 + 0.5). Low entropy flags gibberish/repetition
+    (the cheap LLM-corpus quality signal next to text_repetition's
+    n-gram rate); H ≈ 4.1 nats for uniform English-ish text, → 0 for
+    single-char spam.
+
+    Exactness: every ln lands in an int64 BEFORE any sum (playbook
+    #8-9), the char-count aggregation is one hash agg keyed by
+    (id, char), and the final division is integer. The explode is one
+    row per character — linear, the standard shape for distributional
+    text stats; at petabyte scale swap in the mapInPandas histogram
+    kernel (multimodal.py pattern) and keep this as the oracle path.
+    """
+    chars = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.col(text), "")).alias("ch"),
+    ).where(F.length("ch") > 0)
+    counts = chars.groupBy("id", "ch").agg(F.count(F.lit(1)).alias("c"))
+    per_doc = counts.groupBy("id").agg(
+        F.sum("c").alias("n_chars"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.sum(F.col("c") * _text_lnq(F.col("c"))).alias("clnc"),
+    )
+    ent = _text_lnq(F.col("n_chars")) - F.expr("clnc div n_chars")
+    return per_doc.select(
+        "id", "n_chars", "n_distinct", ent.cast("long").alias("ent_q")
+    )
