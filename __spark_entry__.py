@@ -5334,6 +5334,81 @@ def q_blocking_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Poisson-bootstrap CI for mean order value: 40 deterministic
+    # hash-seeded replicates in ONE pass (map-side combine folds the
+    # x40 explode to 40 cells per partition before the shuffle).
+    from det_module_spark.operators.bootstrap import bootstrap_mean_ci
+
+    orders = load_table(spark, sf_dir, "orders")
+    return bootstrap_mean_ci(
+        orders, F.col("o_orderkey"), _cents("o_totalprice"), b=40
+    )
+
+
+def q_partition_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # per-month content signatures of the orders table (count +
+    # order-independent XOR of a keyed row hash) — the snapshot-diff
+    # table an incremental validator compares across versions.
+    from det_module_spark.operators.quality import partition_checksums
+
+    orders = load_table(spark, sf_dir, "orders")
+    row_repr = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_orderstatus"),
+        _cents("o_totalprice").cast("string"),
+    )
+    return partition_checksums(
+        orders, F.date_format("o_orderdate", "yyyy-MM"), row_repr
+    ).orderBy("part")
+
+
+def q_simpson_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # stratified-vs-pooled rate audit (Simpson's-paradox detector):
+    # per order-month, finished-rate of urgent/high vs lower
+    # priorities in exact ppm, with the pooled row as stratum NULL;
+    # sgn flips between strata and pool when aggregation reverses a
+    # comparison.
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.select(
+        F.date_format("o_orderdate", "yyyy-MM").alias("stratum"),
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").alias("is_a"),
+        (F.col("o_orderstatus") == "F").cast("long").alias("flag"),
+    )
+
+    def rates(df: DataFrame, keys: list[str]) -> DataFrame:
+        g = df.groupBy(*keys).agg(
+            F.sum(F.when(F.col("is_a"), 1).otherwise(0)).alias("n_a"),
+            F.sum(F.when(F.col("is_a"), F.col("flag"))).alias("f_a"),
+            F.sum(F.when(~F.col("is_a"), 1).otherwise(0)).alias("n_b"),
+            F.sum(F.when(~F.col("is_a"), F.col("flag"))).alias("f_b"),
+        )
+        ra = F.expr("f_a * 1000000 div n_a")
+        rb = F.expr("f_b * 1000000 div n_b")
+        # a one-group stratum has no comparison: sgn NULL (the oracle
+        # CASE must spell this out — `NULL > x` silently falls through
+        # to ELSE there)
+        return g.select(
+            *keys,
+            "n_a",
+            "n_b",
+            ra.alias("rate_a_ppm"),
+            rb.alias("rate_b_ppm"),
+            F.when(
+                ra.isNotNull() & rb.isNotNull(),
+                F.signum((ra - rb).cast("double")).cast("long"),
+            ).alias("sgn"),
+        )
+
+    per = rates(base, ["stratum"])
+    pooled = rates(base.withColumn("stratum", F.lit(None).cast("string")),
+                   ["stratum"])
+    return per.unionByName(pooled).orderBy(
+        F.col("stratum").asc_nulls_last()
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the reliability zonal extract (the aid-data triple) at
     sf0.001; driver checks rows>0."""
@@ -5354,6 +5429,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # together with any round-5 additions.
 _ROTATION_R5 = [
     # new this round — driver must check first
+    "bootstrap_ci",
+    "partition_checksums",
+    "simpson_audit",
     "rendezvous_shards",
     "doc_entropy",
     "kfold_balance",
@@ -5468,6 +5546,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # queries); the literal below keeps its grouping for readability.
     return _rotate({
         # --- round-5 additions ---
+        "bootstrap_ci": q_bootstrap_ci,
+        "partition_checksums": q_partition_checksums,
+        "simpson_audit": q_simpson_audit,
         "rendezvous_shards": q_rendezvous_shards,
         "doc_entropy": q_doc_entropy,
         "kfold_balance": q_kfold_balance,
@@ -5850,6 +5931,75 @@ def _hits_oracle() -> str:
     from det_module_spark.operators.graph import hits_sql
 
     return hits_sql(_CS_EDGES, rounds=2)
+
+
+def _bootstrap_oracle(b: int = 40) -> str:
+    from det_module_spark.operators.bootstrap import poisson_weight_sql
+
+    u = (
+        "CAST(concat('0x', substr(md5(concat_ws(':', 'boot', k, "
+        "CAST(rb AS VARCHAR))), 1, 15)) AS BIGINT) % 1000000"
+    )
+    return f"""
+WITH rows_ AS (SELECT CAST(o_orderkey AS VARCHAR) AS k,
+                      CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS x
+               FROM orders),
+tagged AS (SELECT k, x, unnest(range({b})) AS rb FROM rows_),
+wt AS (SELECT rb, x, {poisson_weight_sql(u)} AS w FROM tagged),
+cells AS (SELECT rb,
+                 CAST(SUM(w * x) AS BIGINT) // CAST(SUM(w) AS BIGINT)
+                   AS mean_c
+          FROM wt GROUP BY rb HAVING SUM(w) > 0),
+ranked AS (SELECT mean_c,
+                  ROW_NUMBER() OVER (ORDER BY mean_c, rb) AS rn_asc,
+                  ROW_NUMBER() OVER (ORDER BY mean_c DESC, rb DESC)
+                    AS rn_desc
+           FROM cells),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_boot FROM cells),
+p AS (SELECT CAST(SUM(x) AS BIGINT) // COUNT(*) AS point_c FROM rows_),
+lo AS (SELECT mean_c AS lo_c FROM ranked WHERE rn_asc = 2),
+hi AS (SELECT mean_c AS hi_c FROM ranked WHERE rn_desc = 2)
+SELECT n_boot, point_c, lo_c, hi_c FROM n, p, lo, hi"""
+
+
+_PARTITION_CHECKSUMS_ORACLE = """
+SELECT strftime(o_orderdate, '%Y-%m') AS part,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(bit_xor(CAST(concat('0x', substr(md5(concat_ws('|',
+              CAST(o_orderkey AS VARCHAR), o_orderstatus,
+              CAST(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)
+                   AS VARCHAR))), 1, 15)) AS BIGINT)) AS BIGINT)
+         AS xor_sig
+FROM orders GROUP BY 1 ORDER BY 1"""
+
+
+_SIMPSON_ORACLE = """
+WITH base AS (
+  SELECT strftime(o_orderdate, '%Y-%m') AS stratum,
+         o_orderpriority IN ('1-URGENT', '2-HIGH') AS is_a,
+         CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS flag
+  FROM orders),
+base2 AS (
+  SELECT stratum, is_a, flag FROM base
+  UNION ALL
+  SELECT NULL, is_a, flag FROM base),
+g AS (
+  SELECT stratum,
+         CAST(SUM(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(SUM(CASE WHEN NOT is_a THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_b,
+         CAST(SUM(CASE WHEN is_a THEN flag END) AS BIGINT) AS f_a,
+         CAST(SUM(CASE WHEN NOT is_a THEN flag END) AS BIGINT) AS f_b
+  FROM base2 GROUP BY stratum)
+SELECT stratum, n_a, n_b,
+       f_a * 1000000 // n_a AS rate_a_ppm,
+       f_b * 1000000 // n_b AS rate_b_ppm,
+       CAST(CASE WHEN f_a IS NULL OR f_b IS NULL THEN NULL
+                 WHEN f_a * 1000000 // n_a > f_b * 1000000 // n_b
+                 THEN 1
+                 WHEN f_a * 1000000 // n_a = f_b * 1000000 // n_b
+                 THEN 0 ELSE -1 END AS BIGINT) AS sgn
+FROM g ORDER BY stratum NULLS LAST"""
 
 
 def _rendezvous_oracle() -> str:
@@ -8011,6 +8161,9 @@ QUALIFY ROW_NUMBER() OVER (
             GROUP BY n_name
             ORDER BY revenue_c4 DESC, n_name
         """,
+        "bootstrap_ci": _bootstrap_oracle(40),
+        "partition_checksums": _PARTITION_CHECKSUMS_ORACLE,
+        "simpson_audit": _SIMPSON_ORACLE,
         "rendezvous_shards": _rendezvous_oracle(),
         "doc_entropy": _DOC_ENTROPY_ORACLE,
         "kfold_balance": _KFOLD_ORACLE,

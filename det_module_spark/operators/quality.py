@@ -222,3 +222,28 @@ def chi_square_independence(
     return per_cell.withColumn("dof", F.lit(None).cast("long")).unionByName(
         total
     )
+
+
+def partition_checksums(
+    df: DataFrame, part: Column, row_repr: Column
+) -> DataFrame:
+    """Per-partition content signatures for cheap snapshot diffing:
+    → (part, n_rows, xor_sig) with xor_sig = bit-XOR of a stable
+    60-bit row hash. XOR is commutative/associative with no overflow,
+    so the signature is partition-order-independent and mergeable;
+    two snapshot versions diff by comparing this (tiny) table instead
+    of the data — the incremental-validation primitive behind
+    "which day-partitions changed since the last run".
+
+    Caveat by construction (document, don't hide): XOR cancels PAIRS
+    of identical rows, so ``row_repr`` should include a row identity
+    (a key column), making duplicate full rows impossible; n_rows
+    also guards the trivial collision. One hash agg, map-side
+    combined; shuffle = one row per partition key.
+    """
+    from det_module_spark.operators.dedup import stable_hash64
+
+    return df.groupBy(part.alias("part")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.bit_xor(stable_hash64(row_repr)).alias("xor_sig"),
+    )

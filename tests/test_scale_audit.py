@@ -73,6 +73,7 @@ ALLOWED_NESTED_LOOP = {
     "rrf_fusion": "query-vector frame (1 row)",
     "negative_sample": "popularity pool (top-50 TakeOrdered frame)",
     "blocking_eval": "three 1-row count scalars crossed for the report row",
+    "bootstrap_ci": "1-row n/point/lo/hi scalars crossed for the report row",
     "corpus_pipeline_v2": "top-k weight-threshold scalar (1 row, via dsir_select)",
 }
 
