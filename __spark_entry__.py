@@ -5409,6 +5409,84 @@ def q_simpson_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # collocation mining: top-50 PMI bigrams (support >= 5) with
+    # quantized-ln arithmetic — the multiword-expression candidates a
+    # tokenizer pipeline mines before BPE fitting.
+    from det_module_spark.operators.text import bigram_pmi
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        bigram_pmi(docs, min_count=5)
+        .orderBy(F.desc("pmi_q"), "w1", "w2")
+        .limit(50)
+    )
+
+
+def q_degree_assort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Newman degree assortativity of the customer<->supplier graph:
+    # exact int64 moments over symmetrized edge-endpoint degrees,
+    # float only in the final sqrt/divide.
+    from det_module_spark.operators.graph import degree_assortativity
+
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") < 5000
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = orders.join(li, orders.o_orderkey == li.l_orderkey).select(
+        F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+    )
+    return degree_assortativity(edges)
+
+
+def q_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # DAU/WAU stickiness per day. The trailing-7-day distinct-user
+    # window is computed SHUFFLE-SHAPED: each active (user, day)
+    # explodes to the 7 future days it supports (x7 linear fan-out,
+    # equi-joins only) instead of a day-band non-equi join.
+    ev = _events(spark, sf_dir)
+    active = ev.select(
+        "user_id", F.to_date("ts").alias("day")
+    ).distinct()
+    dau = active.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    contrib = active.select(
+        "user_id",
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("i"),
+        "day",
+    ).select("user_id", F.date_add("day", F.col("i")).alias("day"))
+    wau = (
+        contrib.distinct()
+        .join(active.select("day").distinct(), "day", "left_semi")
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("wau"))
+    )
+    return (
+        dau.join(wau, "day")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "dau",
+            "wau",
+            F.expr("dau * 1000000 div wau").alias("stickiness_ppm"),
+        )
+        .orderBy("day")
+    )
+
+
+def q_gini_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # per-month Gini concentration of order value (exact integer
+    # rank-sum formula, tie-order invariant). Whole dollars, not
+    # cents: the ppm scaling multiplies the rank-sum numerator by
+    # 1e6, and n·Σx·1e6 must stay inside int64 (gini_exact contract).
+    from det_module_spark.operators.profile import gini_exact
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+        F.floor(F.col("o_totalprice") + F.lit(0.5)).cast("long").alias("v"),
+    )
+    return gini_exact(orders, "month", "v").orderBy("grp")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the reliability zonal extract (the aid-data triple) at
     sf0.001; driver checks rows>0."""
@@ -5429,6 +5507,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # together with any round-5 additions.
 _ROTATION_R5 = [
     # new this round — driver must check first
+    "bigram_pmi",
+    "degree_assort",
+    "dau_wau",
+    "gini_orders",
     "bootstrap_ci",
     "partition_checksums",
     "simpson_audit",
@@ -5546,6 +5628,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # queries); the literal below keeps its grouping for readability.
     return _rotate({
         # --- round-5 additions ---
+        "bigram_pmi": q_bigram_pmi,
+        "degree_assort": q_degree_assort,
+        "dau_wau": q_dau_wau,
+        "gini_orders": q_gini_orders,
         "bootstrap_ci": q_bootstrap_ci,
         "partition_checksums": q_partition_checksums,
         "simpson_audit": q_simpson_audit,
@@ -8160,6 +8246,105 @@ QUALIFY ROW_NUMBER() OVER (
               AND o_orderdate < TIMESTAMP '1997-01-01'
             GROUP BY n_name
             ORDER BY revenue_c4 DESC, n_name
+        """,
+        "bigram_pmi": """
+            WITH toks AS (
+              SELECT doc_id, string_split(text, ' ') AS t
+              FROM documents),
+            bg AS (
+              SELECT t[CAST(i AS INTEGER)] AS w1,
+                     t[CAST(i AS INTEGER) + 1] AS w2
+              FROM (SELECT t, unnest(range(1, len(t))) AS i
+                    FROM toks WHERE len(t) >= 2)),
+            cnts AS MATERIALIZED (
+              SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS cnt FROM bg
+              WHERE length(w1) > 0 AND length(w2) > 0 GROUP BY 1, 2),
+            nt AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM cnts),
+            l AS (SELECT w1, CAST(SUM(cnt) AS BIGINT) AS c1
+                  FROM cnts GROUP BY 1),
+            r AS (SELECT w2, CAST(SUM(cnt) AS BIGINT) AS c2
+                  FROM cnts GROUP BY 1)
+            SELECT w1, w2, cnt,
+                   CAST(FLOOR(ln(CAST(cnt AS DOUBLE)) * 1e9 + 0.5)
+                        AS BIGINT)
+                   + CAST(FLOOR(ln(CAST(n AS DOUBLE)) * 1e9 + 0.5)
+                          AS BIGINT)
+                   - CAST(FLOOR(ln(CAST(c1 AS DOUBLE)) * 1e9 + 0.5)
+                          AS BIGINT)
+                   - CAST(FLOOR(ln(CAST(c2 AS DOUBLE)) * 1e9 + 0.5)
+                          AS BIGINT) AS pmi_q
+            FROM cnts JOIN l USING (w1) JOIN r USING (w2) CROSS JOIN nt
+            WHERE cnt >= 5
+            ORDER BY pmi_q DESC, w1, w2 LIMIT 50
+        """,
+        "degree_assort": f"""
+            WITH e AS (SELECT DISTINCT src AS u, dst AS v
+                       FROM ({_CS_EDGES})),
+            sym AS MATERIALIZED (
+              SELECT DISTINCT u, v FROM (
+                SELECT u, v FROM e UNION ALL SELECT v, u FROM e)),
+            deg AS MATERIALIZED (
+              SELECT u, CAST(COUNT(*) AS BIGINT) AS d
+              FROM sym GROUP BY u),
+            pairs AS (
+              SELECT du.d AS x, dv.d AS y
+              FROM sym JOIN deg du ON sym.u = du.u
+              JOIN deg dv ON sym.v = dv.u),
+            m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                         CAST(SUM(x) AS BIGINT) AS sx,
+                         CAST(SUM(y) AS BIGINT) AS sy,
+                         CAST(SUM(x * x) AS BIGINT) AS sxx,
+                         CAST(SUM(y * y) AS BIGINT) AS syy,
+                         CAST(SUM(x * y) AS BIGINT) AS sxy
+                  FROM pairs)
+            SELECT n AS n_ends,
+                   CASE WHEN n * sxx - sx * sx > 0
+                         AND n * syy - sy * sy > 0
+                        THEN CAST(FLOOR(
+                          CAST(n * sxy - sx * sy AS DOUBLE)
+                          / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                                 * CAST(n * syy - sy * sy AS DOUBLE))
+                          * 1e6 + 0.5) AS BIGINT)
+                   END AS r_q
+            FROM m
+        """,
+        "dau_wau": """
+            WITH active AS (
+              SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+              FROM events),
+            dau AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS dau
+                    FROM active GROUP BY 1),
+            contrib AS (
+              SELECT DISTINCT user_id, day + CAST(i AS INTEGER) AS day
+              FROM (SELECT user_id, day, unnest(range(0, 7)) AS i
+                    FROM active)),
+            wau AS (
+              SELECT c.day, CAST(COUNT(*) AS BIGINT) AS wau
+              FROM contrib c
+              SEMI JOIN (SELECT DISTINCT day FROM active) d
+                ON c.day = d.day
+              GROUP BY 1)
+            SELECT strftime(dau.day, '%Y-%m-%d') AS day, dau, wau,
+                   dau * 1000000 // wau AS stickiness_ppm
+            FROM dau JOIN wau USING (day) ORDER BY 1
+        """,
+        "gini_orders": """
+            WITH base AS (
+              SELECT strftime(o_orderdate, '%Y-%m') AS grp,
+                     CAST(FLOOR(o_totalprice + 0.5) AS BIGINT) AS x
+              FROM orders),
+            ranked AS (
+              SELECT grp, x, ROW_NUMBER() OVER (
+                PARTITION BY grp ORDER BY x) AS i
+              FROM base),
+            g AS (SELECT grp, COUNT(*) AS n,
+                         CAST(SUM(x) AS BIGINT) AS sx,
+                         CAST(SUM(i * x) AS BIGINT) AS six
+                  FROM ranked GROUP BY 1)
+            SELECT grp, n, sx AS total,
+                   (1000000 * (2 * six - (n + 1) * sx)) // (n * sx)
+                     AS gini_ppm
+            FROM g WHERE sx > 0 ORDER BY grp
         """,
         "bootstrap_ci": _bootstrap_oracle(40),
         "partition_checksums": _PARTITION_CHECKSUMS_ORACLE,

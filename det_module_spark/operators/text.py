@@ -769,3 +769,43 @@ def char_entropy(
     return per_doc.select(
         "id", "n_chars", "n_distinct", ent.cast("long").alias("ent_q")
     )
+
+
+def bigram_pmi(
+    df: DataFrame,
+    min_count: int = 5,
+    id_col: str = "doc_id",
+    text: str = "text",
+) -> DataFrame:
+    """Collocation mining via pointwise mutual information over
+    adjacent-word bigrams: → (w1, w2, cnt, pmi_q) with pmi_q =
+    lnq(cnt) + lnq(N) − lnq(c1•) − lnq(c•2) in 1e-9 long units
+    (lnq of exact integer counts, summed AFTER quantization — the
+    playbook #8/#9 recipe, so the score is cross-engine exact).
+
+    PMI = ln(p(ab) / (p₁(a)·p₂(b))) over the bigram corpus of size N,
+    with marginals by slot. High-PMI pairs are multiword expressions
+    ("new york", "machine learning") — the vocabulary-merge candidates
+    a tokenizer pipeline mines before BPE fitting. ``min_count``
+    suppresses the low-support noise PMI is notorious for.
+
+    Shape: the bigram count table (vocab², corpus-independent) feeds
+    two marginal re-aggregations joined back — no second corpus scan;
+    N is one control-plane scalar.
+    """
+    bg = bigram_counts(df, id_col, text)
+    n_total = bg.agg(F.sum("cnt").alias("n")).collect()[0]["n"]
+    left = bg.groupBy("w1").agg(F.sum("cnt").alias("c1"))
+    right = bg.groupBy("w2").agg(F.sum("cnt").alias("c2"))
+    j = (
+        bg.filter(F.col("cnt") >= min_count)
+        .join(left, "w1")
+        .join(right, "w2")
+    )
+    pmi = (
+        _text_lnq(F.col("cnt"))
+        + _text_lnq(F.lit(int(n_total)))
+        - _text_lnq(F.col("c1"))
+        - _text_lnq(F.col("c2"))
+    )
+    return j.select("w1", "w2", "cnt", pmi.alias("pmi_q"))

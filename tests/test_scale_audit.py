@@ -272,8 +272,8 @@ COLLECT_WHITELIST = {
         "per-partition max(y) for prefix maxes: #partitions rows",
     ),
     "det_module_spark/operators/text.py": (
-        2,
-        "1-row corpus scalars (token total; bm25 N+T pair)",
+        3,
+        "1-row corpus scalars (token total; bm25 N+T pair; bigram_pmi N)",
     ),
     "det_module_spark/operators/importance.py": (
         1,
