@@ -5487,6 +5487,61 @@ def q_gini_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gini_exact(orders, "month", "v").orderBy("grp")
 
 
+def q_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # quality-filter calibration: PR sweep of doc length (the crudest
+    # quality score) against the lang=='en' label across 8 fixed
+    # thresholds; exact ppm, one pass.
+    from det_module_spark.operators.quality import pr_curve
+
+    docs = load_table(spark, sf_dir, "documents")
+    ths = [50, 100, 200, 400, 800, 1600, 3200, 6400]
+    return pr_curve(
+        docs, F.col("n_chars"), (F.col("lang") == "en"), ths
+    ).orderBy("threshold")
+
+
+def q_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # feature-selection audit: exact-integer N*MI (1e-9 nats) between
+    # order priority and order status — the ranking signal next to
+    # chi_square's significance.
+    from det_module_spark.operators.quality import mutual_information
+
+    orders = load_table(spark, sf_dir, "orders")
+    return mutual_information(orders, "o_orderpriority", "o_orderstatus")
+
+
+def q_temporal_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # time-based train/test holdout discipline: cutoff = day 24 of
+    # the 30-day window (fixed calendar cutoff — reproducible without
+    # a quantile job), report per-split rows, users, and the user
+    # overlap that a naive random split would leak 100% of.
+    ev = _events(spark, sf_dir)
+    day = F.to_date("ts")
+    cutoff = F.lit("2024-01-25").cast("date")
+    tagged = ev.select(
+        F.when(day < cutoff, "train").otherwise("test").alias("split"),
+        "user_id",
+    )
+    per = tagged.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+    both = (
+        tagged.where(F.col("split") == "train")
+        .select("user_id")
+        .distinct()
+        .join(
+            tagged.where(F.col("split") == "test")
+            .select("user_id")
+            .distinct(),
+            "user_id",
+            "left_semi",
+        )
+        .agg(F.count(F.lit(1)).alias("n_overlap_users"))
+    )
+    return per.crossJoin(F.broadcast(both)).orderBy("split")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the reliability zonal extract (the aid-data triple) at
     sf0.001; driver checks rows>0."""
@@ -5507,6 +5562,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # together with any round-5 additions.
 _ROTATION_R5 = [
     # new this round — driver must check first
+    "pr_curve",
+    "mutual_info",
+    "temporal_split",
     "bigram_pmi",
     "degree_assort",
     "dau_wau",
@@ -5628,6 +5686,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # queries); the literal below keeps its grouping for readability.
     return _rotate({
         # --- round-5 additions ---
+        "pr_curve": q_pr_curve,
+        "mutual_info": q_mutual_info,
+        "temporal_split": q_temporal_split,
         "bigram_pmi": q_bigram_pmi,
         "degree_assort": q_degree_assort,
         "dau_wau": q_dau_wau,
@@ -8246,6 +8307,73 @@ QUALIFY ROW_NUMBER() OVER (
               AND o_orderdate < TIMESTAMP '1997-01-01'
             GROUP BY n_name
             ORDER BY revenue_c4 DESC, n_name
+        """,
+        "pr_curve": """
+            WITH t AS (SELECT unnest([50, 100, 200, 400, 800, 1600,
+                                      3200, 6400]) AS threshold),
+            tagged AS (
+              SELECT t.threshold,
+                     CASE WHEN n_chars >= t.threshold THEN 1 ELSE 0 END
+                       AS p,
+                     CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+              FROM documents CROSS JOIN t),
+            g AS (
+              SELECT threshold,
+                     CAST(SUM(p * y) AS BIGINT) AS tp,
+                     CAST(SUM(p * (1 - y)) AS BIGINT) AS fp,
+                     CAST(SUM((1 - p) * y) AS BIGINT) AS fn
+              FROM tagged GROUP BY 1)
+            SELECT threshold, tp, fp, fn,
+                   CASE WHEN tp + fp > 0
+                        THEN tp * 1000000 // (tp + fp) END
+                     AS precision_ppm,
+                   CASE WHEN tp + fn > 0
+                        THEN tp * 1000000 // (tp + fn) END
+                     AS recall_ppm
+            FROM g ORDER BY threshold
+        """,
+        "mutual_info": """
+            WITH cells AS (
+              SELECT CAST(o_orderpriority AS VARCHAR) AS a,
+                     CAST(o_orderstatus AS VARCHAR) AS b,
+                     CAST(COUNT(*) AS BIGINT) AS c
+              FROM orders GROUP BY 1, 2),
+            ra AS (SELECT a, CAST(SUM(c) AS BIGINT) AS ca
+                   FROM cells GROUP BY a),
+            rb AS (SELECT b, CAST(SUM(c) AS BIGINT) AS cb
+                   FROM cells GROUP BY b),
+            n AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM cells)
+            SELECT MAX(n.n) AS n,
+                   CAST(SUM(c * (
+                     CAST(FLOOR(ln(CAST(c AS DOUBLE)) * 1e9 + 0.5)
+                          AS BIGINT)
+                     + CAST(FLOOR(ln(CAST(n.n AS DOUBLE)) * 1e9 + 0.5)
+                            AS BIGINT)
+                     - CAST(FLOOR(ln(CAST(ca AS DOUBLE)) * 1e9 + 0.5)
+                            AS BIGINT)
+                     - CAST(FLOOR(ln(CAST(cb AS DOUBLE)) * 1e9 + 0.5)
+                            AS BIGINT))) AS BIGINT) AS mi_num_q
+            FROM cells JOIN ra USING (a) JOIN rb USING (b) CROSS JOIN n
+        """,
+        "temporal_split": """
+            WITH tagged AS (
+              SELECT CASE WHEN CAST(ts AS DATE) < DATE '2024-01-25'
+                          THEN 'train' ELSE 'test' END AS split,
+                     user_id
+              FROM events),
+            per AS (
+              SELECT split, CAST(COUNT(*) AS BIGINT) AS n_rows,
+                     CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+              FROM tagged GROUP BY 1),
+            ovl AS (
+              SELECT CAST(COUNT(*) AS BIGINT) AS n_overlap_users FROM (
+                SELECT DISTINCT user_id FROM tagged
+                WHERE split = 'train'
+                INTERSECT
+                SELECT DISTINCT user_id FROM tagged
+                WHERE split = 'test'))
+            SELECT split, n_rows, n_users, n_overlap_users
+            FROM per CROSS JOIN ovl ORDER BY split
         """,
         "bigram_pmi": """
             WITH toks AS (

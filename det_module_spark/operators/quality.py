@@ -247,3 +247,92 @@ def partition_checksums(
         F.count(F.lit(1)).alias("n_rows"),
         F.bit_xor(stable_hash64(row_repr)).alias("xor_sig"),
     )
+
+
+def pr_curve(
+    df: DataFrame,
+    score: Column,
+    label: Column,
+    thresholds: list[int],
+) -> DataFrame:
+    """Precision/recall sweep of a quality score against a binary
+    label: → one row per threshold (threshold, tp, fp, fn,
+    precision_ppm, recall_ppm) with predicted-positive = score ≥ t.
+    The calibration table a pipeline reads before picking its quality
+    filter cutoff — ppm values are exact integer divisions, so the
+    curve is engine-reproducible.
+
+    One pass: each row explodes to |thresholds| tagged copies
+    (bounded fan-out; map-side combine folds to |thresholds| cells
+    per partition before the shuffle), then one hash agg.
+    """
+    if not thresholds:
+        raise ValueError("thresholds must be non-empty")
+    tagged = df.select(
+        score.cast("long").alias("s"), label.cast("long").alias("y")
+    ).select(
+        "s",
+        "y",
+        F.explode(
+            F.array(*[F.lit(int(t)) for t in sorted(thresholds)])
+        ).alias("threshold"),
+    )
+    pred = (F.col("s") >= F.col("threshold")).cast("long")
+    g = tagged.select("threshold", "y", pred.alias("p")).groupBy(
+        "threshold"
+    ).agg(
+        F.sum(F.col("p") * F.col("y")).alias("tp"),
+        F.sum(F.col("p") * (1 - F.col("y"))).alias("fp"),
+        F.sum((1 - F.col("p")) * F.col("y")).alias("fn"),
+    )
+    return g.select(
+        "threshold",
+        "tp",
+        "fp",
+        "fn",
+        F.when(
+            F.col("tp") + F.col("fp") > 0,
+            F.expr("tp * 1000000 div (tp + fp)"),
+        ).alias("precision_ppm"),
+        F.when(
+            F.col("tp") + F.col("fn") > 0,
+            F.expr("tp * 1000000 div (tp + fn)"),
+        ).alias("recall_ppm"),
+    )
+
+
+def mutual_information(
+    df: DataFrame, col_a: str, col_b: str
+) -> DataFrame:
+    """Mutual information between two categoricals, exact to the
+    1e-9 ln quantum: → one row (n, mi_num_q) where mi_num_q =
+    Σ_cells c_ab·(lnq(c_ab) + lnq(N) − lnq(c_a) − lnq(c_b)) — i.e.
+    N·MI in 1e-9 nat units, left as the exact integer numerator so
+    no float division ever happens (consumers divide by N at
+    display time). The feature-selection companion to
+    chi_square_independence: MI ranks how much a column tells you
+    about the label.
+
+    Same single-scan shape as chi-square: cell counts, two marginal
+    re-aggregations of the (tiny) cell table, one weighted sum. Every
+    ln lands in int64 BEFORE the weighted sum (playbook #8/#9).
+    """
+    from det_module_spark.operators.nbayes import _lnq
+
+    cells = df.groupBy(
+        F.col(col_a).cast("string").alias("a"),
+        F.col(col_b).cast("string").alias("b"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    ra = cells.groupBy("a").agg(F.sum("c").alias("ca"))
+    rb = cells.groupBy("b").agg(F.sum("c").alias("cb"))
+    n = cells.select(F.sum("c").alias("n"))
+    j = cells.join(ra, "a").join(rb, "b").crossJoin(F.broadcast(n))
+    term = F.col("c") * (
+        _lnq(F.col("c"))
+        + _lnq(F.col("n"))
+        - _lnq(F.col("ca"))
+        - _lnq(F.col("cb"))
+    )
+    return j.agg(
+        F.max("n").alias("n"), F.sum(term).alias("mi_num_q")
+    )

@@ -74,6 +74,8 @@ ALLOWED_NESTED_LOOP = {
     "negative_sample": "popularity pool (top-50 TakeOrdered frame)",
     "blocking_eval": "three 1-row count scalars crossed for the report row",
     "bootstrap_ci": "1-row n/point/lo/hi scalars crossed for the report row",
+    "mutual_info": "1-row grand-total scalar",
+    "temporal_split": "1-row user-overlap scalar",
     "corpus_pipeline_v2": "top-k weight-threshold scalar (1 row, via dsir_select)",
 }
 
@@ -165,9 +167,10 @@ BROADCAST_WHITELIST = {
         "right side broadcast only when caller passes broadcast_right=True",
     ),
     "det_module_spark/operators/quality.py": (
-        3,
+        4,
         "dictionary: distinct-value-sized, dict_encode contract is low "
-        "cardinality; chi_square grand-total and dof frames: 1 row each",
+        "cardinality; chi_square grand-total and dof frames + "
+        "mutual_information grand total: 1 row each",
     ),
     "det_module_spark/operators/msr.py": (
         1,
@@ -195,10 +198,11 @@ BROADCAST_WHITELIST = {
         "corpus-independent bound",
     ),
     "__spark_entry__.py": (
-        36,
+        37,
         "TPC-H dims (nation/region/part/supp at their spec'd scale ratios) "
         "+ 1-row scalar aggregates (totals, maxima, batch-boundary "
-        "constants, the rrf_fusion query vector)",
+        "constants, the rrf_fusion query vector, the temporal_split "
+        "overlap scalar)",
     ),
 }
 
