@@ -5561,6 +5561,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # simple single-shuffle SQL ops, lowest residual risk) lead _R6
 # together with any round-5 additions.
 _ROTATION_R5 = [
+    # changed-path re-checks (broadcast-hint removal, r4 verdict #2/#3)
+    # — never driver-checked on the new path; they must stay inside
+    # the 50-query window no matter how many new queries stack up
+    "setsim_prefix",
+    "basket_pairs",
+    "dedup_embedding_cosine",
     # new this round — driver must check first
     "pr_curve",
     "mutual_info",
