@@ -5542,6 +5542,63 @@ def q_temporal_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per.crossJoin(F.broadcast(both)).orderBy("split")
 
 
+def q_colbert_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # late-interaction retrieval: labels play multi-vector documents
+    # (their member embeddings are the "token" vectors), the 4 lowest
+    # vec_ids of label 1 play the query tokens; MaxSim = sum of
+    # per-query-token best dots, exact quantized ints.
+    from det_module_spark.operators.similarity import maxsim_scores
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = emb.where(F.col("label") != 1).select(
+        F.col("label").alias("doc"), "embedding"
+    )
+    qt = (
+        emb.where(F.col("label") == 1)
+        .orderBy("vec_id")
+        .limit(4)
+        .select(F.col("vec_id").alias("qid"), "embedding")
+    )
+    return maxsim_scores(docs, qt).orderBy(F.desc("maxsim_q"), "doc")
+
+
+def q_nucleus_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # top-p curation cut: per order-month, the smallest set of parts
+    # covering 50% of revenue; summarized per month (kept items,
+    # total items, exact kept-share ppm).
+    from det_module_spark.operators.sampling import nucleus_filter
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy(
+            F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+            F.col("l_partkey").alias("part"),
+        )
+        .agg(F.sum(_cents("l_extendedprice")).alias("rev_c"))
+    )
+    kept = nucleus_filter(rev, "month", "part", "rev_c", p_ppm=500_000)
+    tot = rev.groupBy(F.col("month").alias("grp")).agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum("rev_c").alias("total_c"),
+    )
+    ks = kept.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("w").alias("kept_c"),
+    )
+    return (
+        ks.join(tot, "grp")
+        .select(
+            "grp",
+            "n_kept",
+            "n_items",
+            F.expr("kept_c * 1000000 div total_c").alias("kept_share_ppm"),
+        )
+        .orderBy("grp")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the reliability zonal extract (the aid-data triple) at
     sf0.001; driver checks rows>0."""
@@ -5568,6 +5625,8 @@ _ROTATION_R5 = [
     "basket_pairs",
     "dedup_embedding_cosine",
     # new this round — driver must check first
+    "colbert_maxsim",
+    "nucleus_cut",
     "pr_curve",
     "mutual_info",
     "temporal_split",
@@ -5692,6 +5751,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # queries); the literal below keeps its grouping for readability.
     return _rotate({
         # --- round-5 additions ---
+        "colbert_maxsim": q_colbert_maxsim,
+        "nucleus_cut": q_nucleus_cut,
         "pr_curve": q_pr_curve,
         "mutual_info": q_mutual_info,
         "temporal_split": q_temporal_split,
@@ -6084,6 +6145,24 @@ def _hits_oracle() -> str:
     from det_module_spark.operators.graph import hits_sql
 
     return hits_sql(_CS_EDGES, rounds=2)
+
+
+def _colbert_oracle() -> str:
+    from det_module_spark.operators.mmr import _sql_qdot
+
+    dot = _sql_qdot("d.embedding", "q.embedding", 64)
+    return f"""
+WITH q AS MATERIALIZED (
+  SELECT vec_id AS qid, embedding FROM embeddings
+  WHERE label = 1 ORDER BY vec_id LIMIT 4),
+best AS (
+  SELECT d.label AS doc, q.qid, MAX({dot}) AS best
+  FROM embeddings d CROSS JOIN q
+  WHERE d.label <> 1
+  GROUP BY 1, 2)
+SELECT doc, CAST(COUNT(*) AS BIGINT) AS n_q,
+       CAST(SUM(best) AS BIGINT) AS maxsim_q
+FROM best GROUP BY doc ORDER BY maxsim_q DESC, doc"""
 
 
 def _bootstrap_oracle(b: int = 40) -> str:
@@ -8313,6 +8392,35 @@ QUALIFY ROW_NUMBER() OVER (
               AND o_orderdate < TIMESTAMP '1997-01-01'
             GROUP BY n_name
             ORDER BY revenue_c4 DESC, n_name
+        """,
+        "colbert_maxsim": _colbert_oracle(),
+        "nucleus_cut": """
+            WITH rev AS (
+              SELECT strftime(o_orderdate, '%Y-%m') AS grp,
+                     l_partkey AS part,
+                     CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5)
+                                   AS BIGINT)) AS BIGINT) AS w
+              FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+              GROUP BY 1, 2),
+            ranked AS (
+              SELECT grp, part, w,
+                     CAST(SUM(w) OVER (
+                       PARTITION BY grp ORDER BY w DESC, part
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS BIGINT) AS cum,
+                     CAST(SUM(w) OVER (PARTITION BY grp) AS BIGINT)
+                       AS total
+              FROM rev),
+            kept AS (
+              SELECT grp, w, total FROM ranked
+              WHERE (cum - w) * 1000000 < total * 500000),
+            tot AS (SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_items
+                    FROM rev GROUP BY 1)
+            SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_kept, n_items,
+                   CAST(SUM(w) AS BIGINT) * 1000000 // MAX(total)
+                     AS kept_share_ppm
+            FROM kept JOIN tot USING (grp)
+            GROUP BY grp, n_items ORDER BY grp
         """,
         "pr_curve": """
             WITH t AS (SELECT unnest([50, 100, 200, 400, 800, 1600,

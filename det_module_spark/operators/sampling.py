@@ -303,3 +303,47 @@ def kfold_assign(key: Column, k: int, seed: str = "fold") -> Column:
     return stable_hash64(
         F.concat(F.lit(f"{seed}:"), key.cast("string"))
     ) % F.lit(k)
+
+
+def nucleus_filter(
+    weighted: DataFrame,
+    group: str,
+    item: str,
+    weight: str,
+    p_ppm: int,
+) -> DataFrame:
+    """Top-p (nucleus) cut per group: keep the smallest prefix of
+    items — ordered by weight desc, item asc — whose cumulative
+    weight reaches ``p_ppm`` millionths of the group total:
+    → the kept rows as (grp, item, w, rank). The corpus-curation
+    question "which items make up 90% of the mass" (sources, domains,
+    near-dup clusters), and the data-side twin of nucleus sampling.
+
+    Keep rule: a row stays iff the cumulative weight BEFORE it is
+    still short of p·total — so the row that crosses the threshold is
+    kept and nothing after it. All comparisons in int64
+    ((cum−w)·1e6 < p_ppm·total; keep total·1e6 inside int64 — rescale
+    weights beyond ~9e12 totals). One per-group window pass.
+    """
+    from pyspark.sql import Window
+
+    base = weighted.select(
+        F.col(group).alias("grp"),
+        F.col(item).alias("item"),
+        F.col(weight).cast("long").alias("w"),
+    )
+    w_ord = Window.partitionBy("grp").orderBy(F.desc("w"), F.asc("item"))
+    w_all = Window.partitionBy("grp")
+    cum = F.sum("w").over(w_ord.rowsBetween(Window.unboundedPreceding, 0))
+    total = F.sum("w").over(w_all)
+    ranked = base.select(
+        "grp",
+        "item",
+        "w",
+        F.row_number().over(w_ord).alias("rank"),
+        ((cum - F.col("w")) * F.lit(1_000_000)).alias("before_scaled"),
+        (total * F.lit(p_ppm)).alias("cut_scaled"),
+    )
+    return ranked.where(F.col("before_scaled") < F.col("cut_scaled")).select(
+        "grp", "item", "w", "rank"
+    )

@@ -823,3 +823,42 @@ def hard_negatives(
         .filter(F.col("rank") <= k)
         .select("anchor_id", "rank", "negative_id", "neg_label", "cos")
     )
+
+
+def maxsim_scores(
+    doc_tokens: DataFrame,
+    query_tokens: DataFrame,
+    doc_col: str = "doc",
+    vec_col: str = "embedding",
+    qid_col: str = "qid",
+) -> DataFrame:
+    """Late-interaction (ColBERT-style) retrieval scoring: documents
+    carry MULTIPLE token vectors; score(doc) = Σ_q max_t ⟨q, t⟩ over
+    the query's token vectors — the MaxSim sum that beats single-
+    vector retrieval on long documents. → (doc, n_q, maxsim_q), all
+    exact int64 (vectors quantized to 1024ths like mmr/cosine_topk,
+    so max and sum are engine-stable with no float ties).
+
+    Contract: ``query_tokens`` is a bounded frame (a query has a few
+    dozen tokens) — it broadcasts; the doc-token side streams at any
+    corpus scale. Shape: one broadcast nested-loop dot pass (|docs'
+    tokens| × |query tokens|, the irreducible late-interaction cost;
+    production systems put an ANN candidate filter in front — compose
+    with similarity_lsh/ivf for that), one (doc, qid) max agg, one
+    doc sum agg.
+    """
+    from det_module_spark.operators.mmr import int_dot, quantize_vec
+
+    dt = doc_tokens.select(
+        F.col(doc_col).alias("doc"), quantize_vec(F.col(vec_col)).alias("tv")
+    )
+    qt = query_tokens.select(
+        F.col(qid_col).alias("qid"), quantize_vec(F.col(vec_col)).alias("qv")
+    )
+    dots = dt.crossJoin(F.broadcast(qt)).select(
+        "doc", "qid", int_dot(F.col("tv"), F.col("qv")).alias("dot")
+    )
+    best = dots.groupBy("doc", "qid").agg(F.max("dot").alias("best"))
+    return best.groupBy("doc").agg(
+        F.count(F.lit(1)).alias("n_q"), F.sum("best").alias("maxsim_q")
+    )

@@ -75,6 +75,7 @@ ALLOWED_NESTED_LOOP = {
     "blocking_eval": "three 1-row count scalars crossed for the report row",
     "bootstrap_ci": "1-row n/point/lo/hi scalars crossed for the report row",
     "mutual_info": "1-row grand-total scalar",
+    "colbert_maxsim": "query-token frame (4 rows by limit)",
     "temporal_split": "1-row user-overlap scalar",
     "corpus_pipeline_v2": "top-k weight-threshold scalar (1 row, via dsir_select)",
 }
@@ -177,8 +178,9 @@ BROADCAST_WHITELIST = {
         "per-project location counts: one row per project",
     ),
     "det_module_spark/operators/similarity.py": (
-        6,
-        "query/anchor vectors (k rows, guarded) + IVF/PQ codebooks (fixed size)",
+        7,
+        "query/anchor vectors (k rows, guarded) + IVF/PQ codebooks (fixed "
+        "size) + maxsim query-token frame (bounded by contract)",
     ),
     "det_module_spark/operators/mmr.py": (
         1,
