@@ -6167,16 +6167,26 @@ FROM best GROUP BY doc ORDER BY maxsim_q DESC, doc"""
 
 def _bootstrap_oracle(b: int = 40) -> str:
     from det_module_spark.operators.bootstrap import poisson_weight_sql
+    from det_module_spark.operators.dedup import (
+        MINHASH_A,
+        MINHASH_B,
+        MINHASH_P,
+    )
 
+    a_list = ", ".join(str(a) for a in MINHASH_A[:b])
+    b_list = ", ".join(str(c) for c in MINHASH_B[:b])
     u = (
-        "CAST(concat('0x', substr(md5(concat_ws(':', 'boot', k, "
-        "CAST(rb AS VARCHAR))), 1, 15)) AS BIGINT) % 1000000"
+        f"(([{a_list}])[CAST(rb AS INTEGER) + 1] * h"
+        f" + ([{b_list}])[CAST(rb AS INTEGER) + 1])"
+        f" % {MINHASH_P} % 1000000"
     )
     return f"""
-WITH rows_ AS (SELECT CAST(o_orderkey AS VARCHAR) AS k,
+WITH rows_ AS (SELECT CAST(concat('0x', substr(md5(
+                        'boot:' || CAST(o_orderkey AS VARCHAR)),
+                        1, 15)) AS BIGINT) % {MINHASH_P} AS h,
                       CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS x
                FROM orders),
-tagged AS (SELECT k, x, unnest(range({b})) AS rb FROM rows_),
+tagged AS (SELECT h, x, unnest(range({b})) AS rb FROM rows_),
 wt AS (SELECT rb, x, {poisson_weight_sql(u)} AS w FROM tagged),
 cells AS (SELECT rb,
                  CAST(SUM(w * x) AS BIGINT) // CAST(SUM(w) AS BIGINT)

@@ -56,23 +56,45 @@ def bootstrap_mean_ci(
     means (≈ the 5%/95% order statistics at B = 40; pick B to taste).
 
     Shape: one explode to B replicate tags per row, Poisson(1) weights
-    from the (key, b) hash, ONE hash aggregation to B cells — map-side
-    combine reduces the shuffle to B rows per partition, so the ×B
-    fan-out never reaches the wire. The order-statistics window runs
-    over the B-row replicate frame. All arithmetic integer: replicate
-    mean = Σ(w·x) div Σw, ties on (mean, replicate id).
+    from a per-(row, replicate) uniform, ONE hash aggregation to B
+    cells — map-side combine reduces the shuffle to B rows per
+    partition, so the ×B fan-out never reaches the wire. The
+    order-statistics window runs over the B-row replicate frame. All
+    arithmetic integer: replicate mean = Σ(w·x) div Σw, ties on
+    (mean, replicate id).
+
+    The per-replicate uniforms come from ONE md5 per row pushed
+    through the repo's seeded universal-hash family ((aᵦ·h + bᵦ) mod
+    P, the MinHash constants): B md5 calls per row was the single
+    most expensive query in the sf0.1 bench (~40× the hash work for
+    no statistical gain), and the family is already the established
+    replicate-stream construction here.
     """
+    from det_module_spark.operators.dedup import (
+        MINHASH_A,
+        MINHASH_B,
+        MINHASH_P,
+    )
+
+    if b > len(MINHASH_A):
+        raise ValueError(f"b must be <= {len(MINHASH_A)}")
     tagged = df.select(
-        key.cast("string").alias("k"), value.cast("long").alias("x")
+        (
+            stable_hash64(
+                F.concat(F.lit(f"{seed}:"), key.cast("string"))
+            )
+            % MINHASH_P
+        ).alias("h"),
+        value.cast("long").alias("x"),
     ).select(
-        "k", "x", F.explode(F.sequence(F.lit(0), F.lit(b - 1))).alias("rb")
+        "h", "x", F.explode(F.sequence(F.lit(0), F.lit(b - 1))).alias("rb")
     )
+    a_arr = F.array(*[F.lit(a) for a in MINHASH_A[:b]])
+    b_arr = F.array(*[F.lit(c) for c in MINHASH_B[:b]])
     u = (
-        stable_hash64(
-            F.concat_ws(":", F.lit(seed), F.col("k"), F.col("rb"))
-        )
-        % _RES
-    )
+        F.element_at(a_arr, F.col("rb") + 1) * F.col("h")
+        + F.element_at(b_arr, F.col("rb") + 1)
+    ) % MINHASH_P % _RES
     cells = (
         tagged.withColumn("w", _poisson1_weight(u))
         .groupBy("rb")
