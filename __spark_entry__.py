@@ -5599,6 +5599,21 @@ def q_nucleus_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # exact two-sample KS per event type: did the value distribution
+    # drift between the first half of the window (day < 16) and the
+    # rest? D's sup over sample points in pure int64.
+    from det_module_spark.operators.quality import ks_drift
+
+    ev = _events(spark, sf_dir)
+    return ks_drift(
+        ev,
+        "event_type",
+        F.dayofmonth("ts") < 16,
+        _cents("value"),
+    ).orderBy("stratum")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the reliability zonal extract (the aid-data triple) at
     sf0.001; driver checks rows>0."""
@@ -5625,6 +5640,7 @@ _ROTATION_R5 = [
     "basket_pairs",
     "dedup_embedding_cosine",
     # new this round — driver must check first
+    "ks_drift",
     "colbert_maxsim",
     "nucleus_cut",
     "pr_curve",
@@ -5751,6 +5767,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # queries); the literal below keeps its grouping for readability.
     return _rotate({
         # --- round-5 additions ---
+        "ks_drift": q_ks_drift,
         "colbert_maxsim": q_colbert_maxsim,
         "nucleus_cut": q_nucleus_cut,
         "pr_curve": q_pr_curve,
@@ -8402,6 +8419,38 @@ QUALIFY ROW_NUMBER() OVER (
               AND o_orderdate < TIMESTAMP '1997-01-01'
             GROUP BY n_name
             ORDER BY revenue_c4 DESC, n_name
+        """,
+        "ks_drift": """
+            WITH base AS (
+              SELECT event_type AS stratum, day(ts) < 16 AS ia,
+                     CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS x
+              FROM events),
+            counts AS (
+              SELECT stratum, x,
+                     CAST(SUM(CASE WHEN ia THEN 1 ELSE 0 END)
+                          AS BIGINT) AS ca,
+                     CAST(SUM(CASE WHEN NOT ia THEN 1 ELSE 0 END)
+                          AS BIGINT) AS cb
+              FROM base GROUP BY 1, 2),
+            cum AS (
+              SELECT stratum,
+                     CAST(SUM(ca) OVER w AS BIGINT) AS cuma,
+                     CAST(SUM(cb) OVER w AS BIGINT) AS cumb
+              FROM counts
+              WINDOW w AS (PARTITION BY stratum ORDER BY x
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW)),
+            tot AS (SELECT stratum, CAST(SUM(ca) AS BIGINT) AS n_a,
+                           CAST(SUM(cb) AS BIGINT) AS n_b
+                    FROM counts GROUP BY 1),
+            d AS (SELECT c.stratum, n_a, n_b,
+                         CAST(MAX(ABS(cuma * n_b - cumb * n_a))
+                              AS BIGINT) AS d_num
+                  FROM cum c JOIN tot USING (stratum)
+                  GROUP BY 1, 2, 3)
+            SELECT stratum, n_a, n_b, d_num,
+                   d_num * 1000000 // (n_a * n_b) AS d_ppm
+            FROM d WHERE n_a > 0 AND n_b > 0 ORDER BY stratum
         """,
         "colbert_maxsim": _colbert_oracle(),
         "nucleus_cut": """

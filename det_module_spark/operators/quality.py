@@ -336,3 +336,64 @@ def mutual_information(
     return j.agg(
         F.max("n").alias("n"), F.sum(term).alias("mi_num_q")
     )
+
+
+def ks_drift(
+    df: DataFrame, stratum: str, is_a: Column, value: Column
+) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov distance per stratum:
+    → (stratum, n_a, n_b, d_num, d_ppm) where the KS statistic D =
+    d_num / (n_a·n_b) and d_ppm = 1e6·d_num div (n_a·n_b). The
+    distribution-shape drift test beside psi_drift's binned view —
+    KS needs no binning choice and is exact here: D's sup runs over
+    sample points, and |cumA·n_b − cumB·n_a| is pure int64 (keep
+    n_a·n_b ≤ ~9e12 per stratum; subsample beyond).
+
+    Shape: one (stratum, value) count agg, one per-stratum cumulative
+    window over distinct values (sorts only inside the stratum), one
+    max agg. ``value`` must be integer-valued (quantize first).
+    """
+    base = df.select(
+        F.col(stratum).alias("stratum"),
+        is_a.alias("ia"),
+        value.cast("long").alias("x"),
+    )
+    counts = base.groupBy("stratum", "x").agg(
+        F.sum(F.when(F.col("ia"), 1).otherwise(0)).alias("ca"),
+        F.sum(F.when(~F.col("ia"), 1).otherwise(0)).alias("cb"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("stratum").orderBy("x")
+    cum = counts.select(
+        "stratum",
+        F.sum("ca").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias(
+            "cuma"
+        ),
+        F.sum("cb").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias(
+            "cumb"
+        ),
+    )
+    tot = counts.groupBy("stratum").agg(
+        F.sum("ca").alias("n_a"), F.sum("cb").alias("n_b")
+    )
+    d = (
+        cum.join(tot, "stratum")
+        .select(
+            "stratum",
+            "n_a",
+            "n_b",
+            F.abs(
+                F.col("cuma") * F.col("n_b") - F.col("cumb") * F.col("n_a")
+            ).alias("gap"),
+        )
+        .groupBy("stratum", "n_a", "n_b")
+        .agg(F.max("gap").alias("d_num"))
+    )
+    return d.where((F.col("n_a") > 0) & (F.col("n_b") > 0)).select(
+        "stratum",
+        "n_a",
+        "n_b",
+        "d_num",
+        F.expr("d_num * 1000000 div (n_a * n_b)").alias("d_ppm"),
+    )
