@@ -5614,6 +5614,62 @@ def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("stratum")
 
 
+def q_matryoshka_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # MRL truncation audit: top-10 overlap vs full 64-dim retrieval
+    # at 8/16/32/64-dim prefix budgets (64 is the built-in sanity
+    # row: overlap == k).
+    from det_module_spark.operators.similarity import matryoshka_audit
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return matryoshka_audit(
+        emb, query_id=1, dims=[8, 16, 32, 64], k=10
+    ).orderBy("dim_budget")
+
+
+def q_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # multi-touch linear attribution: every preceding touch shares
+    # the purchase value equally (exact integer division per
+    # conversion x channel; floor remainders documented).
+    from det_module_spark.operators.attribution import linear_attribution
+
+    ev = _events(spark, sf_dir)
+    return linear_attribution(
+        ev,
+        "user_id",
+        ["ts", "event_id"],
+        channel=F.col("event_type"),
+        is_touch=F.col("event_type").isin("view", "click", "signup"),
+        is_conv=F.col("event_type") == "purchase",
+        value=_cents("value"),
+    ).orderBy("channel")
+
+
+def q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # tokenizer-vocabulary audit: per-language OOV share against the
+    # corpus's own top-1000 tokens.
+    from det_module_spark.operators.text import oov_rate
+
+    docs = load_table(spark, sf_dir, "documents")
+    per = oov_rate(docs, vocab_size=1000)
+    return (
+        per.join(docs.select(F.col("doc_id").alias("id"), "lang"), "id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("n_tok"),
+            F.sum("n_oov").alias("n_oov"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "n_tok",
+            "n_oov",
+            F.expr("n_oov * 1000000 div n_tok").alias("oov_ppm"),
+        )
+        .orderBy("lang")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the reliability zonal extract (the aid-data triple) at
     sf0.001; driver checks rows>0."""
@@ -5640,6 +5696,9 @@ _ROTATION_R5 = [
     "basket_pairs",
     "dedup_embedding_cosine",
     # new this round — driver must check first
+    "matryoshka_audit",
+    "attribution_linear",
+    "oov_rate",
     "ks_drift",
     "colbert_maxsim",
     "nucleus_cut",
@@ -5767,6 +5826,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # queries); the literal below keeps its grouping for readability.
     return _rotate({
         # --- round-5 additions ---
+        "matryoshka_audit": q_matryoshka_audit,
+        "attribution_linear": q_attribution_linear,
+        "oov_rate": q_oov_rate,
         "ks_drift": q_ks_drift,
         "colbert_maxsim": q_colbert_maxsim,
         "nucleus_cut": q_nucleus_cut,
@@ -6162,6 +6224,81 @@ def _hits_oracle() -> str:
     from det_module_spark.operators.graph import hits_sql
 
     return hits_sql(_CS_EDGES, rounds=2)
+
+
+def _matryoshka_oracle(dims=(8, 16, 32, 64), k: int = 10) -> str:
+    from det_module_spark.operators.mmr import _sql_qdot
+
+    full_d = max(dims)
+    sql = """
+WITH q AS MATERIALIZED (SELECT embedding FROM embeddings
+                        WHERE vec_id = 1),
+cand AS MATERIALIZED (SELECT vec_id AS id, embedding
+                      FROM embeddings WHERE vec_id <> 1)"""
+    for d in sorted(dims):
+        dot = _sql_qdot("cand.embedding", "q.embedding", d)
+        sql += f""",
+tk{d} AS MATERIALIZED (
+  SELECT id FROM (SELECT id, {dot} AS dot FROM cand CROSS JOIN q)
+  ORDER BY dot DESC, id LIMIT {k})"""
+    selects = [
+        f"""SELECT {d} AS dim_budget, CAST({k} AS BIGINT) AS k,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM tk{d}
+        WHERE id IN (SELECT id FROM tk{full_d})) AS n_overlap"""
+        for d in sorted(dims)
+    ]
+    return sql + "\n" + "\nUNION ALL ".join(selects) + "\nORDER BY dim_budget"
+
+
+_ATTRIBUTION_LINEAR_ORACLE = """
+WITH ev AS (
+  SELECT user_id, event_type,
+         CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS value_c,
+         event_type IN ('view', 'click', 'signup') AS it,
+         event_type = 'purchase' AS ic,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS seq
+  FROM events),
+touches AS (SELECT user_id, seq AS tseq, event_type AS ch
+            FROM ev WHERE it),
+convs AS (SELECT user_id, seq AS cseq, value_c FROM ev WHERE ic),
+pairs AS (SELECT c.user_id, c.cseq, c.value_c, t.ch
+          FROM convs c JOIN touches t
+            ON c.user_id = t.user_id AND t.tseq < c.cseq),
+per AS (SELECT user_id, cseq, value_c, ch,
+               CAST(COUNT(*) AS BIGINT) AS n_ch
+        FROM pairs GROUP BY 1, 2, 3, 4),
+tot AS (SELECT user_id, cseq, CAST(COUNT(*) AS BIGINT) AS n_t
+        FROM pairs GROUP BY 1, 2),
+cr AS (SELECT ch, n_ch, (value_c * n_ch) // n_t AS credit
+       FROM per JOIN tot USING (user_id, cseq))
+SELECT ch AS channel, CAST(SUM(n_ch) AS BIGINT) AS n_touches,
+       CAST(SUM(credit) AS BIGINT) AS credit_c
+FROM cr GROUP BY 1 ORDER BY 1"""
+
+
+_OOV_ORACLE = """
+WITH toks AS (
+  SELECT id, term FROM (
+    SELECT doc_id AS id, unnest(string_split(text, ' ')) AS term
+    FROM documents)
+  WHERE length(term) > 0),
+vocab AS MATERIALIZED (
+  SELECT term FROM (
+    SELECT term, COUNT(*) AS n FROM toks GROUP BY term
+    ORDER BY n DESC, term LIMIT 1000)),
+per AS (
+  SELECT id, CAST(COUNT(*) AS BIGINT) AS n_tok,
+         CAST(SUM(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_oov
+  FROM toks t LEFT JOIN vocab v ON t.term = v.term GROUP BY id)
+SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS n_tok,
+       CAST(SUM(n_oov) AS BIGINT) AS n_oov,
+       CAST(SUM(n_oov) AS BIGINT) * 1000000
+         // CAST(SUM(n_tok) AS BIGINT) AS oov_ppm
+FROM per JOIN documents d ON per.id = d.doc_id
+GROUP BY 1 ORDER BY 1"""
 
 
 def _colbert_oracle() -> str:
@@ -8420,6 +8557,9 @@ QUALIFY ROW_NUMBER() OVER (
             GROUP BY n_name
             ORDER BY revenue_c4 DESC, n_name
         """,
+        "matryoshka_audit": _matryoshka_oracle((8, 16, 32, 64), 10),
+        "attribution_linear": _ATTRIBUTION_LINEAR_ORACLE,
+        "oov_rate": _OOV_ORACLE,
         "ks_drift": """
             WITH base AS (
               SELECT event_type AS stratum, day(ts) < 16 AS ia,

@@ -86,3 +86,59 @@ def attribution_report(conversions: DataFrame) -> DataFrame:
         F.count(F.lit(1)).alias("n_conv"),
         F.sum("value_c").alias("value_c"),
     )
+
+
+def linear_attribution(
+    events: DataFrame,
+    user: str,
+    order_cols: list[str],
+    channel: Column,
+    is_touch: Column,
+    is_conv: Column,
+    value: Column,
+) -> DataFrame:
+    """Multi-touch LINEAR attribution: every touch preceding a
+    conversion shares its value equally: → (channel, n_touches,
+    credit_c) with credit_c = Σ over conversions of
+    (value_c · channel_touch_count) div n_touches — exact integer
+    division per (conversion, channel), so totals reconcile with the
+    conversion value up to one unit per channel (floor remainder;
+    documented, deterministic).
+
+    Shape: conversions get a per-user running touch INDEX (one window
+    pass); each (conversion, preceding-touch) pair materializes via a
+    per-user equi-join on the user key with an index inequality —
+    fan-out = touches·convs within the user only. Use first/last
+    (touch_attribution) when per-user event counts are unbounded.
+    """
+    w = Window.partitionBy("user").orderBy(*[F.col(c) for c in order_cols])
+    base = events.select(
+        F.col(user).alias("user"),
+        *[F.col(c) for c in order_cols],
+        channel.alias("ch"),
+        is_touch.alias("it"),
+        is_conv.alias("ic"),
+        value.alias("value_c"),
+    ).withColumn("seq", F.row_number().over(w))
+    touches = base.where(F.col("it")).select(
+        "user", F.col("seq").alias("tseq"), "ch"
+    )
+    convs = base.where(F.col("ic")).select(
+        "user", F.col("seq").alias("cseq"), "value_c"
+    )
+    pairs = convs.join(touches, "user").where(F.col("tseq") < F.col("cseq"))
+    per_conv = pairs.groupBy("user", "cseq", "value_c", "ch").agg(
+        F.count(F.lit(1)).alias("n_ch")
+    )
+    tot = pairs.groupBy("user", "cseq").agg(
+        F.count(F.lit(1)).alias("n_t")
+    )
+    credited = per_conv.join(tot, ["user", "cseq"]).select(
+        "ch",
+        "n_ch",
+        F.expr("(value_c * n_ch) div n_t").alias("credit"),
+    )
+    return credited.groupBy(F.col("ch").alias("channel")).agg(
+        F.sum("n_ch").alias("n_touches"),
+        F.sum("credit").alias("credit_c"),
+    )

@@ -862,3 +862,65 @@ def maxsim_scores(
     return best.groupBy("doc").agg(
         F.count(F.lit(1)).alias("n_q"), F.sum("best").alias("maxsim_q")
     )
+
+
+def matryoshka_audit(
+    embeddings: DataFrame,
+    query_id: int,
+    dims: list[int],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Matryoshka/MRL adoption audit: how much of the full-dimension
+    top-k survives when vectors are truncated to a prefix budget?
+    → (dim_budget, k, n_overlap) per budget in ``dims`` (the last
+    entry should be the full dimension, whose overlap is k by
+    construction — a built-in sanity row).
+
+    The question behind it: can the ANN index store 8/16/32-dim
+    prefixes (4-8× memory cut) without losing recall. Exact
+    arithmetic: dots are quantized-int over the prefix slice, top-k
+    ties break on id, overlap is a set intersection count.
+
+    Shape per budget: one brute-force scored pass (the oracle-able
+    baseline; compose the IVF/LSH path in front at corpus scale), a
+    k-row TakeOrdered, and a k×k semi-join against the full-dim
+    top-k. |dims| passes total, unioned.
+    """
+    from det_module_spark.operators.mmr import int_dot, quantize_vec
+
+    qv = embeddings.where(F.col(id_col) == query_id).select(
+        quantize_vec(F.col(vec_col)).alias("qv")
+    )
+    cand = embeddings.where(F.col(id_col) != query_id).select(
+        F.col(id_col).alias("id"), quantize_vec(F.col(vec_col)).alias("cv")
+    )
+    scored = cand.crossJoin(F.broadcast(qv))
+
+    def topk(d: int):
+        dot = int_dot(
+            F.slice(F.col("cv"), 1, d), F.slice(F.col("qv"), 1, d)
+        )
+        return (
+            scored.select("id", dot.alias("dot"))
+            .orderBy(F.desc("dot"), "id")
+            .limit(k)
+            .select("id")
+        )
+
+    full = topk(max(dims)).localCheckpoint(eager=True)
+    out = None
+    for d in sorted(dims):
+        ov = (
+            topk(d)
+            .join(full, "id", "left_semi")
+            .agg(F.count(F.lit(1)).alias("n_overlap"))
+            .select(
+                F.lit(d).alias("dim_budget"),
+                F.lit(k).cast("long").alias("k"),
+                "n_overlap",
+            )
+        )
+        out = ov if out is None else out.unionByName(ov)
+    return out

@@ -809,3 +809,48 @@ def bigram_pmi(
         - _text_lnq(F.col("c2"))
     )
     return j.select("w1", "w2", "cnt", pmi.alias("pmi_q"))
+
+
+def oov_rate(
+    docs: DataFrame,
+    vocab_size: int = 1000,
+    id_col: str = "doc_id",
+    text: str = "text",
+) -> DataFrame:
+    """Out-of-vocabulary rate per document against the corpus's own
+    top-``vocab_size`` tokens: → (id, n_tok, n_oov, oov_ppm). The
+    tokenizer-budget audit: a doc whose tokens mostly miss the vocab
+    will fragment badly under any fixed vocabulary — high-OOV docs
+    are either another language, noise, or a domain the tokenizer
+    must grow toward.
+
+    The vocab is a TakeOrdered top-k of term frequencies (bounded by
+    ``vocab_size``, corpus-independent — broadcastable by bound, left
+    to AQE); membership is one left join + null count. Ties at the
+    vocabulary boundary break (count desc, term asc), so the vocab
+    set is deterministic cross-engine.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(tokens(F.col(text))).alias("term"),
+    ).filter(F.length("term") > 0)
+    vocab = (
+        toks.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "term")
+        .limit(vocab_size)
+        .select("term", F.lit(1).alias("in_vocab"))
+    )
+    j = toks.join(vocab, "term", "left")
+    per = j.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_tok"),
+        F.sum(
+            F.when(F.col("in_vocab").isNull(), 1).otherwise(0)
+        ).alias("n_oov"),
+    )
+    return per.select(
+        "id",
+        "n_tok",
+        "n_oov",
+        F.expr("n_oov * 1000000 div n_tok").alias("oov_ppm"),
+    )

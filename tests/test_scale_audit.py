@@ -76,6 +76,7 @@ ALLOWED_NESTED_LOOP = {
     "bootstrap_ci": "1-row n/point/lo/hi scalars crossed for the report row",
     "mutual_info": "1-row grand-total scalar",
     "colbert_maxsim": "query-token frame (4 rows by limit)",
+    "matryoshka_audit": "query-vector frame (1 row) + k-row top-k frames",
     "temporal_split": "1-row user-overlap scalar",
     "corpus_pipeline_v2": "top-k weight-threshold scalar (1 row, via dsir_select)",
 }
@@ -178,9 +179,10 @@ BROADCAST_WHITELIST = {
         "per-project location counts: one row per project",
     ),
     "det_module_spark/operators/similarity.py": (
-        7,
+        8,
         "query/anchor vectors (k rows, guarded) + IVF/PQ codebooks (fixed "
-        "size) + maxsim query-token frame (bounded by contract)",
+        "size) + maxsim query-token frame (bounded by contract) + "
+        "matryoshka 1-row query vector",
     ),
     "det_module_spark/operators/mmr.py": (
         1,
