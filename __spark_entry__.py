@@ -5732,6 +5732,86 @@ def q_weighted_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("walk_id", "step", "node")
 
 
+def q_graph_voronoi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # graph-Voronoi ownership: every node within 4 hops routed to its
+    # nearest seed customer (min hops, seed-asc ties) — the
+    # graph-aware sharding assignment.
+    from det_module_spark.operators.graph import nearest_seed
+
+    seeds = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") <= 3)
+        .select(
+            F.concat(F.lit("c"), F.col("c_custkey").cast("string")).alias(
+                "node"
+            )
+        )
+    )
+    edges = _weighted_edges(spark, sf_dir).select("src", "dst")
+    return nearest_seed(edges, seeds, rounds=4).orderBy("node")
+
+
+def q_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # classic growth accounting: per day, users split into new (first
+    # ever), retained (also active yesterday), resurrected (returning
+    # after a gap), plus yesterday's actives who churned today. Two
+    # per-user windows over distinct active days; day-keyed aggs.
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir)
+    active = ev.select(
+        "user_id", F.to_date("ts").alias("day")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    lagged = active.select(
+        "user_id",
+        "day",
+        F.lag("day").over(w).alias("prev_day"),
+        F.lead("day").over(w).alias("next_day"),
+    )
+    status = F.when(F.col("prev_day").isNull(), "new").when(
+        F.datediff("day", "prev_day") == 1, "retained"
+    ).otherwise("resurrected")
+    per_day = (
+        lagged.select("day", status.alias("st"))
+        .groupBy("day")
+        .agg(
+            F.sum(F.when(F.col("st") == "new", 1).otherwise(0)).alias(
+                "n_new"
+            ),
+            F.sum(
+                F.when(F.col("st") == "retained", 1).otherwise(0)
+            ).alias("n_retained"),
+            F.sum(
+                F.when(F.col("st") == "resurrected", 1).otherwise(0)
+            ).alias("n_resurrected"),
+        )
+    )
+    max_day = active.agg(F.max("day").alias("mx"))
+    churn = (
+        lagged.where(
+            F.col("next_day").isNull()
+            | (F.datediff("next_day", "day") > 1)
+        )
+        .select(F.date_add("day", 1).alias("day"))
+        .crossJoin(F.broadcast(max_day))
+        .where(F.col("day") <= F.col("mx"))
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("n_churned"))
+    )
+    return (
+        per_day.join(churn, "day", "full_outer")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.coalesce("n_new", F.lit(0)).alias("n_new"),
+            F.coalesce("n_retained", F.lit(0)).alias("n_retained"),
+            F.coalesce("n_resurrected", F.lit(0)).alias("n_resurrected"),
+            F.coalesce("n_churned", F.lit(0)).alias("n_churned"),
+        )
+        .orderBy("day")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the reliability zonal extract (the aid-data triple) at
     sf0.001; driver checks rows>0."""
@@ -5758,6 +5838,8 @@ _ROTATION_R5 = [
     "basket_pairs",
     "dedup_embedding_cosine",
     # new this round — driver must check first
+    "graph_voronoi",
+    "growth_accounting",
     "weighted_walks",
     "session_metrics",
     "matryoshka_audit",
@@ -5890,6 +5972,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # queries); the literal below keeps its grouping for readability.
     return _rotate({
         # --- round-5 additions ---
+        "graph_voronoi": q_graph_voronoi,
+        "growth_accounting": q_growth_accounting,
         "weighted_walks": q_weighted_walks,
         "session_metrics": q_session_metrics,
         "matryoshka_audit": q_matryoshka_audit,
@@ -6578,6 +6662,55 @@ agg AS (SELECT grp, n, us AS at_max_0, s,
                CAST(MAX(s) OVER (PARTITION BY grp) AS BIGINT) AS s_max
         FROM run)
 SELECT grp, n, s_max, s_min, at_max_0 FROM agg WHERE rk = 1 ORDER BY grp"""
+
+
+def _graph_voronoi_oracle() -> str:
+    from det_module_spark.operators.graph import nearest_seed_sql
+
+    edges = """WITH fwd AS (
+        SELECT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+               's' || CAST(l_suppkey AS VARCHAR) AS dst
+          FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         WHERE o_orderkey < 5000 GROUP BY 1, 2)
+      SELECT src, dst FROM fwd
+      UNION ALL SELECT dst, src FROM fwd"""
+    seeds = """SELECT 'c' || CAST(c_custkey AS VARCHAR) AS node
+                 FROM customer WHERE c_custkey <= 3"""
+    return nearest_seed_sql(edges, seeds, rounds=4) + "\nORDER BY node"
+
+
+_GROWTH_ORACLE = """
+WITH active AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+lagged AS (
+  SELECT user_id, day,
+         LAG(day) OVER w AS prev_day,
+         LEAD(day) OVER w AS next_day
+  FROM active WINDOW w AS (PARTITION BY user_id ORDER BY day)),
+per_day AS (
+  SELECT day,
+         CAST(SUM(CASE WHEN prev_day IS NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_new,
+         CAST(SUM(CASE WHEN prev_day IS NOT NULL
+                        AND day - prev_day = 1 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_retained,
+         CAST(SUM(CASE WHEN prev_day IS NOT NULL
+                        AND day - prev_day > 1 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_resurrected
+  FROM lagged GROUP BY day),
+mx AS (SELECT MAX(day) AS mx FROM active),
+churn AS (
+  SELECT day + 1 AS day, CAST(COUNT(*) AS BIGINT) AS n_churned
+  FROM lagged CROSS JOIN mx
+  WHERE (next_day IS NULL OR next_day - day > 1) AND day + 1 <= mx
+  GROUP BY 1)
+SELECT strftime(COALESCE(p.day, c.day), '%Y-%m-%d') AS day,
+       COALESCE(n_new, 0) AS n_new,
+       COALESCE(n_retained, 0) AS n_retained,
+       COALESCE(n_resurrected, 0) AS n_resurrected,
+       COALESCE(n_churned, 0) AS n_churned
+FROM per_day p FULL OUTER JOIN churn c ON p.day = c.day
+ORDER BY day"""
 
 
 def _weighted_walk_oracle() -> str:
@@ -8642,6 +8775,8 @@ QUALIFY ROW_NUMBER() OVER (
             GROUP BY n_name
             ORDER BY revenue_c4 DESC, n_name
         """,
+        "graph_voronoi": _graph_voronoi_oracle(),
+        "growth_accounting": _GROWTH_ORACLE,
         "weighted_walks": _weighted_walk_oracle(),
         "session_metrics": """
             WITH b AS (

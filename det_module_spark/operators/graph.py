@@ -1101,3 +1101,90 @@ f{t} AS MATERIALIZED (
         for t in range(steps + 1)
     ]
     return sql + "\n" + "\nUNION ALL ".join(selects)
+
+
+def nearest_seed(
+    edges: DataFrame,
+    seeds: DataFrame,
+    rounds: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+    node: str = "node",
+) -> DataFrame:
+    """Graph-Voronoi assignment: every node reachable within
+    ``rounds`` hops gets its NEAREST seed (min hops; ties broken by
+    seed id asc, so the partition is total and engine-stable):
+    → (node, seed, hops). The graph-aware sharding/ownership
+    primitive — route each entity to its closest hub — and the
+    multi-source labeled generalization of bfs_hops.
+
+    Per round: frontier ⋈ edges + a min-struct agg; state is one row
+    per reached node carrying (hops, seed). Monotone (labels only
+    ever improve), so early exit at the fixpoint equals the unrolled
+    form; the oracle unrolls the same rounds with ARG-MIN by
+    (hops, seed).
+    """
+    e = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst")
+    ).distinct().localCheckpoint(eager=True)
+    state = (
+        seeds.select(F.col(node).alias("node"))
+        .distinct()
+        .select(
+            "node", F.lit(0).alias("hops"), F.col("node").alias("seed")
+        )
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(rounds):
+        cand = (
+            state.join(e, state.node == e.src)
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("hops") + 1).alias("hops"),
+                "seed",
+            )
+        )
+        new = (
+            state.unionByName(cand)
+            .groupBy("node")
+            .agg(F.min(F.struct("hops", "seed")).alias("b"))
+            .select("node", F.col("b.hops").alias("hops"),
+                    F.col("b.seed").alias("seed"))
+            .localCheckpoint(eager=True)
+        )
+        if new.join(
+            state, ["node", "hops", "seed"], "left_anti"
+        ).isEmpty():
+            state = new
+            break
+        state = new
+    return state
+
+
+def nearest_seed_sql(
+    edges_cte: str, seeds_cte: str, rounds: int = 4
+) -> str:
+    """Unrolled-CTE twin of :func:`nearest_seed` (min-struct ≡ ORDER
+    BY (hops, seed) ROW_NUMBER 1)."""
+    sql = f"""
+WITH e AS MATERIALIZED (SELECT DISTINCT src, dst FROM ({edges_cte})),
+s0 AS (SELECT DISTINCT node, 0 AS hops, node AS seed
+       FROM ({seeds_cte}))"""
+    prev = "s0"
+    for r in range(1, rounds + 1):
+        sql += f""",
+s{r} AS MATERIALIZED (
+  SELECT node, hops, seed FROM (
+    SELECT node, hops, seed,
+           ROW_NUMBER() OVER (PARTITION BY node
+                              ORDER BY hops, seed) AS rk
+    FROM (SELECT node, hops, seed FROM {prev}
+          UNION ALL
+          SELECT e.dst AS node, p.hops + 1 AS hops, p.seed
+          FROM {prev} p JOIN e ON p.node = e.src))
+  WHERE rk = 1)"""
+        prev = f"s{r}"
+    return (
+        sql
+        + f"\nSELECT node, CAST(hops AS BIGINT) AS hops, seed FROM {prev}"
+    )

@@ -78,6 +78,7 @@ ALLOWED_NESTED_LOOP = {
     "colbert_maxsim": "query-token frame (4 rows by limit)",
     "matryoshka_audit": "query-vector frame (1 row) + k-row top-k frames",
     "temporal_split": "1-row user-overlap scalar",
+    "growth_accounting": "1-row max-day scalar for the churn horizon",
     "corpus_pipeline_v2": "top-k weight-threshold scalar (1 row, via dsir_select)",
 }
 
@@ -202,11 +203,11 @@ BROADCAST_WHITELIST = {
         "corpus-independent bound",
     ),
     "__spark_entry__.py": (
-        37,
+        38,
         "TPC-H dims (nation/region/part/supp at their spec'd scale ratios) "
         "+ 1-row scalar aggregates (totals, maxima, batch-boundary "
         "constants, the rrf_fusion query vector, the temporal_split "
-        "overlap scalar)",
+        "overlap and growth_accounting max-day scalars)",
     ),
 }
 
