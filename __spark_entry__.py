@@ -5812,6 +5812,21 @@ def q_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_wasserstein_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # magnitude-aware drift: exact integer earth-mover distance per
+    # event type between the first half of the window and the rest —
+    # the integral companion to ks_drift's sup.
+    from det_module_spark.operators.quality import wasserstein_drift
+
+    ev = _events(spark, sf_dir)
+    return wasserstein_drift(
+        ev,
+        "event_type",
+        F.dayofmonth("ts") < 16,
+        _cents("value"),
+    ).orderBy("stratum")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the reliability zonal extract (the aid-data triple) at
     sf0.001; driver checks rows>0."""
@@ -5838,6 +5853,7 @@ _ROTATION_R5 = [
     "basket_pairs",
     "dedup_embedding_cosine",
     # new this round — driver must check first
+    "wasserstein_drift",
     "graph_voronoi",
     "growth_accounting",
     "weighted_walks",
@@ -5972,6 +5988,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # queries); the literal below keeps its grouping for readability.
     return _rotate({
         # --- round-5 additions ---
+        "wasserstein_drift": q_wasserstein_drift,
         "graph_voronoi": q_graph_voronoi,
         "growth_accounting": q_growth_accounting,
         "weighted_walks": q_weighted_walks,
@@ -8774,6 +8791,42 @@ QUALIFY ROW_NUMBER() OVER (
               AND o_orderdate < TIMESTAMP '1997-01-01'
             GROUP BY n_name
             ORDER BY revenue_c4 DESC, n_name
+        """,
+        "wasserstein_drift": """
+            WITH base AS (
+              SELECT event_type AS stratum, day(ts) < 16 AS ia,
+                     CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS x
+              FROM events),
+            counts AS (
+              SELECT stratum, x,
+                     CAST(SUM(CASE WHEN ia THEN 1 ELSE 0 END)
+                          AS BIGINT) AS ca,
+                     CAST(SUM(CASE WHEN NOT ia THEN 1 ELSE 0 END)
+                          AS BIGINT) AS cb
+              FROM base GROUP BY 1, 2),
+            cum AS (
+              SELECT stratum, x,
+                     CAST(SUM(ca) OVER w AS BIGINT) AS cuma,
+                     CAST(SUM(cb) OVER w AS BIGINT) AS cumb,
+                     LEAD(x) OVER (PARTITION BY stratum ORDER BY x)
+                       AS next_x
+              FROM counts
+              WINDOW w AS (PARTITION BY stratum ORDER BY x
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW)),
+            tot AS (SELECT stratum, CAST(SUM(ca) AS BIGINT) AS n_a,
+                           CAST(SUM(cb) AS BIGINT) AS n_b
+                    FROM counts GROUP BY 1),
+            agg AS (
+              SELECT c.stratum, n_a, n_b,
+                     CAST(SUM(ABS(cuma * n_b - cumb * n_a)
+                              * (next_x - x)) AS BIGINT) AS w1_num
+              FROM cum c JOIN tot USING (stratum)
+              WHERE next_x IS NOT NULL
+              GROUP BY 1, 2, 3)
+            SELECT stratum, n_a, n_b, w1_num,
+                   (1000 * w1_num) // (n_a * n_b) AS w1_milli
+            FROM agg WHERE n_a > 0 AND n_b > 0 ORDER BY stratum
         """,
         "graph_voronoi": _graph_voronoi_oracle(),
         "growth_accounting": _GROWTH_ORACLE,

@@ -397,3 +397,76 @@ def ks_drift(
         "d_num",
         F.expr("d_num * 1000000 div (n_a * n_b)").alias("d_ppm"),
     )
+
+
+def wasserstein_drift(
+    df: DataFrame, stratum: str, is_a: Column, value: Column
+) -> DataFrame:
+    """Exact 1-Wasserstein (earth-mover) distance between two samples
+    per stratum: → (stratum, n_a, n_b, w1_num, w1_milli) where
+    W₁ = w1_num / (n_a·n_b) = ∫|F_A − F_B| over the value axis,
+    computed as Σ over consecutive distinct sample values of
+    |cumA·n_b − cumB·n_a| · (next_v − v) — pure int64 end to end.
+
+    KS (ks_drift) reports the WORST cdf gap; W₁ integrates the gap,
+    so it sees magnitude: a constant +10-unit shift moves W₁ by 10
+    but barely moves KS on wide distributions. Use both. w1_milli =
+    1000·w1_num div (n_a·n_b) expresses the distance in
+    thousandths of a value unit. Keep max|value|·n_a·n_b inside
+    int64 — rescale the measure beyond.
+
+    Same shape as ks_drift: one (stratum, value) count agg, one
+    per-stratum cumulative+lead window, one sum agg.
+    """
+    from pyspark.sql import Window
+
+    base = df.select(
+        F.col(stratum).alias("stratum"),
+        is_a.alias("ia"),
+        value.cast("long").alias("x"),
+    )
+    counts = base.groupBy("stratum", "x").agg(
+        F.sum(F.when(F.col("ia"), 1).otherwise(0)).alias("ca"),
+        F.sum(F.when(~F.col("ia"), 1).otherwise(0)).alias("cb"),
+    )
+    w = Window.partitionBy("stratum").orderBy("x")
+    cum = counts.select(
+        "stratum",
+        "x",
+        F.sum("ca").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias(
+            "cuma"
+        ),
+        F.sum("cb").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias(
+            "cumb"
+        ),
+        F.lead("x").over(w).alias("next_x"),
+    )
+    tot = counts.groupBy("stratum").agg(
+        F.sum("ca").alias("n_a"), F.sum("cb").alias("n_b")
+    )
+    seg = (
+        cum.where(F.col("next_x").isNotNull())
+        .join(tot, "stratum")
+        .select(
+            "stratum",
+            "n_a",
+            "n_b",
+            (
+                F.abs(
+                    F.col("cuma") * F.col("n_b")
+                    - F.col("cumb") * F.col("n_a")
+                )
+                * (F.col("next_x") - F.col("x"))
+            ).alias("term"),
+        )
+    )
+    agg = seg.groupBy("stratum", "n_a", "n_b").agg(
+        F.sum("term").alias("w1_num")
+    )
+    return agg.where((F.col("n_a") > 0) & (F.col("n_b") > 0)).select(
+        "stratum",
+        "n_a",
+        "n_b",
+        "w1_num",
+        F.expr("(1000 * w1_num) div (n_a * n_b)").alias("w1_milli"),
+    )

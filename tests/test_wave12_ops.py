@@ -59,3 +59,40 @@ def test_xml_roundtrip(spark, tmp_path):
     )
     # XML escaping round-trips special characters
     assert got == [(1, "alpha", 1.5), (2, "beta <&>", -3.0)]
+
+
+def test_wasserstein_drift_exact_shift(spark):
+    from det_module_spark.operators.quality import wasserstein_drift
+
+    # B is A shifted by +10: W1 = 10 exactly
+    a = [("g", True, v) for v in [1, 5, 9]]
+    b = [("g", False, v + 10) for v in [1, 5, 9]]
+    df = spark.createDataFrame(a + b, ["s", "ia", "x"])
+    [r] = wasserstein_drift(df, "s", F.col("ia"), F.col("x")).collect()
+    assert r["w1_milli"] == 10_000
+    # identical samples -> 0
+    same = [("g", True, v) for v in [2, 4]] + [
+        ("g", False, v) for v in [2, 4]
+    ]
+    [r2] = wasserstein_drift(
+        spark.createDataFrame(same, ["s", "ia", "x"]),
+        "s",
+        F.col("ia"),
+        F.col("x"),
+    ).collect()
+    assert r2["w1_num"] == 0
+
+
+def test_wasserstein_vs_ks_sensitivity(spark):
+    from det_module_spark.operators.quality import ks_drift
+    from det_module_spark.operators.quality import wasserstein_drift
+
+    # one far outlier: KS stays small (1/n gap), W1 grows with the
+    # distance — the two tests see different failure modes
+    a = [("g", True, v) for v in range(10)]
+    b = [("g", False, v) for v in range(9)] + [("g", False, 1000)]
+    df = spark.createDataFrame(a + b, ["s", "ia", "x"])
+    [k] = ks_drift(df, "s", F.col("ia"), F.col("x")).collect()
+    [w] = wasserstein_drift(df, "s", F.col("ia"), F.col("x")).collect()
+    assert k["d_ppm"] == 100_000  # 1/10
+    assert w["w1_milli"] > 50_000  # ~ (1000-9)/10 units
