@@ -5827,6 +5827,100 @@ def q_wasserstein_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("stratum")
 
 
+def _derived_urls(docs: DataFrame) -> DataFrame:
+    # deterministic messy-URL column derived from document fields:
+    # mixed-case schemes/hosts, www prefixes, default and non-default
+    # ports, duplicate and trailing slashes, tracking params,
+    # fragments — every class normalize_urls must handle. Residues of
+    # doc_id drive the variants so the oracle can rebuild the exact
+    # same strings.
+    d = F.col("doc_id")
+    scheme = F.when(d % 2 == 0, F.lit("HTTP://")).otherwise(
+        F.lit("https://")
+    )
+    www = F.when(d % 5 == 0, F.lit("WWW.")).otherwise(F.lit(""))
+    tld = F.when(d % 2 == 0, F.lit(".COM")).otherwise(F.lit(".org"))
+    port = (
+        F.when(d % 4 == 0, ":80")
+        .when(d % 4 == 1, ":443")
+        .when(d % 4 == 2, ":8080")
+        .otherwise("")
+    )
+    path = F.concat(
+        F.lit("/docs//"),
+        (d % 7).cast("string"),
+        F.when(d % 3 == 0, F.lit("/")).otherwise(F.lit("")),
+    )
+    qs = (
+        F.when(d % 3 == 0, "?utm_source=feed&b=2&a=1")
+        .when(d % 3 == 1, "?a=1&fbclid=XY")
+        .otherwise("")
+    )
+    frag = F.when(d % 6 == 0, F.lit("#sec2")).otherwise(F.lit(""))
+    return docs.select(
+        "doc_id",
+        F.concat(
+            scheme, www, F.col("source"), tld, port, path, qs, frag
+        ).alias("url"),
+    )
+
+
+def q_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # crawl-curation URL canonicalization: per canonical URL, how many
+    # raw spellings collapsed onto it. Pure codegen projection + one
+    # hash agg.
+    from det_module_spark.operators.web import normalize_urls
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        normalize_urls(_derived_urls(docs))
+        .groupBy("canonical", "domain")
+        .agg(
+            F.count(F.lit(1)).alias("n_urls"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .orderBy("canonical")
+    )
+
+
+def q_domain_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # per-registered-domain quota sampling over the canonicalized
+    # crawl: keep ≤3 docs per domain by deterministic md5 rank.
+    from det_module_spark.operators.web import domain_caps, normalize_urls
+
+    docs = load_table(spark, sf_dir, "documents")
+    urls = normalize_urls(_derived_urls(docs))
+    return domain_caps(
+        urls.select("doc_id", "domain"), cap=3
+    ).orderBy("domain")
+
+
+def q_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # CUPED covariate diagnostics per event type: unit = user, X =
+    # pre-period activity (days 1-15), Y = the rest; exact int64
+    # moments, variance-reduction fraction corr² in ppm.
+    from det_module_spark.operators.experiment import cuped_report
+
+    ev = _events(spark, sf_dir)
+    return cuped_report(
+        ev, "event_type", "user_id", F.dayofmonth("ts") < 16
+    ).orderBy("stratum")
+
+
+def q_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # t-closeness privacy audit over (source, lang) quasi-identifiers
+    # with the clamped length bucket as the ordered sensitive
+    # attribute; exact integer ordered-EMD, flagged at t=0.2.
+    from det_module_spark.operators.privacy import t_closeness_report
+
+    docs = load_table(spark, sf_dir, "documents")
+    return t_closeness_report(
+        docs,
+        ["source", "lang"],
+        F.expr("least(n_chars div 50, 20)"),
+    ).orderBy("source", "lang")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the reliability zonal extract (the aid-data triple) at
     sf0.001; driver checks rows>0."""
@@ -5853,6 +5947,10 @@ _ROTATION_R5 = [
     "basket_pairs",
     "dedup_embedding_cosine",
     # new this round — driver must check first
+    "url_normalize",
+    "domain_caps",
+    "cuped_adjust",
+    "t_closeness",
     "wasserstein_drift",
     "graph_voronoi",
     "growth_accounting",
@@ -5988,6 +6086,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # queries); the literal below keeps its grouping for readability.
     return _rotate({
         # --- round-5 additions ---
+        "url_normalize": q_url_normalize,
+        "domain_caps": q_domain_caps,
+        "cuped_adjust": q_cuped,
+        "t_closeness": q_t_closeness,
         "wasserstein_drift": q_wasserstein_drift,
         "graph_voronoi": q_graph_voronoi,
         "growth_accounting": q_growth_accounting,
@@ -6695,6 +6797,73 @@ def _graph_voronoi_oracle() -> str:
                  FROM customer WHERE c_custkey <= 3"""
     return nearest_seed_sql(edges, seeds, rounds=4) + "\nORDER BY node"
 
+
+# Shared URL canonicalization CTE chain (url_normalize/domain_caps):
+# rebuilds the exact derived-URL strings from documents, then mirrors
+# operators/web.normalize_urls step for step. DuckDB regexp_replace
+# needs the explicit 'g' flag (Spark's is global by default).
+_URL_CANON_CTE = """
+WITH raw AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 2 = 0 THEN 'HTTP://' ELSE 'https://' END ||
+    CASE WHEN doc_id % 5 = 0 THEN 'WWW.' ELSE '' END ||
+    source ||
+    CASE WHEN doc_id % 2 = 0 THEN '.COM' ELSE '.org' END ||
+    CASE doc_id % 4 WHEN 0 THEN ':80' WHEN 1 THEN ':443'
+         WHEN 2 THEN ':8080' ELSE '' END ||
+    '/docs//' || CAST(doc_id % 7 AS VARCHAR) ||
+    CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END ||
+    CASE doc_id % 3 WHEN 0 THEN '?utm_source=feed&b=2&a=1'
+         WHEN 1 THEN '?a=1&fbclid=XY' ELSE '' END ||
+    CASE WHEN doc_id % 6 = 0 THEN '#sec2' ELSE '' END AS url
+  FROM documents),
+parts AS (
+  SELECT doc_id,
+    lower(regexp_extract(url,
+          '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+    lower(regexp_extract(url,
+          '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS authority,
+    regexp_replace(regexp_extract(url,
+          '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1),
+          '/{2,}', '/', 'g') AS pc,
+    COALESCE(regexp_extract(url, '\\?([^#]*)', 1), '') AS qraw
+  FROM raw),
+hp AS (
+  SELECT *, regexp_extract(authority, '([^@]*)$', 1) AS hostport
+  FROM parts),
+hostparts AS (
+  SELECT doc_id, scheme, pc, qraw,
+    split_part(hostport, ':', 1) AS host_raw,
+    CASE WHEN strpos(hostport, ':') > 0
+         THEN regexp_extract(hostport, ':([^:]*)$', 1)
+         ELSE '' END AS port
+  FROM hp),
+norm AS (
+  SELECT doc_id, scheme,
+    CASE WHEN port <> '' AND NOT ((scheme = 'http' AND port = '80')
+              OR (scheme = 'https' AND port = '443'))
+         THEN host_raw || ':' || port ELSE host_raw END AS host,
+    CASE WHEN pc = '' THEN '/'
+         WHEN length(pc) > 1 AND pc LIKE '%/'
+         THEN substr(pc, 1, length(pc) - 1)
+         ELSE pc END AS path,
+    COALESCE(array_to_string(list_sort(list_filter(
+      CASE WHEN qraw = '' THEN CAST([] AS VARCHAR[])
+           ELSE string_split(qraw, '&') END,
+      p -> p <> '' AND NOT (starts_with(split_part(p, '=', 1), 'utm_')
+            OR split_part(p, '=', 1) IN
+               ('fbclid', 'gclid', 'ref', 'mc_cid', 'mc_eid')))),
+      '&'), '') AS query,
+    CASE WHEN regexp_matches(host_raw, '[^.]+\\.[^.]+$')
+         THEN regexp_extract(host_raw, '([^.]+\\.[^.]+)$', 1)
+         ELSE host_raw END AS domain
+  FROM hostparts),
+canon AS (
+  SELECT doc_id, domain,
+    scheme || '://' || host || path ||
+    CASE WHEN query = '' THEN '' ELSE '?' || query END AS canonical
+  FROM norm)
+"""
 
 _GROWTH_ORACLE = """
 WITH active AS (
@@ -8791,6 +8960,111 @@ QUALIFY ROW_NUMBER() OVER (
               AND o_orderdate < TIMESTAMP '1997-01-01'
             GROUP BY n_name
             ORDER BY revenue_c4 DESC, n_name
+        """,
+        "url_normalize": _URL_CANON_CTE
+        + """
+            SELECT canonical, domain,
+                   CAST(COUNT(*) AS BIGINT) AS n_urls,
+                   MIN(doc_id) AS first_doc
+            FROM canon GROUP BY 1, 2 ORDER BY canonical
+        """,
+        "domain_caps": _URL_CANON_CTE
+        + """
+            , ranked AS (
+              SELECT domain, doc_id,
+                     ROW_NUMBER() OVER (PARTITION BY domain
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+                       AS rk
+              FROM canon)
+            SELECT domain, CAST(COUNT(*) AS BIGINT) AS n_total,
+                   CAST(SUM(CASE WHEN rk <= 3 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_kept,
+                   string_agg(CASE WHEN rk <= 3
+                              THEN CAST(doc_id AS VARCHAR) END,
+                              ',' ORDER BY doc_id) AS kept_ids
+            FROM ranked GROUP BY domain ORDER BY domain
+        """,
+        "cuped_adjust": """
+            WITH per_unit AS (
+              SELECT event_type AS stratum, user_id AS unit,
+                     CAST(SUM(CASE WHEN day(ts) < 16 THEN 1 ELSE 0 END)
+                          AS BIGINT) AS x,
+                     CAST(SUM(CASE WHEN day(ts) < 16 THEN 0 ELSE 1 END)
+                          AS BIGINT) AS y
+              FROM events GROUP BY 1, 2),
+            m AS (
+              SELECT stratum, CAST(COUNT(*) AS BIGINT) AS n_units,
+                     CAST(SUM(x) AS BIGINT) AS sx,
+                     CAST(SUM(y) AS BIGINT) AS sy,
+                     CAST(SUM(x * y) AS BIGINT) AS sxy,
+                     CAST(SUM(x * x) AS BIGINT) AS sxx,
+                     CAST(SUM(y * y) AS BIGINT) AS syy
+              FROM per_unit GROUP BY 1),
+            nums AS (
+              SELECT stratum, n_units,
+                     n_units * sxy - sx * sy AS cov_num,
+                     n_units * sxx - sx * sx AS varx_num,
+                     n_units * syy - sy * sy AS vary_num
+              FROM m)
+            SELECT stratum, n_units, cov_num, varx_num, vary_num,
+                   CASE WHEN varx_num > 0 THEN CAST(FLOOR(
+                     1000000.0 * CAST(cov_num AS DOUBLE)
+                     / CAST(varx_num AS DOUBLE) + 0.5) AS BIGINT)
+                   END AS theta_ppm,
+                   CASE WHEN varx_num > 0 AND vary_num > 0
+                   THEN CAST(FLOOR(
+                     1000000.0 * CAST(cov_num AS DOUBLE)
+                     * CAST(cov_num AS DOUBLE)
+                     / (CAST(varx_num AS DOUBLE)
+                        * CAST(vary_num AS DOUBLE)) + 0.5) AS BIGINT)
+                   END AS varred_ppm
+            FROM nums ORDER BY stratum
+        """,
+        "t_closeness": """
+            WITH base AS (
+              SELECT source, lang, LEAST(n_chars // 50, 20) AS lvl
+              FROM documents WHERE n_chars IS NOT NULL),
+            cells AS (
+              SELECT source, lang, lvl, CAST(COUNT(*) AS BIGINT) AS c
+              FROM base GROUP BY 1, 2, 3),
+            grp AS (
+              SELECT source, lang, CAST(SUM(c) AS BIGINT) AS n_g
+              FROM cells GROUP BY 1, 2),
+            levels AS (
+              SELECT lvl, CAST(COUNT(*) AS BIGINT) AS c_all
+              FROM base GROUP BY 1),
+            tot AS (
+              SELECT CAST(SUM(c_all) AS BIGINT) AS n_all,
+                     CAST(COUNT(*) AS BIGINT) AS m,
+                     MAX(lvl) AS max_lvl
+              FROM levels),
+            grid AS (
+              SELECT g.source, g.lang, l.lvl, g.n_g,
+                     COALESCE(c.c, 0) AS c, l.c_all
+              FROM grp g CROSS JOIN levels l
+              LEFT JOIN cells c ON c.source = g.source
+                   AND c.lang = g.lang AND c.lvl = l.lvl),
+            cum AS (
+              SELECT source, lang, lvl, n_g,
+                     CAST(SUM(c) OVER w AS BIGINT) AS cum_g,
+                     CAST(SUM(c_all) OVER w AS BIGINT) AS cum_all
+              FROM grid
+              WINDOW w AS (PARTITION BY source, lang ORDER BY lvl
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW)),
+            emd AS (
+              SELECT source, lang, n_g, n_all, m,
+                     CAST(SUM(ABS(cum_g * n_all - cum_all * n_g))
+                          AS BIGINT) AS emd_num
+              FROM cum CROSS JOIN tot
+              WHERE lvl < max_lvl
+              GROUP BY 1, 2, 3, 4, 5)
+            SELECT source, lang, n_g AS n_rows, emd_num,
+                   emd_num * 1000000 // ((m - 1) * n_g * n_all)
+                     AS emd_ppm,
+                   emd_num * 1000000 // ((m - 1) * n_g * n_all)
+                     > 200000 AS is_risky
+            FROM emd ORDER BY source, lang
         """,
         "wasserstein_drift": """
             WITH base AS (

@@ -19,7 +19,7 @@ Both are pure Column expressions / single aggregations:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -132,3 +132,97 @@ def dp_noisy_counts(
             (F.col("__n") + (u1 - u2)).cast("long").alias("noisy_count"),
         )
     )
+
+
+def t_closeness_report(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive: Column,
+    t_ppm: int = 200000,
+) -> DataFrame:
+    """t-closeness audit (Li et al., ICDE 2007) for an ORDERED
+    sensitive attribute: per quasi-identifier group, the Earth-Mover
+    Distance between the group's sensitive-value distribution and the
+    whole table's, under the ordered-distance ground metric the paper
+    prescribes for numeric attributes:
+
+        EMD(g) = (1/(m−1)) · Σ_{i<m} |CumP_g(i) − CumP_all(i)|
+
+    over the m distinct sensitive levels. k-anonymity bounds group
+    SIZE and l-diversity bounds VARIETY; t-closeness is the stricter
+    gate — a group can be large and varied yet still leak ("everyone
+    in this zip code has unusually low values"). A release passes when
+    every group's EMD ≤ t.
+
+    Exact integer arithmetic: with group size n_g, table size N and
+    level counts c, CumP_g·N − CumP_all·n_g is int64, so
+    emd_num = Σ|cum_g·N − cum_all·n_g| is exact and
+    emd_ppm = 10⁶·emd_num div ((m−1)·n_g·N). Keep n_g·N·m inside
+    int64 — quantize/clamp the sensitive attribute to a bounded level
+    domain first (that clamp, not the data, bounds m).
+
+    Shape: one (group, level) count agg, one per-group cumulative
+    window over ≤ m rows per group (after a dense level grid fills
+    absent levels with 0 — absent levels still move the cumulative
+    gap), one final agg. The level grid is bounded by the clamp, so
+    its build side is broadcast-safe by construction.
+
+    → (quasi..., n_rows, emd_num, emd_ppm, is_risky).
+    """
+    from pyspark.sql import Window
+
+    base = df.select(
+        *[F.col(c) for c in quasi_cols], sensitive.alias("lvl")
+    ).where(F.col("lvl").isNotNull())
+    cells = base.groupBy(*quasi_cols, "lvl").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    groups = cells.groupBy(*quasi_cols).agg(F.sum("c").alias("n_g"))
+    levels = base.groupBy("lvl").agg(F.count(F.lit(1)).alias("c_all"))
+    # dense (group × level) grid: bounded by the caller's clamp
+    grid = groups.crossJoin(F.broadcast(levels.select("lvl"))).join(
+        cells, [*quasi_cols, "lvl"], "left"
+    )
+    tot = levels.agg(
+        F.sum("c_all").alias("n_all"),
+        F.count(F.lit(1)).alias("m"),
+        F.max("lvl").alias("max_lvl"),
+    )
+    w = (
+        Window.partitionBy(*quasi_cols)
+        .orderBy("lvl")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = (
+        grid.join(F.broadcast(levels), "lvl")
+        .select(
+            *quasi_cols,
+            "lvl",
+            "n_g",
+            F.sum(F.coalesce(F.col("c"), F.lit(0))).over(w).alias(
+                "cum_g"
+            ),
+            F.sum("c_all").over(w).alias("cum_all"),
+        )
+        .crossJoin(F.broadcast(tot))
+    )
+    emd = (
+        cum.where(F.col("lvl") < F.col("max_lvl"))
+        .groupBy(*quasi_cols, "n_g", "n_all", "m")
+        .agg(
+            F.sum(
+                F.abs(
+                    F.col("cum_g") * F.col("n_all")
+                    - F.col("cum_all") * F.col("n_g")
+                )
+            ).alias("emd_num")
+        )
+    )
+    return emd.select(
+        *quasi_cols,
+        F.col("n_g").alias("n_rows"),
+        "emd_num",
+        F.expr(
+            "emd_num * 1000000 div ((m - 1) * n_g * n_all)"
+        ).alias("emd_ppm"),
+    ).withColumn("is_risky", F.col("emd_ppm") > t_ppm)

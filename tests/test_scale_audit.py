@@ -79,6 +79,8 @@ ALLOWED_NESTED_LOOP = {
     "matryoshka_audit": "query-vector frame (1 row) + k-row top-k frames",
     "temporal_split": "1-row user-overlap scalar",
     "growth_accounting": "1-row max-day scalar for the churn horizon",
+    "t_closeness": "sensitive-level grid (bounded by the caller's clamp, "
+    "docstring contract) + 1-row totals scalar",
     "corpus_pipeline_v2": "top-k weight-threshold scalar (1 row, via dsir_select)",
 }
 
@@ -196,6 +198,12 @@ BROADCAST_WHITELIST = {
     "det_module_spark/operators/anomaly.py": (
         1,
         "seasonal baseline: one row per (key, hour-of-week) bucket",
+    ),
+    "det_module_spark/operators/privacy.py": (
+        3,
+        "t_closeness level grid: bounded by the caller's clamp on the "
+        "sensitive attribute (docstring contract, entry query clamps to "
+        "<=21 levels) + 1-row totals scalar",
     ),
     "det_module_spark/operators/sampling.py": (
         1,
