@@ -5921,6 +5921,57 @@ def q_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("source", "lang")
 
 
+def q_item_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # item-item cosine collaborative filtering over the (user, item)
+    # incidence from the props payload; per-user fanout capped.
+    from det_module_spark.operators.cf import item_item_cf
+
+    ev = _events(spark, sf_dir)
+    inter = ev.select(
+        "user_id",
+        F.get_json_object("props", "$.k")
+        .cast("long")
+        .cast("string")
+        .alias("item"),
+    ).where(F.col("item").isNotNull())
+    return item_item_cf(
+        inter, "user_id", "item", k=5, max_items_per_user=50
+    ).orderBy("item_a", "rk")
+
+
+def q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # KM survival of per-topic engagement: a unit is a (event_type,
+    # user) pair, its lifetime the span between first and last
+    # activity of that type; death = silent for >=3 days before the
+    # window edge, still-active units are right-censored. Integer
+    # log-space survival curve.
+    from det_module_spark.operators.survival import kaplan_meier
+
+    ev = _events(spark, sf_dir)
+    return kaplan_meier(
+        ev,
+        F.col("event_type"),
+        "user_id",
+        F.expr("datediff(CAST(ts AS DATE), DATE '1970-01-01')"),
+        horizon_days=3,
+    ).orderBy("cohort", "t")
+
+
+def q_hilbert_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Hilbert layout key beside zorder_key: the staged per-bit
+    # recurrence, exhaustively adjacency-tested in pytest.
+    from det_module_spark.operators.layout import hilbert_by
+
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        (F.col("p_partkey") % 256).alias("x"),
+        ((F.col("p_size") * 5) % 256).alias("y"),
+    )
+    return hilbert_by(part, "x", "y", bits=8).orderBy(
+        "hkey", "p_partkey"
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the reliability zonal extract (the aid-data triple) at
     sf0.001; driver checks rows>0."""
@@ -5947,6 +5998,9 @@ _ROTATION_R5 = [
     "basket_pairs",
     "dedup_embedding_cosine",
     # new this round — driver must check first
+    "item_cf",
+    "kaplan_meier",
+    "hilbert_key",
     "url_normalize",
     "domain_caps",
     "cuped_adjust",
@@ -6086,6 +6140,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # queries); the literal below keeps its grouping for readability.
     return _rotate({
         # --- round-5 additions ---
+        "item_cf": q_item_cf,
+        "kaplan_meier": q_kaplan_meier,
+        "hilbert_key": q_hilbert_key,
         "url_normalize": q_url_normalize,
         "domain_caps": q_domain_caps,
         "cuped_adjust": q_cuped,
@@ -6796,6 +6853,19 @@ def _graph_voronoi_oracle() -> str:
     seeds = """SELECT 'c' || CAST(c_custkey AS VARCHAR) AS node
                  FROM customer WHERE c_custkey <= 3"""
     return nearest_seed_sql(edges, seeds, rounds=4) + "\nORDER BY node"
+
+
+def _hilbert_oracle() -> str:
+    from det_module_spark.operators.layout import hilbert_sql
+
+    base = (
+        "SELECT p_partkey, p_partkey % 256 AS x,"
+        " (p_size * 5) % 256 AS y FROM part"
+    )
+    return (
+        hilbert_sql(base, ["p_partkey", "x", "y"], "x", "y", bits=8)
+        + "\nORDER BY hkey, p_partkey"
+    )
 
 
 # Shared URL canonicalization CTE chain (url_normalize/domain_caps):
@@ -8961,6 +9031,94 @@ QUALIFY ROW_NUMBER() OVER (
             GROUP BY n_name
             ORDER BY revenue_c4 DESC, n_name
         """,
+        "item_cf": """
+            WITH inc AS (
+              SELECT DISTINCT user_id AS u,
+                     CAST(CAST(json_extract_string(props, '$.k')
+                          AS BIGINT) AS VARCHAR) AS i
+              FROM events
+              WHERE json_extract_string(props, '$.k') IS NOT NULL),
+            capped AS (
+              SELECT u, i FROM (
+                SELECT u, i, ROW_NUMBER() OVER (
+                  PARTITION BY u ORDER BY md5(i), i) AS r
+                FROM inc)
+              WHERE r <= 50),
+            item_n AS (
+              SELECT i, CAST(COUNT(*) AS BIGINT) AS n
+              FROM capped GROUP BY 1),
+            pairs AS (
+              SELECT a.i AS ia, b.i AS ib,
+                     CAST(COUNT(*) AS BIGINT) AS n_both
+              FROM capped a JOIN capped b
+                ON a.u = b.u AND a.i < b.i
+              GROUP BY 1, 2),
+            sym AS (
+              SELECT ia, ib, n_both FROM pairs
+              UNION ALL
+              SELECT ib, ia, n_both FROM pairs),
+            scored AS (
+              SELECT ia, ib, n_both, na.n AS n_a, nb.n AS n_b,
+                     CAST(FLOOR(1000000.0 * CAST(n_both AS DOUBLE)
+                          / sqrt(CAST(na.n * nb.n AS DOUBLE)) + 0.5)
+                          AS BIGINT) AS cos_ppm
+              FROM sym
+              JOIN item_n na ON sym.ia = na.i
+              JOIN item_n nb ON sym.ib = nb.i),
+            ranked AS (
+              SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY ia ORDER BY cos_ppm DESC, ib) AS rk
+              FROM scored)
+            SELECT ia AS item_a, ib AS item_b, n_both, n_a, n_b,
+                   cos_ppm, rk
+            FROM ranked WHERE rk <= 5 ORDER BY item_a, rk
+        """,
+        "kaplan_meier": """
+            WITH per_unit AS (
+              SELECT event_type AS cohort,
+                     user_id AS u,
+                     MIN(CAST(ts AS DATE) - DATE '1970-01-01')
+                       AS first_d,
+                     MAX(CAST(ts AS DATE) - DATE '1970-01-01')
+                       AS last_d
+              FROM events GROUP BY 1, 2),
+            mx AS (SELECT MAX(last_d) AS mx FROM per_unit),
+            lifetimes AS (
+              SELECT cohort, last_d - first_d AS t,
+                     CASE WHEN last_d + 3 <= mx THEN 1 ELSE 0 END
+                       AS dead
+              FROM per_unit CROSS JOIN mx),
+            cells AS (
+              SELECT cohort, t, CAST(COUNT(*) AS BIGINT) AS ending,
+                     CAST(SUM(dead) AS BIGINT) AS n_events
+              FROM lifetimes GROUP BY 1, 2),
+            at_risk AS (
+              SELECT cohort, t, n_events,
+                     CAST(SUM(ending) OVER (PARTITION BY cohort
+                       ORDER BY t DESC ROWS BETWEEN UNBOUNDED
+                       PRECEDING AND CURRENT ROW) AS BIGINT) AS n_risk
+              FROM cells),
+            steps AS (
+              SELECT cohort, t, n_risk, n_events,
+                     CAST(FLOOR(1000000.0
+                       * ln(CAST(n_risk - n_events AS DOUBLE)
+                            / CAST(n_risk AS DOUBLE)) + 0.5)
+                       AS BIGINT) AS term
+              FROM at_risk
+              WHERE n_events > 0 AND n_events < n_risk),
+            curve AS (
+              SELECT cohort, t, n_risk, n_events,
+                     CAST(SUM(term) OVER (PARTITION BY cohort
+                       ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS BIGINT) AS ln_s_micro
+              FROM steps)
+            SELECT cohort, t, n_risk, n_events, ln_s_micro,
+                   CAST(FLOOR(1000000.0
+                     * exp(CAST(ln_s_micro AS DOUBLE) / 1000000.0)
+                     + 0.5) AS BIGINT) AS surv_ppm
+            FROM curve ORDER BY cohort, t
+        """,
+        "hilbert_key": _hilbert_oracle(),
         "url_normalize": _URL_CANON_CTE
         + """
             SELECT canonical, domain,

@@ -156,3 +156,133 @@ def rendezvous_draw_sql(key_expr: str, shard: str, seed: str = "hrw") -> str:
         f"'{seed}', CAST({key_expr} AS VARCHAR), "
         f"CAST({shard} AS VARCHAR))), 1, 15)) AS BIGINT)"
     )
+
+
+# ---------------------------------------------------------------------------
+# Hilbert curve: the better space-filling layout key
+# ---------------------------------------------------------------------------
+
+def hilbert_by(
+    df: DataFrame,
+    x: str,
+    y: str,
+    bits: int = 8,
+    key_col: str = "hkey",
+) -> DataFrame:
+    """Add a Hilbert-curve index over the low ``bits`` bits of (x, y).
+
+    Z-order (``morton_key``) is cheap but has long diagonal jumps at
+    quadrant boundaries; the Hilbert curve is fully adjacent (every
+    consecutive key step moves one cell), so equal-size key ranges
+    cover tighter rectangles — measurably better file-stat pruning at
+    the same sort cost (the curve choice ClickHouse/Databricks expose
+    as an alternative to Z-order).
+
+    Per-bit recurrence, mod-reduced so every intermediate stays
+    non-negative (floor-div/mod are then portable across engines,
+    no signed bit-twiddling):
+
+        rx, ry = x div s, y div s        (x, y < 2s invariant)
+        x, y   = x mod s, y mod s
+        d     += s²·((3·rx) xor ry)      xor via 3rx + ry − 2·rx·ry
+        if ry = 0: reflect (if rx = 1) then swap x, y
+
+    Unrolled into one ``select`` per bit level — staged projections,
+    not one giant nested expression (ROUND_NOTES playbook #15). The
+    adjacency property is exhaustively unit-tested against a pure-
+    Python reference.
+    """
+    out = df.select(
+        "*",
+        F.pmod(F.col(x).cast("long"), F.lit(1 << bits)).alias("_hx"),
+        F.pmod(F.col(y).cast("long"), F.lit(1 << bits)).alias("_hy"),
+        F.lit(0).cast("long").alias(key_col),
+    )
+    s = 1 << (bits - 1)
+    while s > 0:
+        rx = F.expr(f"_hx div {s}")
+        ry = F.expr(f"_hy div {s}")
+        xm = F.col("_hx") % s
+        ym = F.col("_hy") % s
+        d = F.col(key_col) + F.lit(s * s) * (
+            3 * rx + ry - 2 * rx * ry
+        )
+        nx = F.when(
+            ry == 0,
+            F.when(rx == 1, F.lit(s - 1) - ym).otherwise(ym),
+        ).otherwise(xm)
+        ny = F.when(
+            ry == 0,
+            F.when(rx == 1, F.lit(s - 1) - xm).otherwise(xm),
+        ).otherwise(ym)
+        keep = [c for c in out.columns if c not in ("_hx", "_hy", key_col)]
+        out = out.select(
+            *keep,
+            nx.alias("_hx"),
+            ny.alias("_hy"),
+            d.alias(key_col),
+        )
+        s >>= 1
+    return out.drop("_hx", "_hy")
+
+
+def hilbert_xy2d(bits: int, x: int, y: int) -> int:
+    """Pure-Python reference for tests: identical recurrence."""
+    d = 0
+    s = 1 << (bits - 1)
+    x, y = x % (1 << bits), y % (1 << bits)
+    while s > 0:
+        rx, ry = x // s, y // s
+        x, y = x % s, y % s
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x, y = s - 1 - x, s - 1 - y
+            x, y = y, x
+        s >>= 1
+    return d
+
+
+def hilbert_sql(
+    base: str,
+    keys: list[str],
+    x_expr: str,
+    y_expr: str,
+    bits: int = 8,
+    key_col: str = "hkey",
+) -> str:
+    """The identical Hilbert recurrence as a chained-CTE SQL query
+    (DuckDB dialect: // floor-division is exact on the non-negative
+    intermediates the mod-reduction guarantees). ``base`` is a SQL
+    relation providing the passthrough ``keys``; one CTE per bit
+    level, so the oracle plans linearly instead of nesting 4^bits
+    expression copies."""
+    cols = ", ".join(keys)
+    parts = [
+        f"WITH h{bits} AS (\n  SELECT {cols},"
+        f" ({x_expr}) % {1 << bits} AS hx,"
+        f" ({y_expr}) % {1 << bits} AS hy,"
+        f" CAST(0 AS BIGINT) AS {key_col}\n  FROM ({base}))"
+    ]
+    s = 1 << (bits - 1)
+    lvl = bits
+    while s > 0:
+        rx = f"(hx // {s})"
+        ry = f"(hy // {s})"
+        parts.append(
+            f"h{lvl - 1} AS (\n  SELECT {cols},\n"
+            f"    CASE WHEN {ry} = 0 THEN (CASE WHEN {rx} = 1"
+            f" THEN {s - 1} - (hy % {s}) ELSE hy % {s} END)"
+            f" ELSE hx % {s} END AS hx,\n"
+            f"    CASE WHEN {ry} = 0 THEN (CASE WHEN {rx} = 1"
+            f" THEN {s - 1} - (hx % {s}) ELSE hx % {s} END)"
+            f" ELSE hy % {s} END AS hy,\n"
+            f"    {key_col} + {s * s} * (3 * {rx} + {ry}"
+            f" - 2 * {rx} * {ry}) AS {key_col}\n  FROM h{lvl})"
+        )
+        s >>= 1
+        lvl -= 1
+    return (
+        ",\n".join(parts)
+        + f"\nSELECT {cols}, {key_col} FROM h0"
+    )

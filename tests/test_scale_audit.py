@@ -81,6 +81,7 @@ ALLOWED_NESTED_LOOP = {
     "growth_accounting": "1-row max-day scalar for the churn horizon",
     "t_closeness": "sensitive-level grid (bounded by the caller's clamp, "
     "docstring contract) + 1-row totals scalar",
+    "kaplan_meier": "1-row global max-day scalar for the censoring edge",
     "corpus_pipeline_v2": "top-k weight-threshold scalar (1 row, via dsir_select)",
 }
 
@@ -198,6 +199,10 @@ BROADCAST_WHITELIST = {
     "det_module_spark/operators/anomaly.py": (
         1,
         "seasonal baseline: one row per (key, hour-of-week) bucket",
+    ),
+    "det_module_spark/operators/survival.py": (
+        1,
+        "kaplan_meier global max-day: 1-row aggregate scalar",
     ),
     "det_module_spark/operators/privacy.py": (
         3,
