@@ -5972,6 +5972,58 @@ def q_hilbert_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_markov_ksteps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # 4-step transition reach: integer ppm matrix raised by two
+    # join-squarings (log2 k shuffles over |states|^2 frames).
+    from det_module_spark.operators.sequence import (
+        markov_power,
+        transition_matrix_ppm,
+    )
+
+    ev = _events(spark, sf_dir)
+    p1 = transition_matrix_ppm(ev)
+    return markov_power(p1, 4).orderBy("from_state", "to_state")
+
+
+def q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # content-defined chunking + per-source storage-dedup report:
+    # boundaries from the word hash, so chunk hashes survive edits.
+    from det_module_spark.operators.chunking import (
+        chunk_dedup_report,
+        content_defined_chunks,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = content_defined_chunks(docs, modulus=8)
+    src = docs.select(F.col("doc_id").alias("id"), "source")
+    return chunk_dedup_report(chunks, src).orderBy("source")
+
+
+def q_json_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # schema inference over a flat-JSON feed: per (key, inferred
+    # type) presence counts + a deterministic example. The payload is
+    # the props object enriched with a deterministically typed extra
+    # key so every vtype branch is exercised.
+    from det_module_spark.operators.semistructured import (
+        json_key_profile,
+    )
+
+    ev = _events(spark, sf_dir)
+    opt = (
+        F.when(F.col("event_id") % 5 == 0, ', "opt": null')
+        .when(F.col("event_id") % 5 == 1, ', "opt": true')
+        .when(F.col("event_id") % 5 == 2, ', "opt": 1.5')
+        .when(F.col("event_id") % 5 == 3, ', "opt": "s"')
+        .otherwise("")
+    )
+    payload = ev.select(
+        F.concat(
+            F.expr("rtrim('}', props)"), opt, F.lit("}")
+        ).alias("j")
+    )
+    return json_key_profile(payload, "j").orderBy("key", "vtype")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the reliability zonal extract (the aid-data triple) at
     sf0.001; driver checks rows>0."""
@@ -5998,6 +6050,9 @@ _ROTATION_R5 = [
     "basket_pairs",
     "dedup_embedding_cosine",
     # new this round — driver must check first
+    "markov_ksteps",
+    "cdc_chunks",
+    "json_schema",
     "item_cf",
     "kaplan_meier",
     "hilbert_key",
@@ -6140,6 +6195,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # queries); the literal below keeps its grouping for readability.
     return _rotate({
         # --- round-5 additions ---
+        "markov_ksteps": q_markov_ksteps,
+        "cdc_chunks": q_cdc_chunks,
+        "json_schema": q_json_schema,
         "item_cf": q_item_cf,
         "kaplan_meier": q_kaplan_meier,
         "hilbert_key": q_hilbert_key,
@@ -9030,6 +9088,106 @@ QUALIFY ROW_NUMBER() OVER (
               AND o_orderdate < TIMESTAMP '1997-01-01'
             GROUP BY n_name
             ORDER BY revenue_c4 DESC, n_name
+        """,
+        "markov_ksteps": """
+            WITH seq AS (
+              SELECT event_type AS from_state,
+                     LEAD(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id)
+                       AS to_state
+              FROM events),
+            cnt AS (
+              SELECT from_state, to_state,
+                     CAST(COUNT(*) AS BIGINT) AS n
+              FROM seq WHERE to_state IS NOT NULL GROUP BY 1, 2),
+            p1 AS (
+              SELECT from_state, to_state,
+                     n * 1000000 // CAST(SUM(n) OVER (
+                       PARTITION BY from_state) AS BIGINT) AS p_ppm
+              FROM cnt),
+            p2 AS (
+              SELECT a.from_state, b.to_state,
+                     CAST(SUM(a.p_ppm * b.p_ppm) // 1000000
+                          AS BIGINT) AS p_ppm
+              FROM p1 a JOIN p1 b ON a.to_state = b.from_state
+              GROUP BY 1, 2),
+            p4 AS (
+              SELECT a.from_state, b.to_state,
+                     CAST(SUM(a.p_ppm * b.p_ppm) // 1000000
+                          AS BIGINT) AS p_ppm
+              FROM p2 a JOIN p2 b ON a.to_state = b.from_state
+              GROUP BY 1, 2)
+            SELECT from_state, to_state, p_ppm
+            FROM p4 ORDER BY 1, 2
+        """,
+        "cdc_chunks": """
+            WITH toks AS (
+              SELECT doc_id, source, string_split(text, ' ') AS l
+              FROM documents),
+            words AS (
+              SELECT doc_id, source,
+                     unnest(range(1, len(l) + 1)) AS pos,
+                     unnest(l) AS w
+              FROM toks),
+            flagged AS (
+              SELECT doc_id, source, pos, w,
+                     CASE WHEN pos > 1 AND
+                          CAST(concat('0x', substr(md5(w), 1, 15))
+                               AS BIGINT) % 8 = 0
+                     THEN 1 ELSE 0 END AS b
+              FROM words),
+            chunked AS (
+              SELECT doc_id, source, pos, w,
+                     SUM(b) OVER (PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT
+                       ROW) AS chunk_id
+              FROM flagged),
+            chunks AS (
+              SELECT doc_id, source,
+                     md5(string_agg(w, ' ' ORDER BY pos))
+                       AS chunk_hash
+              FROM chunked GROUP BY doc_id, source, chunk_id)
+            SELECT source, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+                   CAST(COUNT(DISTINCT chunk_hash) AS BIGINT)
+                     AS n_distinct,
+                   (CAST(COUNT(*) AS BIGINT)
+                    - CAST(COUNT(DISTINCT chunk_hash) AS BIGINT))
+                   * 1000000 // CAST(COUNT(*) AS BIGINT) AS dup_ppm
+            FROM chunks GROUP BY source ORDER BY source
+        """,
+        "json_schema": """
+            WITH payload AS (
+              SELECT rtrim(props, '}') ||
+                     CASE WHEN event_id % 5 = 0 THEN ', "opt": null'
+                          WHEN event_id % 5 = 1 THEN ', "opt": true'
+                          WHEN event_id % 5 = 2 THEN ', "opt": 1.5'
+                          WHEN event_id % 5 = 3 THEN ', "opt": "s"'
+                          ELSE '' END || '}' AS j
+              FROM events),
+            m AS (
+              SELECT unnest(regexp_extract_all(j,
+                '"([^"]+)"\\s*:\\s*("(?:[^"\\\\]|\\\\.)*"|[^,}]+)', 0))
+                AS m
+              FROM payload),
+            typed AS (
+              SELECT regexp_extract(m, '^"([^"]+)"', 1) AS key,
+                     trim(regexp_extract(m, ':\\s*(.*)$', 1)) AS val
+              FROM m),
+            cls AS (
+              SELECT key, val,
+                     CASE WHEN val = 'null' THEN 'null'
+                          WHEN val IN ('true', 'false') THEN 'bool'
+                          WHEN regexp_matches(val, '^-?[0-9]+$')
+                            THEN 'int'
+                          WHEN regexp_matches(val,
+                            '^-?[0-9]*\\.[0-9]+([eE][+-]?[0-9]+)?$')
+                            THEN 'float'
+                          WHEN starts_with(val, '"') THEN 'string'
+                          ELSE 'other' END AS vtype
+              FROM typed)
+            SELECT key, vtype, CAST(COUNT(*) AS BIGINT) AS n,
+                   MIN(val) AS example
+            FROM cls GROUP BY 1, 2 ORDER BY key, vtype
         """,
         "item_cf": """
             WITH inc AS (

@@ -116,3 +116,86 @@ def pack_sequences(
         .alias("bin_end"),
         (F.col("cum_before") % budget).alias("bin_offset"),
     )
+
+
+def content_defined_chunks(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    modulus: int = 8,
+) -> DataFrame:
+    """Content-defined chunking (the rsync/LBFS trick at word
+    granularity): a word whose stable hash ≡ 0 (mod ``modulus``)
+    OPENS a new chunk, so chunk boundaries depend only on local
+    content — insert one word at the front of a document and every
+    chunk except the first is still byte-identical, which is what
+    makes chunk-hash dedup robust to shifts (fixed-size chunking
+    loses every boundary after an edit). Expected chunk length is
+    geometric with mean ``modulus`` words.
+
+    → (id, chunk_id, n_words, chunk_hash) — chunk_hash is md5 of the
+    space-joined chunk, the storage-dedup key.
+
+    Shape: split + posexplode (work ∝ corpus words, partitioned by
+    document), one per-doc cumulative window for chunk ids, one hash
+    agg reassembling chunks (array_sort of (pos, word) structs — no
+    ordering assumption on collect_list).
+    """
+    from det_module_spark.operators.dedup import stable_hash64
+
+    words = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "w"),
+    )
+    flagged = words.withColumn(
+        "b",
+        (
+            (stable_hash64(F.col("w")) % modulus == 0)
+            & (F.col("pos") > 0)
+        ).cast("long"),
+    )
+    wcum = (
+        Window.partitionBy("id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    chunked = flagged.withColumn("chunk_id", F.sum("b").over(wcum))
+    return (
+        chunked.groupBy("id", "chunk_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("pos", "w"))
+                        ),
+                        lambda s: s["w"],
+                    ),
+                    " ",
+                )
+            ).alias("chunk_hash"),
+        )
+    )
+
+
+def chunk_dedup_report(chunks: DataFrame, source: DataFrame) -> DataFrame:
+    """Per-source storage-dedup diagnostic over CDC chunks:
+    → (source, n_chunks, n_distinct, dup_ppm). ``source`` maps
+    (id → source). Two hash aggs."""
+    joined = chunks.join(source, "id")
+    return (
+        joined.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.countDistinct("chunk_hash").alias("n_distinct"),
+        )
+        .select(
+            "source",
+            "n_chunks",
+            "n_distinct",
+            F.expr(
+                "(n_chunks - n_distinct) * 1000000 div n_chunks"
+            ).alias("dup_ppm"),
+        )
+    )

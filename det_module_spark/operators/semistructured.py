@@ -105,3 +105,45 @@ def kv_records(
         F.substr(F.col("_part"), F.lit(1), pos - 1).alias("k"),
         F.substr(F.col("_part"), pos + len(kv_sep)).alias("v"),
     )
+
+
+def json_key_profile(df: DataFrame, json_col: str) -> DataFrame:
+    """Schema inference over a corpus of FLAT JSON objects: per key
+    and inferred value type → (key, vtype, n, example) where vtype ∈
+    {null, bool, int, float, string, other} and example is the
+    lexicographic MIN of the raw value text (deterministic).
+
+    The pre-ingestion profiling step for a semi-structured feed:
+    which keys exist, how often, with which (possibly conflicting)
+    types — conflicts are exactly the rows where one key appears
+    under more than one vtype.
+
+    Pure codegen: one regexp_extract_all + explode (work ∝ payload
+    bytes, no Python), one hash agg. Nested objects/arrays land in
+    ``other`` by design; shred those with ``shred_json`` once the
+    profile says they matter.
+    """
+    pair_re = r'"([^"]+)"\s*:\s*("(?:[^"\\]|\\.)*"|[^,}]+)'
+    m = df.select(
+        F.explode(
+            F.regexp_extract_all(F.col(json_col), F.lit(pair_re), F.lit(0))
+        ).alias("m")
+    )
+    key = F.regexp_extract(F.col("m"), r'^"([^"]+)"', 1)
+    val = F.trim(F.regexp_extract(F.col("m"), r":\s*(.*)$", 1))
+    vtype = (
+        F.when(val == "null", "null")
+        .when((val == "true") | (val == "false"), "bool")
+        .when(val.rlike(r"^-?[0-9]+$"), "int")
+        .when(val.rlike(r"^-?[0-9]*\.[0-9]+([eE][+-]?[0-9]+)?$"), "float")
+        .when(val.startswith('"'), "string")
+        .otherwise("other")
+    )
+    return (
+        m.select(key.alias("key"), vtype.alias("vtype"), val.alias("val"))
+        .groupBy("key", "vtype")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("val").alias("example"),
+        )
+    )

@@ -73,3 +73,69 @@ def sequence_gaps(
             (F.col("id") - F.col("prev") - 1).alias("gap_len"),
         )
     )
+
+
+def transition_matrix_ppm(
+    events: DataFrame,
+    key: str = "user_id",
+    state: str = "event_type",
+    ts: str = "ts",
+    tiebreak: str = "event_id",
+) -> DataFrame:
+    """Integer first-order transition matrix: → (from_state, to_state,
+    p_ppm) with p_ppm = n·10⁶ div Σn over the from_state row — the
+    exact-integer sibling of ``event_transitions`` that
+    ``markov_power`` can raise to the k-th power without float
+    accumulation. One window + one agg; the matrix is |states|²."""
+    w = Window.partitionBy(key).orderBy(F.asc(ts), F.asc(tiebreak))
+    pairs = (
+        events.select(
+            F.col(state).alias("from_state"),
+            F.lead(state).over(w).alias("to_state"),
+        )
+        .filter(F.col("to_state").isNotNull())
+        .groupBy("from_state", "to_state")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = Window.partitionBy("from_state")
+    return pairs.select(
+        "from_state",
+        "to_state",
+        F.expr("n * 1000000 div sum(n) over (partition by from_state)")
+        .alias("p_ppm"),
+    )
+
+
+def markov_power(trans: DataFrame, k: int) -> DataFrame:
+    """P^k for a ppm transition matrix by join-based exponentiation:
+    squaring is the matrix self-join P²(a,b) = Σ_m P(a,m)·P(m,b),
+    carried in integer ppm (terms multiply to ppm², the row sum stays
+    inside int64 for any real state count, one ``div 10⁶`` per
+    squaring; the ≤1-ppm truncation per squaring is documented and
+    deterministic). k must be a power of two — each squaring is one
+    equi-join on the shared mid-state plus one hash agg, so the whole
+    power is log₂k shuffles over |states|²-sized frames, independent
+    of event volume.
+
+    "Where does a user end up after k steps?" — the k-step reach
+    matrix behind churn-path and funnel-escape analyses.
+    """
+    if k < 1 or (k & (k - 1)) != 0:
+        raise ValueError("k must be a power of two")
+    out = trans
+    steps = k.bit_length() - 1
+    for _ in range(steps):
+        a = out.alias("a")
+        b = out.alias("b")
+        out = (
+            a.join(b, F.col("a.to_state") == F.col("b.from_state"))
+            .groupBy(
+                F.col("a.from_state").alias("from_state"),
+                F.col("b.to_state").alias("to_state"),
+            )
+            .agg(
+                F.expr("CAST(sum(a.p_ppm * b.p_ppm) div 1000000 AS BIGINT)")
+                .alias("p_ppm")
+            )
+        )
+    return out
