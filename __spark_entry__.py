@@ -6024,6 +6024,115 @@ def q_json_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
     return json_key_profile(payload, "j").orderBy("key", "vtype")
 
 
+def q_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # local clustering coefficient per brand in the co-purchase graph
+    # (exact integer ratio over the degree-oriented triangle listing).
+    from det_module_spark.operators.basket import pair_counts
+    from det_module_spark.operators.graph import clustering_coefficients
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    baskets = li.join(
+        F.broadcast(part), li.l_partkey == part.p_partkey
+    ).select("l_orderkey", "p_brand")
+    edges = pair_counts(baskets, "l_orderkey", "p_brand", min_support=3)
+    return clustering_coefficients(edges, "item_a", "item_b").orderBy(
+        "vertex"
+    )
+
+
+def q_itemsets3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # frequent 3-itemsets with Apriori pruning over sparse baskets
+    # (first-3-days activity keeps baskets small enough that the
+    # downward-closure pruning actually removes candidates).
+    from det_module_spark.operators.basket import triple_counts
+
+    ev = _events(spark, sf_dir).where(F.dayofmonth("ts") < 4)
+    items = ev.select(
+        F.col("user_id").alias("basket"),
+        F.concat(
+            F.lit("i"),
+            (
+                F.get_json_object("props", "$.k").cast("long") % 30
+            ).cast("string"),
+        ).alias("item"),
+    )
+    return triple_counts(
+        items, "basket", "item", min_support=4
+    ).orderBy("item_a", "item_b", "item_c")
+
+
+_PRUNE_PROBES = [
+    (0, 31, 0, 31),
+    (64, 127, 64, 127),
+    (0, 15, 96, 127),
+    (32, 47, 32, 47),
+]
+
+
+def q_layout_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # file-skipping effectiveness of three layout keys on the same
+    # points: equal-size "files" by key order, min/max boxes, count
+    # files intersecting each probe rectangle — the measured evidence
+    # behind offering Hilbert beside Z-order (fewer files touched).
+    from det_module_spark.operators.layout import (
+        hilbert_by,
+        layout_pruning_eval,
+        morton_key,
+    )
+
+    pts = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        ((F.col("p_partkey") * 37) % 128).alias("x"),
+        ((F.col("p_partkey") * 61) % 128).alias("y"),
+    )
+    outs = []
+    keyed = {
+        "hilbert": hilbert_by(pts, "x", "y", bits=7).withColumnRenamed(
+            "hkey", "k"
+        ),
+        "morton": pts.withColumn(
+            "k", morton_key(F.col("x"), F.col("y"))
+        ),
+        "xsort": pts.withColumn("k", F.col("x").cast("long")),
+    }
+    for name, df in keyed.items():
+        okeyed = df.select(
+            "x",
+            "y",
+            (F.col("k") * 100000000 + F.col("p_partkey")).alias("okey"),
+        )
+        outs.append(
+            layout_pruning_eval(
+                okeyed, "okey", "x", "y", n_buckets=32,
+                probes=_PRUNE_PROBES,
+            ).select(F.lit(name).alias("layout"), "*")
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("layout", "probe_id")
+
+
+def q_hex_bin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # hex density map over derived points; cell assignment is pure
+    # IEEE-deterministic double arithmetic mirrored in the oracle.
+    from det_module_spark.operators.spatial import hex_bin
+
+    pts = load_table(spark, sf_dir, "part").select(
+        ((F.col("p_partkey") * 13) % 97).alias("x"),
+        ((F.col("p_partkey") * 29) % 89).alias("y"),
+    )
+    return (
+        hex_bin(pts, "x", "y", size=4.0)
+        .groupBy("hq", "hr")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("hq", "hr")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the reliability zonal extract (the aid-data triple) at
     sf0.001; driver checks rows>0."""
@@ -6050,6 +6159,10 @@ _ROTATION_R5 = [
     "basket_pairs",
     "dedup_embedding_cosine",
     # new this round — driver must check first
+    "clustering_coeff",
+    "itemsets3",
+    "layout_pruning",
+    "hex_bin",
     "markov_ksteps",
     "cdc_chunks",
     "json_schema",
@@ -6195,6 +6308,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # queries); the literal below keeps its grouping for readability.
     return _rotate({
         # --- round-5 additions ---
+        "clustering_coeff": q_clustering_coeff,
+        "itemsets3": q_itemsets3,
+        "layout_pruning": q_layout_pruning,
+        "hex_bin": q_hex_bin,
         "markov_ksteps": q_markov_ksteps,
         "cdc_chunks": q_cdc_chunks,
         "json_schema": q_json_schema,
@@ -6911,6 +7028,78 @@ def _graph_voronoi_oracle() -> str:
     seeds = """SELECT 'c' || CAST(c_custkey AS VARCHAR) AS node
                  FROM customer WHERE c_custkey <= 3"""
     return nearest_seed_sql(edges, seeds, rounds=4) + "\nORDER BY node"
+
+
+def _layout_pruning_oracle() -> str:
+    from det_module_spark.operators.layout import hilbert_sql, morton_sql
+
+    probes = ", ".join(
+        f"({i}, {a}, {b}, {c}, {d})"
+        for i, (a, b, c, d) in enumerate(_PRUNE_PROBES)
+    )
+    hil = hilbert_sql(
+        "SELECT p_partkey, x, y FROM pts",
+        ["p_partkey", "x", "y"],
+        "x",
+        "y",
+        bits=7,
+    )
+
+    def block(name: str, keyed_from: str) -> str:
+        return f"""
+{name}_rn AS (
+  SELECT x, y, ROW_NUMBER() OVER (ORDER BY okey) - 1 AS rid,
+         COUNT(*) OVER () AS n
+  FROM {keyed_from}),
+{name}_stats AS (
+  SELECT rid * 32 // n AS bucket,
+         MIN(x) AS x_lo, MAX(x) AS x_hi,
+         MIN(y) AS y_lo, MAX(y) AS y_hi
+  FROM {name}_rn GROUP BY 1),
+{name}_hit AS (
+  SELECT p.probe_id, CAST(COUNT(s.bucket) AS BIGINT) AS n_touched
+  FROM probes p LEFT JOIN {name}_stats s
+    ON s.x_lo <= p.px1 AND s.x_hi >= p.px0
+   AND s.y_lo <= p.py1 AND s.y_hi >= p.py0
+  GROUP BY 1)"""
+
+    return f"""
+WITH pts AS (
+  SELECT p_partkey, (p_partkey * 37) % 128 AS x,
+         (p_partkey * 61) % 128 AS y
+  FROM part),
+probes(probe_id, px0, px1, py0, py1) AS (VALUES {probes}),
+hil_keyed AS (
+  SELECT x, y, hkey * 100000000 + p_partkey AS okey
+  FROM ({hil})),
+mor_keyed AS (
+  SELECT x, y,
+         ({morton_sql('x', 'y')}) * 100000000 + p_partkey AS okey
+  FROM pts),
+lin_keyed AS (
+  SELECT x, y, x * 100000000 + p_partkey AS okey FROM pts),
+{block('hil', 'hil_keyed')},
+{block('mor', 'mor_keyed')},
+{block('lin', 'lin_keyed')}
+SELECT 'hilbert' AS layout, probe_id, n_touched,
+       CAST(32 AS BIGINT) AS n_buckets FROM hil_hit
+UNION ALL
+SELECT 'morton', probe_id, n_touched, CAST(32 AS BIGINT)
+FROM mor_hit
+UNION ALL
+SELECT 'xsort', probe_id, n_touched, CAST(32 AS BIGINT)
+FROM lin_hit
+ORDER BY layout, probe_id"""
+
+
+def _hex_bin_oracle() -> str:
+    from det_module_spark.operators.spatial import hex_bin_sql
+
+    cells = hex_bin_sql("(p_partkey * 13) % 97", "(p_partkey * 29) % 89", 4.0)
+    return f"""
+WITH cells AS (SELECT {cells} FROM part)
+SELECT hq, hr, CAST(COUNT(*) AS BIGINT) AS n
+FROM cells GROUP BY 1, 2 ORDER BY hq, hr"""
 
 
 def _hilbert_oracle() -> str:
@@ -9089,6 +9278,79 @@ QUALIFY ROW_NUMBER() OVER (
             GROUP BY n_name
             ORDER BY revenue_c4 DESC, n_name
         """,
+        "clustering_coeff": """
+            WITH items AS (
+              SELECT DISTINCT l_orderkey AS basket, p_brand AS item
+              FROM lineitem JOIN part ON l_partkey = p_partkey),
+            e AS (
+              SELECT a.item AS u, b.item AS v
+              FROM items a JOIN items b
+                ON a.basket = b.basket AND a.item < b.item
+              GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+            deg AS (
+              SELECT u, CAST(COUNT(*) AS BIGINT) AS deg
+              FROM (SELECT u, v FROM e
+                    UNION ALL SELECT v, u FROM e)
+              GROUP BY u),
+            tri AS (
+              SELECT e1.u AS a, e1.v AS b, e2.v AS c
+              FROM e e1
+              JOIN e e2 ON e1.v = e2.u
+              JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+            corners AS (
+              SELECT a AS vertex FROM tri
+              UNION ALL SELECT b FROM tri
+              UNION ALL SELECT c FROM tri),
+            tcount AS (
+              SELECT vertex, CAST(COUNT(*) AS BIGINT) AS n_triangles
+              FROM corners GROUP BY vertex)
+            SELECT u AS vertex, deg,
+                   COALESCE(n_triangles, 0) AS n_triangles,
+                   COALESCE(n_triangles, 0) * 2000000
+                     // (deg * (deg - 1)) AS cc_ppm
+            FROM deg LEFT JOIN tcount ON u = vertex
+            WHERE deg >= 2 ORDER BY vertex
+        """,
+        "itemsets3": """
+            WITH raw AS (
+              SELECT DISTINCT user_id AS basket,
+                     'i' || CAST(CAST(json_extract_string(props, '$.k')
+                            AS BIGINT) % 30 AS VARCHAR) AS item
+              FROM events WHERE day(ts) < 4),
+            sizes AS (
+              SELECT basket, COUNT(*) AS bsz FROM raw GROUP BY 1),
+            flat AS (
+              SELECT r.basket, r.item
+              FROM raw r JOIN sizes s ON r.basket = s.basket
+              WHERE s.bsz <= 1000),
+            pairs AS (
+              SELECT a.item AS item_a, b.item AS item_b
+              FROM flat a JOIN flat b
+                ON a.basket = b.basket AND a.item < b.item
+              GROUP BY 1, 2 HAVING COUNT(*) >= 4),
+            bp AS (
+              SELECT f1.basket, f1.item AS a, f2.item AS b
+              FROM flat f1
+              JOIN flat f2 ON f1.basket = f2.basket
+                          AND f1.item < f2.item
+              JOIN pairs p ON p.item_a = f1.item
+                          AND p.item_b = f2.item),
+            ext AS (
+              SELECT bp.a, bp.b, f3.item AS c
+              FROM bp
+              JOIN flat f3 ON f3.basket = bp.basket
+                          AND f3.item > bp.b
+              JOIN pairs pac ON pac.item_a = bp.a
+                            AND pac.item_b = f3.item
+              JOIN pairs pbc ON pbc.item_a = bp.b
+                            AND pbc.item_b = f3.item)
+            SELECT a AS item_a, b AS item_b, c AS item_c,
+                   CAST(COUNT(*) AS BIGINT) AS triple_count
+            FROM ext GROUP BY 1, 2, 3 HAVING COUNT(*) >= 4
+            ORDER BY 1, 2, 3
+        """,
+        "layout_pruning": _layout_pruning_oracle(),
+        "hex_bin": _hex_bin_oracle(),
         "markov_ksteps": """
             WITH seq AS (
               SELECT event_type AS from_state,

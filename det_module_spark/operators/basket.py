@@ -117,3 +117,63 @@ def basket_affinity(
             (F.floor(lift * scale + F.lit(0.5)) / scale).alias("lift"),
         )
     )
+
+
+def triple_counts(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_support: int = 2,
+    max_basket_size: int = 1000,
+) -> DataFrame:
+    """Frequent 3-itemsets with genuine Apriori pruning: a triple is
+    only COUNTED if all three of its pairs are frequent (downward
+    closure), so the expensive third extension join runs over the
+    frequent-pair occurrence stream, not the raw basket stream —
+    the candidate-pruning step that makes itemset mining survive a
+    100× basket blow-up.
+
+    → (item_a < item_b < item_c, triple_count ≥ min_support).
+
+    Shape: the pair stage is ``_pairs_from_items`` (size-capped);
+    basket-level pair occurrences semi-join to the frequent-pair set
+    BEFORE extending with the third item, and both extension pairs
+    (a,c)/(b,c) prune by semi-join too. All equi-joins on basket/pair
+    keys."""
+    items = _items(df, basket_col, item_col)
+    sizes = items.groupBy("basket").agg(F.count(F.lit(1)).alias("__bsz"))
+    flat = items.join(
+        sizes.filter(F.col("__bsz") <= max_basket_size), "basket"
+    ).select("basket", "item")
+    pairs = _pairs_from_items(items, min_support, max_basket_size)
+    bp = (
+        flat.select("basket", F.col("item").alias("item_a"))
+        .join(flat.select("basket", F.col("item").alias("item_b")), "basket")
+        .filter(F.col("item_a") < F.col("item_b"))
+        .join(pairs.select("item_a", "item_b"), ["item_a", "item_b"], "left_semi")
+    )
+    ext = (
+        bp.join(flat.select("basket", F.col("item").alias("item_c")), "basket")
+        .filter(F.col("item_b") < F.col("item_c"))
+        .join(
+            pairs.select(
+                F.col("item_a").alias("item_a"),
+                F.col("item_b").alias("item_c"),
+            ),
+            ["item_a", "item_c"],
+            "left_semi",
+        )
+        .join(
+            pairs.select(
+                F.col("item_a").alias("item_b"),
+                F.col("item_b").alias("item_c"),
+            ),
+            ["item_b", "item_c"],
+            "left_semi",
+        )
+    )
+    return (
+        ext.groupBy("item_a", "item_b", "item_c")
+        .agg(F.count(F.lit(1)).alias("triple_count"))
+        .filter(F.col("triple_count") >= min_support)
+    )

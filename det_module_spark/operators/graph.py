@@ -1188,3 +1188,41 @@ s{r} AS MATERIALIZED (
         sql
         + f"\nSELECT node, CAST(hops AS BIGINT) AS hops, seed FROM {prev}"
     )
+
+
+def clustering_coefficients(
+    edges: DataFrame, src: str = "id_a", dst: str = "id_b"
+) -> DataFrame:
+    """Local clustering coefficient per vertex: cc = 2·T(v) /
+    (deg(v)·(deg(v)−1)) → (vertex, deg, n_triangles, cc_ppm), the
+    "how clique-like is this node's neighborhood" score (community
+    cores vs hubs-of-strangers). Vertices of degree < 2 are excluded
+    (cc undefined).
+
+    Composes the degree-oriented triangle listing (O(m^1.5) wedge
+    bound, see triangle_listing) with one degree agg; the ratio is a
+    single integer div on exact counts — cc_ppm = 2·10⁶·T div
+    (deg·(deg−1))."""
+    tri = triangle_count_per_vertex(edges, src, dst)
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).filter(
+        F.col("u") != F.col("v")
+    )
+    und = e.unionByName(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).distinct()
+    deg = und.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    return (
+        deg.where(F.col("deg") >= 2)
+        .join(
+            tri.withColumnRenamed("vertex", "u"), "u", "left"
+        )
+        .select(
+            F.col("u").alias("vertex"),
+            "deg",
+            F.coalesce("n_triangles", F.lit(0)).alias("n_triangles"),
+            F.expr(
+                "coalesce(n_triangles, 0) * 2000000"
+                " div (deg * (deg - 1))"
+            ).alias("cc_ppm"),
+        )
+    )

@@ -286,3 +286,73 @@ def hilbert_sql(
         ",\n".join(parts)
         + f"\nSELECT {cols}, {key_col} FROM h0"
     )
+
+
+def layout_pruning_eval(
+    df: DataFrame,
+    order_col: str,
+    x: str,
+    y: str,
+    n_buckets: int = 32,
+    probes: list[tuple[int, int, int, int]] | None = None,
+) -> DataFrame:
+    """Measure how well a layout key prunes 2-D range scans: order
+    rows by ``order_col`` (the candidate layout key — Morton, Hilbert,
+    single-column…; MUST be unique, combine with an id upstream),
+    split into ``n_buckets`` equal "files", record each file's
+    min/max box on (x, y), and for each probe rectangle count the
+    files whose box intersects it — exactly the file-skipping
+    decision parquet/Iceberg/Delta make from column min/max stats.
+    Fewer files touched = better layout. → (probe_id, n_touched,
+    n_buckets).
+
+    Shape: dense_ids two-phase enumeration (no global window), one
+    agg over bucket ids, one crossJoin of two PARAMETER-bounded
+    frames (n_buckets × len(probes) rows)."""
+    from det_module_spark.operators.ids import dense_ids
+
+    if probes is None:
+        probes = [(0, 31, 0, 31), (96, 127, 96, 127), (0, 15, 112, 127)]
+    ranked = dense_ids(
+        df.select(order_col, x, y), order_col, out="_rid"
+    )
+    n = ranked.count()
+    stats = (
+        ranked.select(
+            F.expr(f"_rid * {n_buckets} div {n}").alias("bucket"),
+            F.col(x).alias("_x"),
+            F.col(y).alias("_y"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.min("_x").alias("x_lo"),
+            F.max("_x").alias("x_hi"),
+            F.min("_y").alias("y_lo"),
+            F.max("_y").alias("y_hi"),
+        )
+    )
+    spark = df.sparkSession
+    pdf = spark.createDataFrame(
+        [(i, *p) for i, p in enumerate(probes)],
+        ["probe_id", "px0", "px1", "py0", "py1"],
+    )
+    hit = (
+        stats.crossJoin(F.broadcast(pdf))
+        .where(
+            (F.col("x_lo") <= F.col("px1"))
+            & (F.col("x_hi") >= F.col("px0"))
+            & (F.col("y_lo") <= F.col("py1"))
+            & (F.col("y_hi") >= F.col("py0"))
+        )
+        .groupBy("probe_id")
+        .agg(F.count(F.lit(1)).alias("n_touched"))
+    )
+    return (
+        pdf.select("probe_id")
+        .join(hit, "probe_id", "left")
+        .select(
+            "probe_id",
+            F.coalesce("n_touched", F.lit(0)).alias("n_touched"),
+            F.lit(n_buckets).cast("long").alias("n_buckets"),
+        )
+    )

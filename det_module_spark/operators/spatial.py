@@ -201,3 +201,66 @@ def spatial_join_wkt(
     return joined.filter(_contains(F.col(geom), F.col(lon), F.col(lat))).drop(
         "bucket_x", "bucket_y"
     )
+
+
+def hex_bin(
+    df: DataFrame, x: str, y: str, size: float, q_col: str = "hq",
+    r_col: str = "hr",
+) -> DataFrame:
+    """Hexagonal binning (pointy-top axial coordinates + cube
+    rounding): adds (``hq``, ``hr``) — the hex cell of each (x, y)
+    point — the density-map primitive that avoids the rectangular
+    grid's anisotropy (every hex neighbor is equidistant, so hotspot
+    rings don't alias into squares).
+
+    Deterministic across engines: fractional axial coords and cube
+    rounding use only literal-scaled IEEE double mul/div, floor(+½)
+    and comparisons — every operation is exactly specified by IEEE
+    754, and the identical expression tree runs on the SQL side
+    (mirror in the oracle), so the cell assignment hash-matches.
+    Pure projection: no shuffle, no UDF.
+    """
+    xf = F.col(x).cast("double")
+    yf = F.col(y).cast("double")
+    qf = (
+        F.sqrt(F.lit(3.0)) / F.lit(3.0) * xf - yf / F.lit(3.0)
+    ) / F.lit(float(size))
+    rf = (F.lit(2.0) / F.lit(3.0) * yf) / F.lit(float(size))
+    sf = -qf - rf
+    rx = F.floor(qf + F.lit(0.5))
+    rz = F.floor(rf + F.lit(0.5))
+    ry = F.floor(sf + F.lit(0.5))
+    dx = F.abs(rx.cast("double") - qf)
+    dy = F.abs(ry.cast("double") - sf)
+    dz = F.abs(rz.cast("double") - rf)
+    q_out = F.when((dx > dy) & (dx > dz), -ry - rz).otherwise(rx)
+    r_out = F.when(
+        (dx > dy) & (dx > dz), rz
+    ).otherwise(F.when(dy > dz, rz).otherwise(-rx - ry))
+    return df.select(
+        "*", q_out.cast("long").alias(q_col), r_out.cast("long").alias(r_col)
+    )
+
+
+def hex_bin_sql(x_expr: str, y_expr: str, size: float) -> str:
+    """The identical axial/cube-round arithmetic as a SQL struct
+    expression returning ``{hq, hr}`` — oracle twin of ``hex_bin``
+    (same literal order, same floor(+0.5) rounding)."""
+    qf = f"((sqrt(3.0) / 3.0 * ({x_expr}) - ({y_expr}) / 3.0) / {float(size)})"
+    rf = f"((2.0 / 3.0 * ({y_expr})) / {float(size)})"
+    sf = f"(-{qf} - {rf})"
+    rx = f"FLOOR({qf} + 0.5)"
+    rz = f"FLOOR({rf} + 0.5)"
+    ry = f"FLOOR({sf} + 0.5)"
+    dx = f"ABS({rx} - {qf})"
+    dy = f"ABS({ry} - {sf})"
+    dz = f"ABS({rz} - {rf})"
+    big_dx = f"({dx} > {dy} AND {dx} > {dz})"
+    q = f"CASE WHEN {big_dx} THEN -{ry} - {rz} ELSE {rx} END"
+    r = (
+        f"CASE WHEN {big_dx} THEN {rz}"
+        f" WHEN {dy} > {dz} THEN {rz} ELSE -{rx} - {ry} END"
+    )
+    return (
+        f"CAST({q} AS BIGINT) AS hq, CAST({r} AS BIGINT) AS hr"
+    )

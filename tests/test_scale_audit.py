@@ -82,6 +82,8 @@ ALLOWED_NESTED_LOOP = {
     "t_closeness": "sensitive-level grid (bounded by the caller's clamp, "
     "docstring contract) + 1-row totals scalar",
     "kaplan_meier": "1-row global max-day scalar for the censoring edge",
+    "layout_pruning": "bucket-stats (n_buckets rows) x probe rectangles "
+    "(len(probes) rows) — both parameter-bounded",
     "corpus_pipeline_v2": "top-k weight-threshold scalar (1 row, via dsir_select)",
 }
 
@@ -204,6 +206,11 @@ BROADCAST_WHITELIST = {
         1,
         "kaplan_meier global max-day: 1-row aggregate scalar",
     ),
+    "det_module_spark/operators/layout.py": (
+        1,
+        "layout_pruning_eval probe rectangles: len(probes) literal rows, "
+        "parameter-bounded",
+    ),
     "det_module_spark/operators/privacy.py": (
         3,
         "t_closeness level grid: bounded by the caller's clamp on the "
@@ -216,7 +223,7 @@ BROADCAST_WHITELIST = {
         "corpus-independent bound",
     ),
     "__spark_entry__.py": (
-        38,
+        39,
         "TPC-H dims (nation/region/part/supp at their spec'd scale ratios) "
         "+ 1-row scalar aggregates (totals, maxima, batch-boundary "
         "constants, the rrf_fusion query vector, the temporal_split "
