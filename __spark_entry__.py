@@ -6133,6 +6133,81 @@ def q_hex_bin(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cs_graph(spark: SparkSession, sf_dir: str, with_t: bool):
+    # customer↔supplier interaction graph (both directions), bounded
+    # to the first 5000 orders — shared by the walk/PPR/temporal
+    # queries.
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    od = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    j = li.join(od, li.l_orderkey == od.o_orderkey).where(
+        F.col("o_orderkey") < 5000
+    )
+    cols = [
+        F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("c"),
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("s"),
+    ]
+    if with_t:
+        cols.append(
+            F.expr(
+                "datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01')"
+            ).alias("t")
+        )
+    base = j.select(*cols)
+    fwd = base.select(
+        F.col("c").alias("src"), F.col("s").alias("dst"),
+        *(["t"] if with_t else []),
+    )
+    rev = base.select(
+        F.col("s").alias("src"), F.col("c").alias("dst"),
+        *(["t"] if with_t else []),
+    )
+    return fwd.unionByName(rev).distinct()
+
+
+def q_ppr_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # personalized PageRank from 5 seed customers over the
+    # customer↔supplier graph — exact-integer fixed point, restart
+    # mass on the seeds.
+    from det_module_spark.operators.graph import personalized_pagerank
+
+    edges = _cs_graph(spark, sf_dir, with_t=False)
+    seeds = (
+        load_table(spark, sf_dir, "customer")
+        .where(F.col("c_custkey") <= 5)
+        .select(
+            F.concat(F.lit("c"), F.col("c_custkey").cast("string")).alias(
+                "node"
+            )
+        )
+    )
+    return personalized_pagerank(edges, seeds, iterations=3).orderBy(
+        "node"
+    )
+
+
+def q_temporal_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # time-respecting earliest arrival from 3 seed suppliers: paths
+    # must use non-decreasing order dates (contagion over the
+    # transaction network, not static reachability).
+    from det_module_spark.operators.graph import temporal_reachability
+
+    edges = _cs_graph(spark, sf_dir, with_t=True)
+    seeds = (
+        load_table(spark, sf_dir, "supplier")
+        .where(F.col("s_suppkey") <= 3)
+        .select(
+            F.concat(F.lit("s"), F.col("s_suppkey").cast("string")).alias(
+                "node"
+            )
+        )
+    )
+    return temporal_reachability(edges, seeds, rounds=4).orderBy("node")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the reliability zonal extract (the aid-data triple) at
     sf0.001; driver checks rows>0."""
@@ -6159,6 +6234,8 @@ _ROTATION_R5 = [
     "basket_pairs",
     "dedup_embedding_cosine",
     # new this round — driver must check first
+    "ppr_scores",
+    "temporal_reach",
     "clustering_coeff",
     "itemsets3",
     "layout_pruning",
@@ -6308,6 +6385,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # queries); the literal below keeps its grouping for readability.
     return _rotate({
         # --- round-5 additions ---
+        "ppr_scores": q_ppr_scores,
+        "temporal_reach": q_temporal_reach,
         "clustering_coeff": q_clustering_coeff,
         "itemsets3": q_itemsets3,
         "layout_pruning": q_layout_pruning,
@@ -7028,6 +7107,44 @@ def _graph_voronoi_oracle() -> str:
     seeds = """SELECT 'c' || CAST(c_custkey AS VARCHAR) AS node
                  FROM customer WHERE c_custkey <= 3"""
     return nearest_seed_sql(edges, seeds, rounds=4) + "\nORDER BY node"
+
+
+_CS_EDGES_SQL = """
+  WITH fwd AS (
+    SELECT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+           's' || CAST(l_suppkey AS VARCHAR) AS dst{tcol}
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+     WHERE o_orderkey < 5000 GROUP BY ALL)
+  SELECT src, dst{tsel} FROM fwd
+  UNION SELECT dst, src{tsel} FROM fwd"""
+
+
+def _ppr_oracle() -> str:
+    from det_module_spark.operators.graph import personalized_pagerank_sql
+
+    edges = _CS_EDGES_SQL.format(tcol="", tsel="")
+    seeds = """SELECT 'c' || CAST(c_custkey AS VARCHAR) AS node
+                 FROM customer WHERE c_custkey <= 5"""
+    return (
+        personalized_pagerank_sql(edges, seeds, iterations=3)
+        + "\nORDER BY node"
+    )
+
+
+def _temporal_reach_oracle() -> str:
+    from det_module_spark.operators.graph import temporal_reachability_sql
+
+    edges = _CS_EDGES_SQL.format(
+        tcol=",\n           CAST(o_orderdate AS DATE)"
+        " - DATE '1970-01-01' AS t",
+        tsel=", t",
+    )
+    seeds = """SELECT 's' || CAST(s_suppkey AS VARCHAR) AS node
+                 FROM supplier WHERE s_suppkey <= 3"""
+    return (
+        temporal_reachability_sql(edges, seeds, rounds=4)
+        + "\nORDER BY node"
+    )
 
 
 def _layout_pruning_oracle() -> str:
@@ -9278,6 +9395,8 @@ QUALIFY ROW_NUMBER() OVER (
             GROUP BY n_name
             ORDER BY revenue_c4 DESC, n_name
         """,
+        "ppr_scores": _ppr_oracle(),
+        "temporal_reach": _temporal_reach_oracle(),
         "clustering_coeff": """
             WITH items AS (
               SELECT DISTINCT l_orderkey AS basket, p_brand AS item

@@ -1226,3 +1226,186 @@ def clustering_coefficients(
             ).alias("cc_ppm"),
         )
     )
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    iterations: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+    scale: int = 10**12,
+) -> DataFrame:
+    """Fixed-point PERSONALIZED PageRank: the restart mass returns to
+    the ``seeds`` (column ``node``) instead of the uniform vector, so
+    rank_fp measures relevance *to the seed set* — the
+    related-items/trust-propagation primitive (recommendations from a
+    user's history, expansion of a seed whitelist).
+
+    Same exact-integer discipline as ``pagerank``: scaled-long ranks,
+    floor-division shares, fixed iteration count ⇒ bit-identical
+    across engines/partitionings; the SQL twin is
+    ``personalized_pagerank_sql``. Dangling nodes leak mass
+    (documented, as in pagerank). Two shuffles per round; the seed
+    restart term is a seed-count-sized frame joined per round.
+    """
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    s = seeds.select(F.col("node")).distinct().localCheckpoint(eager=True)
+    n_seeds = s.count()
+    seed_mass = s.withColumn("seed_fp", F.lit(scale // n_seeds))
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    ranks = (
+        nodes.join(seed_mass, "node", "left")
+        .select(
+            "node", F.coalesce("seed_fp", F.lit(0)).alias("rank_fp")
+        )
+    )
+    for _ in range(iterations):
+        contrib = (
+            e.join(deg, "src")
+            .join(ranks.withColumnRenamed("node", "src"), "src")
+            .select(
+                "dst",
+                _idiv(F.col("rank_fp"), F.col("outdeg")).alias("share"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("share").alias("contrib"))
+        )
+        ranks = (
+            nodes.join(contrib, nodes.node == contrib.dst, "left")
+            .join(seed_mass, "node", "left")
+            .select(
+                "node",
+                (
+                    _idiv(
+                        F.lit(15) * F.coalesce("seed_fp", F.lit(0)),
+                        F.lit(100),
+                    )
+                    + _idiv(
+                        F.lit(85) * F.coalesce("contrib", F.lit(0)),
+                        F.lit(100),
+                    )
+                ).alias("rank_fp"),
+            )
+        )
+        if iterations > 4:
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks
+
+
+def personalized_pagerank_sql(
+    edges_cte: str,
+    seeds_cte: str,
+    iterations: int = 3,
+    scale: int = 10**12,
+) -> str:
+    """Unrolled-CTE twin of ``personalized_pagerank`` (DuckDB)."""
+    sql = f"""
+WITH edges AS ({edges_cte}),
+seeds AS (SELECT DISTINCT node FROM ({seeds_cte})),
+nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+sp AS (SELECT COUNT(*) AS ns FROM seeds),
+sm AS (SELECT node, {scale} // (SELECT ns FROM sp) AS seed_fp
+       FROM seeds),
+deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+r0 AS (SELECT nodes.node, COALESCE(sm.seed_fp, 0) AS rank_fp
+       FROM nodes LEFT JOIN sm ON nodes.node = sm.node)"""
+    prev = "r0"
+    for i in range(1, iterations + 1):
+        sql += f""",
+c{i} AS (
+  SELECT e.dst AS node, SUM(r.rank_fp // d.outdeg) AS contrib
+  FROM edges e JOIN deg d ON e.src = d.src
+  JOIN {prev} r ON e.src = r.node
+  GROUP BY e.dst),
+r{i} AS (
+  SELECT nodes.node,
+         15 * COALESCE(sm.seed_fp, 0) // 100
+         + 85 * COALESCE(c{i}.contrib, 0) // 100 AS rank_fp
+  FROM nodes LEFT JOIN c{i} ON nodes.node = c{i}.node
+  LEFT JOIN sm ON nodes.node = sm.node)"""
+        prev = f"r{i}"
+    return (
+        sql
+        + f"\nSELECT node, CAST(rank_fp AS BIGINT) AS rank_fp FROM {prev}"
+    )
+
+
+def temporal_reachability(
+    edges: DataFrame,
+    seeds: DataFrame,
+    rounds: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+    t: str = "t",
+) -> DataFrame:
+    """Time-respecting earliest arrival from a seed set: a node is
+    reached at time τ if some path s→…→node uses edges with
+    NON-DECREASING timestamps ending at τ (information/contagion can
+    only flow forward in time — plain reachability over the static
+    graph badly overcounts). → (node, arrival) for nodes reachable
+    within ``rounds`` hops; seeds carry ``arrival`` (their column, or
+    0 if absent).
+
+    Relaxation is monotone (min over candidate arrivals), so a fixed
+    round count gives the exact ≤rounds-hop earliest arrival on every
+    engine — same bounded-round contract as sssp. One edge equi-join
+    + one min-agg per round."""
+    cols = seeds.columns
+    arr = seeds.select(
+        F.col("node"),
+        (F.col("arrival") if "arrival" in cols else F.lit(0))
+        .cast("long")
+        .alias("arrival"),
+    ).distinct()
+    e = edges.select(
+        F.col(src).alias("esrc"),
+        F.col(dst).alias("edst"),
+        F.col(t).cast("long").alias("et"),
+    ).localCheckpoint(eager=True)
+    for _ in range(rounds):
+        ext = (
+            arr.join(e, arr.node == e.esrc)
+            .where(F.col("et") >= F.col("arrival"))
+            .select(F.col("edst").alias("node"), F.col("et").alias("arrival"))
+        )
+        arr = (
+            arr.unionByName(ext)
+            .groupBy("node")
+            .agg(F.min("arrival").alias("arrival"))
+            .localCheckpoint(eager=True)
+        )
+    return arr
+
+
+def temporal_reachability_sql(
+    edges_cte: str, seeds_cte: str, rounds: int = 4
+) -> str:
+    """Unrolled twin of ``temporal_reachability``; seeds arrive at 0
+    unless the seed CTE provides an ``arrival`` column. ``edges_cte``
+    must produce (src, dst, t)."""
+    sql = f"""
+WITH edges AS ({edges_cte}),
+a0 AS (SELECT DISTINCT node, CAST(0 AS BIGINT) AS arrival
+       FROM ({seeds_cte}))"""
+    prev = "a0"
+    for i in range(1, rounds + 1):
+        sql += f""",
+x{i} AS (
+  SELECT e.dst AS node, CAST(e.t AS BIGINT) AS arrival
+  FROM {prev} a JOIN edges e ON a.node = e.src
+  WHERE e.t >= a.arrival
+  UNION ALL SELECT node, arrival FROM {prev}),
+a{i} AS (SELECT node, MIN(arrival) AS arrival FROM x{i} GROUP BY node)"""
+        prev = f"a{i}"
+    return sql + f"\nSELECT node, arrival FROM {prev}"
