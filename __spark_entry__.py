@@ -6208,6 +6208,31 @@ def q_temporal_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     return temporal_reachability(edges, seeds, rounds=4).orderBy("node")
 
 
+def q_distinct_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # multidimensional distinct-count rollup: exact COUNT DISTINCT per
+    # CUBE cell with grouping_id disambiguation ('ALL' labels keep the
+    # output sort NULL-free — playbook #30).
+    od = load_table(spark, sf_dir, "orders")
+    return (
+        od.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.countDistinct("o_custkey").alias("n_cust"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .select(
+            "gid",
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias(
+                "priority"
+            ),
+            "n_cust",
+            "n_rows",
+        )
+        .orderBy("gid", "status", "priority")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the reliability zonal extract (the aid-data triple) at
     sf0.001; driver checks rows>0."""
@@ -6234,6 +6259,7 @@ _ROTATION_R5 = [
     "basket_pairs",
     "dedup_embedding_cosine",
     # new this round — driver must check first
+    "distinct_cube",
     "ppr_scores",
     "temporal_reach",
     "clustering_coeff",
@@ -6385,6 +6411,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # queries); the literal below keeps its grouping for readability.
     return _rotate({
         # --- round-5 additions ---
+        "distinct_cube": q_distinct_cube,
         "ppr_scores": q_ppr_scores,
         "temporal_reach": q_temporal_reach,
         "clustering_coeff": q_clustering_coeff,
@@ -9394,6 +9421,16 @@ QUALIFY ROW_NUMBER() OVER (
               AND o_orderdate < TIMESTAMP '1997-01-01'
             GROUP BY n_name
             ORDER BY revenue_c4 DESC, n_name
+        """,
+        "distinct_cube": """
+            SELECT GROUPING(o_orderstatus, o_orderpriority) AS gid,
+                   COALESCE(o_orderstatus, 'ALL') AS status,
+                   COALESCE(o_orderpriority, 'ALL') AS priority,
+                   CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_cust,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows
+            FROM orders
+            GROUP BY CUBE (o_orderstatus, o_orderpriority)
+            ORDER BY gid, status, priority
         """,
         "ppr_scores": _ppr_oracle(),
         "temporal_reach": _temporal_reach_oracle(),
