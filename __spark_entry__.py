@@ -6233,6 +6233,78 @@ def q_distinct_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rolling_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # per-type 7-day rolling OLS slope of daily revenue — the local
+    # "is this metric turning?" detector; exact window moments, one
+    # IEEE division per row.
+    from det_module_spark.operators.anomaly import rolling_trend
+
+    ev = _events(spark, sf_dir)
+    daily = (
+        ev.select(
+            "event_type",
+            F.expr(
+                "datediff(CAST(ts AS DATE), DATE '1970-01-01')"
+            ).alias("day"),
+            _cents("value").alias("c"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.sum("c").alias("cents"))
+    )
+    return rolling_trend(
+        daily, "event_type", "day", "cents", window=7
+    ).orderBy("event_type", "day")
+
+
+def q_pit_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # point-in-time enrichment: facts join the SCD2 dimension version
+    # valid AT the fact's date (valid_from <= d < valid_to) — the
+    # leakage-free feature join (current-value joins leak the future).
+    from det_module_spark.operators.scd import scd2_history
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_mktsegment").alias("segment")
+    )
+    upd = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < 500)
+        .select(
+            F.col("o_custkey").alias("c_custkey"),
+            F.col("o_orderpriority").alias("segment"),
+            F.col("o_orderdate").alias("ts"),
+            F.col("o_orderkey").alias("seq"),
+        )
+    )
+    hist = scd2_history(
+        cust, upd, "c_custkey", "segment", ts="ts", seq="seq"
+    )
+    facts = (
+        load_table(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderkey") >= 500) & (F.col("o_orderkey") < 2000)
+        )
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+    )
+    j = facts.join(
+        hist,
+        (facts.o_custkey == hist.c_custkey)
+        & (
+            hist.valid_from.isNull()
+            | (hist.valid_from <= facts.o_orderdate)
+        )
+        & (
+            hist.valid_to.isNull()
+            | (facts.o_orderdate < hist.valid_to)
+        ),
+    )
+    return j.select(
+        "o_orderkey",
+        "o_custkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+        "segment",
+    ).orderBy("o_orderkey")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the reliability zonal extract (the aid-data triple) at
     sf0.001; driver checks rows>0."""
@@ -6259,6 +6331,8 @@ _ROTATION_R5 = [
     "basket_pairs",
     "dedup_embedding_cosine",
     # new this round — driver must check first
+    "rolling_trend",
+    "pit_enrich",
     "distinct_cube",
     "ppr_scores",
     "temporal_reach",
@@ -6411,6 +6485,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # queries); the literal below keeps its grouping for readability.
     return _rotate({
         # --- round-5 additions ---
+        "rolling_trend": q_rolling_trend,
+        "pit_enrich": q_pit_enrich,
         "distinct_cube": q_distinct_cube,
         "ppr_scores": q_ppr_scores,
         "temporal_reach": q_temporal_reach,
@@ -9421,6 +9497,65 @@ QUALIFY ROW_NUMBER() OVER (
               AND o_orderdate < TIMESTAMP '1997-01-01'
             GROUP BY n_name
             ORDER BY revenue_c4 DESC, n_name
+        """,
+        "rolling_trend": """
+            WITH daily AS (
+              SELECT event_type,
+                     CAST(ts AS DATE) - DATE '1970-01-01' AS day,
+                     CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT))
+                          AS BIGINT) AS cents
+              FROM events GROUP BY 1, 2),
+            w AS (
+              SELECT event_type, day, cents,
+                     CAST(COUNT(*) OVER fr AS BIGINT) AS n_pts,
+                     CAST(SUM(day) OVER fr AS BIGINT) AS sx,
+                     CAST(SUM(cents) OVER fr AS BIGINT) AS sy,
+                     CAST(SUM(day * cents) OVER fr AS BIGINT) AS sxy,
+                     CAST(SUM(day * day) OVER fr AS BIGINT) AS sxx
+              FROM daily
+              WINDOW fr AS (PARTITION BY event_type ORDER BY day
+                            ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+            SELECT event_type, day, cents, n_pts,
+                   CASE WHEN n_pts >= 7
+                         AND n_pts * sxx - sx * sx > 0
+                   THEN CAST(FLOOR(1000000.0
+                     * CAST(n_pts * sxy - sx * sy AS DOUBLE)
+                     / CAST(n_pts * sxx - sx * sx AS DOUBLE) + 0.5)
+                     AS BIGINT)
+                   END AS slope_ppm
+            FROM w ORDER BY event_type, day
+        """,
+        "pit_enrich": """
+            WITH initial AS (
+              SELECT c_custkey, c_mktsegment AS segment,
+                     CAST(NULL AS TIMESTAMP) AS valid_from,
+                     CAST(NULL AS BIGINT) AS seq
+              FROM customer),
+            upd AS (
+              SELECT o_custkey AS c_custkey,
+                     o_orderpriority AS segment,
+                     o_orderdate AS valid_from, o_orderkey AS seq
+              FROM orders WHERE o_orderkey < 500),
+            v AS (SELECT * FROM initial UNION ALL SELECT * FROM upd),
+            x AS (
+              SELECT c_custkey, segment, valid_from,
+                     LEAD(valid_from) OVER (
+                       PARTITION BY c_custkey
+                       ORDER BY valid_from ASC NULLS FIRST,
+                                seq ASC NULLS FIRST) AS valid_to
+              FROM v),
+            facts AS (
+              SELECT o_orderkey, o_custkey, o_orderdate
+              FROM orders
+              WHERE o_orderkey >= 500 AND o_orderkey < 2000)
+            SELECT f.o_orderkey, f.o_custkey,
+                   strftime(f.o_orderdate, '%Y-%m-%d') AS order_date,
+                   x.segment
+            FROM facts f JOIN x ON x.c_custkey = f.o_custkey
+             AND (x.valid_from IS NULL
+                  OR x.valid_from <= f.o_orderdate)
+             AND (x.valid_to IS NULL OR f.o_orderdate < x.valid_to)
+            ORDER BY f.o_orderkey
         """,
         "distinct_cube": """
             SELECT GROUPING(o_orderstatus, o_orderpriority) AS gid,

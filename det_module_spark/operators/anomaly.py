@@ -76,3 +76,51 @@ def seasonal_anomalies(
         F.when(z_ok, F.floor(z_raw * scale + F.lit(0.5)) / scale).alias("z"),
         F.when(z_ok, F.abs(z_raw) > z_threshold).alias("is_anomaly"),
     )
+
+
+def rolling_trend(
+    df: DataFrame,
+    key: str,
+    x: str,
+    y: str,
+    window: int = 7,
+) -> DataFrame:
+    """Per-key rolling OLS slope over the trailing ``window`` rows
+    (x-ordered): → every input row + (n_pts, slope_ppm) where
+    slope_ppm = ⌊10⁶·(n·Σxy − Σx·Σy)/(n·Σx² − (Σx)²) + ½⌋ over the
+    frame — the local trend detector ("is this metric turning?") that
+    a global fit (trend_fit) smooths away.
+
+    Exactness: all five moments are WINDOW sums of int64 products
+    (order-fixed frames, exact), and the one slope division is a
+    deterministic IEEE double on those exact ints. Rows whose frame
+    is shorter than ``window`` or has zero x-variance get NULL slope.
+
+    One window pass over the per-key ordering — the same shuffle the
+    input's key partitioning already implies; no join, no UDF.
+    """
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(key)
+        .orderBy(x)
+        .rowsBetween(-(window - 1), 0)
+    )
+    xv = F.col(x).cast("long")
+    yv = F.col(y).cast("long")
+    n = F.count(F.lit(1)).over(w)
+    sx = F.sum(xv).over(w)
+    sy = F.sum(yv).over(w)
+    sxy = F.sum(xv * yv).over(w)
+    sxx = F.sum(xv * xv).over(w)
+    num = n * sxy - sx * sy
+    den = n * sxx - sx * sx
+    slope = F.floor(
+        F.lit(1000000.0) * num.cast("double") / den.cast("double")
+        + F.lit(0.5)
+    ).cast("long")
+    return df.select(
+        "*",
+        n.alias("n_pts"),
+        F.when((n >= window) & (den > 0), slope).alias("slope_ppm"),
+    )
