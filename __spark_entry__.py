@@ -6305,6 +6305,24 @@ def q_pit_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("o_orderkey")
 
 
+def q_logreg_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # distributed logistic regression: 3 Newton rounds, per-row
+    # quantized moment terms (order-independent int64 sums),
+    # closed-form 3x3 solve — the identical SQL text runs as the
+    # DuckDB oracle.
+    from det_module_spark.operators.glm import logreg_fit
+
+    ev = _events(spark, sf_dir)
+    feat = ev.select(
+        F.when(F.col("event_type") == "purchase", 1)
+        .otherwise(0)
+        .alias("y"),
+        F.dayofmonth("ts").alias("x1"),
+        F.least(F.floor("value").cast("long"), F.lit(50)).alias("x2"),
+    )
+    return logreg_fit(feat, "y", "x1", "x2", rounds=3)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the reliability zonal extract (the aid-data triple) at
     sf0.001; driver checks rows>0."""
@@ -6331,6 +6349,7 @@ _ROTATION_R5 = [
     "basket_pairs",
     "dedup_embedding_cosine",
     # new this round — driver must check first
+    "logreg_fit",
     "rolling_trend",
     "pit_enrich",
     "distinct_cube",
@@ -6485,6 +6504,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # queries); the literal below keeps its grouping for readability.
     return _rotate({
         # --- round-5 additions ---
+        "logreg_fit": q_logreg_fit,
         "rolling_trend": q_rolling_trend,
         "pit_enrich": q_pit_enrich,
         "distinct_cube": q_distinct_cube,
@@ -7248,6 +7268,18 @@ def _temporal_reach_oracle() -> str:
         temporal_reachability_sql(edges, seeds, rounds=4)
         + "\nORDER BY node"
     )
+
+
+def _logreg_oracle() -> str:
+    from det_module_spark.operators.glm import logreg_sql
+
+    feat = (
+        "SELECT CASE WHEN event_type = 'purchase' THEN 1.0 ELSE 0.0 END"
+        " AS yd, CAST(day(ts) AS DOUBLE) AS xd1,"
+        " CAST(LEAST(CAST(FLOOR(value) AS BIGINT), 50) AS DOUBLE)"
+        " AS xd2 FROM events"
+    )
+    return logreg_sql(feat, rounds=3)
 
 
 def _layout_pruning_oracle() -> str:
@@ -9498,6 +9530,7 @@ QUALIFY ROW_NUMBER() OVER (
             GROUP BY n_name
             ORDER BY revenue_c4 DESC, n_name
         """,
+        "logreg_fit": _logreg_oracle(),
         "rolling_trend": """
             WITH daily AS (
               SELECT event_type,

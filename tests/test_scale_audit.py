@@ -84,6 +84,7 @@ ALLOWED_NESTED_LOOP = {
     "kaplan_meier": "1-row global max-day scalar for the censoring edge",
     "layout_pruning": "bucket-stats (n_buckets rows) x probe rectangles "
     "(len(probes) rows) — both parameter-bounded",
+    "logreg_fit": "1-row beta/moment frames cross-joined per Newton round",
     "corpus_pipeline_v2": "top-k weight-threshold scalar (1 row, via dsir_select)",
 }
 
