@@ -6323,6 +6323,58 @@ def q_logreg_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return logreg_fit(feat, "y", "x1", "x2", rounds=3)
 
 
+def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # kNN label prediction over embeddings: exact cosine top-10 per
+    # probe, majority vote with (count desc, label asc) tie-break via
+    # one min(struct) agg — no vote window.
+    from det_module_spark.operators.similarity import cosine_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.where(F.col("vec_id") < 5)
+    corpus = emb.where(F.col("vec_id") >= 5)
+    topk = cosine_topk(probes, corpus, k=10)
+    labeled = topk.join(
+        corpus.select(F.col("vec_id").alias("neighbor_id"), "label"),
+        "neighbor_id",
+    )
+    votes = labeled.groupBy("query_id", "label").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return (
+        votes.groupBy("query_id")
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("n")).alias("neg"),
+                    F.col("label").alias("l"),
+                )
+            ).alias("s")
+        )
+        .select(
+            "query_id",
+            F.col("s.l").alias("pred_label"),
+            (-F.col("s.neg")).alias("n_votes"),
+        )
+        .orderBy("query_id")
+    )
+
+
+def q_logreg_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # train + reliability diagram in one deterministic SQL text: fit
+    # 3 Newton rounds, score every event, bucket by predicted prob.
+    from det_module_spark.operators.glm import logreg_calibrate
+
+    ev = _events(spark, sf_dir)
+    feat = ev.select(
+        F.when(F.col("event_type") == "purchase", 1)
+        .otherwise(0)
+        .alias("y"),
+        F.dayofmonth("ts").alias("x1"),
+        F.least(F.floor("value").cast("long"), F.lit(50)).alias("x2"),
+    )
+    return logreg_calibrate(feat, "y", "x1", "x2", rounds=3, bins=10)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the reliability zonal extract (the aid-data triple) at
     sf0.001; driver checks rows>0."""
@@ -6349,6 +6401,8 @@ _ROTATION_R5 = [
     "basket_pairs",
     "dedup_embedding_cosine",
     # new this round — driver must check first
+    "knn_classify",
+    "logreg_calibration",
     "logreg_fit",
     "rolling_trend",
     "pit_enrich",
@@ -6504,6 +6558,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # queries); the literal below keeps its grouping for readability.
     return _rotate({
         # --- round-5 additions ---
+        "knn_classify": q_knn_classify,
+        "logreg_calibration": q_logreg_calibration,
         "logreg_fit": q_logreg_fit,
         "rolling_trend": q_rolling_trend,
         "pit_enrich": q_pit_enrich,
@@ -7280,6 +7336,18 @@ def _logreg_oracle() -> str:
         " AS xd2 FROM events"
     )
     return logreg_sql(feat, rounds=3)
+
+
+def _logreg_cal_oracle() -> str:
+    from det_module_spark.operators.glm import logreg_calibration_sql
+
+    feat = (
+        "SELECT CASE WHEN event_type = 'purchase' THEN 1.0 ELSE 0.0 END"
+        " AS yd, CAST(day(ts) AS DOUBLE) AS xd1,"
+        " CAST(LEAST(CAST(FLOOR(value) AS BIGINT), 50) AS DOUBLE)"
+        " AS xd2 FROM events"
+    )
+    return logreg_calibration_sql(feat, rounds=3, bins=10)
 
 
 def _layout_pruning_oracle() -> str:
@@ -9530,6 +9598,34 @@ QUALIFY ROW_NUMBER() OVER (
             GROUP BY n_name
             ORDER BY revenue_c4 DESC, n_name
         """,
+        "knn_classify": """
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+               FROM embeddings WHERE vec_id < 5),
+    c AS (SELECT vec_id AS neighbor_id, embedding AS cv, label
+          FROM embeddings WHERE vec_id >= 5),
+    s AS (SELECT query_id, neighbor_id, label,
+                 list_sum(list_transform(range(1, 65),
+                   i -> CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE)))
+                 / (sqrt(list_sum(list_transform(range(1, 65),
+                      i -> CAST(qv[i] AS DOUBLE)
+                           * CAST(qv[i] AS DOUBLE))))
+                    * sqrt(list_sum(list_transform(range(1, 65),
+                      i -> CAST(cv[i] AS DOUBLE)
+                           * CAST(cv[i] AS DOUBLE))))) AS cos
+          FROM c, q),
+    r AS (SELECT query_id, label,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY cos DESC, neighbor_id ASC) AS rnk
+          FROM s),
+    v AS (SELECT query_id, label, CAST(COUNT(*) AS BIGINT) AS n
+          FROM r WHERE rnk <= 10 GROUP BY 1, 2)
+    SELECT query_id, label AS pred_label, n AS n_votes
+    FROM v
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY n DESC, label ASC) = 1
+    ORDER BY query_id
+        """,
+        "logreg_calibration": _logreg_cal_oracle(),
         "logreg_fit": _logreg_oracle(),
         "rolling_trend": """
             WITH daily AS (

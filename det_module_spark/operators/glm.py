@@ -144,3 +144,67 @@ def logreg_fit(
     return spark.sql(
         logreg_sql(f"SELECT yd, xd1, xd2 FROM {view}", rounds)
     )
+
+
+def logreg_calibration_sql(
+    feat_sql: str, rounds: int = 3, bins: int = 10
+) -> str:
+    """Train + evaluate in one dialect-free SQL text: fit as in
+    ``logreg_sql``, score every row with the final β, bucket by
+    predicted probability and report the reliability diagram —
+    (bin, n, pred_ppm, obs_ppm). A calibrated model has
+    pred_ppm ≈ obs_ppm per bin; the spread is the miscalibration.
+
+    Same determinism rules: per-row predicted probs are quantized to
+    1e-6 longs before the per-bin sums; the two ppm averages are
+    FLOOR'd IEEE divisions of exact ints."""
+    base = logreg_sql(feat_sql, rounds)
+    # strip the final projection; keep the CTE chain
+    chain = base[: base.rindex("\nSELECT 'b0'")]
+    z = (
+        f"((CAST(b0 AS DOUBLE) + CAST(b1 AS DOUBLE) * xd1"
+        f" + CAST(b2 AS DOUBLE) * xd2) / {Q_BETA})"
+    )
+    p = f"(1.0 / (1.0 + EXP(-{z})))"
+    return (
+        chain
+        + f""",
+score AS (
+  SELECT yd, {p} AS p
+  FROM feat CROSS JOIN b{rounds}),
+binned AS (
+  SELECT CAST(LEAST(FLOOR(p * {bins}.0), {bins - 1}) AS BIGINT)
+           AS bin,
+         CAST(FLOOR(p * {Q_TERM} + 0.5) AS BIGINT) AS pq,
+         CAST(yd AS BIGINT) AS yb
+  FROM score)
+SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(FLOOR(CAST(SUM(pq) AS DOUBLE)
+            / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS pred_ppm,
+       CAST(FLOOR({Q_TERM} * CAST(SUM(yb) AS DOUBLE)
+            / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS obs_ppm
+FROM binned GROUP BY bin ORDER BY bin"""
+    )
+
+
+def logreg_calibrate(
+    df: DataFrame,
+    y: str,
+    x1: str,
+    x2: str,
+    rounds: int = 3,
+    bins: int = 10,
+) -> DataFrame:
+    """DataFrame wrapper for ``logreg_calibration_sql``."""
+    spark = df.sparkSession
+    view = "glm_cal_input"
+    df.selectExpr(
+        f"CAST({y} AS DOUBLE) AS yd",
+        f"CAST({x1} AS DOUBLE) AS xd1",
+        f"CAST({x2} AS DOUBLE) AS xd2",
+    ).createOrReplaceTempView(view)
+    return spark.sql(
+        logreg_calibration_sql(
+            f"SELECT yd, xd1, xd2 FROM {view}", rounds, bins
+        )
+    )

@@ -85,6 +85,8 @@ ALLOWED_NESTED_LOOP = {
     "layout_pruning": "bucket-stats (n_buckets rows) x probe rectangles "
     "(len(probes) rows) — both parameter-bounded",
     "logreg_fit": "1-row beta/moment frames cross-joined per Newton round",
+    "logreg_calibration": "1-row beta/moment frames (scoring pass included)",
+    "knn_classify": "probe-vector frame (5 rows by filter, via cosine_topk)",
     "corpus_pipeline_v2": "top-k weight-threshold scalar (1 row, via dsir_select)",
 }
 

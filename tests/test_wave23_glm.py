@@ -96,3 +96,31 @@ def test_logreg_partition_independent(spark):
         "y", "x1", "x2",
     ).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_logreg_calibration_bins_are_consistent(spark):
+    from det_module_spark.operators.glm import logreg_calibrate
+
+    rows = _dataset()
+    df = spark.createDataFrame(rows, ["y", "x1", "x2"])
+    out = logreg_calibrate(df, "y", "x1", "x2", rounds=3, bins=10)
+    got = [(r["bin"], r["n"], r["pred_ppm"], r["obs_ppm"]) for r in out.collect()]
+    assert sum(n for _, n, _, _ in got) == len(rows)
+    for b, _n, pred, obs in got:
+        assert 0 <= b <= 9
+        # bin b holds predictions in [b/10, (b+1)/10)
+        assert b * 100_000 <= pred < (b + 1) * 100_000 + 1
+        assert 0 <= obs <= 1_000_000
+    # a separable-ish dataset must be directionally calibrated:
+    # observed rate grows with the predicted bin
+    obs_by_bin = [(b, o) for b, _n, _p, o in got]
+    assert obs_by_bin == sorted(obs_by_bin)
+
+
+def test_knn_classify_query_majority(spark, sf_dir):
+    import __spark_entry__ as m
+
+    rows = m.queries()["knn_classify"](spark, sf_dir).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert 1 <= r["n_votes"] <= 10
