@@ -6375,6 +6375,100 @@ def q_logreg_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return logreg_calibrate(feat, "y", "x1", "x2", rounds=3, bins=10)
 
 
+def _ndcg_weights() -> list[tuple[int, int]]:
+    # quantized 1/log2(rank+1) gain weights for ranks 1..10 — the
+    # SAME integer literals are embedded in the oracle, so the metric
+    # is exact-int on both engines.
+    import math
+
+    return [
+        (i, math.floor(1e9 / math.log2(i + 1) + 0.5))
+        for i in range(1, 11)
+    ]
+
+
+_NDCG_QUERIES = [
+    ("q1", ("spark", "window", "merge")),
+    ("q2", ("hash", "scan", "batch")),
+]
+
+
+def q_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ranker evaluation: NDCG@10 of BM25 rankings against the
+    # deterministic graded relevance rel(doc) = doc_id % 4; exact
+    # integer DCG/IDCG with embedded quantized log weights.
+    from pyspark.sql import Window
+
+    from det_module_spark.operators.text import bm25_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    wdf = spark.createDataFrame(_ndcg_weights(), ["rnk", "wq"])
+    outs = []
+    for qid, terms in _NDCG_QUERIES:
+        top = (
+            bm25_scores(docs, list(terms))
+            .orderBy(F.desc("scoreq"), F.asc("doc_id"))
+            .limit(10)
+        )
+        ranked = top.select(
+            (F.col("doc_id") % 4).alias("rel"),
+            F.row_number()
+            .over(Window.orderBy(F.desc("scoreq"), F.asc("doc_id")))
+            .alias("rnk"),
+            F.row_number()
+            .over(
+                Window.orderBy(
+                    F.desc(F.col("doc_id") % 4), F.asc("doc_id")
+                )
+            )
+            .alias("ideal_rnk"),
+        )
+        dcg = (
+            ranked.join(F.broadcast(wdf), "rnk")
+            .agg(F.sum(F.col("rel") * F.col("wq")).alias("dcg_q"))
+        )
+        idcg = (
+            ranked.join(
+                F.broadcast(wdf.withColumnRenamed("rnk", "ideal_rnk")),
+                "ideal_rnk",
+            )
+            .agg(F.sum(F.col("rel") * F.col("wq")).alias("idcg_q"))
+        )
+        outs.append(
+            dcg.crossJoin(idcg).select(
+                F.lit(qid).alias("qid"),
+                "dcg_q",
+                "idcg_q",
+                F.when(
+                    F.col("idcg_q") > 0,
+                    F.expr("dcg_q * 1000000 div idcg_q"),
+                ).alias("ndcg_ppm"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("qid")
+
+
+def q_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # significance companion to kaplan_meier: is 'click' engagement
+    # survival different from 'error'? Exact O, quantized E/V terms,
+    # one mirrored IEEE chi-square.
+    from det_module_spark.operators.survival import logrank_test
+
+    ev = _events(spark, sf_dir)
+    return logrank_test(
+        ev,
+        F.col("event_type"),
+        "user_id",
+        F.expr("datediff(CAST(ts AS DATE), DATE '1970-01-01')"),
+        group_a="click",
+        group_b="error",
+        horizon_days=3,
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the reliability zonal extract (the aid-data triple) at
     sf0.001; driver checks rows>0."""
@@ -6401,6 +6495,8 @@ _ROTATION_R5 = [
     "basket_pairs",
     "dedup_embedding_cosine",
     # new this round — driver must check first
+    "ndcg_eval",
+    "logrank_test",
     "knn_classify",
     "logreg_calibration",
     "logreg_fit",
@@ -6558,6 +6654,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # queries); the literal below keeps its grouping for readability.
     return _rotate({
         # --- round-5 additions ---
+        "ndcg_eval": q_ndcg_eval,
+        "logrank_test": q_logrank_test,
         "knn_classify": q_knn_classify,
         "logreg_calibration": q_logreg_calibration,
         "logreg_fit": q_logreg_fit,
@@ -7336,6 +7434,88 @@ def _logreg_oracle() -> str:
         " AS xd2 FROM events"
     )
     return logreg_sql(feat, rounds=3)
+
+
+def _ndcg_oracle() -> str:
+    weights = _ndcg_weights()
+    wvals = ", ".join(f"({r}, {w})" for r, w in weights)
+    blocks = []
+    for qid, terms in _NDCG_QUERIES:
+        blocks.append(
+            f"""(
+  WITH {_bm25_cte(terms)},
+  top AS (SELECT doc_id, scoreq FROM bm
+          ORDER BY scoreq DESC, doc_id LIMIT 10),
+  ranked AS (
+    SELECT doc_id % 4 AS rel,
+           ROW_NUMBER() OVER (ORDER BY scoreq DESC, doc_id) AS rnk,
+           ROW_NUMBER() OVER (ORDER BY doc_id % 4 DESC, doc_id)
+             AS ideal_rnk
+    FROM top),
+  w(rnk, wq) AS (VALUES {wvals}),
+  dcg AS (SELECT CAST(SUM(rel * wq) AS BIGINT) AS dcg_q
+          FROM ranked JOIN w USING (rnk)),
+  idcg AS (SELECT CAST(SUM(rel * wq) AS BIGINT) AS idcg_q
+           FROM ranked JOIN w ON w.rnk = ranked.ideal_rnk)
+  SELECT '{qid}' AS qid, dcg_q, idcg_q,
+         CASE WHEN idcg_q > 0 THEN dcg_q * 1000000 // idcg_q END
+           AS ndcg_ppm
+  FROM dcg CROSS JOIN idcg)"""
+        )
+    return (
+        "SELECT * FROM "
+        + "\nUNION ALL SELECT * FROM ".join(blocks)
+        + "\nORDER BY qid"
+    )
+
+
+_LOGRANK_ORACLE = """
+WITH per_unit AS (
+  SELECT event_type AS cohort, user_id AS u,
+         MIN(CAST(ts AS DATE) - DATE '1970-01-01') AS first_d,
+         MAX(CAST(ts AS DATE) - DATE '1970-01-01') AS last_d
+  FROM events WHERE event_type IN ('click', 'error')
+  GROUP BY 1, 2),
+mx AS (SELECT MAX(last_d) AS mx FROM per_unit),
+lt AS (SELECT cohort = 'click' AS is_a, last_d - first_d AS t,
+              CASE WHEN last_d + 3 <= mx THEN 1 ELSE 0 END AS dead
+       FROM per_unit CROSS JOIN mx),
+cells AS (
+  SELECT t, CAST(COUNT(*) AS BIGINT) AS ending,
+         CAST(SUM(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT)
+           AS ending_a,
+         CAST(SUM(dead) AS BIGINT) AS d_all,
+         CAST(SUM(CASE WHEN is_a THEN dead ELSE 0 END) AS BIGINT)
+           AS d_a
+  FROM lt GROUP BY t),
+ar AS (
+  SELECT t, d_all, d_a,
+         CAST(SUM(ending) OVER w AS BIGINT) AS n_all,
+         CAST(SUM(ending_a) OVER w AS BIGINT) AS n_a
+  FROM cells
+  WINDOW w AS (ORDER BY t DESC ROWS BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW)),
+f AS (SELECT * FROM ar WHERE d_all > 0 AND n_all > 1),
+agg AS (
+  SELECT CAST(SUM(d_a) AS BIGINT) AS o_a,
+         CAST(SUM(CAST(FLOOR(CAST(d_all AS DOUBLE)
+           * CAST(n_a AS DOUBLE) / CAST(n_all AS DOUBLE)
+           * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS e_a_micro,
+         CAST(SUM(CAST(FLOOR(CAST(d_all AS DOUBLE)
+           * (CAST(n_a AS DOUBLE) / CAST(n_all AS DOUBLE))
+           * (CAST(n_all - n_a AS DOUBLE) / CAST(n_all AS DOUBLE))
+           * (CAST(n_all - d_all AS DOUBLE)
+              / CAST(n_all - 1 AS DOUBLE))
+           * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS v_micro
+  FROM f)
+SELECT 'click' AS group_a, 'error' AS group_b, o_a, e_a_micro,
+       v_micro,
+       CASE WHEN v_micro > 0 THEN CAST(FLOOR(
+         CAST(o_a * 1000000 - e_a_micro AS DOUBLE)
+         * CAST(o_a * 1000000 - e_a_micro AS DOUBLE) * 1000.0
+         / (1000000.0 * CAST(v_micro AS DOUBLE)) + 0.5) AS BIGINT)
+       END AS chi2_milli
+FROM agg"""
 
 
 def _logreg_cal_oracle() -> str:
@@ -9598,6 +9778,8 @@ QUALIFY ROW_NUMBER() OVER (
             GROUP BY n_name
             ORDER BY revenue_c4 DESC, n_name
         """,
+        "ndcg_eval": _ndcg_oracle(),
+        "logrank_test": _LOGRANK_ORACLE,
         "knn_classify": """
     WITH q AS (SELECT vec_id AS query_id, embedding AS qv
                FROM embeddings WHERE vec_id < 5),

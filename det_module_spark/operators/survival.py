@@ -109,3 +109,108 @@ def kaplan_meier(
             + F.lit(0.5)
         ).cast("long").alias("surv_ppm"),
     )
+
+
+def logrank_test(
+    df: DataFrame,
+    cohort: Column,
+    unit: str,
+    day: Column,
+    group_a: str,
+    group_b: str,
+    horizon_days: int = 3,
+) -> DataFrame:
+    """Log-rank test between two cohorts' survival curves (the
+    companion significance test to ``kaplan_meier``: "is A's churn
+    actually different from B's, or noise?").
+
+    At each death time t (pooled): with d deaths of n at risk and
+    n_a at risk in A, the A-expectation term is d·n_a/n and the
+    hypergeometric variance term d·(n_a/n)·(n_b/n)·(n−d)/(n−1);
+    χ² = (O_A − E_A)² / V. O_A is an exact int; the E and V terms are
+    quantized to 1e-6 per time point before the int64 sums (order
+    independent); the final χ² is one mirrored IEEE expression.
+    → one row (group_a, group_b, o_a, e_a_micro, v_micro,
+    chi2_milli).
+
+    Shape: same aggs/windows as kaplan_meier over the two-cohort
+    subset; one final 1-row reduction."""
+    from pyspark.sql import Window
+
+    per_unit = (
+        df.select(
+            cohort.alias("cohort"), F.col(unit).alias("u"), day.alias("d")
+        )
+        .where(F.col("cohort").isin(group_a, group_b))
+        .groupBy("cohort", "u")
+        .agg(F.min("d").alias("first_d"), F.max("d").alias("last_d"))
+    )
+    max_day = per_unit.agg(F.max("last_d").alias("mx"))
+    lifetimes = per_unit.crossJoin(F.broadcast(max_day)).select(
+        (F.col("cohort") == group_a).alias("is_a"),
+        (F.col("last_d") - F.col("first_d")).alias("t"),
+        (F.col("last_d") + horizon_days <= F.col("mx"))
+        .cast("long")
+        .alias("dead"),
+    )
+    cells = lifetimes.groupBy("t").agg(
+        F.count(F.lit(1)).alias("ending"),
+        F.sum(F.when(F.col("is_a"), 1).otherwise(0)).alias("ending_a"),
+        F.sum("dead").alias("d_all"),
+        F.sum(F.when(F.col("is_a"), F.col("dead")).otherwise(0)).alias(
+            "d_a"
+        ),
+    )
+    w_desc = (
+        Window.orderBy(F.col("t").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    at_risk = cells.select(
+        "t",
+        "d_all",
+        "d_a",
+        F.sum("ending").over(w_desc).alias("n_all"),
+        F.sum("ending_a").over(w_desc).alias("n_a"),
+    ).where((F.col("d_all") > 0) & (F.col("n_all") > 1))
+    e_term = (
+        F.col("d_all").cast("double")
+        * F.col("n_a").cast("double")
+        / F.col("n_all").cast("double")
+    )
+    v_term = (
+        F.col("d_all").cast("double")
+        * (F.col("n_a").cast("double") / F.col("n_all").cast("double"))
+        * (
+            (F.col("n_all") - F.col("n_a")).cast("double")
+            / F.col("n_all").cast("double")
+        )
+        * (
+            (F.col("n_all") - F.col("d_all")).cast("double")
+            / (F.col("n_all") - 1).cast("double")
+        )
+    )
+    agg = at_risk.agg(
+        F.sum("d_a").alias("o_a"),
+        F.sum(
+            F.floor(e_term * F.lit(1000000.0) + F.lit(0.5)).cast("long")
+        ).alias("e_a_micro"),
+        F.sum(
+            F.floor(v_term * F.lit(1000000.0) + F.lit(0.5)).cast("long")
+        ).alias("v_micro"),
+    )
+    d1 = (F.col("o_a") * F.lit(1000000) - F.col("e_a_micro")).cast(
+        "double"
+    )
+    chi2 = F.floor(
+        d1 * d1 * F.lit(1000.0)
+        / (F.lit(1000000.0) * F.col("v_micro").cast("double"))
+        + F.lit(0.5)
+    ).cast("long")
+    return agg.select(
+        F.lit(group_a).alias("group_a"),
+        F.lit(group_b).alias("group_b"),
+        "o_a",
+        "e_a_micro",
+        "v_micro",
+        F.when(F.col("v_micro") > 0, chi2).alias("chi2_milli"),
+    )

@@ -87,6 +87,8 @@ ALLOWED_NESTED_LOOP = {
     "logreg_fit": "1-row beta/moment frames cross-joined per Newton round",
     "logreg_calibration": "1-row beta/moment frames (scoring pass included)",
     "knn_classify": "probe-vector frame (5 rows by filter, via cosine_topk)",
+    "ndcg_eval": "10-row top-k frames + 1-row dcg/idcg scalars",
+    "logrank_test": "1-row max-day scalar for the censoring edge",
     "corpus_pipeline_v2": "top-k weight-threshold scalar (1 row, via dsir_select)",
 }
 
@@ -206,8 +208,8 @@ BROADCAST_WHITELIST = {
         "seasonal baseline: one row per (key, hour-of-week) bucket",
     ),
     "det_module_spark/operators/survival.py": (
-        1,
-        "kaplan_meier global max-day: 1-row aggregate scalar",
+        2,
+        "kaplan_meier/logrank global max-day: 1-row aggregate scalars",
     ),
     "det_module_spark/operators/layout.py": (
         1,
@@ -226,7 +228,7 @@ BROADCAST_WHITELIST = {
         "corpus-independent bound",
     ),
     "__spark_entry__.py": (
-        39,
+        41,
         "TPC-H dims (nation/region/part/supp at their spec'd scale ratios) "
         "+ 1-row scalar aggregates (totals, maxima, batch-boundary "
         "constants, the rrf_fusion query vector, the temporal_split "
