@@ -6469,6 +6469,39 @@ def q_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_pipeline_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # session flagship: the crawl-curation front half end to end —
+    # URL canonicalization → exact canonical dedup (min doc id
+    # survives) → per-domain quota (md5-rank ≤5) → content-defined
+    # chunk storage-dedup report per source on the survivors.
+    from pyspark.sql import Window
+
+    from det_module_spark.operators.chunking import (
+        chunk_dedup_report,
+        content_defined_chunks,
+    )
+    from det_module_spark.operators.web import normalize_urls
+
+    docs = load_table(spark, sf_dir, "documents")
+    urls = normalize_urls(_derived_urls(docs))
+    canon_keep = urls.groupBy("canonical").agg(
+        F.min("doc_id").alias("doc_id"),
+        F.min("domain").alias("domain"),
+    )
+    wcap = Window.partitionBy("domain").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    survivors = (
+        canon_keep.withColumn("_rk", F.row_number().over(wcap))
+        .where(F.col("_rk") <= 5)
+        .select("doc_id")
+    )
+    kept_docs = docs.join(survivors, "doc_id")
+    chunks = content_defined_chunks(kept_docs, modulus=8)
+    src = kept_docs.select(F.col("doc_id").alias("id"), "source")
+    return chunk_dedup_report(chunks, src).orderBy("source")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the reliability zonal extract (the aid-data triple) at
     sf0.001; driver checks rows>0."""
@@ -6495,6 +6528,7 @@ _ROTATION_R5 = [
     "basket_pairs",
     "dedup_embedding_cosine",
     # new this round — driver must check first
+    "corpus_pipeline_v3",
     "ndcg_eval",
     "logrank_test",
     "knn_classify",
@@ -6654,6 +6688,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # queries); the literal below keeps its grouping for readability.
     return _rotate({
         # --- round-5 additions ---
+        "corpus_pipeline_v3": q_corpus_pipeline_v3,
         "ndcg_eval": q_ndcg_eval,
         "logrank_test": q_logrank_test,
         "knn_classify": q_knn_classify,
@@ -9777,6 +9812,57 @@ QUALIFY ROW_NUMBER() OVER (
               AND o_orderdate < TIMESTAMP '1997-01-01'
             GROUP BY n_name
             ORDER BY revenue_c4 DESC, n_name
+        """,
+        "corpus_pipeline_v3": _URL_CANON_CTE
+        + """
+            , canon_keep AS (
+              SELECT canonical, MIN(doc_id) AS doc_id,
+                     MIN(domain) AS domain
+              FROM canon GROUP BY canonical),
+            ranked AS (
+              SELECT doc_id,
+                     ROW_NUMBER() OVER (PARTITION BY domain
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+                       AS rk
+              FROM canon_keep),
+            survivors AS (SELECT doc_id FROM ranked WHERE rk <= 5),
+            kept AS (
+              SELECT d.doc_id, d.source, d.text
+              FROM documents d JOIN survivors s
+                ON d.doc_id = s.doc_id),
+            toks AS (
+              SELECT doc_id, source, string_split(text, ' ') AS l
+              FROM kept),
+            words AS (
+              SELECT doc_id, source,
+                     unnest(range(1, len(l) + 1)) AS pos,
+                     unnest(l) AS w
+              FROM toks),
+            flagged AS (
+              SELECT doc_id, source, pos, w,
+                     CASE WHEN pos > 1 AND
+                          CAST(concat('0x', substr(md5(w), 1, 15))
+                               AS BIGINT) % 8 = 0
+                     THEN 1 ELSE 0 END AS b
+              FROM words),
+            chunked AS (
+              SELECT doc_id, source, pos, w,
+                     SUM(b) OVER (PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT
+                       ROW) AS chunk_id
+              FROM flagged),
+            chunks AS (
+              SELECT doc_id, source,
+                     md5(string_agg(w, ' ' ORDER BY pos))
+                       AS chunk_hash
+              FROM chunked GROUP BY doc_id, source, chunk_id)
+            SELECT source, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+                   CAST(COUNT(DISTINCT chunk_hash) AS BIGINT)
+                     AS n_distinct,
+                   (CAST(COUNT(*) AS BIGINT)
+                    - CAST(COUNT(DISTINCT chunk_hash) AS BIGINT))
+                   * 1000000 // CAST(COUNT(*) AS BIGINT) AS dup_ppm
+            FROM chunks GROUP BY source ORDER BY source
         """,
         "ndcg_eval": _ndcg_oracle(),
         "logrank_test": _LOGRANK_ORACLE,
