@@ -31,6 +31,7 @@ state outside the 1-row β relation.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 Q_BETA = "1000000000.0"  # β carried in 1e-9 units
 Q_TERM = "1000000.0"  # per-row moment terms quantized to 1e-6
@@ -125,6 +126,74 @@ ORDER BY coef"""
     )
 
 
+def _moment_exprs(b: list[int]) -> list[str]:
+    """The nine quantized moment aggregates for the CURRENT quantized
+    beta embedded as literals — the same expression trees as
+    ``_round_ctes`` (CAST(<int> AS DOUBLE) replaces the column ref)."""
+    z = (
+        f"((CAST({b[0]} AS DOUBLE) + CAST({b[1]} AS DOUBLE) * xd1"
+        f" + CAST({b[2]} AS DOUBLE) * xd2) / {Q_BETA})"
+    )
+    p = f"(1.0 / (1.0 + EXP(-{z})))"
+    r = f"(yd - {p})"
+    w = f"({p} * (1.0 - {p}))"
+    pairs = [
+        (r, "g0q"), (f"{r} * xd1", "g1q"), (f"{r} * xd2", "g2q"),
+        (w, "h00q"), (f"{w} * xd1", "h01q"), (f"{w} * xd2", "h02q"),
+        (f"{w} * xd1 * xd1", "h11q"), (f"{w} * xd1 * xd2", "h12q"),
+        (f"{w} * xd2 * xd2", "h22q"),
+    ]
+    return [
+        f"CAST(SUM(CAST(FLOOR(({e}) * {Q_TERM} + 0.5) AS BIGINT))"
+        f" AS BIGINT) AS {a}"
+        for e, a in pairs
+    ]
+
+
+def _solve_round(b: list[int], row) -> list[int]:
+    """Newton update from the nine exact integer sums — the IDENTICAL
+    IEEE expression sequence as the SQL solve in ``_round_ctes``
+    (proven equal by tests/test_wave23_glm.py), evaluated on the
+    driver. Control plane: consumes one 1-row aggregate."""
+    import math
+
+    qt = float(Q_TERM)
+    g0, g1, g2 = (row[k] / qt for k in ("g0q", "g1q", "g2q"))
+    h00, h01, h02, h11, h12, h22 = (
+        row[k] / qt
+        for k in ("h00q", "h01q", "h02q", "h11q", "h12q", "h22q")
+    )
+    a00 = h11 * h22 - h12 * h12
+    a01 = h02 * h12 - h01 * h22
+    a02 = h01 * h12 - h02 * h11
+    a11 = h00 * h22 - h02 * h02
+    a12 = h01 * h02 - h00 * h12
+    a22 = h00 * h11 - h01 * h01
+    det = h00 * a00 + h01 * a01 + h02 * a02
+    qb = float(Q_BETA)
+    return [
+        b[0] + math.floor((a00 * g0 + a01 * g1 + a02 * g2) / det * qb + 0.5),
+        b[1] + math.floor((a01 * g0 + a11 * g1 + a12 * g2) / det * qb + 0.5),
+        b[2] + math.floor((a02 * g0 + a12 * g1 + a22 * g2) / det * qb + 0.5),
+    ]
+
+
+def _fit_beta(feat: DataFrame, rounds: int) -> list[int]:
+    b = [0, 0, 0]
+    for _ in range(rounds):
+        row = feat.selectExpr(*_moment_exprs(b)).collect()[0]
+        b = _solve_round(b, row)
+    return b
+
+
+def _feat_frame(df: DataFrame, y: str, x1: str, x2: str) -> DataFrame:
+    return df.selectExpr(
+        f"CAST({y} AS DOUBLE) AS yd",
+        f"CAST({x1} AS DOUBLE) AS xd1",
+        f"CAST({x2} AS DOUBLE) AS xd2",
+    )
+
+
 def logreg_fit(
     df: DataFrame,
     y: str,
@@ -132,18 +201,19 @@ def logreg_fit(
     x2: str,
     rounds: int = 3,
 ) -> DataFrame:
-    """DataFrame wrapper: registers the feature projection as a temp
-    view and runs the generated fit through Catalyst."""
+    """DataFrame wrapper: one aggregation job per Newton round (K
+    scans of the data total), β advanced on the driver from the 1-row
+    moment aggregate — NOT the unrolled-CTE plan, which Catalyst
+    expands into 2^K re-scans of the input (each round references the
+    previous β twice); the unrolled text remains the DuckDB oracle and
+    is value-identical by construction (same quantized state, same
+    IEEE solve — asserted in tests)."""
     spark = df.sparkSession
-    view = "glm_feat_input"
-    df.selectExpr(
-        f"CAST({y} AS DOUBLE) AS yd",
-        f"CAST({x1} AS DOUBLE) AS xd1",
-        f"CAST({x2} AS DOUBLE) AS xd2",
-    ).createOrReplaceTempView(view)
-    return spark.sql(
-        logreg_sql(f"SELECT yd, xd1, xd2 FROM {view}", rounds)
-    )
+    feat = _feat_frame(df, y, x1, x2)
+    b = _fit_beta(feat, rounds)
+    return spark.createDataFrame(
+        [("b0", b[0]), ("b1", b[1]), ("b2", b[2])], ["coef", "beta_q"]
+    ).orderBy("coef")
 
 
 def logreg_calibration_sql(
@@ -195,16 +265,34 @@ def logreg_calibrate(
     rounds: int = 3,
     bins: int = 10,
 ) -> DataFrame:
-    """DataFrame wrapper for ``logreg_calibration_sql``."""
-    spark = df.sparkSession
-    view = "glm_cal_input"
-    df.selectExpr(
-        f"CAST({y} AS DOUBLE) AS yd",
-        f"CAST({x1} AS DOUBLE) AS xd1",
-        f"CAST({x2} AS DOUBLE) AS xd2",
-    ).createOrReplaceTempView(view)
-    return spark.sql(
-        logreg_calibration_sql(
-            f"SELECT yd, xd1, xd2 FROM {view}", rounds, bins
+    """Fit (K aggregation jobs, see logreg_fit) then ONE scoring pass
+    bucketing predictions with the final β as literals — K+1 scans
+    total vs the unrolled plan's exponential re-scan."""
+    feat = _feat_frame(df, y, x1, x2)
+    b = _fit_beta(feat, rounds)
+    z = (
+        f"((CAST({b[0]} AS DOUBLE) + CAST({b[1]} AS DOUBLE) * xd1"
+        f" + CAST({b[2]} AS DOUBLE) * xd2) / {Q_BETA})"
+    )
+    p = f"(1.0 / (1.0 + EXP(-{z})))"
+    binned = feat.selectExpr(
+        f"CAST(LEAST(FLOOR({p} * {bins}.0), {bins - 1}) AS BIGINT)"
+        " AS bin",
+        f"CAST(FLOOR({p} * {Q_TERM} + 0.5) AS BIGINT) AS pq",
+        "CAST(yd AS BIGINT) AS yb",
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.expr(
+                "CAST(FLOOR(CAST(SUM(pq) AS DOUBLE)"
+                " / CAST(COUNT(*) AS DOUBLE)) AS BIGINT)"
+            ).alias("pred_ppm"),
+            F.expr(
+                f"CAST(FLOOR({Q_TERM} * CAST(SUM(yb) AS DOUBLE)"
+                " / CAST(COUNT(*) AS DOUBLE)) AS BIGINT)"
+            ).alias("obs_ppm"),
         )
+        .orderBy("bin")
     )

@@ -285,6 +285,12 @@ COLLECT_WHITELIST = {
         1,
         "aggregated bloom bitmap: fixed m bits, one row",
     ),
+    "det_module_spark/operators/glm.py": (
+        1,
+        "one 1-row moment aggregate per Newton round (<= rounds rows "
+        "total) — the driver-side beta advance that keeps the fit at "
+        "K scans instead of the unrolled plan's exponential re-scan",
+    ),
     "det_module_spark/operators/bpe.py": (
         1,
         "one winning merge pair per fit round, <= vocab_size rounds",
