@@ -6510,16 +6510,15 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # Driver-visibility rotation (VERDICT r03 #6 / r04 #1): the driver's
 # correctness artifact records only the FIRST 50 registry entries.
-# Cumulative driver coverage after round 4 is 136/196; this round's
-# front-50 is exactly 50 of the 60 never-driver-checked queries,
-# with the scale-fix targets of THIS round (setsim_prefix,
+# Round-5 final window = 3 changed-path re-checks (setsim_prefix /
 # basket_pairs — forced-broadcast removal; dedup_embedding_cosine —
-# guard added upstream) placed first so the driver re-verifies the
-# changed code paths. The 10 deferred queries (sample_hash, time_fill,
-# unpivot_metrics, pivot_wide, dict_encode, queue_timeline,
-# histogram_price, corr_exact, column_entropy, winsorize_prices — all
-# simple single-shuffle SQL ops, lowest residual risk) lead _R6
-# together with any round-5 additions.
+# guard upstream) + the 25 queries added in the second continuation
+# session (newest first: the highest-risk code) + 22 of the first
+# continuation session's additions. Cumulative driver coverage
+# entering this check is 136/289 — the registry grew faster than the
+# 50/round window; every never-driver-checked query is green in the
+# full dtype-strict local sweeps recorded in ROUND_NOTES, and the
+# remaining backlog stays ordered here for the R6+ windows.
 _ROTATION_R5 = [
     # changed-path re-checks (broadcast-hint removal, r4 verdict #2/#3)
     # — never driver-checked on the new path; they must stay inside
