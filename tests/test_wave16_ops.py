@@ -146,3 +146,36 @@ def test_t_closeness_matches_reference_and_flags_skew(spark):
     # B concentrates at the top level, so its distance must dominate
     assert got["B"][2] > got["A"][2]
     assert got["B"][3] is True
+
+
+def test_normalize_urls_idempotent(spark):
+    """Canonicalization is a projection: canon(canon(u)) == canon(u)
+    over a structured sample of the messy-URL space."""
+    from det_module_spark.operators.web import normalize_urls
+
+    schemes = ["http", "HTTPS", "ftp"]
+    hosts = ["A.b.COM", "x.org", "localhost", "u:p@Site.NET"]
+    ports = ["", ":80", ":443", ":8080"]
+    paths = ["", "/", "/a//b/", "/A/b"]
+    queries = ["", "?b=2&a=1", "?utm_source=x", "?a=1&a=0&gclid=g"]
+    frags = ["", "#f"]
+    urls = []
+    i = 0
+    for s in schemes:
+        for h in hosts:
+            for p in ports:
+                urls.append(
+                    s + "://" + h + p
+                    + paths[i % 4] + queries[i % 4] + frags[i % 2]
+                )
+                i += 1
+    df = spark.createDataFrame(
+        [(i, u) for i, u in enumerate(urls)], ["doc_id", "url"]
+    )
+    once = normalize_urls(df).select(
+        "doc_id", F.col("canonical").alias("url")
+    )
+    twice = normalize_urls(once).select("doc_id", "canonical")
+    got1 = {r["doc_id"]: r["url"] for r in once.collect()}
+    got2 = {r["doc_id"]: r["canonical"] for r in twice.collect()}
+    assert got1 == got2
