@@ -6502,6 +6502,73 @@ def q_corpus_pipeline_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_dedup_report(chunks, src).orderBy("source")
 
 
+def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # embedding-distribution drift: per label, cosine between the
+    # even-id and odd-id centroid — quantized per-dim integer sums,
+    # one IEEE sqrt/divide.
+    from det_module_spark.operators.similarity import centroid_drift
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return centroid_drift(
+        emb, "label", F.col("vec_id") % 2 == 0
+    ).orderBy("label")
+
+
+def _rbo_weights(p: float = 0.9, k: int = 10) -> list[tuple[int, int]]:
+    # quantized (1-p)·p^(d-1)/d weights — identical integer literals
+    # feed both engines.
+    import math
+
+    return [
+        (d, math.floor((1 - p) * p ** (d - 1) / d * 1e9 + 0.5))
+        for d in range(1, k + 1)
+    ]
+
+
+_RBO_TERMS_A = ("spark", "window", "merge")
+_RBO_TERMS_B = ("spark", "window", "hash")
+
+
+def q_rbo_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # rank-biased overlap between two BM25 rankings (p=0.9, depth
+    # 10): Σ_d overlap@d · w_d with quantized weight literals — the
+    # ranking-stability metric for comparing retrievers.
+    from pyspark.sql import Window
+
+    from det_module_spark.operators.text import bm25_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    def prefix(terms):
+        top = (
+            bm25_scores(docs, list(terms))
+            .orderBy(F.desc("scoreq"), F.asc("doc_id"))
+            .limit(10)
+        )
+        ranked = top.select(
+            "doc_id",
+            F.row_number()
+            .over(Window.orderBy(F.desc("scoreq"), F.asc("doc_id")))
+            .alias("rnk"),
+        )
+        return ranked.select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("rnk"), F.lit(10))
+            ).alias("d"),
+        )
+
+    wdf = spark.createDataFrame(_rbo_weights(), ["d", "wq"])
+    overlap = prefix(_RBO_TERMS_A).join(
+        prefix(_RBO_TERMS_B), ["doc_id", "d"]
+    )
+    return (
+        overlap.join(F.broadcast(wdf), "d")
+        .agg(F.coalesce(F.sum("wq"), F.lit(0)).alias("rbo_q"))
+        .select("rbo_q", F.expr("rbo_q div 1000").alias("rbo_ppm"))
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the reliability zonal extract (the aid-data triple) at
     sf0.001; driver checks rows>0."""
@@ -6527,6 +6594,8 @@ _ROTATION_R5 = [
     "basket_pairs",
     "dedup_embedding_cosine",
     # new this round — driver must check first
+    "embedding_drift",
+    "rbo_compare",
     "corpus_pipeline_v3",
     "ndcg_eval",
     "logrank_test",
@@ -6687,6 +6756,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # queries); the literal below keeps its grouping for readability.
     return _rotate({
         # --- round-5 additions ---
+        "embedding_drift": q_embedding_drift,
+        "rbo_compare": q_rbo_compare,
         "corpus_pipeline_v3": q_corpus_pipeline_v3,
         "ndcg_eval": q_ndcg_eval,
         "logrank_test": q_logrank_test,
@@ -7468,6 +7539,68 @@ def _logreg_oracle() -> str:
         " AS xd2 FROM events"
     )
     return logreg_sql(feat, rounds=3)
+
+
+_EMB_DRIFT_ORACLE = """
+WITH base AS (
+  SELECT label AS lbl, vec_id % 2 = 0 AS ia,
+         unnest(range(1, 65)) AS dim,
+         unnest(list_transform(embedding,
+           x -> CAST(FLOOR(CAST(x AS DOUBLE) * 10000 + 0.5)
+                AS BIGINT))) AS q
+  FROM embeddings),
+sums AS (
+  SELECT lbl, ia, dim, CAST(SUM(q) AS BIGINT) AS s
+  FROM base GROUP BY 1, 2, 3),
+j AS (
+  SELECT a.lbl, a.dim, a.s AS sa, b.s AS sb
+  FROM sums a JOIN sums b
+    ON a.lbl = b.lbl AND a.dim = b.dim AND a.ia AND NOT b.ia),
+counts AS (
+  SELECT label AS lbl,
+         CAST(SUM(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_a,
+         CAST(SUM(CASE WHEN vec_id % 2 = 0 THEN 0 ELSE 1 END)
+              AS BIGINT) AS n_b
+  FROM embeddings GROUP BY 1),
+dots AS (
+  SELECT lbl, CAST(SUM(sa * sb) AS BIGINT) AS dot,
+         CAST(SUM(sa * sa) AS BIGINT) AS na2,
+         CAST(SUM(sb * sb) AS BIGINT) AS nb2
+  FROM j GROUP BY 1)
+SELECT c.lbl AS label, n_a, n_b,
+       CASE WHEN na2 > 0 AND nb2 > 0 THEN CAST(FLOOR(
+         1000000.0 * CAST(dot AS DOUBLE)
+         / (sqrt(CAST(na2 AS DOUBLE)) * sqrt(CAST(nb2 AS DOUBLE)))
+         + 0.5) AS BIGINT)
+       END AS cos_ppm
+FROM counts c JOIN dots d ON c.lbl = d.lbl ORDER BY label"""
+
+
+def _rbo_oracle() -> str:
+    wvals = ", ".join(f"({d}, {w})" for d, w in _rbo_weights())
+
+    def prefix(name: str, terms: tuple) -> str:
+        return f"""{name}_top AS (
+  SELECT doc_id, scoreq FROM (
+    WITH {_bm25_cte(terms)}
+    SELECT doc_id, scoreq FROM bm
+    ORDER BY scoreq DESC, doc_id LIMIT 10)),
+{name}_p AS (
+  SELECT doc_id, unnest(range(rnk, 11)) AS d FROM (
+    SELECT doc_id, ROW_NUMBER() OVER (
+      ORDER BY scoreq DESC, doc_id) AS rnk
+    FROM {name}_top))"""
+
+    return f"""
+WITH {prefix('ra', _RBO_TERMS_A)},
+{prefix('rb', _RBO_TERMS_B)},
+o AS (SELECT ra_p.d FROM ra_p JOIN rb_p
+      ON ra_p.doc_id = rb_p.doc_id AND ra_p.d = rb_p.d),
+w(d, wq) AS (VALUES {wvals}),
+agg AS (SELECT CAST(COALESCE(SUM(wq), 0) AS BIGINT) AS rbo_q
+        FROM o JOIN w USING (d))
+SELECT rbo_q, rbo_q // 1000 AS rbo_ppm FROM agg"""
 
 
 def _ndcg_oracle() -> str:
@@ -9812,6 +9945,8 @@ QUALIFY ROW_NUMBER() OVER (
             GROUP BY n_name
             ORDER BY revenue_c4 DESC, n_name
         """,
+        "embedding_drift": _EMB_DRIFT_ORACLE,
+        "rbo_compare": _rbo_oracle(),
         "corpus_pipeline_v3": _URL_CANON_CTE
         + """
             , canon_keep AS (

@@ -924,3 +924,82 @@ def matryoshka_audit(
         )
         out = ov if out is None else out.unionByName(ov)
     return out
+
+
+def centroid_drift(
+    df: DataFrame,
+    label: str,
+    is_a,
+    vec_col: str = "embedding",
+    quant: int = 10000,
+) -> DataFrame:
+    """Embedding-distribution drift per label: the cosine between the
+    A-sample and B-sample centroid of each label's vectors →
+    (label, n_a, n_b, cos_ppm). A centroid cosine near 1e6 means the
+    label's embedding mass hasn't moved; drops flag upstream
+    encoder/feature drift that scalar drift tests (ks/psi/wasserstein
+    on floats) can't see.
+
+    Exactness: components quantize to ``quant`` units per dimension
+    BEFORE the per-(label, split, dim) integer sums (order/partition
+    independent); the cosine is one IEEE sqrt/divide on those exact
+    sums. Keep n_vectors·quant per cell < 2³¹ so dim-products stay
+    inside int64 (default 1e4 leaves ×64-dim headroom to ~2e5
+    vectors per (label, split); rescale beyond).
+
+    Shape: posexplode (∝ rows·dims) → one hash agg keyed by
+    (label, split, dim) → one equi-join on (label, dim) → one agg.
+    """
+    base = df.select(
+        F.col(label).alias("lbl"),
+        is_a.alias("ia"),
+        F.posexplode(F.col(vec_col)).alias("dim", "v"),
+    ).select(
+        "lbl",
+        "ia",
+        "dim",
+        F.floor(F.col("v").cast("double") * quant + F.lit(0.5))
+        .cast("long")
+        .alias("q"),
+    )
+    sums = base.groupBy("lbl", "ia", "dim").agg(F.sum("q").alias("s"))
+    a = sums.where(F.col("ia")).select(
+        "lbl", "dim", F.col("s").alias("sa")
+    )
+    b = sums.where(~F.col("ia")).select(
+        "lbl", "dim", F.col("s").alias("sb")
+    )
+    j = a.join(b, ["lbl", "dim"])
+    counts = (
+        df.select(F.col(label).alias("lbl"), is_a.alias("ia"))
+        .groupBy("lbl")
+        .agg(
+            F.sum(F.when(F.col("ia"), 1).otherwise(0)).alias("n_a"),
+            F.sum(F.when(~F.col("ia"), 1).otherwise(0)).alias("n_b"),
+        )
+    )
+    dots = j.groupBy("lbl").agg(
+        F.sum(F.col("sa") * F.col("sb")).alias("dot"),
+        F.sum(F.col("sa") * F.col("sa")).alias("na2"),
+        F.sum(F.col("sb") * F.col("sb")).alias("nb2"),
+    )
+    cos = F.floor(
+        F.lit(1000000.0)
+        * F.col("dot").cast("double")
+        / (
+            F.sqrt(F.col("na2").cast("double"))
+            * F.sqrt(F.col("nb2").cast("double"))
+        )
+        + F.lit(0.5)
+    ).cast("long")
+    return (
+        counts.join(dots, "lbl")
+        .select(
+            F.col("lbl").alias(label),
+            "n_a",
+            "n_b",
+            F.when(
+                (F.col("na2") > 0) & (F.col("nb2") > 0), cos
+            ).alias("cos_ppm"),
+        )
+    )
