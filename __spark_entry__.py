@@ -6569,6 +6569,78 @@ def q_rbo_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_funnel_ttc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # time-to-convert distribution: per user, days from first signup
+    # to the first purchase AT OR AFTER it; histogram over day deltas
+    # (the "how long does conversion take" product question funnel
+    # counts alone don't answer). Two conditional min-aggs + one
+    # count agg — no window, no join.
+    ev = _events(spark, sf_dir)
+    day = F.expr("datediff(CAST(ts AS DATE), DATE '1970-01-01')")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(
+            F.when(F.col("event_type") == "signup", day)
+        ).alias("s_day"),
+    )
+    conv = (
+        ev.select("user_id", F.col("event_type").alias("et"), day.alias("d"))
+        .join(per_user.where(F.col("s_day").isNotNull()), "user_id")
+        .where((F.col("et") == "purchase") & (F.col("d") >= F.col("s_day")))
+        .groupBy("user_id", "s_day")
+        .agg(F.min("d").alias("c_day"))
+    )
+    return (
+        conv.select((F.col("c_day") - F.col("s_day")).alias("days"))
+        .groupBy("days")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("days")
+    )
+
+
+def q_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # revenue-concentration (Lorenz) curve: customers ranked by spend
+    # via dense_ids (no global window), bucketed into deciles, each
+    # decile's share of total revenue in ppm — the curve behind
+    # gini_orders' summary scalar.
+    from det_module_spark.operators.ids import dense_ids
+
+    od = load_table(spark, sf_dir, "orders")
+    spend = od.groupBy("o_custkey").agg(
+        F.sum(_cents("o_totalprice")).alias("cents")
+    )
+    # unique ascending-order key: (cents, custkey)
+    keyed = spend.select(
+        (F.col("cents") * 10000000 + F.col("o_custkey")).alias("okey"),
+        "cents",
+    )
+    ranked = dense_ids(keyed, "okey", out="rid", num_partitions=8)
+    n = ranked.count()
+    return (
+        ranked.select(
+            F.expr(f"rid * 10 div {n}").alias("decile"), "cents"
+        )
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            F.sum("cents").alias("cents"),
+        )
+        .crossJoin(
+            F.broadcast(
+                spend.agg(F.sum("cents").alias("total_cents"))
+            )
+        )
+        .select(
+            "decile",
+            "n_cust",
+            "cents",
+            F.expr("cents * 1000000 div total_cents").alias(
+                "share_ppm"
+            ),
+        )
+        .orderBy("decile")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the reliability zonal extract (the aid-data triple) at
     sf0.001; driver checks rows>0."""
@@ -6594,6 +6666,8 @@ _ROTATION_R5 = [
     "basket_pairs",
     "dedup_embedding_cosine",
     # new this round — driver must check first
+    "funnel_ttc",
+    "lorenz_deciles",
     "embedding_drift",
     "rbo_compare",
     "corpus_pipeline_v3",
@@ -6756,6 +6830,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # queries); the literal below keeps its grouping for readability.
     return _rotate({
         # --- round-5 additions ---
+        "funnel_ttc": q_funnel_ttc,
+        "lorenz_deciles": q_lorenz_deciles,
         "embedding_drift": q_embedding_drift,
         "rbo_compare": q_rbo_compare,
         "corpus_pipeline_v3": q_corpus_pipeline_v3,
@@ -9944,6 +10020,51 @@ QUALIFY ROW_NUMBER() OVER (
               AND o_orderdate < TIMESTAMP '1997-01-01'
             GROUP BY n_name
             ORDER BY revenue_c4 DESC, n_name
+        """,
+        "funnel_ttc": """
+            WITH per_user AS (
+              SELECT user_id,
+                     MIN(CASE WHEN event_type = 'signup'
+                         THEN CAST(ts AS DATE) - DATE '1970-01-01'
+                         END) AS s_day
+              FROM events GROUP BY 1),
+            conv AS (
+              SELECT e.user_id, p.s_day,
+                     MIN(CAST(e.ts AS DATE) - DATE '1970-01-01')
+                       AS c_day
+              FROM events e JOIN per_user p
+                ON e.user_id = p.user_id
+              WHERE p.s_day IS NOT NULL
+                AND e.event_type = 'purchase'
+                AND CAST(e.ts AS DATE) - DATE '1970-01-01' >= p.s_day
+              GROUP BY 1, 2)
+            SELECT c_day - s_day AS days,
+                   CAST(COUNT(*) AS BIGINT) AS n_users
+            FROM conv GROUP BY 1 ORDER BY days
+        """,
+        "lorenz_deciles": """
+            WITH spend AS (
+              SELECT o_custkey,
+                     CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5)
+                          AS BIGINT)) AS BIGINT) AS cents
+              FROM orders GROUP BY 1),
+            ranked AS (
+              SELECT cents,
+                     ROW_NUMBER() OVER (
+                       ORDER BY cents * 10000000 + o_custkey) - 1
+                       AS rid,
+                     COUNT(*) OVER () AS n
+              FROM spend),
+            dec AS (SELECT rid * 10 // n AS decile, cents
+                    FROM ranked),
+            tot AS (SELECT CAST(SUM(cents) AS BIGINT) AS total_cents
+                    FROM spend)
+            SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_cust,
+                   CAST(SUM(cents) AS BIGINT) AS cents,
+                   CAST(SUM(cents) AS BIGINT) * 1000000
+                     // total_cents AS share_ppm
+            FROM dec CROSS JOIN tot
+            GROUP BY decile, total_cents ORDER BY decile
         """,
         "embedding_drift": _EMB_DRIFT_ORACLE,
         "rbo_compare": _rbo_oracle(),

@@ -90,6 +90,7 @@ ALLOWED_NESTED_LOOP = {
     "ndcg_eval": "10-row top-k frames + 1-row dcg/idcg scalars",
     "logrank_test": "1-row max-day scalar for the censoring edge",
     "rbo_compare": "10-row weight-literal table + 10-row prefix frames",
+    "lorenz_deciles": "1-row total-revenue scalar crossed for shares",
     "corpus_pipeline_v2": "top-k weight-threshold scalar (1 row, via dsir_select)",
 }
 
@@ -229,7 +230,7 @@ BROADCAST_WHITELIST = {
         "corpus-independent bound",
     ),
     "__spark_entry__.py": (
-        42,
+        43,
         "TPC-H dims (nation/region/part/supp at their spec'd scale ratios) "
         "+ 1-row scalar aggregates (totals, maxima, batch-boundary "
         "constants, the rrf_fusion query vector, the temporal_split "

@@ -88,3 +88,26 @@ def test_rbo_identical_rankings_hit_max(spark, sf_dir):
     # overlap@d of identical prefixes is d, so Σ d·w_d is the cap
     expect = sum(d * w for d, w in m._rbo_weights())
     assert full == expect
+
+
+def test_lorenz_deciles_monotone_and_complete(spark, sf_dir):
+    import __spark_entry__ as m
+
+    rows = m.queries()["lorenz_deciles"](spark, sf_dir).collect()
+    assert [r["decile"] for r in rows] == list(range(10))
+    shares = [r["share_ppm"] for r in rows]
+    # ranked ascending by spend: decile shares are non-decreasing
+    assert shares == sorted(shares)
+    assert 999_990 <= sum(shares) <= 1_000_000  # div truncation only
+    total = sum(r["n_cust"] for r in rows)
+    assert max(r["n_cust"] for r in rows) - min(
+        r["n_cust"] for r in rows
+    ) <= 1 or total >= 10
+
+
+def test_funnel_ttc_nonnegative_days(spark, sf_dir):
+    import __spark_entry__ as m
+
+    rows = m.queries()["funnel_ttc"](spark, sf_dir).collect()
+    assert rows, "somebody converts in every SF"
+    assert all(r["days"] >= 0 for r in rows)
