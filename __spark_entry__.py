@@ -6647,127 +6647,37 @@ def entry(spark: SparkSession) -> DataFrame:
     return _zonal("reliability")(spark, "/root/testdata/sf0.001")
 
 
-# Driver-visibility rotation (VERDICT r03 #6 / r04 #1): the driver's
-# correctness artifact records only the FIRST 50 registry entries.
-# Round-5 final window = 3 changed-path re-checks (setsim_prefix /
-# basket_pairs — forced-broadcast removal; dedup_embedding_cosine —
-# guard upstream) + the 25 queries added in the second continuation
-# session (newest first: the highest-risk code) + 22 of the first
-# continuation session's additions. Cumulative driver coverage
-# entering this check is 136/289 — the registry grew faster than the
-# 50/round window; every never-driver-checked query is green in the
-# full dtype-strict local sweeps recorded in ROUND_NOTES, and the
-# remaining backlog stays ordered here for the R6+ windows.
-_ROTATION_R5 = [
-    # changed-path re-checks (broadcast-hint removal, r4 verdict #2/#3)
-    # — never driver-checked on the new path; they must stay inside
-    # the 50-query window no matter how many new queries stack up
-    "setsim_prefix",
-    "basket_pairs",
-    "dedup_embedding_cosine",
-    # new this round — driver must check first
-    "funnel_ttc",
-    "lorenz_deciles",
-    "embedding_drift",
-    "rbo_compare",
-    "corpus_pipeline_v3",
-    "ndcg_eval",
-    "logrank_test",
-    "knn_classify",
-    "logreg_calibration",
-    "logreg_fit",
-    "rolling_trend",
-    "pit_enrich",
-    "distinct_cube",
-    "ppr_scores",
-    "temporal_reach",
-    "clustering_coeff",
-    "itemsets3",
-    "layout_pruning",
-    "hex_bin",
-    "markov_ksteps",
-    "cdc_chunks",
-    "json_schema",
-    "item_cf",
-    "kaplan_meier",
-    "hilbert_key",
-    "url_normalize",
-    "domain_caps",
-    "cuped_adjust",
-    "t_closeness",
-    "wasserstein_drift",
-    "graph_voronoi",
-    "growth_accounting",
-    "weighted_walks",
-    "session_metrics",
-    "matryoshka_audit",
-    "attribution_linear",
-    "oov_rate",
-    "ks_drift",
-    "colbert_maxsim",
-    "nucleus_cut",
-    "pr_curve",
-    "mutual_info",
-    "temporal_split",
-    "bigram_pmi",
-    "degree_assort",
-    "dau_wau",
-    "gini_orders",
-    "bootstrap_ci",
-    "partition_checksums",
-    "simpson_audit",
-    "rendezvous_shards",
-    "doc_entropy",
-    "kfold_balance",
-    "blocking_eval",
-    "ewma_smooth",
-    "cusum_shift",
-    "random_walk_corpus",
-    "feature_hash",
-    "negative_sample",
-    "pattern_match",
-    "streak_days",
-    "interval_merge",
-    "precede_pairs",
-    "adamic_adar",
-    "sq8_error",
-    "unicode_normalize",
-    "rrf_fusion",
-    "sssp_dist",
-    "hits_scores",
-    "delta_dedup",
-    "acf_lags",
-    "chi_square",
-    "attribution",
-    "log_as_of",
-    "quantile_norm",
+# Driver-visibility rotation (VERDICT r03 #6 / r04 #1 / r05 #1): the
+# driver's correctness artifact records only the FIRST 50 registry
+# entries. Round 6 is the backlog-drain round: the window is 3
+# changed-path re-checks (woe_bins / sequence_gaps / equidepth_hist —
+# their data-sized global windows were rewritten onto
+# ids.global_ntile and the boundary-handoff recipe this round; all
+# three were ALSO never driver-checked) + 47 of the oldest
+# never-driver-checked backlog (the round-2/3 registry tail first,
+# then the "never checked through round 4" block). Everything after
+# entry 50 is the remaining backlog in drain order for the R7/R8
+# windows: the rest of the r4-era block, then the round-5 waves
+# newest-last. Cumulative driver coverage entering this check is
+# 186/293; this window takes it to 236 and R7's to 286.
+_ROTATION_R6 = [
+    # changed-path re-checks (global-window class removal, r05 #2) —
+    # also first-ever driver checks for all three
     "woe_bins",
-    "target_encode",
-    "retrieval_pipeline",
-    "mmr_select",
-    "snb_pairs",
-    "phrase_search",
-    "k_core",
-    "skyline_frontier",
-    "bfs_reach",
-    "bom_explode",
-    "snapshot_diff",
-    "l_diversity",
-    "dp_noisy_counts",
-    "line_dedup",
-    "line_dedup_keep_first",
-    "nb_classify",
-    "media_ahash_pairs",
-    "dsir_select",
-    "bm25_retrieval",
-    "kmeans_clusters",
-    "corpus_pipeline_v2",
-    "agg_delta_retract",
-    # changed this round — driver must (re-)check first
-    "setsim_prefix",
-    "basket_pairs",
-    "dedup_embedding_cosine",
-    # never driver-checked through round 4
+    "sequence_gaps",
+    "equidepth_hist",
+    # oldest never-checked: round-2/3 registry tail
+    "queue_timeline",
+    "sample_hash",
+    "unpivot_metrics",
+    "time_fill",
+    "histogram_price",
+    "corr_exact",
+    "pivot_wide",
+    "winsorize_prices",
+    "column_entropy",
+    "dict_encode",
+    # never checked through round 4 (37 of 45; the rest lead R7)
     "zonal_weighted_spatial",
     "window_lag_lead",
     "window_distribution",
@@ -6802,32 +6712,84 @@ _ROTATION_R5 = [
     "profile_drift",
     "seasonal_anomalies",
     "concurrency_curve",
-    "equidepth_hist",
     "weighted_sample",
     "lm_score",
     "pseudonymize_join",
+    # ---- driver window boundary (first 50 above) ----
+    # r4-era backlog remainder -> head of the R7 window
     "k_anonymity",
     "fd_check",
     "event_transitions",
-    "sequence_gaps",
     "benford_audit",
     "psi_drift",
     "trend_fit",
     "mad_outliers",
     "events_session",
+    # round-5-wave backlog, drain order
+    "bootstrap_ci",
+    "partition_checksums",
+    "simpson_audit",
+    "rendezvous_shards",
+    "doc_entropy",
+    "kfold_balance",
+    "blocking_eval",
+    "ewma_smooth",
+    "cusum_shift",
+    "random_walk_corpus",
+    "feature_hash",
+    "negative_sample",
+    "pattern_match",
+    "streak_days",
+    "interval_merge",
+    "precede_pairs",
+    "adamic_adar",
+    "sq8_error",
+    "unicode_normalize",
+    "rrf_fusion",
+    "sssp_dist",
+    "hits_scores",
+    "delta_dedup",
+    "acf_lags",
+    "chi_square",
+    "attribution",
+    "log_as_of",
+    "quantile_norm",
+    "target_encode",
+    "retrieval_pipeline",
+    "mmr_select",
+    "snb_pairs",
+    "phrase_search",
+    "k_core",
+    "skyline_frontier",
+    "bfs_reach",
+    "bom_explode",
+    "snapshot_diff",
+    "l_diversity",
+    "dp_noisy_counts",
+    "line_dedup",
+    "line_dedup_keep_first",
+    "nb_classify",
+    "media_ahash_pairs",
+    "dsir_select",
+    "bm25_retrieval",
+    "kmeans_clusters",
+    "corpus_pipeline_v2",
+    "agg_delta_retract",
 ]
 
 
+
 def _rotate(full: dict) -> dict:
-    head = {k: full[k] for k in _ROTATION_R5 if k in full}
+    head = {k: full[k] for k in _ROTATION_R6 if k in full}
     return head | {k: v for k, v in full.items() if k not in head}
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE: dict order is the driver's check order, and the driver's
-    # correctness artifact recorded only the first 50 entries in round
-    # 1 — _ROTATION_R4 entries go FIRST (fixed + never-yet-checked
-    # queries); the literal below keeps its grouping for readability.
+    # correctness artifact records only the first 50 entries —
+    # _ROTATION_R6 entries go FIRST (changed-path re-checks + the
+    # oldest never-checked backlog); the literal below keeps its
+    # grouping for readability.
     return _rotate({
         # --- round-5 additions ---
         "funnel_ttc": q_funnel_ttc,

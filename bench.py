@@ -65,6 +65,12 @@ def main() -> None:
     sf = float(m.group(1)) if m else -1.0
 
     spark = get_spark("det-module-spark-bench")
+    # Bench-tail hygiene (VERDICT r05 #7): the driver records only a
+    # ~2 KB stdout tail — one stray WARN class (e.g. the benign
+    # bounded-frame WindowExec notes) can displace every per-query
+    # timing line. ERROR-only for the bench session; real failures
+    # still surface through exceptions and the exit code.
+    spark.sparkContext.setLogLevel("ERROR")
     # untimed warmup: JVM/codegen/Arrow initialization shouldn't be
     # attributed to whichever query happens to run first
     spark.range(1000).selectExpr("sum(id)").collect()
@@ -243,6 +249,20 @@ def main() -> None:
         except Exception as e:  # noqa: BLE001 - slope must never gate
             print(f"# slope pass skipped: {e}", file=sys.stderr)
 
+    # Third-scale-point slope (VERDICT r05 #5): tools/slope3.py writes
+    # SLOPE3.json (watchlist queries at 3x the bench SF). Fold it into
+    # the sidecar + final line so the measurement survives bench reruns.
+    slope3 = {}
+    slope3_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "SLOPE3.json"
+    )
+    if os.path.exists(slope3_path):
+        try:
+            with open(slope3_path) as f:
+                slope3 = json.load(f)
+        except Exception as e:  # noqa: BLE001 - diagnostic, never gates
+            print(f"# SLOPE3.json unreadable: {e}", file=sys.stderr)
+
     # full per-query detail goes to a sidecar, never to the final line
     sidecar = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json")
     with open(sidecar, "w") as f:
@@ -264,6 +284,7 @@ def main() -> None:
                 },
                 "stream_assignment": assignment,
                 "scaling_slope": slope,
+                "scaling_slope3": slope3,
             },
             f,
             indent=1,
@@ -290,6 +311,11 @@ def main() -> None:
         meta = slope.get("__meta__", {})
         summary["slope_lo_sf"] = meta.get("lo_sf")
         summary["superlinear"] = meta.get("superlinear", [])
+    if slope3:
+        summary["slope3"] = {
+            n: v.get("slope") for n, v in slope3.get("queries", {}).items()
+        }
+        summary["slope3_superlinear"] = slope3.get("superlinear", [])
     line = json.dumps(summary)
     # hard guarantee: the driver keeps a bounded stdout tail; stay small
     while len(line) > 1500 and summary["queries"]:

@@ -53,7 +53,11 @@ def bootstrap_mean_ci(
     """Bootstrap CI for the mean of an integer ``value``: → one row
     (n_boot, point_c, lo_c, hi_c) with point_c = Σx div n over the
     full sample and lo_c/hi_c the 2nd-smallest / 2nd-largest replicate
-    means (≈ the 5%/95% order statistics at B = 40; pick B to taste).
+    means. At B = 40 the rank-2 order statistics sit near the
+    3.8%/96.2% points (rank/(B+1) plotting position), so the interval
+    is ~92% two-sided — slightly wider than a nominal 90%. For an
+    exact nominal level swap the rank-2 filters for rank
+    ceil(0.05·B) / B+1−ceil(0.05·B), or raise B.
 
     Shape: one explode to B replicate tags per row, Poisson(1) weights
     from a per-(row, replicate) uniform, ONE hash aggregation to B

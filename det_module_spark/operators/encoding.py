@@ -11,7 +11,7 @@ operands stay below 2^53 so a FLOOR(double) is exact on both engines.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 _Q = 1e9  # ln quantization (1e-9 units)
@@ -35,9 +35,11 @@ def woe_binning(
     → (bucket, n, goods, bads, woeq, ivq).
 
     ``label`` must be 0/1 integer; ``tiebreak`` must be unique (same
-    total-order contract as profile.equidepth_histogram, including its
-    scale note: exact equi-depth needs a total order — swap in
-    percentile_approx edges at extreme scale, same output contract).
+    total-order contract as profile.equidepth_histogram). Buckets come
+    from ``ids.global_ntile`` — the two-phase range-enumeration ntile —
+    so there is no single-partition global window anywhere in the
+    plan; the only data-sized stages are one range shuffle and one
+    hash aggregation.
 
     Exact formulation with add-half smoothing kept integer by
     doubling: g2 = 2·goods+1, b2 = 2·bads+1, gtot = Σg2, btot = Σb2,
@@ -47,9 +49,10 @@ def woe_binning(
     truncating division — Spark's DIV and DuckDB's // share that
     semantics (verified incl. negatives), so no float ever rounds.
     """
-    w = Window.orderBy(F.asc(value), F.asc(tiebreak))
+    from det_module_spark.operators.ids import global_ntile
+
     bins = (
-        df.withColumn("bucket", F.ntile(n_bins).over(w))
+        global_ntile(df, [value, tiebreak], n_bins, out="bucket")
         .groupBy("bucket")
         .agg(
             F.count(F.lit(1)).alias("n"),

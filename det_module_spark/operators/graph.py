@@ -699,6 +699,11 @@ def hits(
     Per round: two edge-list shuffles (agg by dst, then by src) — the
     same shape as one PageRank iteration; no windows, no collects.
     """
+    if rounds < 1:
+        raise ValueError(
+            f"hits() needs rounds >= 1 (auth is only defined after a "
+            f"round), got {rounds}"
+        )
     e = (
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
         .distinct()
@@ -1389,14 +1394,25 @@ def temporal_reachability(
 
 
 def temporal_reachability_sql(
-    edges_cte: str, seeds_cte: str, rounds: int = 4
+    edges_cte: str,
+    seeds_cte: str,
+    rounds: int = 4,
+    seeds_have_arrival: bool = False,
 ) -> str:
-    """Unrolled twin of ``temporal_reachability``; seeds arrive at 0
-    unless the seed CTE provides an ``arrival`` column. ``edges_cte``
-    must produce (src, dst, t)."""
+    """Unrolled twin of ``temporal_reachability``. ``edges_cte`` must
+    produce (src, dst, t). Seeds arrive at 0 by default; pass
+    ``seeds_have_arrival=True`` when the seed CTE carries an
+    ``arrival`` column, mirroring the DataFrame twin (it can't be
+    auto-detected from a SQL string — referencing a column the CTE
+    lacks would be a binder error)."""
+    seed_arrival = (
+        "CAST(COALESCE(arrival, 0) AS BIGINT)"
+        if seeds_have_arrival
+        else "CAST(0 AS BIGINT)"
+    )
     sql = f"""
 WITH edges AS ({edges_cte}),
-a0 AS (SELECT DISTINCT node, CAST(0 AS BIGINT) AS arrival
+a0 AS (SELECT DISTINCT node, {seed_arrival} AS arrival
        FROM ({seeds_cte}))"""
     prev = "a0"
     for i in range(1, rounds + 1):

@@ -28,16 +28,17 @@ from pyspark.sql import functions as F
 
 def dense_ids(
     df: DataFrame,
-    order_col: str,
+    order_col: str | list[str],
     out: str = "row_id",
     num_partitions: int = 32,
 ) -> DataFrame:
     """Assign contiguous ids 0..n-1 in ``order_col`` order (which must
-    be unique). Two jobs: one to size the range partitions, one for
-    the enumerated result."""
+    be unique; pass a list for a composite total order). Two jobs: one
+    to size the range partitions, one for the enumerated result."""
+    cols = [order_col] if isinstance(order_col, str) else list(order_col)
     parted = df.repartitionByRange(
-        num_partitions, F.col(order_col)
-    ).sortWithinPartitions(order_col)
+        num_partitions, *[F.col(c) for c in cols]
+    ).sortWithinPartitions(*cols)
     # pin the range boundaries: the count job and the enumerate job
     # must see IDENTICAL partitions, and the range partitioner
     # re-samples per action otherwise
@@ -78,3 +79,82 @@ def dense_ids(
             yield pdf
 
     return parted.mapInPandas(enumerate_part, schema=schema_out)
+
+
+def global_ntile(
+    df: DataFrame,
+    order_cols: list[str],
+    n_buckets: int,
+    out: str = "bucket",
+    num_partitions: int = 32,
+) -> DataFrame:
+    """``NTILE(k) OVER (ORDER BY ...)`` without the single-partition
+    global window — the distributed exact equi-depth bucketer.
+
+    An empty-partition-spec ``ntile`` collapses the whole table onto
+    one task (Spark's "No Partition Defined" scale killer). But the
+    bucket of a row is pure arithmetic on its global rank: with
+    n rows, k buckets, q = n div k, rem = n mod k, the SQL-standard
+    ntile gives the first ``rem`` buckets q+1 rows and the rest q, so
+    for 0-based rank r:
+
+        bucket = r div (q+1) + 1                      if r < rem·(q+1)
+        bucket = rem + (r − rem·(q+1)) div q + 1      otherwise
+
+    So: two-phase range enumeration (the ``dense_ids`` recipe — range
+    partition + in-partition sort + control-plane prefix sums) to get
+    r, then the closed form above. Equivalence to ``F.ntile`` over the
+    same total order is pytest-proven on randomized (n, k)
+    (tests/test_scale_windows.py). ``order_cols`` must form a total
+    order (unique composite) so ranks — and therefore buckets — are
+    partition-independent.
+    """
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    parted = df.repartitionByRange(
+        num_partitions, *[F.col(c) for c in order_cols]
+    ).sortWithinPartitions(*order_cols)
+    # pin the sampled range boundaries: the count job and the bucket
+    # job must see identical partitions (dense_ids note)
+    parted = parted.localCheckpoint(eager=True)
+
+    counts = (
+        parted.select(F.spark_partition_id().alias("pid"))
+        .groupBy("pid")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    sizes = {r["pid"]: r["n"] for r in counts}
+    offsets: dict[int, int] = {}
+    acc = 0
+    for pid in range(num_partitions):
+        offsets[pid] = acc
+        acc += sizes.get(pid, 0)
+    n_total = acc
+    q, rem = divmod(n_total, n_buckets) if n_total else (0, 0)
+    pivot = rem * (q + 1)  # first rank served by a size-q bucket
+
+    from pyspark.sql import types as T
+
+    schema_out = T.StructType(
+        list(parted.schema.fields)
+        + [T.StructField(out, T.IntegerType(), False)]
+    )
+
+    def bucket_part(iterator):
+        import numpy as np
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        base = offsets.get(pid, 0)
+        seen = 0
+        for pdf in iterator:
+            pdf = pdf.copy()
+            r = np.arange(base + seen, base + seen + len(pdf))
+            lo = r // (q + 1) + 1
+            hi = rem + (np.maximum(r - pivot, 0) // max(q, 1)) + 1
+            pdf[out] = np.where(r < pivot, lo, hi).astype("int32")
+            seen += len(pdf)
+            yield pdf
+
+    return parted.mapInPandas(bucket_part, schema=schema_out)

@@ -214,15 +214,24 @@ def equidepth_histogram(
     (value, tiebreak) — the tiebreak column must be unique so the
     bucket assignment is deterministic on every engine.
 
-    Scale note: exact equi-depth requires a total order; ungrouped it
-    is a single-partition sort (fine to ~10^8 rows, the driver never
-    sees the data). Per-``group`` curves sort within hash partitions.
-    The approximate path at 100 TB is ``percentile_approx`` bucket
-    boundaries + one aggregation — same output contract, KLL error.
+    Scale shape: per-``group`` curves sort within hash partitions
+    (one partitioned window). Ungrouped, the bucket comes from
+    ``ids.global_ntile`` — two-phase range enumeration + the closed
+    ntile formula — identical output, no single-partition global
+    window at any data size.
     """
+    if group:
+        w = Window.partitionBy(group).orderBy(
+            F.asc(value), F.asc(tiebreak)
+        )
+        bucketed = df.withColumn("bucket", F.ntile(n_buckets).over(w))
+    else:
+        from det_module_spark.operators.ids import global_ntile
+
+        bucketed = global_ntile(
+            df, [value, tiebreak], n_buckets, out="bucket"
+        )
     keys = [group] if group else []
-    w = Window.partitionBy(*keys).orderBy(F.asc(value), F.asc(tiebreak))
-    bucketed = df.withColumn("bucket", F.ntile(n_buckets).over(w))
     return bucketed.groupBy(*keys, "bucket").agg(
         F.count(F.lit(1)).alias("n"),
         F.min(value).alias("min_val"),

@@ -51,28 +51,103 @@ def event_transitions(
 
 
 def sequence_gaps(
-    df: DataFrame, id_col: str, group: str | None = None
+    df: DataFrame,
+    id_col: str,
+    group: str | None = None,
+    num_partitions: int = 32,
 ) -> DataFrame:
     """Find holes in an integer id sequence: → (group?, gap_start,
     gap_end, gap_len) for every maximal run of missing ids between
-    observed neighbors. Lag over the ordered distinct ids; a
-    difference > 1 marks a gap. The audit for "did ingestion drop
-    rows?" when upstream assigns monotone ids."""
-    keys = [group] if group else []
-    ids = df.select(*keys, F.col(id_col).alias("id")).distinct()
-    w = Window.partitionBy(*keys).orderBy(F.asc("id"))
-    with_prev = ids.withColumn("prev", F.lag("id").over(w))
-    return (
-        with_prev.filter(
+    observed neighbors. The audit for "did ingestion drop rows?"
+    when upstream assigns monotone ids.
+
+    Grouped: one per-``group`` lag window (hash-partitioned, scale-
+    safe). Ungrouped: a global lag window would collapse onto one
+    partition, so instead the distinct ids are range-partitioned and
+    sorted within partitions, each partition scans its own sorted run
+    for gaps, and the ≤ #partitions−1 boundary gaps are closed from
+    the per-partition (min, max) — control-plane scalars — on the
+    driver. The range layout is pinned (localCheckpoint) so the
+    boundary job and the gap job see identical partitions; output is
+    partition-independent because it depends only on the id set.
+    """
+    if group:
+        ids = df.select(group, F.col(id_col).alias("id")).distinct()
+        w = Window.partitionBy(group).orderBy(F.asc("id"))
+        with_prev = ids.withColumn("prev", F.lag("id").over(w))
+        return with_prev.filter(
             F.col("prev").isNotNull() & (F.col("id") - F.col("prev") > 1)
-        )
-        .select(
-            *keys,
+        ).select(
+            group,
             (F.col("prev") + 1).alias("gap_start"),
             (F.col("id") - 1).alias("gap_end"),
             (F.col("id") - F.col("prev") - 1).alias("gap_len"),
         )
+
+    ids = (
+        df.select(F.col(id_col).cast("long").alias("id"))
+        .distinct()
+        .repartitionByRange(num_partitions, F.col("id"))
+        .sortWithinPartitions("id")
+        .localCheckpoint(eager=True)
     )
+    spark = df.sparkSession
+    bounds = (
+        ids.groupBy(F.spark_partition_id().alias("pid"))
+        .agg(F.min("id").alias("lo"), F.max("id").alias("hi"))
+        .collect()
+    )
+
+    from pyspark.sql import types as T
+
+    gap_schema = T.StructType(
+        [
+            T.StructField("gap_start", T.LongType(), False),
+            T.StructField("gap_end", T.LongType(), False),
+            T.StructField("gap_len", T.LongType(), False),
+        ]
+    )
+
+    def local_gaps(iterator):
+        import pandas as pd
+
+        prev_tail = None
+        for pdf in iterator:  # sorted within the partition
+            s = pdf["id"]
+            if prev_tail is not None:
+                s = pd.concat(
+                    [pd.Series([prev_tail]), s], ignore_index=True
+                )
+            d = s.diff()
+            hit = d > 1
+            if hit.any():
+                yield pd.DataFrame(
+                    {
+                        "gap_start": (s.shift() + 1)[hit].astype("int64"),
+                        "gap_end": (s - 1)[hit].astype("int64"),
+                        "gap_len": (d - 1)[hit].astype("int64"),
+                    }
+                )
+            if len(s):
+                prev_tail = int(s.iloc[-1])
+
+    inner = ids.mapInPandas(local_gaps, schema=gap_schema)
+    # boundary gaps between consecutive non-empty partitions
+    edges = sorted(
+        ((r["pid"], r["lo"], r["hi"]) for r in bounds),
+        key=lambda t: t[0],
+    )
+    boundary = []
+    for (_, _, hi_prev), (_, lo_next, _) in zip(edges, edges[1:]):
+        if lo_next - hi_prev > 1:
+            boundary.append(
+                (hi_prev + 1, lo_next - 1, lo_next - hi_prev - 1)
+            )
+    if boundary:
+        inner = inner.unionByName(
+            spark.createDataFrame(boundary, schema=gap_schema)
+        )
+    return inner
 
 
 def transition_matrix_ppm(

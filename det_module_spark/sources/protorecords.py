@@ -108,9 +108,14 @@ def _decode_stream(buf: bytes, fields: list[FieldSpec]) -> Iterator[dict]:
             if not vals:
                 rec[name] = None
                 continue
+            # wire-type guard on EVERY kind (forward compatibility:
+            # a field number re-used at a different wire type decodes
+            # to NULL instead of raising in the executor)
             wire, payload = vals[-1]  # last-writer-wins, per spec
             if kind == "int64":
-                rec[name] = _mini._to_signed64(int(payload))
+                rec[name] = (
+                    _mini._to_signed64(int(payload)) if wire == 0 else None
+                )
             elif kind == "double":
                 if wire == 1:
                     rec[name] = struct.unpack(
@@ -120,9 +125,10 @@ def _decode_stream(buf: bytes, fields: list[FieldSpec]) -> Iterator[dict]:
                     rec[name] = None
             else:
                 rec[name] = (
-                    payload.decode("utf-8")
-                    if isinstance(payload, (bytes, bytearray))
-                    else str(payload)
+                    payload.decode("utf-8", errors="replace")
+                    if wire == 2
+                    and isinstance(payload, (bytes, bytearray))
+                    else None
                 )
         yield rec
 

@@ -1,6 +1,7 @@
-"""The 100x scale audit (VERDICT r04 #7): one gate that walks EVERY
-registered query's optimized plan and every source file, and fails on
-the three patterns that are correct-at-sf0.1 but fatal at 100 TB:
+"""The 100x scale audit (VERDICT r04 #7 / r05 #3): one gate that walks
+EVERY registered query's optimized plan and every source file, and
+fails on the four patterns that are correct-at-sf0.1 but fatal at
+100 TB:
 
 1. a CartesianProduct / unbounded BroadcastNestedLoopJoin in any
    query plan (per-query whitelist for the documented bounded sides),
@@ -11,7 +12,11 @@ the three patterns that are correct-at-sf0.1 but fatal at 100 TB:
    the round-4 verdict flagged),
 3. a ``.collect()`` / ``.toPandas()`` in the library that is not on
    the reviewed control-plane whitelist (data-plane collects are how
-   a distributed operator silently becomes a driver-side loop).
+   a distributed operator silently becomes a driver-side loop),
+4. a Window node with an EMPTY partition spec whose input is not a
+   whitelisted bounded frame (the single-task sort that shipped
+   woe_bins/sequence_gaps/equidepth_hist in round 5 — now rewritten
+   onto ids.global_ntile / the boundary-handoff recipe).
 
 The piecemeal plan-shape tests (test_plan_shapes*.py) assert POSITIVE
 shapes (this join IS an equi-join, this scan DOES prune); this file
@@ -302,8 +307,14 @@ COLLECT_WHITELIST = {
         "top-k heavy-hitter candidates: k rows",
     ),
     "det_module_spark/operators/ids.py": (
+        2,
+        "per-partition counts for dense-id / global-ntile offsets: "
+        "#partitions rows each",
+    ),
+    "det_module_spark/operators/sequence.py": (
         1,
-        "per-partition counts for dense-id offsets: #partitions rows",
+        "sequence_gaps boundary handoff: per-partition (min, max) ids, "
+        "#partitions rows",
     ),
     "det_module_spark/operators/similarity.py": (
         2,
@@ -354,6 +365,73 @@ def test_library_collect_sites_are_whitelisted():
         "turns a distributed operator into a driver loop — review each "
         f"new site and update COLLECT_WHITELIST.\nfound={found}\n"
         f"expected={expected}"
+    )
+
+
+# ---------------------------------------------------------------------------
+# 4. unpartitioned-window gate (VERDICT r05 #3)
+# ---------------------------------------------------------------------------
+
+# A Window with an EMPTY partition spec moves its whole input to ONE
+# task ("WindowExec: No Partition Defined") — the scale-killer class
+# that shipped woe_bins/sequence_gaps/equidepth_hist in round 5. It is
+# only acceptable over a frame already bounded by aggregation or a
+# limit. Every entry names the bounded input; a NEW unpartitioned
+# window anywhere else fails this gate until reviewed here — or better,
+# rewritten with ids.global_ntile / ids.dense_ids / a TakeOrdered.
+ALLOWED_GLOBAL_WINDOW = {
+    "benford_audit": "first-digit histogram: 9 rows post-agg",
+    "ndcg_eval": "top-10 ranked frames + 1-row dcg/idcg scalars",
+    "rbo_compare": "two top-10 prefix frames",
+    "rrf_fusion": "two top-k candidate rank frames (limit upstream)",
+    "retrieval_pipeline": "20-row candidate frame (limit upstream)",
+    "bootstrap_ci": "B=40 bootstrap-replicate rows post map-side fold",
+    "logrank_test": "per-distinct-day risk table (post-agg, day-bounded)",
+    "psi_drift": "per-bin histogram join: range/bin_width rows, "
+    "data-size-independent",
+    "distinctive_terms": "per-(source, term) aggregate: vocab-sized, "
+    "orders of magnitude below corpus",
+    "dict_encode": "dictionary frame: distinct-value-sized by the "
+    "low-cardinality contract",
+}
+
+
+def _unpartitioned_window_nodes(df) -> list[str]:
+    out: list[str] = []
+
+    def walk(node):
+        cls = node.getClass().getSimpleName()
+        if cls in ("Window", "WindowGroupLimit") and node.partitionSpec().isEmpty():
+            out.append(node.toString().splitlines()[0][:160])
+        ch = node.children()
+        for i in range(ch.size()):
+            walk(ch.apply(i))
+
+    walk(df._jdf.queryExecution().optimizedPlan())
+    return out
+
+
+def test_unpartitioned_windows_are_whitelisted_bounded_frames(spark, sf_dir):
+    import __spark_entry__ as m
+
+    found: dict[str, int] = {}
+    details: dict[str, list[str]] = {}
+    for name, fn in m.queries().items():
+        if name in PLAN_OPAQUE:
+            continue
+        nodes = _unpartitioned_window_nodes(fn(spark, sf_dir))
+        if nodes:
+            found[name] = len(nodes)
+            details[name] = nodes
+    unexpected = {n: details[n] for n in found if n not in ALLOWED_GLOBAL_WINDOW}
+    stale = set(ALLOWED_GLOBAL_WINDOW) - set(found)
+    assert not unexpected, (
+        "unpartitioned (single-task) Window in a query plan — bound the "
+        "input or rewrite with ids.global_ntile / dense_ids / "
+        f"TakeOrdered:\n{unexpected}"
+    )
+    assert not stale, (
+        f"ALLOWED_GLOBAL_WINDOW entries no longer observed (stale): {stale}"
     )
 
 

@@ -1,0 +1,161 @@
+"""Third scale point for the slope watchlist (VERDICT r05 #5).
+
+The per-round bench slope pass compares sf0.01 → sf0.1 (10× data).
+The three watchlist queries — fuzzy_name_pairs, setsim_prefix,
+media_ahash_pairs — are candidate-pair generators whose cost could
+curve upward where banding fan-out grows, so this tool adds a THIRD
+point at 3× the bench SF:
+
+1. generate /tmp/slope_sf0.3 (deterministic, seed pinned) by the same
+   generative process the driver's synthetic tables use — observed
+   empirically from sf0.01/sf0.1 and mirrored, NOT copied: customers
+   are `Customer#%09d` over an extended key range; documents are
+   iid draws from the same fixed 31-word vocabulary with the same
+   Uniform(10, 100) word-count law and the same lang/source mixes.
+   (The driver's own tables are read-only and used untouched for
+   every correctness check; this 3× table exists only for this
+   diagnostic slope measurement.)
+2. time the watchlist at the bench SF dir and at the 3× dir on the
+   same session, warm lane, median of 3;
+3. write SLOPE3.json at the repo root — bench.py folds it into
+   BENCH_FULL.json so the measurement survives driver bench reruns.
+
+Slope grading matches bench.py's: superlinear = hi/lo time ratio
+exceeding (data ratio)^1.3 once the fixed per-query cost is in the
+measurement (3× data ⇒ flag above ~4.2×).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+OUT_DIR = "/tmp/slope_sf0.3"
+SEED = 427
+VOCAB = [  # the exact 31-word vocabulary observed in the sf tables
+    "a", "agg", "batch", "big", "column", "customer", "data", "dup",
+    "fast", "filter", "group", "hash", "join", "key", "line", "merge",
+    "order", "part", "query", "row", "scan", "slow", "small", "sort",
+    "spark", "stream", "table", "the", "value", "vector", "window",
+]
+LANGS = ["en", "de", "es", "fr", "zh"]
+LANG_W = [0.41, 0.14, 0.15, 0.15, 0.15]
+WATCHLIST = ["fuzzy_name_pairs", "setsim_prefix", "media_ahash_pairs"]
+
+
+def _generate(base_dir: str, scale: int = 3) -> None:
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(SEED)
+    os.makedirs(base_dir, exist_ok=True)
+
+    n_cust = 15_000 * scale
+    keys = np.arange(n_cust)
+    names = [f"Customer#{k:09d}" for k in keys]
+    pq.write_table(
+        pa.table(
+            {
+                "c_custkey": keys,
+                "c_name": names,
+                "c_nationkey": (keys * 7 + 3) % 25,
+                "c_acctbal": np.round(
+                    rng.uniform(-999.99, 9999.99, n_cust), 2
+                ),
+                "c_mktsegment": [
+                    ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD",
+                     "MACHINERY"][int(x)]
+                    for x in rng.integers(0, 5, n_cust)
+                ],
+            }
+        ),
+        os.path.join(base_dir, "customer.parquet"),
+    )
+
+    n_docs = 5_000 * scale
+    lens = rng.integers(10, 101, n_docs)
+    vocab = np.array(VOCAB)
+    texts = [
+        " ".join(vocab[rng.integers(0, len(vocab), n)]) for n in lens
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": np.arange(n_docs),
+                "text": texts,
+                "lang": [
+                    LANGS[int(x)]
+                    for x in rng.choice(5, n_docs, p=LANG_W)
+                ],
+                "source": [f"src{i % 20}" for i in range(n_docs)],
+                "n_chars": np.array([len(t) for t in texts], dtype="int64"),
+            }
+        ),
+        os.path.join(base_dir, "documents.parquet"),
+    )
+
+
+def main() -> None:
+    lo_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    if not os.path.exists(os.path.join(OUT_DIR, "documents.parquet")):
+        _generate(OUT_DIR)
+
+    import __spark_entry__ as entry_mod
+    from det_module_spark.session import get_spark
+
+    spark = get_spark("det-module-spark-slope3")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = entry_mod.queries()
+    # warm the Arrow/pandas lane untimed (bench.py discipline)
+    from pyspark.sql.functions import pandas_udf as _pudf
+
+    spark.range(1000).select(_pudf(lambda s: s, "long")("id")).collect()
+
+    result: dict[str, dict] = {}
+    superlinear: list[str] = []
+    for name in WATCHLIST:
+        fn = qs[name]
+        times = {}
+        for tag, d in (("lo", lo_dir), ("hi", OUT_DIR)):
+            samples = []
+            for _ in range(3):
+                t0 = time.monotonic()
+                fn(spark, d).collect()
+                samples.append(time.monotonic() - t0)
+            times[tag] = statistics.median(samples)
+        slope = times["hi"] / times["lo"] if times["lo"] > 0 else -1.0
+        result[name] = {
+            "lo_s": round(times["lo"], 3),
+            "hi_s": round(times["hi"], 3),
+            "slope": round(slope, 2),
+        }
+        if slope > 3.0 ** 1.3:
+            superlinear.append(name)
+        print(f"# [slope3] {name}: {times['lo']:.2f}s -> "
+              f"{times['hi']:.2f}s ({slope:.2f}x on 3x data)",
+              file=sys.stderr)
+
+    payload = {
+        "lo_dir": lo_dir,
+        "hi_dir": OUT_DIR,
+        "data_ratio": 3.0,
+        "queries": result,
+        "superlinear": superlinear,
+    }
+    out = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "SLOPE3.json",
+    )
+    with open(out, "w") as f:
+        json.dump(payload, f, indent=1)
+    print(json.dumps(payload))
+
+
+if __name__ == "__main__":
+    main()
