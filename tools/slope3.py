@@ -121,24 +121,36 @@ def main() -> None:
     superlinear: list[str] = []
     for name in WATCHLIST:
         fn = qs[name]
-        times = {}
+        times, rows = {}, {}
         for tag, d in (("lo", lo_dir), ("hi", OUT_DIR)):
             samples = []
             for _ in range(3):
                 t0 = time.monotonic()
-                fn(spark, d).collect()
+                n_rows = len(fn(spark, d).collect())
                 samples.append(time.monotonic() - t0)
             times[tag] = statistics.median(samples)
+            rows[tag] = n_rows
         slope = times["hi"] / times["lo"] if times["lo"] > 0 else -1.0
+        out_growth = rows["hi"] / rows["lo"] if rows["lo"] else -1.0
         result[name] = {
             "lo_s": round(times["lo"], 3),
             "hi_s": round(times["hi"], 3),
             "slope": round(slope, 2),
+            "rows_lo": rows["lo"],
+            "rows_hi": rows["hi"],
+            "output_growth": round(out_growth, 2),
+            # a pair-enumerator whose time tracks its OUTPUT is
+            # output-bound (per-pair cost flat) — the algorithm is
+            # linear in the answer; only the answer itself curves
+            "output_bound": bool(
+                out_growth > 0 and slope <= out_growth * 1.25
+            ),
         }
-        if slope > 3.0 ** 1.3:
+        if slope > 3.0 ** 1.3 and not result[name]["output_bound"]:
             superlinear.append(name)
         print(f"# [slope3] {name}: {times['lo']:.2f}s -> "
-              f"{times['hi']:.2f}s ({slope:.2f}x on 3x data)",
+              f"{times['hi']:.2f}s ({slope:.2f}x on 3x data; output "
+              f"{rows['lo']} -> {rows['hi']} rows, {out_growth:.2f}x)",
               file=sys.stderr)
 
     payload = {
