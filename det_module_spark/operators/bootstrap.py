@@ -54,10 +54,11 @@ def bootstrap_mean_ci(
     (n_boot, point_c, lo_c, hi_c) with point_c = Σx div n over the
     full sample and lo_c/hi_c the 2nd-smallest / 2nd-largest replicate
     means. At B = 40 the rank-2 order statistics sit near the
-    3.8%/96.2% points (rank/(B+1) plotting position), so the interval
-    is ~92% two-sided — slightly wider than a nominal 90%. For an
-    exact nominal level swap the rank-2 filters for rank
-    ceil(0.05·B) / B+1−ceil(0.05·B), or raise B.
+    3.75%/96.25% points (Hazen plotting position (rank−0.5)/B; the
+    rank/(B+1) convention gives 4.9%/95.1%), so the interval is
+    ~92% two-sided — slightly wider than a nominal 90%. For an exact
+    nominal level swap the rank-2 filters for rank ceil(0.05·B) /
+    B+1−ceil(0.05·B), or raise B.
 
     Shape: one explode to B replicate tags per row, Poisson(1) weights
     from a per-(row, replicate) uniform, ONE hash aggregation to B

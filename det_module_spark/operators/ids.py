@@ -26,24 +26,19 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def dense_ids(
-    df: DataFrame,
-    order_col: str | list[str],
-    out: str = "row_id",
-    num_partitions: int = 32,
-) -> DataFrame:
-    """Assign contiguous ids 0..n-1 in ``order_col`` order (which must
-    be unique; pass a list for a composite total order). Two jobs: one
-    to size the range partitions, one for the enumerated result."""
-    cols = [order_col] if isinstance(order_col, str) else list(order_col)
+def _range_enumerated(
+    df: DataFrame, cols: list[str], num_partitions: int
+):
+    """Shared two-phase layout for dense_ids/global_ntile: range
+    partition on ``cols``, sort within partitions, PIN the layout
+    (the range partitioner re-samples per action — the count job and
+    the consumer job must see IDENTICAL partitions), then prefix-sum
+    the per-partition counts on the driver (#partitions scalars —
+    control plane). Returns (pinned_df, offsets_by_pid, total)."""
     parted = df.repartitionByRange(
         num_partitions, *[F.col(c) for c in cols]
     ).sortWithinPartitions(*cols)
-    # pin the range boundaries: the count job and the enumerate job
-    # must see IDENTICAL partitions, and the range partitioner
-    # re-samples per action otherwise
     parted = parted.localCheckpoint(eager=True)
-
     counts = (
         parted.select(F.spark_partition_id().alias("pid"))
         .groupBy("pid")
@@ -56,15 +51,34 @@ def dense_ids(
     for pid in range(num_partitions):
         offsets[pid] = acc
         acc += sizes.get(pid, 0)
+    return parted, offsets, acc
 
+
+def _with_appended_field(schema, name, dtype):
     from pyspark.sql import types as T
 
     # StructType.add MUTATES the receiver (it would corrupt the
     # DataFrame's cached schema object) — build a fresh StructType
-    schema_out = T.StructType(
-        list(parted.schema.fields)
-        + [T.StructField(out, T.LongType(), False)]
+    return T.StructType(
+        list(schema.fields) + [T.StructField(name, dtype, False)]
     )
+
+
+def dense_ids(
+    df: DataFrame,
+    order_col: str | list[str],
+    out: str = "row_id",
+    num_partitions: int = 32,
+) -> DataFrame:
+    """Assign contiguous ids 0..n-1 in ``order_col`` order (which must
+    be unique; pass a list for a composite total order). Two jobs: one
+    to size the range partitions, one for the enumerated result."""
+    cols = [order_col] if isinstance(order_col, str) else list(order_col)
+    parted, offsets, _ = _range_enumerated(df, cols, num_partitions)
+
+    from pyspark.sql import types as T
+
+    schema_out = _with_appended_field(parted.schema, out, T.LongType())
 
     def enumerate_part(iterator):
         from pyspark import TaskContext
@@ -111,34 +125,16 @@ def global_ntile(
     """
     if n_buckets < 1:
         raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
-    parted = df.repartitionByRange(
-        num_partitions, *[F.col(c) for c in order_cols]
-    ).sortWithinPartitions(*order_cols)
-    # pin the sampled range boundaries: the count job and the bucket
-    # job must see identical partitions (dense_ids note)
-    parted = parted.localCheckpoint(eager=True)
-
-    counts = (
-        parted.select(F.spark_partition_id().alias("pid"))
-        .groupBy("pid")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .collect()
+    parted, offsets, n_total = _range_enumerated(
+        df, list(order_cols), num_partitions
     )
-    sizes = {r["pid"]: r["n"] for r in counts}
-    offsets: dict[int, int] = {}
-    acc = 0
-    for pid in range(num_partitions):
-        offsets[pid] = acc
-        acc += sizes.get(pid, 0)
-    n_total = acc
     q, rem = divmod(n_total, n_buckets) if n_total else (0, 0)
     pivot = rem * (q + 1)  # first rank served by a size-q bucket
 
     from pyspark.sql import types as T
 
-    schema_out = T.StructType(
-        list(parted.schema.fields)
-        + [T.StructField(out, T.IntegerType(), False)]
+    schema_out = _with_appended_field(
+        parted.schema, out, T.IntegerType()
     )
 
     def bucket_part(iterator):

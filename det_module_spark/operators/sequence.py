@@ -61,18 +61,25 @@ def sequence_gaps(
     observed neighbors. The audit for "did ingestion drop rows?"
     when upstream assigns monotone ids.
 
+    Gap columns are always BIGINT (ids are cast to long in both
+    paths — one output contract regardless of the input id width).
+
     Grouped: one per-``group`` lag window (hash-partitioned, scale-
     safe). Ungrouped: a global lag window would collapse onto one
     partition, so instead the distinct ids are range-partitioned and
     sorted within partitions, each partition scans its own sorted run
-    for gaps, and the ≤ #partitions−1 boundary gaps are closed from
-    the per-partition (min, max) — control-plane scalars — on the
-    driver. The range layout is pinned (localCheckpoint) so the
-    boundary job and the gap job see identical partitions; output is
-    partition-independent because it depends only on the id set.
+    for gaps (exact int64 numpy arithmetic — pandas diff/shift would
+    round ids above 2^53 through float64), and the ≤ #partitions−1
+    boundary gaps are closed from the per-partition (min, max) —
+    control-plane scalars — on the driver. The range layout is pinned
+    (localCheckpoint) so the boundary job and the gap job see
+    identical partitions; output is partition-independent because it
+    depends only on the id set.
     """
     if group:
-        ids = df.select(group, F.col(id_col).alias("id")).distinct()
+        ids = df.select(
+            group, F.col(id_col).cast("long").alias("id")
+        ).distinct()
         w = Window.partitionBy(group).orderBy(F.asc("id"))
         with_prev = ids.withColumn("prev", F.lag("id").over(w))
         return with_prev.filter(
@@ -109,27 +116,28 @@ def sequence_gaps(
     )
 
     def local_gaps(iterator):
+        import numpy as np
         import pandas as pd
 
         prev_tail = None
         for pdf in iterator:  # sorted within the partition
-            s = pdf["id"]
+            a = pdf["id"].to_numpy(dtype="int64", copy=False)
             if prev_tail is not None:
-                s = pd.concat(
-                    [pd.Series([prev_tail]), s], ignore_index=True
-                )
-            d = s.diff()
-            hit = d > 1
-            if hit.any():
-                yield pd.DataFrame(
-                    {
-                        "gap_start": (s.shift() + 1)[hit].astype("int64"),
-                        "gap_end": (s - 1)[hit].astype("int64"),
-                        "gap_len": (d - 1)[hit].astype("int64"),
-                    }
-                )
-            if len(s):
-                prev_tail = int(s.iloc[-1])
+                a = np.concatenate(([prev_tail], a))
+            if len(a) >= 2:
+                # exact int64: never route ids through float64
+                d = a[1:] - a[:-1]
+                hit = d > 1
+                if hit.any():
+                    yield pd.DataFrame(
+                        {
+                            "gap_start": a[:-1][hit] + 1,
+                            "gap_end": a[1:][hit] - 1,
+                            "gap_len": d[hit] - 1,
+                        }
+                    )
+            if len(a):
+                prev_tail = int(a[-1])
 
     inner = ids.mapInPandas(local_gaps, schema=gap_schema)
     # boundary gaps between consecutive non-empty partitions

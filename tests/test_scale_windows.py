@@ -96,6 +96,24 @@ def test_sequence_gaps_partition_count_invariant(spark):
     ]
 
 
+def test_sequence_gaps_exact_above_2_53(spark):
+    """Snowflake-scale 64-bit ids: the per-partition scan must use
+    exact int64 arithmetic — pandas diff/shift would round through
+    float64 (resolution 128 near 2^60) and misplace or drop gaps."""
+    from det_module_spark.operators.sequence import sequence_gaps
+
+    base = 2**60
+    ids = [base, base + 3, base + 4, base + 131]
+    df = spark.createDataFrame([(i,) for i in ids], "event_id long")
+    got = sorted(
+        map(tuple, sequence_gaps(df, "event_id", num_partitions=2).collect())
+    )
+    assert got == [
+        (base + 1, base + 2, 2),
+        (base + 5, base + 130, 126),
+    ]
+
+
 def test_equidepth_ungrouped_matches_grouped_single_group(spark):
     from det_module_spark.operators.profile import equidepth_histogram
 
@@ -114,24 +132,17 @@ def test_equidepth_ungrouped_matches_grouped_single_group(spark):
 
 
 def test_no_unpartitioned_window_in_fixed_plans(spark):
-    """The three rewritten queries must not contain a WindowExec with
-    an empty partition spec anywhere in their optimized plans."""
+    """The three rewritten queries must not contain a Window node with
+    an empty partition spec anywhere in their optimized plans. Uses
+    the same robust JVM-side partitionSpec().isEmpty() walker as the
+    global scale-audit gate (test_scale_audit.py) — a string heuristic
+    false-negatives on ORDER BY expressions containing commas."""
+    from test_scale_audit import _unpartitioned_window_nodes
+
     import __spark_entry__ as entry
 
     qs = entry.queries()
     for name in ("woe_bins", "sequence_gaps", "equidepth_hist"):
         df = qs[name](spark, "/root/testdata/sf0.001")
-        plan = df._jdf.queryExecution().optimizedPlan().toString()
-        for line in plan.splitlines():
-            if "Window [" in line or "Window[" in line:
-                assert "windowspecdefinition(" not in line or _has_keys(
-                    line
-                ), f"{name}: unpartitioned window:\n{line}"
-
-
-def _has_keys(line: str) -> bool:
-    # windowspecdefinition(part1, ..., ORDER BY ...) — an empty
-    # partition spec starts straight at the order-by clause
-    inner = line.split("windowspecdefinition(", 1)[1]
-    head = inner.split(",", 1)[0].strip()
-    return " ASC" not in head and " DESC" not in head
+        nodes = _unpartitioned_window_nodes(df)
+        assert not nodes, f"{name}: unpartitioned window:\n{nodes}"

@@ -102,9 +102,23 @@ def _generate(base_dir: str, scale: int = 3) -> None:
 
 
 def main() -> None:
-    lo_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    if not os.path.exists(os.path.join(OUT_DIR, "documents.parquet")):
-        _generate(OUT_DIR)
+    # lo is PINNED to sf0.1 — the hi dataset is generated as 3x of
+    # exactly that table's laws, so honoring SPARK_GRAFT_SF_DIR here
+    # would silently produce slopes against the wrong ratio (and
+    # data_ratio below would still claim 3.0)
+    lo_dir = "/root/testdata/sf0.1"
+    if not os.path.exists(os.path.join(OUT_DIR, "_SUCCESS")):
+        # generate into a staging dir and rename: an interrupted run
+        # must never leave a half-written dataset that later runs
+        # silently reuse
+        stage = OUT_DIR + ".tmp"
+        import shutil
+
+        shutil.rmtree(stage, ignore_errors=True)
+        shutil.rmtree(OUT_DIR, ignore_errors=True)
+        _generate(stage)
+        open(os.path.join(stage, "_SUCCESS"), "w").close()
+        os.rename(stage, OUT_DIR)
 
     import __spark_entry__ as entry_mod
     from det_module_spark.session import get_spark
