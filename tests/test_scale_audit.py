@@ -307,9 +307,9 @@ COLLECT_WHITELIST = {
         "top-k heavy-hitter candidates: k rows",
     ),
     "det_module_spark/operators/ids.py": (
-        2,
-        "per-partition counts for dense-id / global-ntile offsets: "
-        "#partitions rows each",
+        1,
+        "per-partition counts for dense-id / global-ntile offsets "
+        "(shared _range_enumerated helper): #partitions rows",
     ),
     "det_module_spark/operators/sequence.py": (
         1,
