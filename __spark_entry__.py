@@ -5308,11 +5308,21 @@ def q_blocking_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     # quadratic verifier — this is the offline eval you run at a
     # sampled SF before trusting the banding at full scale.
     docs = load_table(spark, sf_dir, "documents")
-    truth = ngram_jaccard_pairs(docs, n=3, threshold=0.12).select(
-        "id_a", "id_b"
+    # truth and cand each feed TWO consumers (their count agg + the
+    # hit join); a union's/join's branches are planned independently
+    # (playbook #29), so materialize each expensive pair table once
+    # instead of re-running the quadratic verifier / banding per use
+    truth = (
+        ngram_jaccard_pairs(docs, n=3, threshold=0.12)
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=True)
     )
     sigs = minhash_signatures(docs, num_hashes=16)
-    cand = minhash_lsh_pairs(sigs, bands=8, rows=2).select("id_a", "id_b")
+    cand = (
+        minhash_lsh_pairs(sigs, bands=8, rows=2)
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=True)
+    )
     t = truth.agg(F.count(F.lit(1)).alias("n_truth"))
     c = cand.agg(F.count(F.lit(1)).alias("n_cand"))
     h = truth.join(cand, ["id_a", "id_b"]).agg(
@@ -6661,11 +6671,15 @@ def entry(spark: SparkSession) -> DataFrame:
 # newest-last. Cumulative driver coverage entering this check is
 # 186/293; this window takes it to 236 and R7's to 286.
 _ROTATION_R6 = [
-    # changed-path re-checks (global-window class removal, r05 #2) —
-    # also first-ever driver checks for all three
+    # changed-path re-checks — also first-ever driver checks for all
+    # five: the three global-window rewrites (r05 #2) + the two
+    # shared-subtree materializations (blocking_eval truth/cand,
+    # ahash_near_dup_pairs input fan-out)
     "woe_bins",
     "sequence_gaps",
     "equidepth_hist",
+    "media_ahash_pairs",
+    "blocking_eval",
     # oldest never-checked: round-2/3 registry tail
     "queue_timeline",
     "sample_hash",
@@ -6713,10 +6727,10 @@ _ROTATION_R6 = [
     "seasonal_anomalies",
     "concurrency_curve",
     "weighted_sample",
-    "lm_score",
-    "pseudonymize_join",
     # ---- driver window boundary (first 50 above) ----
     # r4-era backlog remainder -> head of the R7 window
+    "lm_score",
+    "pseudonymize_join",
     "k_anonymity",
     "fd_check",
     "event_transitions",
@@ -6732,7 +6746,6 @@ _ROTATION_R6 = [
     "rendezvous_shards",
     "doc_entropy",
     "kfold_balance",
-    "blocking_eval",
     "ewma_smooth",
     "cusum_shift",
     "random_walk_corpus",
@@ -6769,7 +6782,6 @@ _ROTATION_R6 = [
     "line_dedup",
     "line_dedup_keep_first",
     "nb_classify",
-    "media_ahash_pairs",
     "dsir_select",
     "bm25_retrieval",
     "kmeans_clusters",

@@ -213,12 +213,19 @@ def ahash_near_dup_pairs(
     → (media_a, media_b, hamming), media_a < media_b.
 
     The hash table is corpus-derived: both the band frame and the
-    re-joined hash sides stay un-hinted (AQE picks the strategy)."""
+    re-joined hash sides stay un-hinted (AQE picks the strategy).
+    The input is materialized once on entry — it fans out to FOUR
+    consumers (two band sides + two hamming-refine sides) whose
+    subtrees would otherwise each re-run the upstream hash
+    computation (typically a mapInPandas blob sampler; playbook
+    #29). The hash table is three fixed-width columns per media
+    item, orders of magnitude below the blobs it summarizes."""
     if max_hamming >= 8:
         raise ValueError(
             "banding over 8 byte-bands is only complete for "
             f"max_hamming < 8, got {max_hamming}"
         )
+    hashes = hashes.localCheckpoint(eager=True)
     bands = hashes.select(
         "media_id",
         F.posexplode(
