@@ -46,6 +46,26 @@ def test_global_ntile_matches_window_ntile(spark):
         assert got == want, (n, k)
 
 
+def test_dense_ids_composite_order(spark):
+    """dense_ids with a multi-column total order: ids follow the
+    composite (v, tb) order and are partition-count invariant."""
+    from det_module_spark.operators.ids import dense_ids
+
+    rng = random.Random(11)
+    rows = [(rng.randrange(7), i) for i in range(200)]
+    rng.shuffle(rows)
+    df = spark.createDataFrame(rows, "v int, tb int")
+    want = {
+        kv: i for i, kv in enumerate(sorted(rows))
+    }
+    for p in (1, 5, 32):
+        got = {
+            (r["v"], r["tb"]): r["row_id"]
+            for r in dense_ids(df, ["v", "tb"], num_partitions=p).collect()
+        }
+        assert got == want, p
+
+
 def test_global_ntile_rejects_bad_k(spark):
     import pytest
 
