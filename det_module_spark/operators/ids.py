@@ -115,13 +115,25 @@ def global_ntile(
         bucket = r div (q+1) + 1                      if r < rem·(q+1)
         bucket = rem + (r − rem·(q+1)) div q + 1      otherwise
 
-    So: two-phase range enumeration (the ``dense_ids`` recipe — range
-    partition + in-partition sort + control-plane prefix sums) to get
-    r, then the closed form above. Equivalence to ``F.ntile`` over the
-    same total order is pytest-proven on randomized (n, k)
-    (tests/test_scale_windows.py). ``order_cols`` must form a total
-    order (unique composite) so ranks — and therefore buckets — are
-    partition-independent.
+    The rank comes from the pinned range layout entirely JVM-side:
+    ``monotonically_increasing_id`` over the checkpointed sorted
+    partitions encodes (partition id << 33) | in-partition row
+    number, so r = driver-side offset[pid] + low bits — no Python
+    crossing of the dataset (the Arrow round-trip of a mapInPandas
+    enumerator costs ~30% at sf0.1 and a full worker transfer of
+    every row at scale). The nondeterministic id is materialized
+    ONCE in its own projection: each reference is a separate
+    stateful instance, and a reference inside a when/otherwise
+    branch would silently desync its per-row counter on
+    short-circuited rows (observed, and pinned by the randomized
+    equivalence test in tests/test_scale_windows.py).
+
+    All rank arithmetic is exact: ranks are int64 and the divisions
+    are the (x − x % d) / d identity on non-negative operands.
+    Equivalence to ``F.ntile`` over the same total order is
+    pytest-proven on randomized (n, k). ``order_cols`` must form a
+    total order (unique composite) so ranks — and therefore
+    buckets — are partition-independent.
     """
     if n_buckets < 1:
         raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
@@ -130,27 +142,22 @@ def global_ntile(
     )
     q, rem = divmod(n_total, n_buckets) if n_total else (0, 0)
     pivot = rem * (q + 1)  # first rank served by a size-q bucket
+    qq = max(q, 1)
 
-    from pyspark.sql import types as T
-
-    schema_out = _with_appended_field(
-        parted.schema, out, T.IntegerType()
+    off_arr = F.array(
+        *[F.lit(offsets.get(p, 0)) for p in range(num_partitions)]
     )
-
-    def bucket_part(iterator):
-        import numpy as np
-        from pyspark import TaskContext
-
-        pid = TaskContext.get().partitionId()
-        base = offsets.get(pid, 0)
-        seen = 0
-        for pdf in iterator:
-            pdf = pdf.copy()
-            r = np.arange(base + seen, base + seen + len(pdf))
-            lo = r // (q + 1) + 1
-            hi = rem + (np.maximum(r - pivot, 0) // max(q, 1)) + 1
-            pdf[out] = np.where(r < pivot, lo, hi).astype("int32")
-            seen += len(pdf)
-            yield pdf
-
-    return parted.mapInPandas(bucket_part, schema=schema_out)
+    staged = parted.withColumn("__mid", F.monotonically_increasing_id())
+    pid = F.shiftrightunsigned(F.col("__mid"), 33).cast("int")
+    local = F.col("__mid").bitwiseAND(F.lit((1 << 33) - 1))
+    staged = staged.withColumn(
+        "__r", (F.element_at(off_arr, pid + 1) + local).cast("long")
+    ).drop("__mid")
+    r = F.col("__r")
+    lo = ((r - r % F.lit(q + 1)) / F.lit(q + 1)).cast("long") + 1
+    hr = F.greatest(r - F.lit(pivot), F.lit(0))
+    hi = F.lit(rem) + ((hr - hr % F.lit(qq)) / F.lit(qq)).cast("long") + 1
+    bucket = (
+        F.when(r < F.lit(pivot), lo).otherwise(hi).cast("int")
+    )
+    return staged.withColumn(out, bucket).drop("__r")
