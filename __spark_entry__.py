@@ -4814,11 +4814,19 @@ def q_retrieval_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = bm.orderBy(F.desc("scoreq"), F.asc("doc_id")).limit(20)
     w = Window.orderBy(F.desc("scoreq"), F.asc("doc_id"))
     cand = cand.withColumn("rank", F.row_number().over(w))
-    cv = cand.join(emb, cand.doc_id == emb.vec_id).select(
-        "rank",
-        "doc_id",
-        "scoreq",
-        quantize_vec(F.col("embedding")).alias("v"),
+    # 20 rows by construction — materialize once: cv feeds THREE
+    # subtrees (both redundancy-join sides + the survivor anti-join),
+    # each of which would otherwise re-run BM25 over the corpus
+    # (playbook #29; 24 scans -> 2 in the executed plan)
+    cv = (
+        cand.join(emb, cand.doc_id == emb.vec_id)
+        .select(
+            "rank",
+            "doc_id",
+            "scoreq",
+            quantize_vec(F.col("embedding")).alias("v"),
+        )
+        .localCheckpoint(eager=True)
     )
     a, b = cv.alias("a"), cv.alias("b")
     red = (
