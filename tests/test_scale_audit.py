@@ -384,7 +384,9 @@ ALLOWED_GLOBAL_WINDOW = {
     "ndcg_eval": "top-10 ranked frames + 1-row dcg/idcg scalars",
     "rbo_compare": "two top-10 prefix frames",
     "rrf_fusion": "two top-k candidate rank frames (limit upstream)",
-    "retrieval_pipeline": "20-row candidate frame (limit upstream)",
+    # retrieval_pipeline's 20-row rank window now executes inside the
+    # eager candidate-frame checkpoint, so it no longer appears in the
+    # returned plan (still bounded by the upstream limit)
     "bootstrap_ci": "B=40 bootstrap-replicate rows post map-side fold",
     "logrank_test": "per-distinct-day risk table (post-agg, day-bounded)",
     "psi_drift": "per-bin histogram join: range/bin_width rows, "
