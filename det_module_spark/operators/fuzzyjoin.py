@@ -148,7 +148,11 @@ def sorted_neighborhood_pairs(
             F.lpad(F.col(id_col).cast("string"), 12, "0"),
         ).alias("__ord"),
     )
-    ranked = dense_ids(keyed, "__ord", out="__rn").drop("__ord")
+    # jvm strategy: rank via Column arithmetic over the pinned range
+    # layout — no Arrow round-trip of the keyed frame (ids.dense_ids)
+    ranked = dense_ids(
+        keyed, "__ord", out="__rn", strategy="jvm"
+    ).drop("__ord")
     left = ranked.select(
         F.col(id_col).alias("id_a"),
         F.col(key_col).alias("key_a"),

@@ -64,17 +64,51 @@ def _with_appended_field(schema, name, dtype):
     )
 
 
+def _jvm_rank(parted: DataFrame, offsets: dict[int, int], out: str):
+    """Rank over a PINNED sorted range layout, entirely JVM-side:
+    ``monotonically_increasing_id`` encodes (partition id << 33) |
+    in-partition row number over the checkpointed partitions, so the
+    global rank is offsets[pid] + low bits — no Python crossing.
+    The nondeterministic id is materialized once in its own
+    projection (multiple references are multiple stateful instances;
+    see global_ntile's note)."""
+    num_partitions = max(offsets) + 1 if offsets else 1
+    off_arr = F.array(
+        *[F.lit(offsets.get(p, 0)) for p in range(num_partitions)]
+    )
+    staged = parted.withColumn("__mid", F.monotonically_increasing_id())
+    pid = F.shiftrightunsigned(F.col("__mid"), 33).cast("int")
+    local = F.col("__mid").bitwiseAND(F.lit((1 << 33) - 1))
+    return staged.withColumn(
+        out, (F.element_at(off_arr, pid + 1) + local).cast("long")
+    ).drop("__mid")
+
+
 def dense_ids(
     df: DataFrame,
     order_col: str | list[str],
     out: str = "row_id",
     num_partitions: int = 32,
+    strategy: str = "pandas",
 ) -> DataFrame:
     """Assign contiguous ids 0..n-1 in ``order_col`` order (which must
     be unique; pass a list for a composite total order). Two jobs: one
-    to size the range partitions, one for the enumerated result."""
+    to size the range partitions, one for the enumerated result.
+
+    ``strategy="jvm"`` derives the id from monotonically_increasing_id
+    over the pinned layout (pure Column arithmetic, no Arrow
+    round-trip of the dataset — the scale-preferred path, same trick
+    as global_ntile); ``"pandas"`` is the original mapInPandas
+    enumerator, kept as the default until every consumer's driver
+    check has covered the jvm plan (results are identical — pinned by
+    tests/test_scale_windows.py — only the physical plan differs)."""
     cols = [order_col] if isinstance(order_col, str) else list(order_col)
     parted, offsets, _ = _range_enumerated(df, cols, num_partitions)
+
+    if strategy == "jvm":
+        return _jvm_rank(parted, offsets, out)
+    if strategy != "pandas":
+        raise ValueError(f"unknown strategy {strategy!r}")
 
     from pyspark.sql import types as T
 
@@ -144,15 +178,7 @@ def global_ntile(
     pivot = rem * (q + 1)  # first rank served by a size-q bucket
     qq = max(q, 1)
 
-    off_arr = F.array(
-        *[F.lit(offsets.get(p, 0)) for p in range(num_partitions)]
-    )
-    staged = parted.withColumn("__mid", F.monotonically_increasing_id())
-    pid = F.shiftrightunsigned(F.col("__mid"), 33).cast("int")
-    local = F.col("__mid").bitwiseAND(F.lit((1 << 33) - 1))
-    staged = staged.withColumn(
-        "__r", (F.element_at(off_arr, pid + 1) + local).cast("long")
-    ).drop("__mid")
+    staged = _jvm_rank(parted, offsets, "__r")
     r = F.col("__r")
     lo = ((r - r % F.lit(q + 1)) / F.lit(q + 1)).cast("long") + 1
     hr = F.greatest(r - F.lit(pivot), F.lit(0))

@@ -59,11 +59,14 @@ def test_dense_ids_composite_order(spark):
         kv: i for i, kv in enumerate(sorted(rows))
     }
     for p in (1, 5, 32):
-        got = {
-            (r["v"], r["tb"]): r["row_id"]
-            for r in dense_ids(df, ["v", "tb"], num_partitions=p).collect()
-        }
-        assert got == want, p
+        for strat in ("pandas", "jvm"):
+            got = {
+                (r["v"], r["tb"]): r["row_id"]
+                for r in dense_ids(
+                    df, ["v", "tb"], num_partitions=p, strategy=strat
+                ).collect()
+            }
+            assert got == want, (p, strat)
 
 
 def test_global_ntile_rejects_bad_k(spark):
