@@ -86,6 +86,7 @@ def replay_stream(
     build,
     output_mode: str = "append",
     extra_conf: dict[str, str] | None = None,
+    no_data_batches: bool = True,
 ) -> DataFrame:
     """Replay ``df`` through a REAL streaming query, one micro-batch
     per ``batch_col`` value; ``build(stream_df)`` supplies the
@@ -94,7 +95,16 @@ def replay_stream(
     ``output_mode``: append (watermarked aggs) or update (per-key
     stateful emitters); ``extra_conf`` lands on the CHILD session
     before the query starts (e.g. the RocksDB state-store provider
-    transformWithState requires)."""
+    transformWithState requires).
+
+    ``no_data_batches=False`` skips the trailing no-data micro-batch.
+    Only valid for replays with NO event-time semantics (update-mode
+    stateful emitters without watermarks or timers): the no-data
+    batch exists to advance the watermark and flush/evict — for a
+    watermark-free processor it emits nothing and costs a full
+    trigger (~30% of a 3-batch replay; rows verified identical).
+    Watermarked replays (append windows, dropDuplicatesWithin
+    Watermark, event-time timers) MUST keep it."""
     spark = df.sparkSession
     src = tempfile.mkdtemp(prefix="replay_src_")
     ckpt = tempfile.mkdtemp(prefix="replay_ckpt_")
@@ -115,6 +125,10 @@ def replay_stream(
             "spark.sql.streaming.stateStore.maintenanceInterval", "1h"
         )
         run.conf.set("spark.sql.session.timeZone", spark.conf.get("spark.sql.session.timeZone"))
+        if not no_data_batches:
+            run.conf.set(
+                "spark.sql.streaming.noDataMicroBatches.enabled", "false"
+            )
         for k, v in (extra_conf or {}).items():
             run.conf.set(k, v)
         stream = (
@@ -263,6 +277,8 @@ def replay_running_totals(
         ),
         output_mode="update",
         extra_conf=_ROCKSDB_CONF,
+        no_data_batches=False,  # watermark-free: the trailing no-data
+        # trigger emits nothing and costs ~30% (docstring above)
     )
 
 
@@ -285,6 +301,7 @@ def replay_topk_distinct(
         lambda s: topk_distinct(s, key_col=key_col, value_col=value_col, k=k),
         output_mode="update",
         extra_conf=_ROCKSDB_CONF,
+        no_data_batches=False,
     )
 
 
@@ -306,6 +323,7 @@ def replay_bucket_counts(
         lambda s: bucket_counts(s, key_col=key_col, bucket_col=bucket_col),
         output_mode="update",
         extra_conf=_ROCKSDB_CONF,
+        no_data_batches=False,
     )
 
 
@@ -341,6 +359,7 @@ def replay_combined_stats(
         ),
         output_mode="update",
         extra_conf=_ROCKSDB_CONF,
+        no_data_batches=False,
     )
 
 
