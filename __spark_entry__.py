@@ -2064,7 +2064,11 @@ def q_events_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (streaming/replay.replay_dedup): events get retry copies with a
     # fresh timestamp — +24h (inside the 48h horizon: must be
     # deduped) and +72h (outside: re-emitted once state expires, or
-    # late-dropped) — two batches later. The oracle closes the form:
+    # late-dropped) — two batches later. Four time-quartile batches
+    # since round 6 (was six sextiles): the probe re-verified the
+    # closed form batch-for-batch at both SFs before the cut, and all
+    # three semantic classes (dedup, late-drop, re-emission) still
+    # exercise. The oracle closes the form:
     # with unique keys and one retry each, emitted = originals +
     # retries that are neither late (ts_ms > wm planned for their
     # batch) nor covered by live state (orig_ts_ms + delay > same
@@ -2078,7 +2082,7 @@ def q_events_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).collect()[0]
     mn, span1 = b["mn"], b["mx"] - b["mn"] + 1
     batch = F.expr(
-        f"CAST(((unix_timestamp(ts) - {mn}) * 6) div {span1} AS INT)"
+        f"CAST(((unix_timestamp(ts) - {mn}) * 4) div {span1} AS INT)"
     )
     orig = ev.select(
         "event_id",
@@ -2092,7 +2096,7 @@ def q_events_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         return orig.filter(
             (eid % mod_in == 0)
             & (eid % mod_out != 0)
-            & (F.col("batch") <= 3)
+            & (F.col("batch") <= 1)
         ).select(
             "event_id",
             F.expr(f"ts + INTERVAL {hours} HOURS").alias("ts"),
@@ -2122,17 +2126,17 @@ _EVENTS_DEDUP_STREAM_SQL = """
                       MAX(ts_s) - MIN(ts_s) + 1 AS span1
                FROM base),
     orig AS (SELECT event_id, ts_us, cents,
-                    CAST(((ts_s - mn) * 6) // span1 AS BIGINT) AS batch
+                    CAST(((ts_s - mn) * 4) // span1 AS BIGINT) AS batch
              FROM base, bounds),
     reps AS (
       SELECT event_id, ts_us + 86400000000 AS ts_us, cents,
              batch + 2 AS batch
       FROM orig
-      WHERE event_id % 37 = 0 AND event_id % 41 <> 0 AND batch <= 3
+      WHERE event_id % 37 = 0 AND event_id % 41 <> 0 AND batch <= 1
       UNION ALL
       SELECT event_id, ts_us + 259200000000, cents, batch + 2
       FROM orig
-      WHERE event_id % 41 = 0 AND event_id % 37 <> 0 AND batch <= 3),
+      WHERE event_id % 41 = 0 AND event_id % 37 <> 0 AND batch <= 1),
     staged AS (
       SELECT event_id, ts_us, cents, batch, FALSE AS is_rep FROM orig
       UNION ALL
@@ -3001,8 +3005,10 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_events_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     # VERDICT r02 #8: REAL streaming late-data semantics, value-
     # checked. Events are assigned a deterministic micro-batch
-    # schedule (six time-sextile batches; every 29th event arrives two
-    # batches late) and replayed through an actual APPEND-mode
+    # schedule (four time-quartile batches since round 6 — the probe
+    # re-verified the closed form at both SFs before cutting from six
+    # sextiles; every 29th event arrives two batches late) and
+    # replayed through an actual APPEND-mode
     # streaming query with a 2-hour watermark
     # (streaming/replay.replay_tumbling). The oracle models the exact
     # watermark trajectory — cummax of per-batch max event-time,
@@ -3022,9 +3028,9 @@ def q_events_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.unix_timestamp("ts")).alias("mx"),
     ).collect()[0]  # two scalars: the batch-boundary constants
     mn, span1 = b["mn"], b["mx"] - b["mn"] + 1
-    nominal = F.expr(f"((unix_timestamp(ts) - {mn}) * 6) div {span1}")
+    nominal = F.expr(f"((unix_timestamp(ts) - {mn}) * 4) div {span1}")
     batch = (
-        F.when(F.col("event_id") % 29 == 0, F.least(nominal + 2, F.lit(5)))
+        F.when(F.col("event_id") % 29 == 0, F.least(nominal + 2, F.lit(3)))
         .otherwise(nominal)
         .cast("int")
     )
@@ -3060,8 +3066,8 @@ _EVENTS_WATERMARK_SQL = """
     batched AS (
       SELECT ts, cents, ts_us,
              CASE WHEN event_id % 29 = 0
-                  THEN LEAST(((ts_s - mn) * 6) // span1 + 2, 5)
-                  ELSE ((ts_s - mn) * 6) // span1 END AS batch
+                  THEN LEAST(((ts_s - mn) * 4) // span1 + 2, 3)
+                  ELSE ((ts_s - mn) * 4) // span1 END AS batch
       FROM base, bounds),
     bmax AS (SELECT batch, MAX(ts_us // 1000) AS bmax_ms
              FROM batched GROUP BY batch),
@@ -3075,8 +3081,7 @@ _EVENTS_WATERMARK_SQL = """
       -- PLANNED for b (stats through batch b-2); eviction/emission at
       -- b's end uses the updated watermark (through b-1). The lag
       -- keeps filter == previous eviction boundary, so a late row can
-      -- never land in an already-emitted window (verified against
-      -- numRowsDroppedByWatermark per batch: 58/53/57/58)
+      -- never land in an already-emitted window
       SELECT b.ts, b.cents,
              epoch_us(date_trunc('hour', b.ts) + INTERVAL 1 HOUR)
                AS w_end_us
@@ -6679,10 +6684,15 @@ def entry(spark: SparkSession) -> DataFrame:
 # newest-last. Cumulative driver coverage entering this check is
 # 186/293; this window takes it to 236 and R7's to 286.
 _ROTATION_R6 = [
-    # changed-path re-checks — also first-ever driver checks for all
-    # five: the three global-window rewrites (r05 #2) + the two
-    # shared-subtree materializations (blocking_eval truth/cand,
-    # ahash_near_dup_pairs input fan-out)
+    # changed-path re-checks. The first five are also first-ever
+    # driver checks: the three global-window rewrites (r05 #2) + the
+    # two shared-subtree materializations (blocking_eval truth/cand,
+    # ahash_near_dup_pairs input fan-out). events_dedup_stream and
+    # events_watermark are RE-checks: their replay schedules were cut
+    # 6 -> 4 batches this round (r05 #6), probe + oracle re-verified
+    # at both SFs before the cut.
+    "events_dedup_stream",
+    "events_watermark",
     "woe_bins",
     "sequence_gaps",
     "equidepth_hist",
@@ -6733,10 +6743,10 @@ _ROTATION_R6 = [
     "triangle_count",
     "profile_drift",
     "seasonal_anomalies",
-    "concurrency_curve",
-    "weighted_sample",
     # ---- driver window boundary (first 50 above) ----
     # r4-era backlog remainder -> head of the R7 window
+    "concurrency_curve",
+    "weighted_sample",
     "lm_score",
     "pseudonymize_join",
     "k_anonymity",
