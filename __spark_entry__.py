@@ -6693,11 +6693,19 @@ _ROTATION_R6 = [
     # at both SFs before the cut.
     "events_dedup_stream",
     "events_watermark",
+    # clustering_coeff is a RE-check: its plan changed this round —
+    # the symmetrized co-purchase edge frame is now materialized once
+    # and shared by the degree agg and the triangle listing, and the
+    # corner count is one explode instead of a 3-branch union (4.4 ->
+    # ~2.1 s at sf0.1). triangle_count (below, first-ever check)
+    # shares the explode change and moved to the changed-path head.
+    "clustering_coeff",
     "woe_bins",
     "sequence_gaps",
     "equidepth_hist",
     "media_ahash_pairs",
     "blocking_eval",
+    "triangle_count",
     # oldest never-checked: round-2/3 registry tail
     "queue_timeline",
     "sample_hash",
@@ -6740,11 +6748,11 @@ _ROTATION_R6 = [
     "distinctive_terms",
     "incremental_rollup",
     "label_centroids",
-    "triangle_count",
     "profile_drift",
-    "seasonal_anomalies",
     # ---- driver window boundary (first 50 above) ----
     # r4-era backlog remainder -> head of the R7 window
+    # (seasonal_anomalies displaced by the clustering_coeff re-check)
+    "seasonal_anomalies",
     "concurrency_curve",
     "weighted_sample",
     "lm_score",

@@ -365,6 +365,20 @@ def dedup_clusters(
     )
 
 
+def _symmetrized(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    """Self-loop-free symmetric closure of an edge list, materialized.
+    The symmetrized frame feeds degree counting, orientation and the
+    closing-edge semi-join — without the cut the upstream
+    edge-producing pipeline re-executes per consumer (measured
+    16.8s -> ~2s on the brand co-purchase graph)."""
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).filter(
+        F.col("u") != F.col("v")
+    )
+    return e.unionByName(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).distinct().localCheckpoint(eager=False)
+
+
 def triangle_listing(
     edges: DataFrame, src: str = "id_a", dst: str = "id_b"
 ) -> DataFrame:
@@ -378,16 +392,14 @@ def triangle_listing(
     (degree, id) order), instead of Σ deg² for naive orientation.
     Two shuffle joins; no iteration.
     """
-    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).filter(
-        F.col("u") != F.col("v")
-    )
-    # the symmetrized edge list feeds degree counting, orientation and
-    # the closing-edge semi-join — materialize once; without this the
-    # upstream edge-producing pipeline re-executes per consumer
-    # (measured 16.8s -> ~2s on the brand co-purchase graph)
-    und = e.unionByName(
-        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).distinct().localCheckpoint(eager=False)
+    return _triangles_from_und(_symmetrized(edges, src, dst))
+
+
+def _triangles_from_und(und: DataFrame) -> DataFrame:
+    """Triangle listing over a pre-materialized symmetric edge frame
+    (``_symmetrized``) — split out so clustering_coefficients can
+    share ONE symmetrization between the degree agg and the listing
+    instead of re-running the edge-producing pipeline per consumer."""
     deg = und.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
     # orient edge u->v iff (deg_u, u) < (deg_v, v): every vertex's
     # out-degree is bounded by O(sqrt(m))
@@ -432,12 +444,19 @@ def triangle_count_per_vertex(
     edges: DataFrame, src: str = "id_a", dst: str = "id_b"
 ) -> DataFrame:
     """(vertex, n_triangles) — explode each listed triangle to its
-    three corners and count. Clustering-coefficient numerator."""
+    three corners and count. Clustering-coefficient numerator.
+
+    Corners come from ONE ``explode(array(v1, v2, v3))`` pass over the
+    listing, not a three-branch union — a union's branches are
+    independent subtrees, so the wedge join + closing semi-join would
+    re-execute once per corner."""
     tri = triangle_listing(edges, src, dst)
-    corners = (
-        tri.select(F.col("v1").alias("vertex"))
-        .unionByName(tri.select(F.col("v2").alias("vertex")))
-        .unionByName(tri.select(F.col("v3").alias("vertex")))
+    return _corner_counts(tri)
+
+
+def _corner_counts(tri: DataFrame) -> DataFrame:
+    corners = tri.select(
+        F.explode(F.array("v1", "v2", "v3")).alias("vertex")
     )
     return corners.groupBy("vertex").agg(
         F.count(F.lit(1)).alias("n_triangles")
@@ -1207,14 +1226,12 @@ def clustering_coefficients(
     Composes the degree-oriented triangle listing (O(m^1.5) wedge
     bound, see triangle_listing) with one degree agg; the ratio is a
     single integer div on exact counts — cc_ppm = 2·10⁶·T div
-    (deg·(deg−1))."""
-    tri = triangle_count_per_vertex(edges, src, dst)
-    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).filter(
-        F.col("u") != F.col("v")
-    )
-    und = e.unionByName(
-        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).distinct()
+    (deg·(deg−1)). The symmetrized edge frame is materialized ONCE
+    and shared by the degree agg and the listing — building each its
+    own would run the (often expensive) edge-producing pipeline
+    twice."""
+    und = _symmetrized(edges, src, dst)
+    tri = _corner_counts(_triangles_from_und(und))
     deg = und.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
     return (
         deg.where(F.col("deg") >= 2)
