@@ -263,8 +263,16 @@ def main() -> None:
         except Exception as e:  # noqa: BLE001 - diagnostic, never gates
             print(f"# SLOPE3.json unreadable: {e}", file=sys.stderr)
 
-    # full per-query detail goes to a sidecar, never to the final line
-    sidecar = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json")
+    # full per-query detail goes to a sidecar, never to the final line.
+    # BENCH_FULL.json is the committed record of the HEADLINE SF
+    # (sf0.1): a smoke run at another SF writes a per-SF name instead
+    # of silently clobbering the record (it happened twice in r6).
+    sidecar_name = (
+        "BENCH_FULL.json" if sf == 0.1 else f"BENCH_FULL_sf{sf}.json"
+    )
+    sidecar = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), sidecar_name
+    )
     with open(sidecar, "w") as f:
         json.dump(
             {
