@@ -115,3 +115,74 @@ def test_seasonal_anomalies_zero_variance_guard(spark):
     ).select(F.to_timestamp("ts_s").alias("ts"), "event_type", "value")
     got = seasonal_anomalies(df, "2024-01-05").collect()[0]
     assert got["z"] is None and got["is_anomaly"] is None
+
+
+def test_triangle_family_randomized_vs_bruteforce(spark):
+    # Erdős–Rényi G(n, p) equivalence sweep: the degree-oriented
+    # two-join listing, the explode-based per-vertex counts, and the
+    # shared-symmetrization clustering coefficients must all agree
+    # with a driver-side brute force on the same random graph.
+    # Deterministic seed — reproducible across runs and parallelisms.
+    import itertools
+    import random
+
+    rng = random.Random(0xC0FFEE)
+    for n, p in ((12, 0.35), (20, 0.2), (9, 0.7)):
+        verts = [f"v{i:02d}" for i in range(n)]
+        edges = [
+            (a, b)
+            for a, b in itertools.combinations(verts, 2)
+            if rng.random() < p
+        ]
+        if not edges:
+            continue
+        # scramble directions + inject dups/self-loops (must be inert)
+        listed = [
+            (b, a) if rng.random() < 0.5 else (a, b) for a, b in edges
+        ] + [edges[0], (verts[0], verts[0])]
+        df = spark.createDataFrame(listed, "id_a string, id_b string")
+
+        adj = {v: set() for v in verts}
+        for a, b in edges:
+            adj[a].add(b)
+            adj[b].add(a)
+        want_tris = sorted(
+            (a, b, c)
+            for a, b, c in itertools.combinations(verts, 3)
+            if b in adj[a] and c in adj[a] and c in adj[b]
+        )
+
+        from det_module_spark.operators.graph import (
+            clustering_coefficients,
+            triangle_count_per_vertex,
+            triangle_listing,
+        )
+
+        got_tris = sorted(map(tuple, triangle_listing(df).collect()))
+        assert got_tris == want_tris, f"listing mismatch at n={n} p={p}"
+
+        want_per_v: dict[str, int] = {}
+        for t in want_tris:
+            for v in t:
+                want_per_v[v] = want_per_v.get(v, 0) + 1
+        got_per_v = {
+            r["vertex"]: r["n_triangles"]
+            for r in triangle_count_per_vertex(df).collect()
+        }
+        assert got_per_v == want_per_v, f"corner counts at n={n} p={p}"
+
+        got_cc = {
+            r["vertex"]: (r["deg"], r["n_triangles"], r["cc_ppm"])
+            for r in clustering_coefficients(df).collect()
+        }
+        want_cc = {
+            v: (
+                len(adj[v]),
+                want_per_v.get(v, 0),
+                want_per_v.get(v, 0) * 2_000_000
+                // (len(adj[v]) * (len(adj[v]) - 1)),
+            )
+            for v in verts
+            if len(adj[v]) >= 2
+        }
+        assert got_cc == want_cc, f"clustering coeff at n={n} p={p}"
