@@ -130,3 +130,58 @@ def test_label_propagation_deterministic(spark):
     assert out[1] == out[2] == out[3]
     b = {r["id"]: r["community"] for r in label_propagation(df.repartition(7), rounds=3).collect()}
     assert out == b
+
+
+def test_connected_components_randomized_vs_union_find(spark):
+    # Random multi-component graphs (deterministic seed) incl. one
+    # 40-node path — diameter 39 forces several pointer-jumping
+    # rounds, the regime the fixed chain/islands case doesn't reach.
+    import random
+
+    from det_module_spark.operators.graph import connected_components
+
+    rng = random.Random(0xBEEF)
+
+    def union_find(n_nodes, edges):
+        parent = list(range(n_nodes))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        # canonical label = min node id in the component
+        roots = {}
+        for v in range(n_nodes):
+            r = find(v)
+            roots.setdefault(r, v)  # first visit in id order is min
+        return {v: roots[find(v)] for v in range(n_nodes)}
+
+    cases = []
+    # sparse random graph: many small components
+    cases.append((60, [(rng.randrange(60), rng.randrange(60)) for _ in range(35)]))
+    # long path: worst-case diameter for label propagation
+    cases.append((40, [(i, i + 1) for i in range(39)]))
+    # two dense blobs bridged by one edge
+    blob = [(rng.randrange(15), rng.randrange(15)) for _ in range(40)]
+    blob += [(15 + rng.randrange(15), 15 + rng.randrange(15)) for _ in range(40)]
+    cases.append((30, blob + [(7, 22)]))
+
+    for n_nodes, raw in cases:
+        edges = [(a, b) for a, b in raw if a != b]
+        if not edges:
+            continue
+        df = spark.createDataFrame(edges, "id_a long, id_b long")
+        got = {
+            r["id"]: r["component"]
+            for r in connected_components(df).collect()
+        }
+        want_all = union_find(n_nodes, edges)
+        touched = {v for e in edges for v in e}
+        want = {v: want_all[v] for v in touched}
+        assert got == want, f"CC mismatch on case n={n_nodes}"
