@@ -26,6 +26,36 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def _stack_valid(vecs: pd.Series):
+    """(matrix, valid_mask) for a batch of vector cells: rows whose
+    vector is NULL are masked out instead of crashing ``np.stack``
+    inside the executor (the Column-side kernels yield NULL on NULL
+    input; the Arrow kernels must match that contract — a single null
+    embedding in 100 TB must not kill the stage). ``matrix`` is None
+    when the batch has no valid rows (incl. the empty batch)."""
+    import numpy as np
+
+    valid = vecs.notna().to_numpy()
+    if len(vecs) == 0 or not valid.any():
+        return None, valid
+    if valid.all():
+        return np.stack(vecs.to_numpy()), valid
+    return np.stack(vecs[valid].to_numpy()), valid
+
+
+def _emit_masked(results, valid, n) -> pd.Series:
+    """Scatter per-valid-row results back to batch positions; masked
+    rows emit None (→ SQL NULL)."""
+    out = [None] * n
+    if results is not None:
+        k = 0
+        for i in range(n):
+            if valid[i]:
+                out[i] = results[k]
+                k += 1
+    return pd.Series(out, dtype=object)
+
+
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
@@ -78,15 +108,19 @@ def pair_cosine_udf():
     def pc(
         va: pd.Series, vb: pd.Series, na: pd.Series, nb: pd.Series
     ) -> pd.Series:
-        if len(va) == 0:
-            return pd.Series([], dtype="float64")
-        A = np.stack(va.to_numpy()).astype(np.float64)
-        B = np.stack(vb.to_numpy()).astype(np.float64)
+        valid = (va.notna() & vb.notna()).to_numpy()
+        if len(va) == 0 or not valid.any():
+            return pd.Series([None] * len(va), dtype=object)
+        A = np.stack(va[valid].to_numpy()).astype(np.float64)
+        B = np.stack(vb[valid].to_numpy()).astype(np.float64)
         P = A * B
         acc = np.zeros(len(P), dtype=np.float64)
         for j in range(P.shape[1]):
             acc = acc + P[:, j]
-        return pd.Series(acc / (na.to_numpy() * nb.to_numpy()))
+        res = acc / (na[valid].to_numpy() * nb[valid].to_numpy())
+        if valid.all():
+            return pd.Series(res)
+        return _emit_masked([float(x) for x in res], valid, len(va))
 
     return pc
 
@@ -204,12 +238,16 @@ def rhp_signatures_udf(n_planes: int, n_tables: int, dim: int):
 
     @pandas_udf("array<long>")
     def sigs(vecs: pd.Series) -> pd.Series:
-        mat = np.stack(vecs.to_numpy())  # (n, dim)
+        mat, valid = _stack_valid(vecs)
+        if mat is None:
+            return pd.Series([None] * len(vecs), dtype=object)
         bits = (quantize_batch(mat) @ planes) > 0  # (n, tables*planes)
         out = []
         for row in bits.reshape(len(mat), n_tables, n_planes):
             out.append((row @ weights).astype(np.int64).tolist())
-        return pd.Series(out)
+        if valid.all():
+            return pd.Series(out)
+        return _emit_masked(out, valid, len(vecs))
 
     return sigs
 
@@ -268,12 +306,16 @@ def ivf_assign(
 
     @pandas_udf("array<int>")
     def cells(vecs: pd.Series) -> pd.Series:
-        mat = np.stack(vecs.to_numpy())
+        mat, valid = _stack_valid(vecs)
+        if mat is None:
+            return pd.Series([None] * len(vecs), dtype=object)
         r = (quantize_batch(mat) @ S.T).astype(np.float64) / norms
         top = np.argsort(-r, axis=1, kind="stable")[:, :n_probe].astype(
             np.int32
         )
-        return pd.Series(list(top))
+        if valid.all():
+            return pd.Series(list(top))
+        return _emit_masked(list(top), valid, len(vecs))
 
     out = df.select(
         F.col(id_col).alias(id_name),
@@ -495,7 +537,10 @@ def pq_encode(
 
     @pandas_udf("array<int>")
     def codes(vecs: pd.Series) -> pd.Series:
-        mat = quantize_batch(np.stack(vecs.to_numpy()))
+        stacked, valid = _stack_valid(vecs)
+        if stacked is None:
+            return pd.Series([None] * len(vecs), dtype=object)
+        mat = quantize_batch(stacked)
         out = np.zeros((len(mat), m), dtype=np.int32)
         for s in range(m):
             sub = mat[:, s * dsub:(s + 1) * dsub]
@@ -508,7 +553,9 @@ def pq_encode(
                 / (n[s][None, :] * n[s][None, :]).astype(np.float64)
             )
             out[:, s] = np.argmin(score, axis=1)
-        return pd.Series(list(out))
+        if valid.all():
+            return pd.Series(list(out))
+        return _emit_masked(list(out), valid, len(vecs))
 
     return df.select(
         F.col(id_col).alias(id_name), codes(F.col(vec_col)).alias("codes")
@@ -559,7 +606,10 @@ def pq_topk(
 
     @pandas_udf("array<array<double>>")
     def luts(vecs: pd.Series) -> pd.Series:
-        mat = quantize_batch(np.stack(vecs.to_numpy()))
+        stacked, valid = _stack_valid(vecs)
+        if stacked is None:
+            return pd.Series([None] * len(vecs), dtype=object)
+        mat = quantize_batch(stacked)
         out = []
         for row in mat:
             lut = np.zeros((m, k), dtype=np.float64)
@@ -571,7 +621,9 @@ def pq_topk(
                 ns = n[s].astype(np.float64)
                 lut[s] = qq - 2.0 * dots / ns + normsq / (ns * ns)
             out.append([list(r) for r in lut])
-        return pd.Series(out)
+        if valid.all():
+            return pd.Series(out)
+        return _emit_masked(out, valid, len(vecs))
 
     q = F.broadcast(
         queries.select(

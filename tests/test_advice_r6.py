@@ -85,3 +85,68 @@ def test_decode_stream_null_on_wire_type_mismatch():
     good += b"ok"
     recs = list(_decode_stream(_frame(bytes(good)), fields))
     assert recs == [{"a": 99, "s": "ok", "d": None}]
+
+
+def test_similarity_kernels_null_embedding_yields_null(spark):
+    # A single NULL embedding in 100 TB must not kill the stage: every
+    # Arrow kernel in operators/similarity.py must emit NULL (and the
+    # downstream explodes must silently exclude the row), matching the
+    # Column-side kernels' NULL-on-NULL contract — the same executor
+    # TypeError class as the r5 TWS null-value guard.
+    from pyspark.sql import functions as F
+
+    from det_module_spark.operators.similarity import (
+        ivf_assign,
+        lsh_buckets,
+        pair_cosine_udf,
+        pq_encode,
+        quantize_batch,
+    )
+
+    import numpy as np
+
+    dim = 8
+    rows = [
+        (1, [float(i) / 10 for i in range(dim)]),
+        (2, None),
+        (3, [float(dim - i) / 10 for i in range(dim)]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    # LSH: null row emits no buckets; valid rows keep their signatures
+    b = lsh_buckets(df, "id", "vec_id", "embedding", 4, 2, dim)
+    got_ids = sorted(r["id"] for r in b.select("id").distinct().collect())
+    assert got_ids == [1, 3]
+    only_valid = df.filter(F.col("embedding").isNotNull())
+    b2 = lsh_buckets(only_valid, "id", "vec_id", "embedding", 4, 2, dim)
+    assert sorted(map(tuple, b.select("id", "table", "bucket").collect())) == \
+        sorted(map(tuple, b2.select("id", "table", "bucket").collect()))
+
+    # IVF assign: same exclusion contract
+    cents = quantize_batch(np.asarray([r[1] for r in rows if r[1]]))
+    a = ivf_assign(df, cents, "id", "vec_id", "embedding", n_probe=1)
+    assert sorted(r["id"] for r in a.select("id").distinct().collect()) == [1, 3]
+
+    # PQ encode: null codes for the null row, not a crash
+    codes = {
+        r["vec_id"]: r["codes"]
+        for r in pq_encode(
+            df, (cents.reshape(2, 1, dim)[:, :, : dim // 2].copy(),
+                 np.ones((2, 1), dtype=np.int64)),
+            id_name="vec_id",
+        ).collect()
+    }
+    assert codes[2] is None and codes[1] is not None
+
+    # pair cosine: null on either side -> NULL, valid pairs unchanged
+    pc = pair_cosine_udf()
+    pairs = df.alias("a").crossJoin(df.alias("b")).select(
+        F.col("a.vec_id").alias("ia"), F.col("b.vec_id").alias("ib"),
+        pc(
+            F.col("a.embedding"), F.col("b.embedding"),
+            F.lit(1.0), F.lit(1.0),
+        ).alias("c"),
+    )
+    got = {(r["ia"], r["ib"]): r["c"] for r in pairs.collect()}
+    assert got[(2, 1)] is None and got[(1, 2)] is None and got[(2, 2)] is None
+    assert got[(1, 3)] is not None
