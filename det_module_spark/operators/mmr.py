@@ -62,10 +62,14 @@ def mmr_select(
     ``mmr_score`` is the scaled integer objective at selection time
     (= relevance for the first pick, rel − max-sim-to-selected after).
     """
-    q = queries.select(
+    # NULL embeddings are excluded up front (the similarity kernels'
+    # NULL-on-NULL contract): a null vector would otherwise produce a
+    # null relevance — which desc-sorts LAST and could still enter an
+    # underfull pool, then crash the int64 greedy kernel on a None.
+    q = queries.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("query_id"), quantize_vec(F.col(vec_col)).alias("qv")
     )
-    c = corpus.select(
+    c = corpus.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("cand_id"), quantize_vec(F.col(vec_col)).alias("cv")
     )
     scored = (

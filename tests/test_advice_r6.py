@@ -150,3 +150,30 @@ def test_similarity_kernels_null_embedding_yields_null(spark):
     got = {(r["ia"], r["ib"]): r["c"] for r in pairs.collect()}
     assert got[(2, 1)] is None and got[(1, 2)] is None and got[(2, 2)] is None
     assert got[(1, 3)] is not None
+
+
+def test_mmr_select_null_embedding_excluded(spark):
+    # a null vector in either side must be silently excluded, not
+    # crash the int64 greedy kernel via an underfull relevance pool
+    from det_module_spark.operators.mmr import mmr_select
+
+    dim = 4
+    corpus = spark.createDataFrame(
+        [
+            (10, [1.0, 0.0, 0.0, 0.0]),
+            (11, None),
+            (12, [0.0, 1.0, 0.0, 0.0]),
+            (13, [0.9, 0.1, 0.0, 0.0]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    queries = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0, 0.0]), (2, None)],
+        "vec_id long, embedding array<float>",
+    )
+    got = mmr_select(queries, corpus, k=2, pool=10).collect()
+    qids = {r["query_id"] for r in got}
+    picked = {r["vec_id"] for r in got}
+    assert qids == {1}          # null query dropped
+    assert 11 not in picked     # null candidate dropped
+    assert len(got) == 2
