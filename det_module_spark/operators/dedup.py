@@ -425,6 +425,11 @@ def simhash(
     stable hash; the sign vector packs into one integer. Entirely
     Column arithmetic: explode tokens → one groupBy with ``bits``
     conditional sums → pack."""
+    if not 1 <= bits <= 63:
+        raise ValueError(
+            f"simhash needs 1 <= bits <= 63 (the signature packs into "
+            f"one signed int64), got {bits}"
+        )
     toks = df.select(
         F.col(id_col), F.explode(F.split(F.col(text), " ")).alias("tok")
     ).filter(F.length("tok") > 0)

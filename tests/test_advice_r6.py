@@ -177,3 +177,15 @@ def test_mmr_select_null_embedding_excluded(spark):
     assert qids == {1}          # null query dropped
     assert 11 not in picked     # null candidate dropped
     assert len(got) == 2
+
+
+def test_simhash_bits_validation(spark):
+    import pytest
+
+    from det_module_spark.operators.dedup import simhash
+
+    df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    for bad in (0, -1, 64):
+        with pytest.raises(ValueError, match="bits"):
+            simhash(df, bits=bad)
+    assert simhash(df, bits=8).count() == 1
