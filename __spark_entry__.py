@@ -4831,7 +4831,7 @@ def q_retrieval_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             "scoreq",
             quantize_vec(F.col("embedding")).alias("v"),
         )
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     a, b = cv.alias("a"), cv.alias("b")
     red = (
@@ -5328,13 +5328,13 @@ def q_blocking_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     truth = (
         ngram_jaccard_pairs(docs, n=3, threshold=0.12)
         .select("id_a", "id_b")
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     sigs = minhash_signatures(docs, num_hashes=16)
     cand = (
         minhash_lsh_pairs(sigs, bands=8, rows=2)
         .select("id_a", "id_b")
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     t = truth.agg(F.count(F.lit(1)).alias("n_truth"))
     c = cand.agg(F.count(F.lit(1)).alias("n_cand"))
@@ -6682,7 +6682,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # entry 50 is the remaining backlog in drain order for the R7/R8
 # windows: the rest of the r4-era block, then the round-5 waves
 # newest-last. Cumulative driver coverage entering this check is
-# 186/293; this window takes it to 236 and R7's to 286.
+# 186/293; the window's 47 first-ever checks (3 of the 50 are
+# RE-checks of already-covered queries) take it to 233, R7's 50 to
+# 283, and the last 10 close out in R8.
 _ROTATION_R6 = [
     # changed-path re-checks. The first five are also first-ever
     # driver checks: the three global-window rewrites (r05 #2) + the

@@ -46,6 +46,17 @@ def _range_enumerated(
         .collect()
     )
     sizes = {r["pid"]: r["n"] for r in counts}
+    # one range partition must stay under 2^33 rows: the jvm rank
+    # strategy packs (pid << 33) | row, and past the cap the row
+    # counter bleeds into the pid bits and ranks corrupt SILENTLY
+    # (the pandas enumerator would need an ~8.6-billion-row pandas
+    # frame — equally mis-sized). Fail loudly with the fix.
+    if sizes and max(sizes.values()) >= (1 << 33):
+        raise ValueError(
+            f"range layout holds {max(sizes.values())} rows in one "
+            f"partition, >= 2^33 — raise num_partitions "
+            f"(currently {num_partitions})"
+        )
     offsets: dict[int, int] = {}
     acc = 0
     for pid in range(num_partitions):
@@ -71,7 +82,12 @@ def _jvm_rank(parted: DataFrame, offsets: dict[int, int], out: str):
     global rank is offsets[pid] + low bits — no Python crossing.
     The nondeterministic id is materialized once in its own
     projection (multiple references are multiple stateful instances;
-    see global_ntile's note)."""
+    see global_ntile's note).
+
+    The bit split caps a single partition at 2^33 rows: past that the
+    per-partition counter bleeds into the pid bits and ranks corrupt
+    SILENTLY. ``_range_enumerated`` enforces the cap loudly for both
+    strategies (it holds the true per-partition sizes)."""
     num_partitions = max(offsets) + 1 if offsets else 1
     off_arr = F.array(
         *[F.lit(offsets.get(p, 0)) for p in range(num_partitions)]
@@ -163,7 +179,8 @@ def global_ntile(
     equivalence test in tests/test_scale_windows.py).
 
     All rank arithmetic is exact: ranks are int64 and the divisions
-    are the (x − x % d) / d identity on non-negative operands.
+    are SQL ``div`` (true integer division — the float
+    (x − x % d) / d identity is only exact below 2^53).
     Equivalence to ``F.ntile`` over the same total order is
     pytest-proven on randomized (n, k). ``order_cols`` must form a
     total order (unique composite) so ranks — and therefore
@@ -179,11 +196,12 @@ def global_ntile(
     qq = max(q, 1)
 
     staged = _jvm_rank(parted, offsets, "__r")
-    r = F.col("__r")
-    lo = ((r - r % F.lit(q + 1)) / F.lit(q + 1)).cast("long") + 1
-    hr = F.greatest(r - F.lit(pivot), F.lit(0))
-    hi = F.lit(rem) + ((hr - hr % F.lit(qq)) / F.lit(qq)).cast("long") + 1
-    bucket = (
-        F.when(r < F.lit(pivot), lo).otherwise(hi).cast("int")
+    # SQL `div` is true int64 division — the (x − x%d)/d float form
+    # is only exact below 2^53, and this module's contract is exact
+    # ranks at any size
+    bucket = F.expr(
+        f"CAST(CASE WHEN __r < {pivot}L THEN __r div {q + 1}L + 1 "
+        f"ELSE {rem}L + greatest(__r - {pivot}L, 0L) div {qq}L + 1 "
+        f"END AS INT)"
     )
     return staged.withColumn(out, bucket).drop("__r")

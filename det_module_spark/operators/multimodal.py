@@ -225,7 +225,7 @@ def ahash_near_dup_pairs(
             "banding over 8 byte-bands is only complete for "
             f"max_hamming < 8, got {max_hamming}"
         )
-    hashes = hashes.localCheckpoint(eager=True)
+    hashes = hashes.localCheckpoint(eager=False)
     bands = hashes.select(
         "media_id",
         F.posexplode(

@@ -139,12 +139,15 @@ def cosine_topk(
     """
     from pyspark.sql import Window
 
-    q = queries.select(
+    # NULL embeddings are excluded (the kernels' NULL-on-NULL
+    # contract): a null vector scores cos=NULL, which desc-sorts last
+    # but would still fill an underfull top-k with null rows.
+    q = queries.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
         _norm(F.col(vec_col)).alias("qn"),
     )
-    c = corpus.select(
+    c = corpus.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
         _norm(F.col(vec_col)).alias("cn"),
@@ -357,7 +360,13 @@ def ivf_fit_centroids(
     non-reproducible."""
     import numpy as np
 
-    rows = corpus.select(id_col, vec_col).orderBy(id_col).limit(sample).collect()
+    rows = (
+        corpus.select(id_col, vec_col)
+        .filter(F.col(vec_col).isNotNull())  # NULL-exclusion contract
+        .orderBy(id_col)
+        .limit(sample)
+        .collect()
+    )
     x = np.asarray([r[1] for r in rows])
     q = quantize_batch(x)
     # deterministic init: evenly spaced sample points (linspace then
@@ -490,7 +499,13 @@ def pq_fit(
     Returns (S, n): int64 arrays of shape (m, k, dim//m) and (m, k)."""
     import numpy as np
 
-    rows = corpus.select(id_col, vec_col).orderBy(id_col).limit(sample).collect()
+    rows = (
+        corpus.select(id_col, vec_col)
+        .filter(F.col(vec_col).isNotNull())  # NULL-exclusion contract
+        .orderBy(id_col)
+        .limit(sample)
+        .collect()
+    )
     x = np.asarray([r[1] for r in rows])
     q = quantize_batch(x)
     dsub = dim // m
@@ -600,6 +615,13 @@ def pq_topk(
     import numpy as np
     from pyspark.sql import Window
     from pyspark.sql.functions import pandas_udf
+
+    # NULL-exclusion contract: a null embedding would otherwise encode
+    # to codes=NULL -> adist=NULL, and ASC window order is NULLS FIRST
+    # in Spark — the null row would silently take rank 1 for EVERY
+    # query instead of being excluded.
+    queries = queries.filter(F.col(vec_col).isNotNull())
+    corpus = corpus.filter(F.col(vec_col).isNotNull())
 
     S, n = codebooks
     m, k, dsub = S.shape
@@ -845,13 +867,17 @@ def hard_negatives(
             "similarity.lsh_buckets / ivf_topk candidate generation",
             max_broadcast_rows,
         )
-    a = (anchors if anchors is not None else df).select(
-        F.col(id_col).alias("anchor_id"),
-        F.col(label_col).alias("anchor_label"),
-        F.col(vec_col).alias("qv"),
-        _norm(F.col(vec_col)).alias("qn"),
+    a = (
+        (anchors if anchors is not None else df)
+        .filter(F.col(vec_col).isNotNull())  # NULL-exclusion contract
+        .select(
+            F.col(id_col).alias("anchor_id"),
+            F.col(label_col).alias("anchor_label"),
+            F.col(vec_col).alias("qv"),
+            _norm(F.col(vec_col)).alias("qn"),
+        )
     )
-    c = df.select(
+    c = df.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("negative_id"),
         F.col(label_col).alias("neg_label"),
         F.col(vec_col).alias("cv"),
@@ -945,7 +971,9 @@ def matryoshka_audit(
     qv = embeddings.where(F.col(id_col) == query_id).select(
         quantize_vec(F.col(vec_col)).alias("qv")
     )
-    cand = embeddings.where(F.col(id_col) != query_id).select(
+    cand = embeddings.where(
+        (F.col(id_col) != query_id) & F.col(vec_col).isNotNull()
+    ).select(
         F.col(id_col).alias("id"), quantize_vec(F.col(vec_col)).alias("cv")
     )
     scored = cand.crossJoin(F.broadcast(qv))

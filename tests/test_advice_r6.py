@@ -189,3 +189,43 @@ def test_simhash_bits_validation(spark):
         with pytest.raises(ValueError, match="bits"):
             simhash(df, bits=bad)
     assert simhash(df, bits=8).count() == 1
+
+
+def test_pq_and_fit_paths_null_embedding_excluded(spark):
+    # follow-ups to the kernel NULL masking: (1) a null embedding in
+    # the fit sample must not crash the driver-side quantize, (2)
+    # pq_topk must EXCLUDE null rows — codes=NULL would yield
+    # adist=NULL, and ASC window order is NULLS FIRST, so the null row
+    # would silently outrank every real neighbor.
+    from det_module_spark.operators.similarity import (
+        cosine_topk,
+        ivf_fit_centroids,
+        pq_fit,
+        pq_topk,
+    )
+
+    rows = [
+        (i, [float((i * 7 + j) % 5) / 5 for j in range(8)])
+        for i in range(1, 7)
+    ] + [(7, None)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    cents = ivf_fit_centroids(df, k=2, sample=10)  # null in sample: no crash
+    assert cents.shape == (2, 8)
+
+    books = pq_fit(df, m=2, k=2, sample=10, dim=8)
+    got = pq_topk(df, df, books, topk=3).collect()
+    assert got, "pq_topk returned nothing"
+    assert all(r["neighbor_id"] != 7 for r in got)   # null row never ranks
+    assert all(r["query_id"] != 7 for r in got)      # null query dropped
+    assert all(r["adist"] is not None for r in got)
+
+    short = pq_topk(df, df, books, topk=2, shortlist=4).collect()
+    assert short and all(r["neighbor_id"] != 7 for r in short)
+    assert all(r["d2"] is not None for r in short)
+
+    ck = cosine_topk(df, df, k=10).collect()  # k > real candidates
+    assert ck and all(
+        r["neighbor_id"] != 7 and r["query_id"] != 7 and r["cos"] is not None
+        for r in ck
+    )
