@@ -179,9 +179,30 @@ def t_closeness_report(
     )
     groups = cells.groupBy(*quasi_cols).agg(F.sum("c").alias("n_g"))
     levels = base.groupBy("lvl").agg(F.count(F.lit(1)).alias("c_all"))
-    # dense (group × level) grid: bounded by the caller's clamp
-    grid = groups.crossJoin(F.broadcast(levels.select("lvl"))).join(
-        cells, [*quasi_cols, "lvl"], "left"
+    # dense (group × level) grid: bounded by the caller's clamp.
+    # The cell re-attach is NULL-SAFE on the quasi columns: a group
+    # keyed by a NULL quasi value is a real group (groupBy counted
+    # it), and a plain equi-join would match none of its cells — all
+    # its counts coalesce to 0 and the group reports a maximal EMD,
+    # spuriously flagging it. eqNullSafe keeps the hash-join shape;
+    # the cells side is renamed so the self-derived lineage resolves
+    # unambiguously (lvl is non-null by the base filter, but joins
+    # null-safe for uniformity).
+    cells_r = cells.select(
+        *[F.col(c).alias(f"__cell_{i}") for i, c in enumerate(quasi_cols)],
+        F.col("lvl").alias("__cell_lvl"),
+        "c",
+    )
+    cond = F.col("lvl").eqNullSafe(F.col("__cell_lvl"))
+    for i, c in enumerate(quasi_cols):
+        cond = cond & F.col(c).eqNullSafe(F.col(f"__cell_{i}"))
+    grid = (
+        groups.crossJoin(F.broadcast(levels.select("lvl")))
+        .join(cells_r, cond, "left")
+        .drop(
+            *[f"__cell_{i}" for i in range(len(quasi_cols))],
+            "__cell_lvl",
+        )
     )
     tot = levels.agg(
         F.sum("c_all").alias("n_all"),

@@ -20,12 +20,24 @@ def fd_violations(
     → (lhs..., n_rows, n_rhs_values). Empty result = FD holds.
     One hash aggregation (count_distinct is a partial-aggregable
     sketchless exact count here — fine for per-group cardinalities;
-    swap approx_count_distinct at extreme group counts)."""
+    swap approx_count_distinct at extreme group counts).
+
+    NULL counts as a distinct rhs STATE: count_distinct ignores
+    NULLs, so a group mapping to {value, NULL} would otherwise audit
+    as consistent — a null-presence flag adds it back. A group whose
+    rhs is entirely NULL has one state and passes."""
     return (
         df.groupBy(*lhs)
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
-            F.count_distinct(F.col(rhs)).alias("n_rhs_values"),
+            (
+                F.count_distinct(F.col(rhs))
+                + F.max(
+                    F.when(F.col(rhs).isNull(), F.lit(1)).otherwise(
+                        F.lit(0)
+                    )
+                )
+            ).alias("n_rhs_values"),
         )
         .filter(F.col("n_rhs_values") > 1)
     )
@@ -47,7 +59,20 @@ def dictionary_encode(
             F.dense_rank().over(Window.partitionBy().orderBy(F.asc(col))),
         )
     )
-    encoded = df.join(F.broadcast(dictionary), col).drop(col)
+    # null-safe join key: the dictionary assigns NULL a code (it
+    # sorts first → code 1), and a plain equi-join would silently
+    # DROP every null row from the encoded frame. eqNullSafe is
+    # still a hash-join key, so the broadcast join shape is
+    # unchanged; the dictionary side is renamed to keep the
+    # self-derived lineage unambiguous.
+    d = dictionary.withColumnRenamed(col, "__dict_value")
+    encoded = (
+        df.join(
+            F.broadcast(d), F.col(col).eqNullSafe(F.col("__dict_value"))
+        )
+        .drop("__dict_value")
+        .drop(col)
+    )
     return dictionary, encoded
 
 
@@ -69,16 +94,36 @@ def benford_audit(
     first = F.regexp_extract(
         F.abs(F.col(value)).cast("string"), "[1-9]", 0
     )
-    counts = (
+    observed = (
         df.filter(F.col(value).isNotNull() & (F.abs(F.col(value)) > 0))
         .select(first.cast("int").alias("digit"))
         .filter(F.col("digit").isNotNull())
         .groupBy("digit")
         .agg(F.count(F.lit(1)).alias("n"))
+    )
+    # dense 1-9 spine: a digit the data never produces still carries
+    # Benford mass, and its (0−exp)²/exp·N χ² contribution is exactly
+    # what flags a severely non-Benford column — dropping absent
+    # digits (the groupBy's natural output) would understate the
+    # statistic and break the "one row per digit" contract
+    spine = df.sparkSession.range(1, 10).select(
+        F.col("id").cast("int").alias("digit")
+    )
+    counts = (
+        spine.join(observed, "digit", "left")
+        .select(
+            "digit",
+            F.coalesce(F.col("n"), F.lit(0).cast("long")).alias("n"),
+        )
         .withColumn("n_total", F.sum("n").over(Window.partitionBy()))
     )
     scale = F.lit(float(10**digits))
-    obs = F.col("n").cast("double") / F.col("n_total").cast("double")
+    # guard the all-empty input (n_total = 0): observed share is 0,
+    # not an ANSI DIVIDE_BY_ZERO abort
+    obs = F.when(
+        F.col("n_total") > 0,
+        F.col("n").cast("double") / F.col("n_total").cast("double"),
+    ).otherwise(F.lit(0.0))
     exp = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit").cast("double"))
     chi2 = (obs - exp) * (obs - exp) / exp * F.col("n_total").cast("double")
     return counts.select(
@@ -176,10 +221,27 @@ def chi_square_independence(
         F.col(col_a).cast("string").alias("a"),
         F.col(col_b).cast("string").alias("b"),
     ).agg(F.count(F.lit(1)).alias("o"))
-    rows = cells.groupBy("a").agg(F.sum("o").alias("r_tot"))
-    colst = cells.groupBy("b").agg(F.sum("o").alias("c_tot"))
+    # marginals re-attach with NULL-SAFE keys: a NULL category is a
+    # legitimate level (it is counted in r_tot/c_tot/n_tot), and a
+    # plain equi-join would drop its cells from the per-cell output
+    # while the totals still include them — an internally
+    # inconsistent statistic. eqNullSafe keeps the hash-join shape;
+    # the marginal key columns are renamed so the self-derived
+    # lineage resolves unambiguously. (The grand-total row is still
+    # identified by its non-null ``dof``, not by a = b = NULL.)
+    rows = cells.groupBy("a").agg(F.sum("o").alias("r_tot")).select(
+        F.col("a").alias("__ra"), "r_tot"
+    )
+    colst = cells.groupBy("b").agg(F.sum("o").alias("c_tot")).select(
+        F.col("b").alias("__cb"), "c_tot"
+    )
     grand = cells.select(F.sum("o").alias("n_tot"))
-    j = cells.join(rows, "a").join(colst, "b").crossJoin(F.broadcast(grand))
+    j = (
+        cells.join(rows, F.col("a").eqNullSafe(F.col("__ra")))
+        .join(colst, F.col("b").eqNullSafe(F.col("__cb")))
+        .drop("__ra", "__cb")
+        .crossJoin(F.broadcast(grand))
+    )
     num = (F.col("o") * F.col("n_tot") - F.col("r_tot") * F.col("c_tot")).cast(
         "double"
     )
@@ -323,10 +385,23 @@ def mutual_information(
         F.col(col_a).cast("string").alias("a"),
         F.col(col_b).cast("string").alias("b"),
     ).agg(F.count(F.lit(1)).alias("c"))
-    ra = cells.groupBy("a").agg(F.sum("c").alias("ca"))
-    rb = cells.groupBy("b").agg(F.sum("c").alias("cb"))
+    # null-safe marginal re-attach, for the same reason as
+    # chi_square_independence: NULL is a counted level, and an
+    # equi-join would drop its cells from the weighted sum while n
+    # still includes their rows — an understated MI
+    ra = cells.groupBy("a").agg(F.sum("c").alias("ca")).select(
+        F.col("a").alias("__ra"), "ca"
+    )
+    rb = cells.groupBy("b").agg(F.sum("c").alias("cb")).select(
+        F.col("b").alias("__rb"), "cb"
+    )
     n = cells.select(F.sum("c").alias("n"))
-    j = cells.join(ra, "a").join(rb, "b").crossJoin(F.broadcast(n))
+    j = (
+        cells.join(ra, F.col("a").eqNullSafe(F.col("__ra")))
+        .join(rb, F.col("b").eqNullSafe(F.col("__rb")))
+        .drop("__ra", "__rb")
+        .crossJoin(F.broadcast(n))
+    )
     term = F.col("c") * (
         _lnq(F.col("c"))
         + _lnq(F.col("n"))

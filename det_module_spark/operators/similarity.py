@@ -75,7 +75,7 @@ def _norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return _dot(a, b) / (_norm(a) * _norm(b))
+    return cosine_with_norms(a, b, _norm(a), _norm(b))
 
 
 def cosine_with_norms(a: Column, b: Column, na: Column, nb: Column) -> Column:
@@ -83,8 +83,16 @@ def cosine_with_norms(a: Column, b: Column, na: Column, nb: Column) -> Column:
     interpreted, so norms are hoisted out of pairwise joins: computed
     once per ROW on each side (O(|A|+|B|) aggregate evals) instead of
     once per PAIR (O(|A|·|B|)). The arithmetic is the identical
-    sequential sum, so values are bit-equal to ``cosine()``."""
-    return _dot(a, b) / (na * nb)
+    sequential sum, so values are bit-equal to ``cosine()``.
+
+    A zero norm (all-zero embedding — padding or a failed encoder
+    row) yields NULL, not a crash: cosine is undefined there, and
+    under ANSI mode (on in this engine) the raw division would abort
+    the whole job with DIVIDE_BY_ZERO. NULL then composes with the
+    existing NULL-vector contract — threshold filters drop it, desc
+    rankings sort it last, and the top-k entry points exclude
+    zero-norm rows up front."""
+    return _dot(a, b) / F.nullif(na * nb, F.lit(0.0))
 
 
 def pair_cosine_udf():
@@ -108,7 +116,12 @@ def pair_cosine_udf():
     def pc(
         va: pd.Series, vb: pd.Series, na: pd.Series, nb: pd.Series
     ) -> pd.Series:
-        valid = (va.notna() & vb.notna()).to_numpy()
+        # zero norms join the invalid mask (→ NULL, matching
+        # cosine_with_norms' zero-norm contract); a NaN norm from a
+        # null vector compares != 0 but is already masked by notna
+        valid = (
+            va.notna() & vb.notna() & (na != 0) & (nb != 0)
+        ).to_numpy()
         if len(va) == 0 or not valid.any():
             return pd.Series([None] * len(va), dtype=object)
         A = np.stack(va[valid].to_numpy()).astype(np.float64)
@@ -139,18 +152,28 @@ def cosine_topk(
     """
     from pyspark.sql import Window
 
-    # NULL embeddings are excluded (the kernels' NULL-on-NULL
-    # contract): a null vector scores cos=NULL, which desc-sorts last
-    # but would still fill an underfull top-k with null rows.
-    q = queries.filter(F.col(vec_col).isNotNull()).select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("qv"),
-        _norm(F.col(vec_col)).alias("qn"),
+    # NULL and zero-norm embeddings are excluded (the kernels'
+    # NULL-on-NULL / NULL-on-zero contract): both score cos=NULL,
+    # which desc-sorts last but would still fill an underfull top-k
+    # with null rows. The norm filter runs on the projected column,
+    # so the norm aggregate is still evaluated once per row.
+    q = (
+        queries.filter(F.col(vec_col).isNotNull())
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qv"),
+            _norm(F.col(vec_col)).alias("qn"),
+        )
+        .filter(F.col("qn") > 0)
     )
-    c = corpus.filter(F.col(vec_col).isNotNull()).select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("cv"),
-        _norm(F.col(vec_col)).alias("cn"),
+    c = (
+        corpus.filter(F.col(vec_col).isNotNull())
+        .select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("cv"),
+            _norm(F.col(vec_col)).alias("cn"),
+        )
+        .filter(F.col("cn") > 0)
     )
     scored = (
         c.crossJoin(F.broadcast(q))
@@ -306,6 +329,10 @@ def ivf_assign(
 
     S = np.asarray(centroids, dtype=np.int64)
     norms = np.sqrt((S * S).sum(axis=1).astype(np.float64))
+    # a zero centroid (possible only when zero vectors seeded the
+    # fit) must score 0, not 0/0=NaN: its dot is identically 0, so a
+    # unit denominator leaves every real score untouched
+    norms[norms == 0] = 1.0
 
     @pandas_udf("array<int>")
     def cells(vecs: pd.Series) -> pd.Series:
@@ -367,6 +394,11 @@ def ivf_fit_centroids(
         .limit(sample)
         .collect()
     )
+    if not rows:
+        raise ValueError(
+            "ivf_fit_centroids: the fit sample is empty (no non-null "
+            f"embeddings in {vec_col!r}) — cannot initialize centroids"
+        )
     x = np.asarray([r[1] for r in rows])
     q = quantize_batch(x)
     # deterministic init: evenly spaced sample points (linspace then
@@ -375,6 +407,10 @@ def ivf_fit_centroids(
     S = q[idx].copy()
     for _ in range(iterations):
         norms = np.sqrt((S * S).sum(axis=1).astype(np.float64))
+        # zero-centroid guard, same contract as ivf_assign: a zero
+        # centroid's dots are identically 0, so a unit denominator
+        # scores it 0 instead of poisoning argmax with 0/0=NaN
+        norms[norms == 0] = 1.0
         r = (q @ S.T).astype(np.float64) / norms
         assign = np.argmax(r, axis=1)  # first max ⇒ lowest j on ties
         for j in range(k):
@@ -402,8 +438,13 @@ def ivf_topk(
     from pyspark.sql import Window
 
     cents = ivf_fit_centroids(corpus, k=n_cells, id_col=id_col, vec_col=vec_col)
-    c = ivf_assign(corpus, cents, "neighbor_id", id_col, vec_col, n_probe=1)
-    q = ivf_assign(queries, cents, "query_id", id_col, vec_col, n_probe=n_probe)
+    # zero-norm exclusion, same contract as cosine_topk/lsh_topk
+    c = ivf_assign(
+        corpus, cents, "neighbor_id", id_col, vec_col, n_probe=1
+    ).filter(F.col("neighbor_id_n") > 0)
+    q = ivf_assign(
+        queries, cents, "query_id", id_col, vec_col, n_probe=n_probe
+    ).filter(F.col("query_id_n") > 0)
     cand = (
         c.join(F.broadcast(q), "cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
@@ -448,8 +489,15 @@ def lsh_topk(
     matching buckets."""
     from pyspark.sql import Window
 
-    q = lsh_buckets(queries, "query_id", id_col, vec_col, n_planes, n_tables, dim)
-    c = lsh_buckets(corpus, "neighbor_id", id_col, vec_col, n_planes, n_tables, dim)
+    # zero-norm vectors can hash to buckets but cannot be cosine-
+    # scored (cos=NULL) — exclude them like NULL vectors so they
+    # never pollute an underfull top-k
+    q = lsh_buckets(
+        queries, "query_id", id_col, vec_col, n_planes, n_tables, dim
+    ).filter(F.col("query_id_n") > 0)
+    c = lsh_buckets(
+        corpus, "neighbor_id", id_col, vec_col, n_planes, n_tables, dim
+    ).filter(F.col("neighbor_id_n") > 0)
     cand = (
         c.join(F.broadcast(q), ["table", "bucket"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
@@ -506,6 +554,11 @@ def pq_fit(
         .limit(sample)
         .collect()
     )
+    if not rows:
+        raise ValueError(
+            "pq_fit: the fit sample is empty (no non-null embeddings "
+            f"in {vec_col!r}) — cannot initialize codebooks"
+        )
     x = np.asarray([r[1] for r in rows])
     q = quantize_batch(x)
     dsub = dim // m
@@ -876,12 +929,17 @@ def hard_negatives(
             F.col(vec_col).alias("qv"),
             _norm(F.col(vec_col)).alias("qn"),
         )
+        .filter(F.col("qn") > 0)  # zero-norm exclusion
     )
-    c = df.filter(F.col(vec_col).isNotNull()).select(
-        F.col(id_col).alias("negative_id"),
-        F.col(label_col).alias("neg_label"),
-        F.col(vec_col).alias("cv"),
-        _norm(F.col(vec_col)).alias("cn"),
+    c = (
+        df.filter(F.col(vec_col).isNotNull())
+        .select(
+            F.col(id_col).alias("negative_id"),
+            F.col(label_col).alias("neg_label"),
+            F.col(vec_col).alias("cv"),
+            _norm(F.col(vec_col)).alias("cn"),
+        )
+        .filter(F.col("cn") > 0)
     )
     scored = (
         c.crossJoin(F.broadcast(a))

@@ -113,6 +113,25 @@ def term_doc_freq(
     )
 
 
+def _gram_expr(toks, n: int):
+    """Word n-gram array over a materialized token-array column.
+
+    ``try_element_at`` (not ``element_at``) for the gram words: a
+    document shorter than ``n`` tokens still enumerates index 0, and
+    under ANSI mode (on in this engine) ``element_at`` past the array
+    end ABORTS the job — try_element_at yields NULL there, which
+    ``concat_ws`` skips, so short documents degrade to the single
+    short gram (the documented semantics). For documents with ≥ n
+    tokens every index is in bounds and the two forms are
+    byte-identical."""
+    return F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+        lambda i: F.concat_ws(
+            " ", *[F.try_element_at(toks, i + j + 1) for j in range(n)]
+        ),
+    )
+
+
 def word_shingles(
     df: DataFrame, id_col: str = "doc_id", text: str = "text", n: int = 3
 ) -> DataFrame:
@@ -125,16 +144,11 @@ def word_shingles(
     a ``split()`` referenced inside the lambda body would re-tokenize
     the document once per gram (O(tokens²) splits — measured 4x slower
     on this path). ``element_at`` per gram word instead of
-    ``slice``+``array_join`` avoids an array copy per gram; for
-    documents shorter than ``n`` tokens both forms degrade to the
-    single short gram, so semantics are unchanged."""
+    ``slice``+``array_join`` avoids an array copy per gram; documents
+    shorter than ``n`` tokens degrade to the single short gram (see
+    ``_gram_expr``)."""
     toks = F.col("__toks")
-    grams = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(toks, i + j + 1) for j in range(n)]
-        ),
-    )
+    grams = _gram_expr(toks, n)
     return (
         df.select(F.col(id_col), tokens(F.col(text)).alias("__toks"))
         .select(F.col(id_col), F.explode(F.array_distinct(grams)).alias("shingle"))
@@ -306,12 +320,7 @@ def repetition_features(
     divisions of exact integers — bit-identical across engines.
     """
     toks = F.col("__toks")
-    grams = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(toks, i + j + 1) for j in range(n)]
-        ),
-    )
+    grams = _gram_expr(toks, n)
     gram_part = (
         df.select(F.col(id_col), tokens(F.col(text)).alias("__toks"))
         .select(

@@ -41,7 +41,12 @@ TRACKING_EXACT = ("fbclid", "gclid", "ref", "mc_cid", "mc_eid")
 _SCHEME_RE = r"^([A-Za-z][A-Za-z0-9+.-]*)://"
 _AUTHORITY_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)"
 _PATH_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)"
-_QUERY_RE = r"\?([^#]*)"
+# the query starts at the first '?' that PRECEDES any '#': anchored
+# scan over non-?/# chars first, else an unanchored \? would match a
+# '?' inside the fragment and promote fragment content into the
+# canonical query ('/p#frag?x=1' must canonicalize to '/p', not
+# '/p?x=1' — the fragment is always dropped)
+_QUERY_RE = r"^[^#?]*\?([^#]*)"
 
 
 def _is_tracking(param: Column) -> Column:
