@@ -37,13 +37,23 @@ def _items(df: DataFrame, basket_col: str, item_col: str) -> DataFrame:
     )
 
 
-def _pairs_from_items(
-    items: DataFrame, min_support: int, max_basket_size: int
-) -> DataFrame:
+def _capped_flat(items: DataFrame, max_basket_size: int) -> DataFrame:
+    """The size-capped (basket, item) universe every downstream count
+    shares. Materialized once (lazy checkpoint): it fans out to 2-5
+    consumers (pair sides, supports, the basket count, triple
+    extensions), each of which would otherwise re-run the basket-size
+    aggregation and cap join."""
     sizes = items.groupBy("basket").agg(F.count(F.lit(1)).alias("__bsz"))
-    flat = items.join(
-        sizes.filter(F.col("__bsz") <= max_basket_size), "basket"
-    ).select("basket", "item")
+    return (
+        items.join(
+            sizes.filter(F.col("__bsz") <= max_basket_size), "basket"
+        )
+        .select("basket", "item")
+        .localCheckpoint(eager=False)
+    )
+
+
+def _pairs_from_flat(flat: DataFrame, min_support: int) -> DataFrame:
     a = flat.select("basket", F.col("item").alias("item_a"))
     b = flat.select("basket", F.col("item").alias("item_b"))
     return (
@@ -64,8 +74,9 @@ def pair_counts(
 ) -> DataFrame:
     """(basket, item) rows -> (item_a < item_b, pair_count) for pairs
     co-occurring in >= ``min_support`` distinct baskets."""
-    return _pairs_from_items(
-        _items(df, basket_col, item_col), min_support, max_basket_size
+    return _pairs_from_flat(
+        _capped_flat(_items(df, basket_col, item_col), max_basket_size),
+        min_support,
     )
 
 
@@ -80,11 +91,20 @@ def basket_affinity(
     """Frequent pairs enriched with per-item supports and lift =
     n_baskets * pair_count / (count_a * count_b), rounded to
     ``lift_digits``. All inputs to the ratio are exact integers, so the
-    single rounded division is engine-stable."""
-    items = _items(df, basket_col, item_col)
-    n_baskets = items.select("basket").distinct().count()
-    supports = items.groupBy("item").agg(F.count(F.lit(1)).alias("item_count"))
-    pairs = _pairs_from_items(items, min_support, max_basket_size)
+    single rounded division is engine-stable.
+
+    Every factor of the ratio is computed over the SAME size-capped
+    basket universe the pairs come from: if n_baskets and the item
+    supports included oversized (dropped) baskets while pair_count
+    excluded them, lift would be systematically understated for items
+    appearing in large baskets — an affinity of exactly 1.0 on the
+    capped universe would report < 1.0."""
+    flat = _capped_flat(
+        _items(df, basket_col, item_col), max_basket_size
+    )
+    n_baskets = flat.select("basket").distinct().count()
+    supports = flat.groupBy("item").agg(F.count(F.lit(1)).alias("item_count"))
+    pairs = _pairs_from_flat(flat, min_support)
     scale = F.lit(float(10**lift_digits))
     lift = (
         F.lit(float(n_baskets))
@@ -140,12 +160,10 @@ def triple_counts(
     BEFORE extending with the third item, and both extension pairs
     (a,c)/(b,c) prune by semi-join too. All equi-joins on basket/pair
     keys."""
-    items = _items(df, basket_col, item_col)
-    sizes = items.groupBy("basket").agg(F.count(F.lit(1)).alias("__bsz"))
-    flat = items.join(
-        sizes.filter(F.col("__bsz") <= max_basket_size), "basket"
-    ).select("basket", "item")
-    pairs = _pairs_from_items(items, min_support, max_basket_size)
+    flat = _capped_flat(
+        _items(df, basket_col, item_col), max_basket_size
+    )
+    pairs = _pairs_from_flat(flat, min_support)
     bp = (
         flat.select("basket", F.col("item").alias("item_a"))
         .join(flat.select("basket", F.col("item").alias("item_b")), "basket")

@@ -72,6 +72,7 @@ def pack_sequences(
     id_col: str = "doc_id",
     text: str = "text",
     part_col: str | None = "lang",
+    num_partitions: int = 32,
 ) -> DataFrame:
     """Concat-then-chunk packing plan: documents are laid end-to-end in
     ``id_col`` order (within each ``part_col`` shard) and the stream is
@@ -83,39 +84,96 @@ def pack_sequences(
     - ``bin_offset``: position of its first token within bin_start.
 
     All integer arithmetic (cumulative sums of token counts), so the
-    plan is engine-exact. The only shuffle is the window partition on
-    ``part_col``; at 100 TB the shard key keeps every partition's
-    running sum independent — there is deliberately no global order.
+    plan is engine-exact. With a ``part_col`` the only shuffle is the
+    window partition on it; at 100 TB the shard key keeps every
+    partition's running sum independent. With ``part_col=None`` the
+    single global stream does NOT fall back to an empty-partition-spec
+    window (the single-task scale killer ids.global_ntile exists to
+    avoid): it runs the same two-phase recipe — pinned range layout on
+    ``id_col``, per-partition token totals prefix-summed on the driver
+    (#partitions scalars, control plane), then one Arrow pass adds the
+    partition's token offset to a local cumulative sum. Identical
+    output, distributed at any size.
     """
     if budget < 1:
         raise ValueError("budget must be >= 1")
     tok = token_count(F.col(text))
-    keys = [part_col] if part_col else []
-    w = Window.partitionBy(*keys).orderBy(id_col)
-    base = df.select(
-        *( [F.col(part_col)] if part_col else [] ),
-        F.col(id_col),
-        tok.alias("n_tokens"),
-    ).withColumn(
-        "cum_before",
-        F.coalesce(
-            F.sum("n_tokens").over(
-                w.rowsBetween(Window.unboundedPreceding, -1)
-            ),
-            F.lit(0),
+    budget = int(budget)
+    bins = [
+        F.expr(f"cum_before div {budget}").alias("bin_start"),
+        F.expr(f"(cum_before + n_tokens - 1) div {budget}").alias(
+            "bin_end"
         ),
-    )
-    return base.select(
-        *keys,
-        id_col,
-        "n_tokens",
-        "cum_before",
-        F.floor(F.col("cum_before") / budget).cast("long").alias("bin_start"),
-        F.floor((F.col("cum_before") + F.col("n_tokens") - 1) / budget)
-        .cast("long")
-        .alias("bin_end"),
         (F.col("cum_before") % budget).alias("bin_offset"),
+    ]
+    if part_col:
+        w = Window.partitionBy(part_col).orderBy(id_col)
+        base = df.select(
+            F.col(part_col), F.col(id_col), tok.alias("n_tokens")
+        ).withColumn(
+            "cum_before",
+            F.coalesce(
+                F.sum("n_tokens").over(
+                    w.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0).cast("long"),
+            ),
+        )
+        return base.select(
+            part_col, id_col, "n_tokens", "cum_before", *bins
+        )
+
+    # ungrouped: two-phase exact global prefix sum. Project to the
+    # two integer columns FIRST so the pinned layout holds ~16 bytes
+    # a row, not the corpus text.
+    slim = (
+        df.select(F.col(id_col), tok.alias("n_tokens"))
+        .repartitionByRange(num_partitions, F.col(id_col))
+        .sortWithinPartitions(id_col)
+        .localCheckpoint(eager=True)  # pin: both jobs must see the
+        # same range layout (the partitioner re-samples per action)
     )
+    totals = (
+        slim.select(
+            F.spark_partition_id().alias("pid"),
+            F.col("n_tokens").cast("long").alias("v"),
+        )
+        .groupBy("pid")
+        .agg(F.sum("v").alias("s"))
+        .collect()
+    )
+    sums = {r["pid"]: r["s"] for r in totals}
+    offsets: dict[int, int] = {}
+    acc = 0
+    for pid in range(num_partitions):
+        offsets[pid] = acc
+        acc += int(sums.get(pid, 0))
+
+    from pyspark.sql import types as T
+
+    from det_module_spark.operators.ids import _with_appended_field
+
+    fields = slim.schema.fieldNames()
+    out_schema = _with_appended_field(
+        slim.schema, "cum_before", T.LongType()
+    )
+
+    def add_cum(iterator):
+        from pyspark import TaskContext
+
+        run = offsets[TaskContext.get().partitionId()]
+        for pdf in iterator:
+            if len(pdf) == 0:
+                continue
+            n = pdf["n_tokens"].to_numpy("int64")
+            cum = n.cumsum()
+            out = pdf[fields].copy()
+            out["cum_before"] = run + (cum - n)
+            run += int(cum[-1])
+            yield out
+
+    packed = slim.mapInPandas(add_cum, schema=out_schema)
+    return packed.select(id_col, "n_tokens", "cum_before", *bins)
 
 
 def content_defined_chunks(

@@ -53,21 +53,32 @@ def contamination_report(
     marked = corp_sh.join(
         F.broadcast(bench_sh.withColumn("__hit", F.lit(1))), "shingle", "left"
     )
-    return (
-        marked.groupBy(id_col)
-        .agg(
-            F.count(F.lit(1)).alias("n_shingles"),
-            F.count("__hit").alias("n_overlap"),
-        )
-        .select(
-            id_col,
-            "n_shingles",
-            "n_overlap",
-            (F.col("n_overlap").cast("double") / F.col("n_shingles")).alias(
-                "overlap_frac"
-            ),
-            (F.col("n_overlap") >= min_overlap).alias("contaminated"),
-        )
+    stats = marked.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.count("__hit").alias("n_overlap"),
+    )
+    # one row per corpus document, INCLUDING documents with zero
+    # shingles (NULL/empty/whitespace text emits no shingle rows, so
+    # the groupBy alone would drop them — and a consumer inner-joining
+    # this report to route docs would silently lose them). Zero
+    # shingles → 0/0 overlap, fraction defined as 0, not an ANSI
+    # divide-by-zero.
+    return corpus.select(F.col(id_col)).join(stats, id_col, "left").select(
+        id_col,
+        F.coalesce(F.col("n_shingles"), F.lit(0).cast("long")).alias(
+            "n_shingles"
+        ),
+        F.coalesce(F.col("n_overlap"), F.lit(0).cast("long")).alias(
+            "n_overlap"
+        ),
+        F.when(
+            F.coalesce(F.col("n_shingles"), F.lit(0)) > 0,
+            F.col("n_overlap").cast("double")
+            / F.col("n_shingles").cast("double"),
+        ).otherwise(F.lit(0.0)).alias("overlap_frac"),
+        (
+            F.coalesce(F.col("n_overlap"), F.lit(0)) >= min_overlap
+        ).alias("contaminated"),
     )
 
 
@@ -80,8 +91,12 @@ def decontaminate(
     min_overlap: int = 1,
 ) -> DataFrame:
     """Drop contaminated documents from ``corpus``. Anti-join of the
-    corpus against the flagged id set — the id set is proportional to
-    the contamination rate, not the corpus, so it broadcasts."""
+    corpus against the flagged id set. The id set is USUALLY
+    proportional to the contamination rate — but it is corpus-derived
+    (a scrape that quotes benchmark text everywhere makes it
+    corpus-sized), so it is deliberately NOT broadcast-hinted: AQE
+    broadcasts it while small and shuffles when it grows, the same
+    no-forced-corpus-broadcast rule as setsim/basket/linededup."""
     flagged = (
         contamination_report(
             corpus, benchmark, n=n, id_col=id_col, text=text, min_overlap=min_overlap
@@ -89,4 +104,4 @@ def decontaminate(
         .filter(F.col("contaminated"))
         .select(id_col)
     )
-    return corpus.join(F.broadcast(flagged), id_col, "left_anti")
+    return corpus.join(flagged, id_col, "left_anti")

@@ -52,9 +52,17 @@ def exact_dedup(
     df: DataFrame, key: Column, id_col: str = "doc_id"
 ) -> DataFrame:
     """Exact dedup on a content key: keep the smallest id per key,
-    report group size. One hash-aggregate shuffle."""
+    report group size. One hash-aggregate shuffle.
+
+    Rows whose key is NULL are excluded: their content is unknown, so
+    grouping them would merge unrelated documents into one spurious
+    duplicate group (md5(NULL) is NULL — a corpus with a million
+    null-text docs would otherwise flag 999,999 of them for
+    deletion). NULL-key docs are simply not duplicates of anything;
+    handle/route them upstream."""
     return (
         df.select(key.alias("content_key"), F.col(id_col))
+        .filter(F.col("content_key").isNotNull())
         .groupBy("content_key")
         .agg(
             F.min(id_col).alias("keep_id"),
@@ -284,8 +292,19 @@ def embedding_near_dup_pairs(
     vec_col: str = "embedding",
     probe: DataFrame | None = None,
     max_broadcast_rows: int = 500_000,
+    probe_is_disjoint: bool = False,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (id_a < id_b, cos ≥ τ).
+
+    The id-order predicate depends on what ``probe`` is. When probe
+    is a RESTRICTION of the corpus (the default contract, and self
+    mode), id_a < id_b emits each unordered pair exactly once. When
+    probe is a DISJOINT new batch (daily ingest — its ids are
+    routinely LARGER than every indexed id), that predicate would
+    silently drop every (new, old) near-duplicate: pass
+    ``probe_is_disjoint=True`` and the pair predicate becomes
+    id_a != id_b with id_a always the probe id (no double emission,
+    since the sides don't overlap).
 
     Exact verifier path: broadcast the (optionally restricted) probe
     side against the corpus and evaluate cosine in codegen. The scale
@@ -314,9 +333,17 @@ def embedding_near_dup_pairs(
         _norm(F.col(vec_col)).alias("nb"),
     )
     cos = pair_cosine_udf()
+    # pair predicate per the docstring: subset probes (and self mode)
+    # dedup the symmetric pair with id_a < id_b; a disjoint-batch
+    # probe keeps every (new, old) pair with id_a != id_b
+    pred = (
+        F.col("id_a") != F.col("id_b")
+        if (probe is not None and probe_is_disjoint)
+        else F.col("id_a") < F.col("id_b")
+    )
     return (
         b.crossJoin(F.broadcast(a))
-        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(pred)
         .withColumn(
             "cos",
             cos(F.col("va"), F.col("vb"), F.col("na"), F.col("nb")),

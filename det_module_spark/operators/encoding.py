@@ -45,7 +45,9 @@ def woe_binning(
     doubling: g2 = 2·goods+1, b2 = 2·bads+1, gtot = Σg2, btot = Σb2,
       woeq = lnq(g2·btot) − lnq(b2·gtot)        (1e-9-unit long)
       ivq  = ((g2·S DIV gtot − b2·S DIV btot) · woeq) DIV S, S = 1e6
-    so Σivq/1e15 ≈ the information value. All divisions are int64
+    so ivq is in 1e-9 units like woeq (the share-difference's 1e-6
+    scale cancels against the trailing DIV S) and Σivq/1e9 ≈ the
+    information value. All divisions are int64
     truncating division — Spark's DIV and DuckDB's // share that
     semantics (verified incl. negatives), so no float ever rounds.
     """

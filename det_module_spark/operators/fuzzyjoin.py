@@ -135,17 +135,39 @@ def sorted_neighborhood_pairs(
     fan-out is a constant 2.
 
     The sort key is made unique by appending the zero-padded id —
-    dense_ids requires a total order, and the padding keeps the
-    composite's lexicographic order aligned with (key, id).
+    dense_ids requires a total order. The packed string IS the
+    blocking heuristic's sort order, mirrored verbatim by the SQL
+    oracle; note one quirk of the packing: '|' (0x7C) sorts above
+    alphanumerics, so a key that is a strict prefix of another sorts
+    AFTER its extensions. That is a deterministic ordering CHOICE —
+    SNB misses pairs that jump the sort order by contract — not a
+    correctness hazard. What IS a hazard is an id wider than the
+    12-char pad: lpad TRUNCATES, two ids could collide, and dense_ids'
+    uniqueness precondition would silently break — guarded with a
+    per-row raise_error (free on conforming data, loud otherwise).
     """
     from det_module_spark.operators.ids import dense_ids
 
+    id_str = F.col(id_col).cast("string")
     keyed = df.select(
         F.col(id_col), F.col(key_col),
         F.concat_ws(
             "|",
             F.col(key_col),
-            F.lpad(F.col(id_col).cast("string"), 12, "0"),
+            F.when(
+                F.length(id_str) <= 12, F.lpad(id_str, 12, "0")
+            ).otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            "sorted_neighborhood_pairs: id wider than "
+                            "the 12-char sort pad (lpad would "
+                            "truncate and break rank uniqueness): "
+                        ),
+                        id_str,
+                    )
+                )
+            ),
         ).alias("__ord"),
     )
     # jvm strategy: rank via Column arithmetic over the pinned range

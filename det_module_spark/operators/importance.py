@@ -55,7 +55,11 @@ def dsir_weights(
     text: str = "text",
 ) -> DataFrame:
     """Per-raw-document importance weight → (id, n_toks, weightq),
-    weightq in 1e-9 ln units (positive = target-like)."""
+    weightq in 1e-9 ln units (positive = target-like). EVERY raw id
+    gets a row: a document with zero qualifying tokens (empty or
+    whitespace-only text) has an empty log-likelihood ratio — n_toks
+    0, weightq 0 — rather than silently vanishing from the weights
+    table (and from every downstream join/selection)."""
     ct = _unigram_counts(target, text)
     cr = _unigram_counts(raw, text)
     # joint vocabulary: full-outer merge; a term absent from one model
@@ -98,12 +102,19 @@ def dsir_weights(
             F.sum("deltaq").alias("sumq"),
         )
     )
-    return sums.select(
+    # re-attach zero-token documents (no rows survive the explode +
+    # length filter, so the groupBy never emits them): a left join
+    # from the pruned (id-only) raw scan, coalescing to the empty-sum
+    # identity (0 tokens, weight 0)
+    return raw.select(F.col(id_col)).join(sums, id_col, "left").select(
         id_col,
-        "n_toks",
-        (F.col("sumq") - F.col("n_toks") * F.lit(penaltyq)).alias(
-            "weightq"
+        F.coalesce(F.col("n_toks"), F.lit(0).cast("long")).alias(
+            "n_toks"
         ),
+        F.coalesce(
+            F.col("sumq") - F.col("n_toks") * F.lit(penaltyq),
+            F.lit(0).cast("long"),
+        ).alias("weightq"),
     )
 
 

@@ -100,8 +100,16 @@ def line_dedup(
         raise ValueError(f"unknown policy: {policy!r}")
     freq = line_doc_freq(lines, id_col, line_col)
     # corpus-derived frequency table: NO broadcast hint (AQE decides;
-    # a forced broadcast is an executor OOM at corpus scale)
-    flagged = lines.join(freq, line_col)
+    # a forced broadcast is an executor OOM at corpus scale).
+    # NULL-SAFE join key: a NULL line groups with the other NULL
+    # lines in the frequency table like any other equal value — a
+    # plain equi-join would drop those rows, undercounting n_lines
+    # and deleting an all-NULL-line document from the output entirely
+    # (the exact contract violation the docstring warns about).
+    freq_r = freq.withColumnRenamed(line_col, "__freq_line")
+    flagged = lines.join(
+        freq_r, F.col(line_col).eqNullSafe(F.col("__freq_line"))
+    ).drop("__freq_line")
     unique_enough = F.col("ndocs") < F.lit(min_docs)
     if policy == "drop_all":
         keep = unique_enough

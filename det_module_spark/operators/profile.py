@@ -59,11 +59,20 @@ def grouped_corr_exact(
     cov_n = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
     var_x = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
     var_y = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    # singleton groups (n−1 = 0) and constant columns (a zero
+    # variance) yield NULL, not an ANSI DIVIDE_BY_ZERO abort — the
+    # same guard discipline as grouped_linfit/acf_exact/cuped_report
     return m.select(
         group,
         "n",
-        (cov_n.cast("double") / F.col("n") / (F.col("n") - 1)).alias("cov_samp"),
-        (cov_n.cast("double") / F.sqrt(var_x * var_y)).alias("corr"),
+        F.when(
+            F.col("n") > 1,
+            cov_n.cast("double") / F.col("n") / (F.col("n") - 1),
+        ).alias("cov_samp"),
+        F.when(
+            (var_x > 0) & (var_y > 0),
+            cov_n.cast("double") / F.sqrt(var_x * var_y),
+        ).alias("corr"),
     )
 
 
@@ -193,12 +202,18 @@ def profile_diff(
         (F.col("n_distinct_after") - F.col("n_distinct_before")).alias(
             "distinct_delta"
         ),
-        (F.col("min_str_before") != F.col("min_str_after")).alias(
-            "min_changed"
-        ),
-        (F.col("max_str_before") != F.col("max_str_after")).alias(
-            "max_changed"
-        ),
+        # null-SAFE change flags: a column present in only one
+        # snapshot (the loudest drift — a schema change) has NULL
+        # stats on the other side, and a plain != would report NULL
+        # instead of TRUE, hiding exactly those rows from a
+        # WHERE min_changed consumer. (distinct_delta stays NULL for
+        # such columns — there is no before/after pair to subtract.)
+        (
+            ~F.col("min_str_before").eqNullSafe(F.col("min_str_after"))
+        ).alias("min_changed"),
+        (
+            ~F.col("max_str_before").eqNullSafe(F.col("max_str_after"))
+        ).alias("max_changed"),
     )
 
 
@@ -519,9 +534,12 @@ def gini_exact(
     Tie-safe: permuting equal values across adjacent ranks leaves
     Σ i·x unchanged, so any deterministic tiebreak gives the same
     integer — no cross-engine ordering hazard. Keep n²·max(x) inside
-    int64 (~10⁶ rows of 10⁶-unit values per group; rescale beyond).
-    One per-group window for ranks + one agg; sorts stay inside the
-    group partition.
+    int64 (~10⁶ rows of 10⁶-unit values per group; rescale beyond) —
+    that bounds the SUMS; the final ·out_scale rescale runs in
+    DECIMAL(38,0) so it cannot overflow int64 before the div (the
+    quotient itself is ≤ out_scale, always in range). One per-group
+    window for ranks + one agg; sorts stay inside the group
+    partition.
     """
     base = df.select(
         F.col(group).alias("grp"), F.col(value).cast("long").alias("x")
@@ -533,8 +551,16 @@ def gini_exact(
         F.sum("x").alias("sx"),
         F.sum(F.col("i") * F.col("x")).alias("six"),
     )
+    # the ×out_scale happens in DECIMAL(38,0): with the documented
+    # int64 envelope on the sums, out_scale·(2·six − (n+1)·sx) can
+    # reach ~1e24 — an ANSI ARITHMETIC_OVERFLOW as a long multiply.
+    # decimal `div` returns the same integral quotient (as BIGINT)
+    # for every in-range input, so values are unchanged where the
+    # long form worked.
     gini = F.expr(
-        f"({out_scale} * (2 * six - (n + 1) * sx)) div (n * sx)"
+        f"(CAST({out_scale} AS DECIMAL(38, 0))"
+        f" * (2 * CAST(six AS DECIMAL(38, 0)) - (n + 1) * sx))"
+        f" div (n * sx)"
     )
     return g.where(F.col("sx") > 0).select(
         "grp", "n", F.col("sx").alias("total"), gini.alias("gini_ppm")

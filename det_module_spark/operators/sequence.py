@@ -13,6 +13,26 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _transition_counts(
+    events: DataFrame, key: str, state: str, ts: str, tiebreak: str
+) -> DataFrame:
+    """Shared pair extraction for the two transition-matrix variants:
+    (from_state, to_state, n) via one lead window over the per-key
+    sequence + one hash aggregation. Kept in ONE place so the pair
+    semantics (ordering tiebreak, final-event drop) cannot diverge
+    between the float and ppm outputs."""
+    w = Window.partitionBy(key).orderBy(F.asc(ts), F.asc(tiebreak))
+    return (
+        events.select(
+            F.col(state).alias("from_state"),
+            F.lead(state).over(w).alias("to_state"),
+        )
+        .filter(F.col("to_state").isNotNull())
+        .groupBy("from_state", "to_state")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
 def event_transitions(
     events: DataFrame,
     key: str = "user_id",
@@ -29,16 +49,7 @@ def event_transitions(
     aggregation keyed by the state pair — the matrix is |states|²
     regardless of event volume; the shuffle is the window's hash
     exchange on ``key``."""
-    w = Window.partitionBy(key).orderBy(F.asc(ts), F.asc(tiebreak))
-    pairs = (
-        events.select(
-            F.col(state).alias("from_state"),
-            F.lead(state).over(w).alias("to_state"),
-        )
-        .filter(F.col("to_state").isNotNull())
-        .groupBy("from_state", "to_state")
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
+    pairs = _transition_counts(events, key, state, ts, tiebreak)
     tot = Window.partitionBy("from_state")
     scale = F.lit(float(10**prob_digits))
     p = F.col("n").cast("double") / F.sum("n").over(tot).cast("double")
@@ -170,16 +181,7 @@ def transition_matrix_ppm(
     exact-integer sibling of ``event_transitions`` that
     ``markov_power`` can raise to the k-th power without float
     accumulation. One window + one agg; the matrix is |states|²."""
-    w = Window.partitionBy(key).orderBy(F.asc(ts), F.asc(tiebreak))
-    pairs = (
-        events.select(
-            F.col(state).alias("from_state"),
-            F.lead(state).over(w).alias("to_state"),
-        )
-        .filter(F.col("to_state").isNotNull())
-        .groupBy("from_state", "to_state")
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
+    pairs = _transition_counts(events, key, state, ts, tiebreak)
     tot = Window.partitionBy("from_state")
     return pairs.select(
         "from_state",
@@ -202,6 +204,17 @@ def markov_power(trans: DataFrame, k: int) -> DataFrame:
 
     "Where does a user end up after k steps?" — the k-step reach
     matrix behind churn-path and funnel-escape analyses.
+
+    SUBSTOCHASTIC semantics, by construction: a state observed only
+    as a destination (a terminal — e.g. the churn/exit event) has no
+    outgoing row, so the mid-state join drops every path through it
+    and a row's P^k mass can sum below 10⁶ by exactly the
+    mass absorbed at terminals within k steps (plus the documented
+    ≤1-ppm truncation per squaring). That is the standard
+    hitting-probability reading ("still transitioning after k
+    steps"); for ABSORBING semantics instead, union an identity row
+    (t, t, 10⁶) for each terminal state into ``trans`` before
+    powering.
     """
     if k < 1 or (k & (k - 1)) != 0:
         raise ValueError("k must be a power of two")

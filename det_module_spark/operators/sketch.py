@@ -108,10 +108,13 @@ def kmv_set_estimates(
     - union sketch = bottom-k of the merged hash sets; D̂(A∪B) is the
       usual KMV estimate on it;
     - Jaccard ρ̂ = |{h in union sketch : h ∈ S_A and h ∈ S_B}| / k,
-      and D̂(A∩B) = (matches · D̂(A∪B)) div k — pure int64 arithmetic.
+      and D̂(A∩B) = (matches · D̂(A∪B)) div k — a true int64 integral
+      division.
 
     When the union sketch saw fewer than k distinct hashes it is
-    exhaustive and both answers are exact. One row out:
+    exhaustive and both answers are exact — including two empty (or
+    all-NULL) inputs, which answer 0, not NULL (the sum over an empty
+    sketch coalesces). One row out:
     (est_union, est_intersection, n_seen, n_both).
     """
     ha = (
@@ -135,25 +138,34 @@ def kmv_set_estimates(
     agg = flagged.agg(
         F.count(F.lit(1)).alias("n_seen"),
         F.max("h").alias("kth"),
-        F.sum(
-            (F.col("in_a").isNotNull() & F.col("in_b").isNotNull()).cast(
-                "long"
-            )
+        # sum over the empty union sketch is NULL — coalesce so two
+        # empty inputs answer n_both = 0 (and est_intersection = 0)
+        # instead of NULL-ing out downstream arithmetic
+        F.coalesce(
+            F.sum(
+                (
+                    F.col("in_a").isNotNull() & F.col("in_b").isNotNull()
+                ).cast("long")
+            ),
+            F.lit(0).cast("long"),
         ).alias("n_both"),
     )
     est_u = kmv_estimate(F.col("n_seen"), F.col("kth"), k)
-    est_i = F.when(
-        F.col("n_seen") < F.lit(k), F.col("n_both")
-    ).otherwise(
-        (
-            (F.col("n_both") * est_u)
-            - (F.col("n_both") * est_u) % F.lit(k)
-        ).cast("long")
-        / F.lit(k)
-    ).cast("long")
-    return agg.select(
+    # (n_both · est_union) div k as a true integral division — the
+    # (x − x%k)/k float identity it replaces is exact only below 2^53
+    pre = agg.select(
         est_u.alias("est_union"),
-        est_i.alias("est_intersection"),
         F.col("n_seen").cast("long").alias("n_seen"),
         F.col("n_both").cast("long").alias("n_both"),
+    )
+    est_i = (
+        F.when(F.col("n_seen") < F.lit(k), F.col("n_both"))
+        .otherwise(F.expr(f"(n_both * est_union) div {int(k)}"))
+        .cast("long")
+    )
+    return pre.select(
+        "est_union",
+        est_i.alias("est_intersection"),
+        "n_seen",
+        "n_both",
     )

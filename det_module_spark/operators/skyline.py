@@ -102,14 +102,34 @@ def skyline(
 
 def _emit_groups(pdf: pd.DataFrame, x: str, y: str, run_max) -> pd.DataFrame:
     """Filter a frame of COMPLETE x-groups (sorted x asc) to its
-    skyline rows given the running max of y over strictly-smaller x."""
+    skyline rows given the running max of y over strictly-smaller x.
+
+    The prev-group running max stays in the column's OWN dtype:
+    ``cummax().shift(1)`` would route int64 y through float64 (shift
+    inserts NaN), and above 2^53 a true frontier row with
+    y = prev_max + 1 rounds onto prev_max and the strict ``>`` drops
+    it — the same hazard sequence_gaps documents for pandas
+    diff/shift. A boolean has-predecessor mask replaces the NaN
+    sentinel instead."""
+    import numpy as np
+
     gmax = pdf.groupby(x, sort=False)[y].transform("max")
-    # running max over groups strictly before each row's group
+    # running max over groups strictly before each row's group,
+    # dtype-preserving (no shift/NaN)
     per_group = pdf.groupby(x, sort=True)[y].max()
-    prev = per_group.cummax().shift(1)
-    m1 = pdf[x].map(prev)
+    vals = per_group.to_numpy()
+    acc = np.maximum.accumulate(vals)
+    prev_vals = np.empty_like(vals)
+    prev_vals[1:] = acc[:-1]
+    has_prev = np.ones(len(vals), dtype=bool)
     if run_max is not None:
-        m1 = m1.fillna(run_max).clip(lower=run_max)
-    beats_cheaper = m1.isna() | (pdf[y] > m1)
+        prev_vals[0] = run_max
+        prev_vals = np.maximum(prev_vals, run_max)
+    else:
+        prev_vals[0] = vals[0]  # placeholder, masked by has_prev
+        has_prev[0] = False
+    m1 = pdf[x].map(pd.Series(prev_vals, index=per_group.index))
+    h1 = pdf[x].map(pd.Series(has_prev, index=per_group.index))
+    beats_cheaper = ~h1 | (pdf[y] > m1)
     holds_group = pdf[y] == gmax
     return pdf[beats_cheaper & holds_group]

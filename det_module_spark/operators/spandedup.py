@@ -156,7 +156,11 @@ def strip_repeated_tiles(
     bounded by document length). No self-join; shuffle keys are tile
     text (hash the tile at 100 TB, as the detector notes).
     """
-    tiles = doc_tiles(df, id_col, text, tile)
+    # the tiling pass feeds BOTH the canonical-first aggregation and
+    # the survivor join — materialize it once (lazy checkpoint, the
+    # same fan-out cut span_dedup_report applies) instead of running
+    # the explode+substring scan twice
+    tiles = doc_tiles(df, id_col, text, tile).localCheckpoint(eager=False)
     first = tiles.groupBy("tile_text").agg(
         F.min(F.struct(F.col(id_col), F.col("tile_id"))).alias("first")
     )
