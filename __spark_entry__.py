@@ -6708,6 +6708,21 @@ _ROTATION_R6 = [
     "media_ahash_pairs",
     "blocking_eval",
     "triangle_count",
+    # third-session review-fix re-checks: url_normalize's query regex
+    # is now anchored before the fragment and dedup_embedding_cosine's
+    # pair kernel masks zero-norm vectors (both r5-checked, both
+    # value-identical on the driver tables — full-parity verified —
+    # so these are hash re-confirmations of changed plans). fd_check
+    # and benford_audit are changed-path never-checked entries pulled
+    # forward from the R7 head for the same reason (NULL-state count /
+    # dense digit spine). Four unchanged backlog entries (bigram_next,
+    # distinctive_terms, incremental_rollup, label_centroids) moved to
+    # the R7 head to make room; the window holds 5 re-checks + 45
+    # never-checked, meeting the >= 45 drain criterion exactly.
+    "url_normalize",
+    "dedup_embedding_cosine",
+    "fd_check",
+    "benford_audit",
     # oldest never-checked: round-2/3 registry tail
     "queue_timeline",
     "sample_hash",
@@ -6746,23 +6761,23 @@ _ROTATION_R6 = [
     "unigram_logprob",
     "skew_report",
     "json_shred",
+    "profile_drift",
+    # ---- driver window boundary (first 50 above) ----
+    # r4-era backlog remainder -> head of the R7 window
+    # (seasonal_anomalies displaced by the clustering_coeff re-check;
+    # bigram_next..label_centroids by the third-session review-fix
+    # block above)
     "bigram_next",
     "distinctive_terms",
     "incremental_rollup",
     "label_centroids",
-    "profile_drift",
-    # ---- driver window boundary (first 50 above) ----
-    # r4-era backlog remainder -> head of the R7 window
-    # (seasonal_anomalies displaced by the clustering_coeff re-check)
     "seasonal_anomalies",
     "concurrency_curve",
     "weighted_sample",
     "lm_score",
     "pseudonymize_join",
     "k_anonymity",
-    "fd_check",
     "event_transitions",
-    "benford_audit",
     "psi_drift",
     "trend_fit",
     "mad_outliers",
