@@ -472,6 +472,16 @@ class CacheManifest:
             return []
         from concurrent.futures import ThreadPoolExecutor
 
+        # dedupe by spec hash FIRST: the store is content-addressed,
+        # so duplicate entries are the same artifact by construction —
+        # and without the dedupe two threads would run concurrent
+        # mode("overwrite") jobs on the SAME result path (one deletes
+        # while the other commits: a corrupt artifact recorded
+        # committed=True, i.e. a durable phantom hit).
+        seen: set[str] = set()
+        entries = [
+            e for e in entries if not (e[0] in seen or seen.add(e[0]))
+        ]
         paths = [self.result_path(h) for h, _, _ in entries]
 
         def write(args) -> None:
@@ -559,14 +569,22 @@ class CacheManifest:
         results_dir = os.path.join(self.root, "results")
         if not os.path.isdir(results_dir):
             return []
+        # compare by the artifact directory NAME (= the spec hash,
+        # result_path's last segment), not the raw path string:
+        # manifest rows store the path as spelled by the WRITING
+        # process ('./cache/results/<h>'), and a maintenance process
+        # opened on an absolute or symlinked root would string-match
+        # nothing and sweep every LIVE artifact as an orphan. The
+        # basename is spelling-independent by construction.
         referenced = {
-            r["path"] for r in self.read().select("path").collect()
+            os.path.basename(os.path.normpath(r["path"]))
+            for r in self.read().select("path").collect()
         }
         cutoff = time.time() - retention_s
         removed = []
         for d in sorted(os.listdir(results_dir)):
             full = os.path.join(results_dir, d)
-            if full in referenced:
+            if d in referenced:
                 continue
             try:
                 if os.path.getmtime(full) > cutoff:
@@ -635,14 +653,22 @@ class DeltaCacheManifest(CacheManifest):
         serialize without this module's version-claim loop."""
         from delta.tables import DeltaTable
 
-        updates = self.spark.createDataFrame(rows, schema=MANIFEST_SCHEMA)
+        # deduplicate within the batch DETERMINISTICALLY (last wins,
+        # matching the tx-log backend's highest-version-wins replay) —
+        # driver-side, since ``rows`` is a Python list. This also
+        # keeps the MERGE legal: Delta throws "multiple source rows
+        # matched" on intra-batch duplicate keys. (A row_number over
+        # orderBy(lit(1)) here would pick an ARBITRARY survivor.)
+        last: dict = {}
+        for r in rows:
+            last[r[0]] = r
+        updates = self.spark.createDataFrame(
+            list(last.values()), schema=MANIFEST_SCHEMA
+        )
         if not self._table_exists():
-            # deduplicate within the batch (last wins, like the log)
-            w = Window.partitionBy("spec_hash").orderBy(F.lit(1))
-            first = updates.withColumn("_rn", F.row_number().over(w)).filter(
-                F.col("_rn") == 1
-            ).drop("_rn")
-            first.write.format("delta").mode("overwrite").save(self.table_path)
+            updates.write.format("delta").mode("overwrite").save(
+                self.table_path
+            )
             return
         (
             DeltaTable.forPath(self.spark, self.table_path)

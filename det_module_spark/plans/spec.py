@@ -18,8 +18,14 @@ MSR_RESOLUTION = 0.05
 
 def validate_request(request: dict[str, Any]) -> bool:
     """P1 — a request must have a boundary and at least one of
-    release_data / raster_data (queue/processing.py:144-147)."""
-    has_boundary = bool(request.get("boundary", {}).get("name"))
+    release_data / raster_data (queue/processing.py:144-147).
+
+    Malformed shapes VALIDATE FALSE rather than crash: a request with
+    ``boundary: None`` (key present) or a non-dict boundary is
+    invalid, not an AttributeError — callers rely on the documented
+    invalid-request error path."""
+    boundary = request.get("boundary")
+    has_boundary = isinstance(boundary, dict) and bool(boundary.get("name"))
     has_data = bool(request.get("release_data")) or bool(request.get("raster_data"))
     return has_boundary and has_data
 

@@ -28,13 +28,30 @@ def stream_to_cache(
     the cache, grouped by spec hash. Returns the StreamingQuery."""
 
     def commit(batch: DataFrame, batch_id: int) -> None:
-        hashes = [r[0] for r in batch.select(hash_col).distinct().collect()]
-        entries = []
-        for h in hashes:
-            entries.append(
-                (h, kind, batch.filter(batch[hash_col] == h).drop(hash_col))
-            )
-        cache.put_many(entries)
+        # a NULL spec hash cannot address an artifact: result_path(None)
+        # would TypeError inside os.path.join and kill the whole
+        # streaming query (and its filter would be null-semantics
+        # empty anyway) — drop such rows before grouping. The batch is
+        # persisted because it fans out to 1 + |hashes| jobs (the
+        # distinct collect plus one filtered write per hash); without
+        # the cache each job re-computes the micro-batch source.
+        batch = batch.filter(batch[hash_col].isNotNull()).persist()
+        try:
+            hashes = [
+                r[0] for r in batch.select(hash_col).distinct().collect()
+            ]
+            entries = []
+            for h in hashes:
+                entries.append(
+                    (
+                        h,
+                        kind,
+                        batch.filter(batch[hash_col] == h).drop(hash_col),
+                    )
+                )
+            cache.put_many(entries)
+        finally:
+            batch.unpersist()
 
     writer = (
         results.writeStream.foreachBatch(commit)

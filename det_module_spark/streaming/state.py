@@ -385,8 +385,20 @@ class CombinedStatsProcessor(StatefulProcessor):
     identical to the single-purpose processors above, which remain
     the protocol-coverage units (and the tested public API).
 
-    Null discipline matches the single-purpose wrappers: null values
-    contribute to no summary; null buckets only skip the bucket map.
+    Null discipline, aligned PER-PROJECTION with the standalone
+    processors: n_events/sum_value count EVERY row but sum only
+    non-null values (RunningTotalsProcessor's contract — an event
+    with a null value is still an event); null values contribute
+    nothing to the top-k and null buckets nothing to the bucket map
+    (the wrappers' drop-before-state guard). One structural caveat a
+    single wide row cannot avoid: a key touched ONLY by null
+    values/buckets emits a wide row here (its event count advanced),
+    whereas the standalone topk/bucket replays — which filter null
+    rows before the processor — emit no row for it. So the
+    row-for-row projection equivalence claimed in
+    replay_combined_stats holds exactly when every touched key has at
+    least one non-null contribution per batch (and always on
+    null-free streams, which the driver replays are).
     """
 
     def __init__(self, k: int = 3) -> None:
@@ -406,9 +418,12 @@ class CombinedStatsProcessor(StatefulProcessor):
             n, s = int(prev[0]), float(prev[1])
         cur = {int(t[0]) for t in self._vals.get()}
         for pdf in rows:
+            # totals mirror RunningTotalsProcessor exactly: n counts
+            # every event row, the pandas sum skips null values
+            n += len(pdf)
+            s += float(pdf["value"].sum())
+            # top-k state only sees non-null values (drop-before-state)
             vals = pdf["value"].dropna()
-            n += len(vals)
-            s += float(vals.sum())
             cur.update(int(v) for v in vals)
             for b, cnt in pdf["bucket"].dropna().value_counts().items():
                 b = int(b)
@@ -587,6 +602,11 @@ def session_flush(
             F.col(ts_col).cast("timestamp").alias(ts_col),
             "ts_ms",
         )
+        # a null event time cannot place in any session — without
+        # this drop it reaches the processor as NaN and int(NaN)
+        # kills the query (same ADVICE-r04 guard class as the
+        # topk/bucket wrappers)
+        .where(F.col("ts_ms").isNotNull())
         .withWatermark(ts_col, watermark)
     )
     return prepared.groupBy("key").transformWithStateInPandas(
