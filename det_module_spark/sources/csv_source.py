@@ -31,10 +31,18 @@ def read_extract_csv(
     return reader.csv(path)
 
 
-def write_single_csv(df: DataFrame, path: str) -> None:
+def write_single_csv(df: DataFrame, path: str) -> str:
     """Single-file CSV sink (reference contract: one merged CSV,
-    queue/request_tools.py:698-703). ``coalesce(1)`` is deliberate —
-    the merged wide table is one row per boundary feature, small by
-    construction, so a single output file is safe even at 100 TB input.
+    queue/request_tools.py:698-703). Delegates to
+    ``sinks.write_merged_csv`` — the previous inline implementation
+    delivered a DIRECTORY of part files (not the single file the name
+    promises) and skipped the ''-NA write options, silently diverging
+    from the K1 round-trip contract. Returns the final file path.
     """
-    df.coalesce(1).write.mode("overwrite").option("header", True).csv(path)
+    import os
+
+    from det_module_spark.sources.sinks import write_merged_csv
+
+    return write_merged_csv(
+        df, os.path.dirname(path) or ".", os.path.basename(path)
+    )

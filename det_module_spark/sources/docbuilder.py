@@ -225,12 +225,22 @@ class DocBuilder:
                 f"below ({n_cols} columns total)"
             )
             # O2 temporal int-sort desc unless non-numeric 'none' marker
-            # (documentation_tool.py:319-326)
-            if "none" in temporal_raw:
-                temporal_str = temporal_raw
+            # (documentation_tool.py:319-326). Any OTHER non-integer
+            # token ('2012.tif', '201201-v2') keeps the raw order too —
+            # int() raising out of the doc builder would kill the whole
+            # bundle write after the CSV already landed.
+            def _as_int(s):
+                try:
+                    return int(s)
+                except (TypeError, ValueError):
+                    return None
+
+            ints = [_as_int(s) for s in temporal_raw]
+            if "none" in temporal_raw or any(v is None for v in ints):
+                temporal_str = [str(s) for s in temporal_raw]
             else:
                 temporal_str = [
-                    str(ts) for ts in sorted((int(s) for s in temporal_raw), reverse=True)
+                    str(ts) for ts in sorted(ints, reverse=True)
                 ]
             rows = [
                 ["Column Names", colnames],
@@ -348,24 +358,20 @@ class DocBuilder:
     # --------------------------------------------------------- renderers
 
     def to_text(self) -> str:
+        # one rendering path: section_lines is the single source of
+        # truth for per-section text, shared with the minimal-PDF
+        # renderer — a formatting tweak applied to one copy can no
+        # longer desynchronize the text report from the PDF
         lines: list[str] = []
         for sec in self.build_sections():
             lines.append("")
-            lines.append(str(sec["title"]))
-            lines.append("=" * max(4, len(str(sec["title"]))))
-            for kind, payload in sec["blocks"]:
-                if kind == "p":
-                    lines.append(str(payload))
-                else:
-                    width = max((len(r[0]) for r in payload), default=0)
-                    for rk, rv in payload:
-                        lines.append(f"  {rk.ljust(width)} | {rv}")
+            lines.extend(self.section_lines(sec))
             lines.append("")
         return "\n".join(lines).lstrip("\n") + "\n"
 
     def section_lines(self, sec: Section) -> list[str]:
-        """One section as plain text lines — shared by the minimal-PDF
-        renderer and (conceptually) to_text."""
+        """One section as plain text lines — THE shared renderer for
+        to_text and the minimal-PDF path."""
         lines = [str(sec["title"]), "=" * max(4, len(str(sec["title"])))]
         for kind, payload in sec["blocks"]:
             if kind == "p":

@@ -137,16 +137,38 @@ def write_proto_records(
     df: DataFrame, path: str, fields: list[FieldSpec]
 ) -> None:
     """One ``part-NNNNN.pbrec`` shard per partition (shard count =
-    read parallelism)."""
+    read parallelism). OVERWRITE semantics, like every other sink
+    here: pre-existing shards are cleared first — without that, a
+    re-write with fewer partitions leaves stale part files that
+    ``read_proto_records`` silently globs back in (resurrected
+    rows)."""
+    import glob
+
     os.makedirs(path, exist_ok=True)
+    for stale in glob.glob(os.path.join(path, "*.pbrec")) + glob.glob(
+        os.path.join(path, ".part-*.tmp")
+    ):
+        try:
+            os.remove(stale)
+        except OSError:
+            pass
     names = [name for _n, name, _k in fields]
     spec = list(fields)
 
     def write_part(it):
         from pyspark import TaskContext
 
-        pid = TaskContext.get().partitionId()
-        tmp = os.path.join(path, f".part-{pid:05d}.tmp")
+        ctx = TaskContext.get()
+        pid = ctx.partitionId()
+        # temp name carries the task ATTEMPT id: a speculative or
+        # zombie duplicate attempt writing `.part-NNNNN.tmp` by
+        # partition id alone would interleave with the live attempt
+        # and publish a shard with garbled varint framing; per-attempt
+        # temps make os.replace() a last-writer-wins of two COMPLETE
+        # files instead.
+        tmp = os.path.join(
+            path, f".part-{pid:05d}-{ctx.taskAttemptId()}.tmp"
+        )
         out = os.path.join(path, f"part-{pid:05d}.pbrec")
         with open(tmp, "wb") as f:
             for row in it:

@@ -63,13 +63,19 @@ def read_raster_cells(
     baseline-TIFF codec (sources/tiff.py).
     """
     inventory = spark.createDataFrame(files, schema=FILE_SCHEMA)
-    # one task per file; window tiling happens inside the kernel
     inventory = inventory.repartition(max(len(files), 1))
 
-    def decode(batches: Iterator) -> Iterator:
-        import numpy as np
-        import pandas as pd
+    window_schema = T.StructType(
+        list(FILE_SCHEMA.fields)
+        + [
+            T.StructField("x0", T.LongType(), False),
+            T.StructField("y0", T.LongType(), False),
+            T.StructField("w", T.LongType(), False),
+            T.StructField("h", T.LongType(), False),
+        ]
+    )
 
+    def _backend():
         try:  # pragma: no cover - geo stack not bundled in container
             import rasterio
             from rasterio.windows import Window
@@ -98,30 +104,77 @@ def read_raster_cells(
             def read_window(path, x0, y0, w, h):
                 return read_tiff(path, window=(x0, y0, w, h))
 
+        return dims, read_window
+
+    def enumerate_windows(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        dims, _ = _backend()
         for pdf in batches:
+            rows = []
             for row in pdf.itertuples(index=False):
-                width, height = dims(row.path)
+                width, height = dims(row.path)  # header-only probe
                 for y0 in range(0, height, tile_size):
                     for x0 in range(0, width, tile_size):
-                        w = min(tile_size, width - x0)
-                        h = min(tile_size, height - y0)
-                        arr, nodata = read_window(row.path, x0, y0, w, h)
-                        arr = np.asarray(arr, dtype="float64")
-                        ys, xs = np.nonzero(np.ones_like(arr))
-                        vals = arr[ys, xs]
-                        if nodata is not None:
-                            vals = np.where(vals == nodata, np.nan, vals)
-                        yield pd.DataFrame(
-                            {
-                                "dataset": row.dataset,
-                                "temporal": row.temporal,
-                                "cell_y": ys + y0,
-                                "cell_x": xs + x0,
-                                "value": vals,
-                            }
+                        rows.append(
+                            (
+                                row.dataset,
+                                row.temporal,
+                                row.path,
+                                x0,
+                                y0,
+                                min(tile_size, width - x0),
+                                min(tile_size, height - y0),
+                            )
                         )
+            if rows:
+                yield pd.DataFrame(
+                    rows,
+                    columns=[
+                        "dataset", "temporal", "path", "x0", "y0", "w", "h",
+                    ],
+                )
 
-    return inventory.mapInPandas(decode, schema=CELL_SCHEMA)
+    # stage 1: executor-side window enumeration (one header probe per
+    # file), then a shuffle of the TINY (file × tile) inventory so
+    # stage 2 really runs one task per window — the documented
+    # "parallelism = #files × #window tiles" fan-out. Without the
+    # explicit window table, one 100k×100k GeoTIFF decoded its ~2400
+    # tiles in a single serial task.
+    windows = inventory.mapInPandas(
+        enumerate_windows, schema=window_schema
+    ).repartition(F.col("path"), F.col("x0"), F.col("y0"))
+
+    def decode(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        _, read_window = _backend()
+        for pdf in batches:
+            for row in pdf.itertuples(index=False):
+                arr, nodata = read_window(
+                    row.path, int(row.x0), int(row.y0), int(row.w), int(row.h)
+                )
+                arr = np.asarray(arr, dtype="float64")
+                yy, xx = np.meshgrid(
+                    np.arange(arr.shape[0]), np.arange(arr.shape[1]),
+                    indexing="ij",
+                )
+                ys, xs = yy.ravel(), xx.ravel()
+                vals = arr.ravel()
+                if nodata is not None:
+                    vals = np.where(vals == nodata, np.nan, vals)
+                yield pd.DataFrame(
+                    {
+                        "dataset": row.dataset,
+                        "temporal": row.temporal,
+                        "cell_y": ys + int(row.y0),
+                        "cell_x": xs + int(row.x0),
+                        "value": vals,
+                    }
+                )
+
+    return windows.mapInPandas(decode, schema=CELL_SCHEMA)
 
 
 def downsample_cells(

@@ -54,18 +54,52 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def _ts_unit(path: str) -> str | None:
+    """Footer-only probe of the events ``ts`` column's timestamp unit
+    ('ns'/'us'/'ms'), via one pyarrow schema read of one shard —
+    bounded I/O, no Spark job."""
+    import glob
+
+    f = path
+    if os.path.isdir(path):
+        shards = sorted(glob.glob(os.path.join(path, "*.parquet"))) or sorted(
+            glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+        )
+        if not shards:
+            return None
+        f = shards[0]
+    try:
+        import pyarrow.parquet as pq
+
+        return getattr(pq.read_schema(f).field("ts").type, "unit", None)
+    except Exception:
+        return None
+
+
 def _load_table_uncached(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     single = os.path.join(sf_dir, f"{name}.parquet")
     root = os.path.join(sf_dir, name)
     path = single if os.path.exists(single) else root
     if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(path)
-        from pyspark.sql import functions as F
+        # TIMESTAMP(NANOS) parquet needs the legacy nanosAsLong conf —
+        # which is SESSION-WIDE and consulted again at task execution,
+        # so a set/restore around the (lazy) read would break it.
+        # Scope the blast radius instead: probe the footer and set the
+        # conf only when the file really carries nanos; micros/millis
+        # files read plainly and the session conf is never touched
+        # (setting it unconditionally silently retyped every later
+        # TIMESTAMP(NANOS) read in the caller's session as bigint).
+        if _ts_unit(path) == "ns":
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            df = spark.read.parquet(path)
+            from pyspark.sql import functions as F
 
-        if dict(df.dtypes).get("ts") == "bigint":
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        return df
+            if dict(df.dtypes).get("ts") == "bigint":
+                df = df.withColumn(
+                    "ts", F.timestamp_micros(F.expr("ts div 1000"))
+                )
+            return df
+        return spark.read.parquet(path)
     return spark.read.parquet(path)
 
 

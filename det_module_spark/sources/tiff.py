@@ -103,9 +103,15 @@ def tiff_info(path: str) -> dict:
         bo = {b"II": "<", b"MM": ">"}.get(head[:2])
         if bo is None:
             raise ValueError("not a TIFF: bad byte-order mark")
-        f.seek(0)
-        buf = f.read()
-    tags = _parse_ifd(buf, bo)
+        # mmap, NOT f.read(): the IFD parse touches a few hundred
+        # bytes of directory entries, and a full read() would
+        # materialize the whole raster in RAM on EVERY header probe —
+        # defeating read_tiff's windowed contract (raster.py probes
+        # dims once per tile task; an 80 GB GeoTIFF must not be
+        # slurped 2400 times). mmap slices fault in only the pages
+        # actually touched.
+        with mmap.mmap(f.fileno(), 0, access=mmap.ACCESS_READ) as buf:
+            tags = _parse_ifd(buf, bo)
     if tags.get(_TAG_COMPRESSION, [1])[0] != 1:
         raise NotImplementedError("only uncompressed TIFF supported")
     if tags.get(_TAG_SPP, [1])[0] != 1:

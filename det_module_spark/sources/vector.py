@@ -26,14 +26,68 @@ from pyspark.sql import functions as F
 def read_geojson_boundaries(spark: SparkSession, path: str) -> DataFrame:
     """FeatureCollection → one row per feature with asdf_id, attribute
     columns (``prop_*``), and bbox columns derived from the geometry
-    coordinates."""
-    raw = spark.read.option("multiLine", True).json(path)
-    feats = raw.select(F.posexplode("features").alias("asdf_id", "feature"))
-    lons, lats = _flatten_coords(F.col("feature.geometry.coordinates"))
+    coordinates.
+
+    Geometry handling is TYPE-AWARE, via an EXPLICIT schema that
+    captures ``geometry`` and ``properties`` as raw JSON strings
+    (Spark's JSON reader passes an object node through verbatim when
+    the declared type is string). Schema inference is deliberately
+    not used for the geometry: Polygon ring arrays (3-deep) and
+    MultiPolygon (4-deep — islands in real admin boundaries) don't
+    unify, and a mixed file makes inference mangle the innermost
+    points into strings irrecoverably. Per row, the feature's own
+    ``type`` picks the parse depth; MultiPolygon flattens one level
+    so both shapes land as ring arrays. A wrong-depth parse yields
+    NULL, never a mistyped bbox. ``properties`` comes out as
+    map<string,string>.
+
+    ``asdf_id`` is unique ACROSS input files: posexplode restarts at
+    0 per FeatureCollection, so multi-file reads add a per-file
+    offset (one #files-row collect — control plane). A single file
+    keeps the bare 0..n-1 ids.
+    """
+    schema = (
+        "type string, features array<struct<"
+        "type:string, properties:string, geometry:string>>"
+    )
+    raw = (
+        spark.read.option("multiLine", True)
+        .schema(schema)
+        .json(path)
+        .withColumn("__src", F.input_file_name())
+    )
+    # per-file id offsets: #files rows on the driver
+    sizes = raw.select("__src", F.size("features").alias("__n")).collect()
+    offsets: dict[str, int] = {}
+    acc = 0
+    for r in sorted(sizes, key=lambda r: r["__src"]):
+        offsets[r["__src"]] = acc
+        acc += max(int(r["__n"]), 0)
+    off_expr = F.lit(0)
+    if len(offsets) > 1:
+        for src, off in offsets.items():
+            off_expr = F.when(F.col("__src") == src, F.lit(off)).otherwise(
+                off_expr
+            )
+    feats = raw.select(
+        "__src", F.posexplode("features").alias("__pos", "feature")
+    ).select((F.col("__pos") + off_expr).alias("asdf_id"), "feature")
+    geom = F.col("feature.geometry")
+    gtype = F.get_json_object(geom, "$.type")
+    coords = F.get_json_object(geom, "$.coordinates")
+    rings = F.when(
+        gtype == "MultiPolygon",
+        F.flatten(
+            F.from_json(coords, "array<array<array<array<double>>>>")
+        ),
+    ).otherwise(F.from_json(coords, "array<array<array<double>>>"))
+    lons, lats = _flatten_coords(rings)
     return feats.select(
         "asdf_id",
-        F.col("feature.geometry.type").alias("geom_type"),
-        F.col("feature.properties").alias("properties"),
+        gtype.alias("geom_type"),
+        F.from_json(F.col("feature.properties"), "map<string,string>").alias(
+            "properties"
+        ),
         F.array_min(lons).alias("minx"),
         F.array_min(lats).alias("miny"),
         F.array_max(lons).alias("maxx"),
@@ -42,7 +96,7 @@ def read_geojson_boundaries(spark: SparkSession, path: str) -> DataFrame:
 
 
 def _flatten_coords(coords):
-    """GeoJSON polygon coordinates ([[ [x,y], ... ]]) → (lons, lats)
+    """GeoJSON polygon ring arrays ([[ [x,y], ... ]]) → (lons, lats)
     arrays via flatten+transform — pure Column ops."""
     flat = F.flatten(coords)
     lons = F.transform(flat, lambda pt: F.element_at(pt, 1))

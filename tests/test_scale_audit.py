@@ -159,8 +159,10 @@ BROADCAST_WHITELIST = {
         "cached_hashes(): manifest-sized (one row per completed spec)",
     ),
     "det_module_spark/operators/decontaminate.py": (
-        2,
-        "benchmark shingles/ids: benchmark suite is fixed-size by contract",
+        1,
+        "benchmark shingle vocabulary: benchmark suite is fixed-size "
+        "by contract (the flagged-id anti-join side is corpus-derived "
+        "and deliberately un-hinted)",
     ),
     "det_module_spark/operators/dedup.py": (
         1,
@@ -315,6 +317,18 @@ COLLECT_WHITELIST = {
         1,
         "sequence_gaps boundary handoff: per-partition (min, max) ids, "
         "#partitions rows",
+    ),
+    "det_module_spark/operators/chunking.py": (
+        1,
+        "pack_sequences ungrouped path: per-partition token totals "
+        "prefix-summed into bin offsets, #partitions rows (same "
+        "two-phase recipe as ids._range_enumerated)",
+    ),
+    "det_module_spark/sources/vector.py": (
+        1,
+        "read_geojson_boundaries per-file asdf_id offsets: one row "
+        "per input FILE (boundary sets are small dims; read once at "
+        "source open)",
     ),
     "det_module_spark/operators/similarity.py": (
         2,

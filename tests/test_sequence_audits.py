@@ -68,9 +68,13 @@ def test_benford_audit_uniform_digits(spark):
         assert got[d]["n"] == 1
         assert abs(got[d]["observed_p"] - 1 / 9) < 1e-5
         assert abs(got[d]["expected_p"] - math.log10(1 + 1 / d)) < 1e-5
-    # leading zeros skipped: 0.042 -> digit 4
+    # leading zeros skipped: 0.042 -> digit 4. Since the dense 1-9
+    # spine landed (review r6, "one row per digit" contract), absent
+    # digits come back with n=0 — the hit is the single n=1 row.
     df2 = spark.createDataFrame([(0.042,)], "v double")
-    assert benford_audit(df2, "v").collect()[0]["digit"] == 4
+    counts = {r["digit"]: r["n"] for r in benford_audit(df2, "v").collect()}
+    assert sorted(counts) == list(range(1, 10))
+    assert counts[4] == 1 and sum(counts.values()) == 1
 
 
 def test_psi_identical_distributions_zero(spark):
