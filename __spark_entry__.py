@@ -4428,21 +4428,28 @@ def q_nb_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_media_ahash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Perceptual (average-hash) near-dup over the media table: sample
     # 64 blob bytes per item (mapInPandas decode stand-in), 64-bit
-    # aHash in pure Column arithmetic, 8-byte-band LSH self-join,
-    # exact Hamming <= 7 — banding provably complete at that radius
-    # (pigeonhole). The oracle recomputes the same bytes via ascii()
-    # (the blobs are UTF-8 of ASCII text, so byte == codepoint).
+    # aHash in pure Column arithmetic, multiprobe 16-bit-band LSH
+    # self-join (complete at Hamming <= 7 by pigeonhole: 4 bands, so
+    # some band differs in <= 1 bit and the 17-probe set covers it),
+    # exact Hamming refine. The DELIVERABLE is bounded: per item, its
+    # neighbor count + top-3 nearest neighbors — output <= items*3 on
+    # any corpus, where emit-all-pairs grows ~n^2 on near-dup-dense
+    # data (the r6 slope3 record; raw pairs stay available via
+    # ahash_near_dup_pairs for bounded consumers). The oracle
+    # recomputes the same bytes via ascii() (the blobs are UTF-8 of
+    # ASCII text, so byte == codepoint) and ranks with QUALIFY-style
+    # window SQL.
     from det_module_spark.operators.multimodal import (
         ahash64,
-        ahash_near_dup_pairs,
+        ahash_near_dup_topk,
         media_from_documents,
         sample_pixels,
     )
 
     media = media_from_documents(load_table(spark, sf_dir, "documents"))
     hashes = ahash64(sample_pixels(media, n=64))
-    return ahash_near_dup_pairs(hashes, max_hamming=7).orderBy(
-        "media_a", "media_b"
+    return ahash_near_dup_topk(hashes, max_hamming=7, k=3).orderBy(
+        "media_id", "rnk"
     )
 
 
@@ -12832,8 +12839,26 @@ QUALIFY ROW_NUMBER() OVER (
                                       CAST(b.lo AS BIT)))
                       AS BIGINT) AS hamming
           FROM bands a JOIN bands b
-            ON a.j = b.j AND a.bv = b.bv AND a.media_id < b.media_id)
-        SELECT media_a, media_b, hamming FROM cand WHERE hamming <= 7
+            ON a.j = b.j AND a.bv = b.bv AND a.media_id < b.media_id),
+        pairs AS (
+          SELECT media_a, media_b, hamming FROM cand WHERE hamming <= 7),
+        sym AS (
+          SELECT media_a AS media_id, media_b AS neighbor, hamming
+          FROM pairs
+          UNION ALL
+          SELECT media_b AS media_id, media_a AS neighbor, hamming
+          FROM pairs),
+        ranked AS (
+          SELECT media_id,
+                 CAST(COUNT(*) OVER (PARTITION BY media_id) AS BIGINT)
+                   AS n_neighbors,
+                 CAST(ROW_NUMBER() OVER (
+                   PARTITION BY media_id
+                   ORDER BY hamming, neighbor) AS BIGINT) AS rnk,
+                 neighbor, hamming
+          FROM sym)
+        SELECT media_id, n_neighbors, rnk, neighbor, hamming
+        FROM ranked WHERE rnk <= 3
     """
     out["agg_delta_retract"] = """
         WITH base AS (

@@ -97,7 +97,18 @@ def pack_sequences(
     """
     if budget < 1:
         raise ValueError("budget must be >= 1")
-    tok = token_count(F.col(text))
+    # NULL-text contract (both branches, identically): a NULL document
+    # contributes ZERO tokens and is still emitted (n_tokens=0,
+    # cum_before = its stream position; its bin_start is well-defined,
+    # bin_end — the bin of its LAST token — is degenerate for a
+    # zero-token doc and may come out < bin_start at a cut boundary).
+    # Without the coalesce, size(split(NULL)) is NULL under ANSI: the
+    # grouped branch would emit NULL bins while the ungrouped branch
+    # CRASHED the whole stage (NaN -> to_numpy('int64') ValueError) —
+    # one null row aborting a 100 TB packing job.
+    tok = F.coalesce(
+        token_count(F.col(text)).cast("long"), F.lit(0).cast("long")
+    )
     budget = int(budget)
     bins = [
         F.expr(f"cum_before div {budget}").alias("bin_start"),

@@ -105,18 +105,19 @@ def dense_ids(
     order_col: str | list[str],
     out: str = "row_id",
     num_partitions: int = 32,
-    strategy: str = "pandas",
+    strategy: str = "jvm",
 ) -> DataFrame:
     """Assign contiguous ids 0..n-1 in ``order_col`` order (which must
     be unique; pass a list for a composite total order). Two jobs: one
     to size the range partitions, one for the enumerated result.
 
-    ``strategy="jvm"`` derives the id from monotonically_increasing_id
-    over the pinned layout (pure Column arithmetic, no Arrow
-    round-trip of the dataset — the scale-preferred path, same trick
-    as global_ntile); ``"pandas"`` is the original mapInPandas
-    enumerator, kept as the default until every consumer's driver
-    check has covered the jvm plan (results are identical — pinned by
+    ``strategy="jvm"`` (the default) derives the id from
+    monotonically_increasing_id over the pinned layout (pure Column
+    arithmetic, no Arrow round-trip of the dataset — the scale path:
+    a mapInPandas enumerator ships every row through a Python worker,
+    ~30% at sf0.1 and a full corpus transfer at 100 TB; same trick as
+    global_ntile); ``"pandas"`` keeps the original mapInPandas
+    enumerator (results are identical — pinned by
     tests/test_scale_windows.py — only the physical plan differs)."""
     cols = [order_col] if isinstance(order_col, str) else list(order_col)
     parted, offsets, _ = _range_enumerated(df, cols, num_partitions)

@@ -47,6 +47,29 @@ def partial_agg(
     return df.groupBy(*keys).agg(*aggs)
 
 
+def _null_safe_keys(s: DataFrame, d: DataFrame, keys: list[str]):
+    """NULL-SAFE merge condition over ``__sk_*`` / ``__dk_*`` aliased
+    group keys: ``groupBy`` puts all NULL keys in ONE group, so a
+    state merge joining with plain equality would emit that group
+    TWICE (NULL never equi-matches) instead of combining it — the
+    NULL-key-equi-join silent-wrong-answer class."""
+    cond = None
+    for k in keys:
+        c = s[f"__sk_{k}"].eqNullSafe(d[f"__dk_{k}"])
+        cond = c if cond is None else cond & c
+    return cond
+
+
+def _merged_keys(keys: list[str]):
+    """Post-merge key columns: either side may be NULL for a
+    one-sided group; for the all-NULL group both are NULL and the
+    coalesce correctly keeps NULL."""
+    return [
+        F.coalesce(F.col(f"__sk_{k}"), F.col(f"__dk_{k}")).alias(k)
+        for k in keys
+    ]
+
+
 def merge_agg_state(
     state: DataFrame,
     delta: DataFrame,
@@ -62,20 +85,20 @@ def merge_agg_state(
     min_cols = min_cols or []
     max_cols = max_cols or []
     s = state.select(
-        *keys,
+        *[F.col(k).alias(f"__sk_{k}") for k in keys],
         *[
             F.col(c).alias(f"__s_{c}")
             for c in [count_col, *sum_cols, *min_cols, *max_cols]
         ],
     )
     d = delta.select(
-        *keys,
+        *[F.col(k).alias(f"__dk_{k}") for k in keys],
         *[
             F.col(c).alias(f"__d_{c}")
             for c in [count_col, *sum_cols, *min_cols, *max_cols]
         ],
     )
-    merged = s.join(d, keys, "full_outer")
+    merged = s.join(d, _null_safe_keys(s, d, keys), "full_outer")
 
     def add(c: str):
         return (
@@ -90,7 +113,7 @@ def merge_agg_state(
         F.greatest(F.col(f"__s_{c}"), F.col(f"__d_{c}")).alias(c)
         for c in max_cols
     ]
-    return merged.select(*keys, *cols)
+    return merged.select(*_merged_keys(keys), *cols)
 
 
 def join_delta(
@@ -205,12 +228,25 @@ def agg_delta_retract(
     needs history); that asymmetry is inherent to IVM, not this
     implementation — use merge_agg_state for insert-only min/max.
     """
-    d = delta.groupBy(*keys).agg(
-        F.sum(weight).alias("__dn"),
-        F.sum(F.col(weight) * F.col(value)).alias("__ds"),
+    d = (
+        delta.groupBy(*keys)
+        .agg(
+            F.sum(weight).alias("__dn"),
+            F.sum(F.col(weight) * F.col(value)).alias("__ds"),
+        )
+        .select(
+            *[F.col(k).alias(f"__dk_{k}") for k in keys],
+            "__dn",
+            "__ds",
+        )
     )
-    merged = state.join(d, keys, "full_outer").select(
-        *keys,
+    s = state.select(
+        *[F.col(k).alias(f"__sk_{k}") for k in keys],
+        count_alias,
+        sum_alias,
+    )
+    merged = s.join(d, _null_safe_keys(s, d, keys), "full_outer").select(
+        *_merged_keys(keys),
         (
             F.coalesce(F.col(count_alias), F.lit(0))
             + F.coalesce(F.col("__dn"), F.lit(0))

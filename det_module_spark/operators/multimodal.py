@@ -202,47 +202,98 @@ def ahash64(pixels: DataFrame) -> DataFrame:
 
 
 def ahash_near_dup_pairs(
-    hashes: DataFrame, max_hamming: int = 7
+    hashes: DataFrame,
+    max_hamming: int = 7,
+    scheme: str = "band8",
 ) -> DataFrame:
-    """Banded perceptual near-dup join: slice each 64-bit hash into 8
-    byte bands; pairs agreeing on ANY band are candidates (equi-join
-    on (band, value) — the LSH shape, linear shuffle, no all-pairs);
-    exact Hamming distance then filters. For ``max_hamming < 8`` the
-    pigeonhole principle makes the banded join COMPLETE: ≤7 differing
-    bits cannot touch all 8 bands, so some band matches exactly.
+    """Banded perceptual near-dup join, exact at ``max_hamming <= 7``
+    under either candidate scheme (results identical — only candidate
+    VOLUME differs):
+
+    - ``scheme="band8"``: slice each 64-bit hash into 8 byte bands;
+      pairs agreeing on ANY band are candidates (equi-join on
+      (band, value)). Pigeonhole: ≤7 differing bits cannot touch all
+      8 bands, so some band matches exactly. Candidate volume on
+      uniform hashes ~ n²·8/(2·2⁸) = n²/64 — fine when near-dups are
+      clustered (real corpora), quadratic-heavy when hashes are
+      iid-uniform (the slope3 synthetic regime).
+    - ``scheme="multiprobe16"``: 4 bands of 16 bits, probe side
+      explodes each band value plus its 16 one-bit flips (17 probes).
+      Pigeonhole: ≤7 differing bits over 4 bands leave some band with
+      ≤1 differing bit, so the probe set covers it — still COMPLETE.
+      Candidate volume on uniform hashes ~ n²·4·17/(2·2¹⁶) ≈ n²/1927,
+      ~30× below band8, at 68 probe rows/item of extra shuffle — the
+      dense/uniform-regime scale path (SLOPE3.json is the record of
+      why it exists).
+
+    Exact Hamming distance then filters either candidate set.
     → (media_a, media_b, hamming), media_a < media_b.
 
-    The hash table is corpus-derived: both the band frame and the
-    re-joined hash sides stay un-hinted (AQE picks the strategy).
-    The input is materialized once on entry — it fans out to FOUR
-    consumers (two band sides + two hamming-refine sides) whose
-    subtrees would otherwise each re-run the upstream hash
-    computation (typically a mapInPandas blob sampler; playbook
-    #29). The hash table is three fixed-width columns per media
-    item, orders of magnitude below the blobs it summarizes."""
+    The hash table is corpus-derived: band frames and the re-joined
+    hash sides stay un-hinted (AQE picks the strategy). The input is
+    materialized once on entry — it fans out to FOUR consumers (two
+    band sides + two hamming-refine sides) whose subtrees would
+    otherwise each re-run the upstream hash computation (typically a
+    mapInPandas blob sampler; playbook #29). The hash table is three
+    fixed-width columns per media item, orders of magnitude below the
+    blobs it summarizes."""
     if max_hamming >= 8:
         raise ValueError(
-            "banding over 8 byte-bands is only complete for "
-            f"max_hamming < 8, got {max_hamming}"
+            "banding is only complete for max_hamming < 8 "
+            f"(band8: 8 bands; multiprobe16: 4 bands x 1-bit probes), "
+            f"got {max_hamming}"
         )
+    if scheme not in ("band8", "multiprobe16"):
+        raise ValueError(f"unknown scheme {scheme!r}")
     hashes = hashes.localCheckpoint(eager=False)
-    bands = hashes.select(
-        "media_id",
-        F.posexplode(
-            F.array(
-                *[
-                    F.shiftright(F.col("hi"), 8 * j).bitwiseAND(F.lit(255))
-                    for j in range(4)
-                ],
-                *[
-                    F.shiftright(F.col("lo"), 8 * j).bitwiseAND(F.lit(255))
-                    for j in range(4)
-                ],
-            )
-        ).alias("j", "bv"),
-    )
+    if scheme == "band8":
+        bands = hashes.select(
+            "media_id",
+            F.posexplode(
+                F.array(
+                    *[
+                        F.shiftright(F.col("hi"), 8 * j).bitwiseAND(
+                            F.lit(255)
+                        )
+                        for j in range(4)
+                    ],
+                    *[
+                        F.shiftright(F.col("lo"), 8 * j).bitwiseAND(
+                            F.lit(255)
+                        )
+                        for j in range(4)
+                    ],
+                )
+            ).alias("j", "bv"),
+        )
+        probe = bands
+    else:
+        halves = [
+            F.shiftright(F.col("hi"), 16).bitwiseAND(F.lit(65535)),
+            F.col("hi").bitwiseAND(F.lit(65535)),
+            F.shiftright(F.col("lo"), 16).bitwiseAND(F.lit(65535)),
+            F.col("lo").bitwiseAND(F.lit(65535)),
+        ]
+        bands = hashes.select(
+            "media_id",
+            F.posexplode(F.array(*halves)).alias("j", "bv"),
+        )
+        # probe side: the raw band value + its 16 one-bit flips
+        probe = bands.select(
+            "media_id",
+            "j",
+            F.explode(
+                F.array(
+                    F.col("bv"),
+                    *[
+                        F.col("bv").bitwiseXOR(F.lit(1 << b))
+                        for b in range(16)
+                    ],
+                )
+            ).alias("bv"),
+        )
     cand = (
-        bands.alias("a")
+        probe.alias("a")
         .join(
             bands.alias("b"),
             (F.col("a.j") == F.col("b.j"))
@@ -279,6 +330,56 @@ def ahash_near_dup_pairs(
             .alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def ahash_near_dup_topk(
+    hashes: DataFrame,
+    max_hamming: int = 7,
+    k: int = 3,
+    scheme: str = "multiprobe16",
+) -> DataFrame:
+    """BOUNDED-OUTPUT near-dup deliverable: per media item, its total
+    near-dup neighbor count and its ``k`` nearest neighbors (Hamming
+    asc, neighbor id asc — deterministic). Output is ≤ items·k rows
+    no matter how near-dup-dense the corpus is — the contract that
+    survives 100 TB, where emit-all-pairs grows ~n² on dup-dense data
+    (SLOPE3.json: 8.67× pairs on 3× data). ``n_neighbors`` carries
+    the overflow: ``n_neighbors - k`` neighbors were truncated when
+    positive. The raw pair form (``ahash_near_dup_pairs``) remains
+    available when a bounded consumer genuinely needs every pair.
+
+    Shape: the banded pair join (complete at the radius), one
+    symmetrize union over the MATERIALIZED pair frame (playbook #29 —
+    a union's branches are planned independently), then one window
+    partitioned by media_id (count + row_number share the partition
+    shuffle; never a global window).
+    → (media_id, n_neighbors, rnk, neighbor, hamming), rnk ≤ k."""
+    from pyspark.sql import Window
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    pairs = ahash_near_dup_pairs(
+        hashes, max_hamming, scheme=scheme
+    ).localCheckpoint(eager=False)
+    sym = pairs.select(
+        F.col("media_a").alias("media_id"),
+        F.col("media_b").alias("neighbor"),
+        "hamming",
+    ).unionByName(
+        pairs.select(
+            F.col("media_b").alias("media_id"),
+            F.col("media_a").alias("neighbor"),
+            "hamming",
+        )
+    )
+    w_cnt = Window.partitionBy("media_id")
+    w_rnk = Window.partitionBy("media_id").orderBy("hamming", "neighbor")
+    return (
+        sym.withColumn("n_neighbors", F.count(F.lit(1)).over(w_cnt))
+        .withColumn("rnk", F.row_number().over(w_rnk))
+        .filter(F.col("rnk") <= k)
+        .select("media_id", "n_neighbors", "rnk", "neighbor", "hamming")
     )
 
 

@@ -93,7 +93,27 @@ def salted_join(
     shuffle grows ``n_salts``×; use when dim is mid-sized (too big to
     broadcast, small enough to replicate) and AQE's skew split isn't
     available for the plan shape (e.g. shuffled hash joins, or
-    pre-AQE engines)."""
+    pre-AQE engines).
+
+    Only fact-preserving join types are legal: the dim side is
+    REPLICATED ``n_salts``×, so a dim-preserving join (right/full)
+    would emit every unmatched dim row once per salt — silently
+    multiplied output."""
+    normalized = how.lower().replace("_", "")
+    if normalized not in (
+        "inner",
+        "left",
+        "leftouter",
+        "semi",
+        "leftsemi",
+        "anti",
+        "leftanti",
+    ):
+        raise ValueError(
+            f"salted_join supports fact-preserving joins only "
+            f"(inner/left/semi/anti); {how!r} would duplicate "
+            f"unmatched dim rows n_salts times"
+        )
     salt = F.pmod(
         F.hash(F.struct(*[F.col(c) for c in fact.columns])), F.lit(n_salts)
     )

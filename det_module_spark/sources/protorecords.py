@@ -138,20 +138,24 @@ def write_proto_records(
 ) -> None:
     """One ``part-NNNNN.pbrec`` shard per partition (shard count =
     read parallelism). OVERWRITE semantics, like every other sink
-    here: pre-existing shards are cleared first — without that, a
-    re-write with fewer partitions leaves stale part files that
-    ``read_proto_records`` silently globs back in (resurrected
-    rows)."""
+    here, but STAGED: the job writes every shard into a hidden
+    staging directory first, and only after it succeeds are the old
+    shards replaced — a failed re-write leaves the previous dataset
+    fully intact and readable (deleting up front destroyed it before
+    a single new byte was durable). The publish itself is per-file
+    atomic (``os.replace``): same-numbered shards swap atomically,
+    then stale higher-numbered shards from a wider previous write are
+    removed — without that, ``read_proto_records`` silently globs
+    them back in (resurrected rows). A crash mid-publish can leave a
+    mix of old/new shards (the window is #files renames, not the
+    whole job); readers must not run concurrently with a rewrite."""
     import glob
+    import shutil
+    import uuid
 
     os.makedirs(path, exist_ok=True)
-    for stale in glob.glob(os.path.join(path, "*.pbrec")) + glob.glob(
-        os.path.join(path, ".part-*.tmp")
-    ):
-        try:
-            os.remove(stale)
-        except OSError:
-            pass
+    staging = os.path.join(path, f".staging-{uuid.uuid4().hex}")
+    os.makedirs(staging)
     names = [name for _n, name, _k in fields]
     spec = list(fields)
 
@@ -167,16 +171,31 @@ def write_proto_records(
         # temps make os.replace() a last-writer-wins of two COMPLETE
         # files instead.
         tmp = os.path.join(
-            path, f".part-{pid:05d}-{ctx.taskAttemptId()}.tmp"
+            staging, f".part-{pid:05d}-{ctx.taskAttemptId()}.tmp"
         )
-        out = os.path.join(path, f"part-{pid:05d}.pbrec")
+        out = os.path.join(staging, f"part-{pid:05d}.pbrec")
         with open(tmp, "wb") as f:
             for row in it:
                 d = row.asDict()
                 f.write(_encode_record({k: d.get(k) for k in names}, spec))
         os.replace(tmp, out)
 
-    df.foreachPartition(write_part)
+    try:
+        df.foreachPartition(write_part)
+        fresh = sorted(glob.glob(os.path.join(staging, "part-*.pbrec")))
+        published = set()
+        for f in fresh:
+            base = os.path.basename(f)
+            os.replace(f, os.path.join(path, base))
+            published.add(base)
+        for stale in glob.glob(os.path.join(path, "*.pbrec")):
+            if os.path.basename(stale) not in published:
+                try:
+                    os.remove(stale)
+                except OSError:
+                    pass
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
 
 
 def read_proto_records(

@@ -65,10 +65,19 @@ def read_geojson_boundaries(spark: SparkSession, path: str) -> DataFrame:
         acc += max(int(r["__n"]), 0)
     off_expr = F.lit(0)
     if len(offsets) > 1:
-        for src, off in offsets.items():
-            off_expr = F.when(F.col("__src") == src, F.lit(off)).otherwise(
-                off_expr
-            )
+        # flat map-literal lookup: constant expression DEPTH regardless
+        # of file count (a chained WHEN/OTHERWISE built one nesting
+        # level per file — thousands of files made an O(#files)-deep
+        # tree that blows up analysis/codegen even though the data is
+        # trivial). One node with 2·#files literal children instead.
+        off_map = F.create_map(
+            *[
+                lit
+                for src, off in offsets.items()
+                for lit in (F.lit(src), F.lit(off))
+            ]
+        )
+        off_expr = F.coalesce(off_map[F.col("__src")], F.lit(0))
     feats = raw.select(
         "__src", F.posexplode("features").alias("__pos", "feature")
     ).select((F.col("__pos") + off_expr).alias("asdf_id"), "feature")

@@ -84,6 +84,25 @@ def _generate(base_dir: str, scale: int = 3) -> None:
     texts = [
         " ".join(vocab[rng.integers(0, len(vocab), n)]) for n in lens
     ]
+    # seeded near-duplicates, mirroring the driver tables' observed
+    # law: exactly 5% of docs are a copy of another doc with " dup"
+    # appended (sf0.01: 25/500, sf0.1: 250/5000 such docs — verified
+    # by LIKE '% dup' counts). Without them the 3× corpus has zero
+    # Jaccard >= 0.5 survivors and the setsim_prefix slope measures
+    # candidate generation only, never verify density (the r6
+    # SLOPE3 hollow-measurement caveat). Dup count scales with n, so
+    # seeded-pair output growth is linear — exactly the law the
+    # slope attribution needs.
+    n_dup = n_docs // 20
+    dup_ids = rng.choice(n_docs, size=n_dup, replace=False)
+    dup_set = set(int(i) for i in dup_ids)
+    for i in dup_ids:
+        # source must be a non-dup doc: a dup source could itself be
+        # overwritten later in this loop, silently breaking the pair
+        src = int(rng.integers(0, n_docs))
+        while src in dup_set:
+            src = int(rng.integers(0, n_docs))
+        texts[i] = texts[src] + " dup"
     pq.write_table(
         pa.table(
             {
