@@ -6677,106 +6677,43 @@ def entry(spark: SparkSession) -> DataFrame:
     return _zonal("reliability")(spark, "/root/testdata/sf0.001")
 
 
-# Driver-visibility rotation (VERDICT r03 #6 / r04 #1 / r05 #1): the
-# driver's correctness artifact records only the FIRST 50 registry
-# entries. Round 6 is the backlog-drain round: the window is 3
-# changed-path re-checks (woe_bins / sequence_gaps / equidepth_hist —
-# their data-sized global windows were rewritten onto
-# ids.global_ntile and the boundary-handoff recipe this round; all
-# three were ALSO never driver-checked) + 47 of the oldest
-# never-driver-checked backlog (the round-2/3 registry tail first,
-# then the "never checked through round 4" block). Everything after
-# entry 50 is the remaining backlog in drain order for the R7/R8
-# windows: the rest of the r4-era block, then the round-5 waves
-# newest-last. Cumulative driver coverage entering this check is
-# 186/293; the window's 47 first-ever checks (3 of the 50 are
-# RE-checks of already-covered queries) take it to 233, R7's 50 to
-# 283, and the last 10 close out in R8.
-_ROTATION_R6 = [
-    # changed-path re-checks. The first five are also first-ever
-    # driver checks: the three global-window rewrites (r05 #2) + the
-    # two shared-subtree materializations (blocking_eval truth/cand,
-    # ahash_near_dup_pairs input fan-out). events_dedup_stream and
-    # events_watermark are RE-checks: their replay schedules were cut
-    # 6 -> 4 batches this round (r05 #6), probe + oracle re-verified
-    # at both SFs before the cut.
-    "events_dedup_stream",
-    "events_watermark",
-    # clustering_coeff is a RE-check: its plan changed this round —
-    # the symmetrized co-purchase edge frame is now materialized once
-    # and shared by the degree agg and the triangle listing, and the
-    # corner count is one explode instead of a 3-branch union (4.4 ->
-    # ~2.1 s at sf0.1). triangle_count (below, first-ever check)
-    # shares the explode change and moved to the changed-path head.
-    "clustering_coeff",
-    "woe_bins",
-    "sequence_gaps",
-    "equidepth_hist",
+# Driver-visibility rotation (VERDICT r03 #6 / r04 #1 / r05 #1 /
+# r06 #1): the driver's correctness artifact records only the FIRST
+# 50 registry entries. Round 7 continues the backlog drain: the
+# window is 5 changed-path RE-checks (media_ahash_pairs — bounded
+# top-k deliverable + multiprobe16 banding this round;
+# pack_sequences — NULL-text contract unified across branches;
+# dense_ids / layout_pruning / lorenz_deciles — the jvm rank strategy
+# is now the dense_ids default, no mapInPandas enumerator in any of
+# the three plans) + 8 changed-path queries that were ALSO never
+# driver-checked (retrieval_pipeline candidate materialization and
+# snb_pairs jvm ranks from r6; line_dedup / line_dedup_keep_first /
+# dsir_select / corpus_pipeline_v2 from the r6 latent sweep;
+# incremental_rollup / agg_delta_retract null-safe state merges this
+# round) + 37 of the oldest never-checked backlog in drain order.
+# First-time checks in the window: 45 -> cumulative driver coverage
+# 231 + 45 = 276/293 after this check. Everything after entry 50 is
+# the 17-entry R8 remainder (chi_square displaced by the
+# agg_delta_retract changed-path pull-forward).
+_ROTATION_R7 = [
+    # -- changed-path RE-checks (already driver-covered) --
     "media_ahash_pairs",
-    "blocking_eval",
-    "triangle_count",
-    # third-session review-fix re-checks: url_normalize's query regex
-    # is now anchored before the fragment and dedup_embedding_cosine's
-    # pair kernel masks zero-norm vectors (both r5-checked, both
-    # value-identical on the driver tables — full-parity verified —
-    # so these are hash re-confirmations of changed plans). fd_check
-    # and benford_audit are changed-path never-checked entries pulled
-    # forward from the R7 head for the same reason (NULL-state count /
-    # dense digit spine). Four unchanged backlog entries (bigram_next,
-    # distinctive_terms, incremental_rollup, label_centroids) moved to
-    # the R7 head to make room; the window holds 5 re-checks + 45
-    # never-checked, meeting the >= 45 drain criterion exactly.
-    "url_normalize",
-    "dedup_embedding_cosine",
-    "fd_check",
-    "benford_audit",
-    # oldest never-checked: round-2/3 registry tail
-    "queue_timeline",
-    "sample_hash",
-    "unpivot_metrics",
-    "time_fill",
-    "histogram_price",
-    "corr_exact",
-    "pivot_wide",
-    "winsorize_prices",
-    "column_entropy",
-    "dict_encode",
-    # never checked through round 4 (37 of 45; the rest lead R7)
-    "zonal_weighted_spatial",
-    "window_lag_lead",
-    "window_distribution",
-    "rolling_range_window",
-    "zonal_percentiles",
-    "events_json_extract",
-    "text_edit_distance",
-    "profile_table",
-    "doc_chunks",
-    "sample_stratified",
-    "term_doc_freq",
-    "argmax_order",
-    "pii_redact",
-    "decontaminate",
-    "text_repetition",
-    "zorder_key",
-    "mixture_sample",
-    "quality_filter_report",
-    "impute_group_mean",
-    "zscore_outliers",
-    "cdc_apply",
-    "scd2_history",
-    "inverted_index",
-    "unigram_logprob",
-    "skew_report",
-    "json_shred",
-    "profile_drift",
-    # ---- driver window boundary (first 50 above) ----
-    # r4-era backlog remainder -> head of the R7 window
-    # (seasonal_anomalies displaced by the clustering_coeff re-check;
-    # bigram_next..label_centroids by the third-session review-fix
-    # block above)
+    "pack_sequences",
+    "dense_ids",
+    "layout_pruning",
+    "lorenz_deciles",
+    # -- changed-path, never driver-checked --
+    "retrieval_pipeline",
+    "snb_pairs",
+    "line_dedup",
+    "line_dedup_keep_first",
+    "dsir_select",
+    "corpus_pipeline_v2",
+    "incremental_rollup",
+    "agg_delta_retract",
+    # -- r4-era backlog remainder, drain order --
     "bigram_next",
     "distinctive_terms",
-    "incremental_rollup",
     "label_centroids",
     "seasonal_anomalies",
     "concurrency_curve",
@@ -6789,7 +6726,7 @@ _ROTATION_R6 = [
     "trend_fit",
     "mad_outliers",
     "events_session",
-    # round-5-wave backlog, drain order
+    # -- round-5-wave backlog, drain order --
     "bootstrap_ci",
     "partition_checksums",
     "simpson_audit",
@@ -6813,14 +6750,14 @@ _ROTATION_R6 = [
     "hits_scores",
     "delta_dedup",
     "acf_lags",
+    # ---- driver window boundary (first 50 above) ----
+    # R8 remainder (17), drain order
     "chi_square",
     "attribution",
     "log_as_of",
     "quantile_norm",
     "target_encode",
-    "retrieval_pipeline",
     "mmr_select",
-    "snb_pairs",
     "phrase_search",
     "k_core",
     "skyline_frontier",
@@ -6829,27 +6766,22 @@ _ROTATION_R6 = [
     "snapshot_diff",
     "l_diversity",
     "dp_noisy_counts",
-    "line_dedup",
-    "line_dedup_keep_first",
     "nb_classify",
-    "dsir_select",
     "bm25_retrieval",
     "kmeans_clusters",
-    "corpus_pipeline_v2",
-    "agg_delta_retract",
 ]
 
 
 
 def _rotate(full: dict) -> dict:
-    head = {k: full[k] for k in _ROTATION_R6 if k in full}
+    head = {k: full[k] for k in _ROTATION_R7 if k in full}
     return head | {k: v for k, v in full.items() if k not in head}
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE: dict order is the driver's check order, and the driver's
     # correctness artifact records only the first 50 entries —
-    # _ROTATION_R6 entries go FIRST (changed-path re-checks + the
+    # _ROTATION_R7 entries go FIRST (changed-path re-checks + the
     # oldest never-checked backlog); the literal below keeps its
     # grouping for readability.
     return _rotate({
