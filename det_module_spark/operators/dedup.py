@@ -80,15 +80,19 @@ def shingle_hashes(
     )
 
 
-def ngram_jaccard_pairs(
+def _shingle_intersections(
     df: DataFrame,
-    id_col: str = "doc_id",
-    text: str = "text",
-    n: int = 3,
-    threshold: float = 0.5,
-    max_shingle_df: int = 1000,
+    id_col: str,
+    text: str,
+    n: int,
+    max_shingle_df: int,
 ) -> DataFrame:
-    """Exact pairwise n-gram Jaccard ≥ threshold via shingle self-join.
+    """Shared scaffold of the exact set-overlap detectors
+    (``ngram_jaccard_pairs`` / ``containment_pairs``): shingle
+    inverted index + frequency cap + pair-intersection counts +
+    per-doc set sizes → (id_a, id_b, inter, sz_a, sz_b) with
+    id_a < id_b. The two public operators differ only in the score
+    projected from these five integers.
 
     ``max_shingle_df`` drops ubiquitous shingles before the join —
     the standard guard against the quadratic blowup (stop-shingles
@@ -121,13 +125,39 @@ def ngram_jaccard_pairs(
     a = sh.alias("a")
     b = sh.alias("b")
     inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("inter"))
     )
+    return inter.join(
+        sizes.withColumnRenamed("id", "id_a").withColumnRenamed(
+            "sz", "sz_a"
+        ),
+        "id_a",
+    ).join(
+        sizes.withColumnRenamed("id", "id_b").withColumnRenamed(
+            "sz", "sz_b"
+        ),
+        "id_b",
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    max_shingle_df: int = 1000,
+) -> DataFrame:
+    """Exact pairwise n-gram Jaccard ≥ threshold via shingle self-join
+    (see ``_shingle_intersections`` for the shared scale shape)."""
     out = (
-        inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
-        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+        _shingle_intersections(df, id_col, text, n, max_shingle_df)
         .withColumn(
             "jaccard",
             F.col("inter").cast("double")
@@ -578,48 +608,14 @@ def containment_pairs(
     (id_a < id_b, cont_a_in_b, cont_b_in_a) where
     greatest(cont_a_in_b, cont_b_in_a) ≥ threshold.
 
-    Same scale shape as ``ngram_jaccard_pairs`` (shingle inverted
-    index + frequency cap + equi-join on the 60-bit shingle hash):
-    the intersection counts are ONE extra projection over the same
-    join, so the marginal cost of containment-vs-Jaccard is zero.
+    Same scale shape as ``ngram_jaccard_pairs`` — both project their
+    score from the SAME ``_shingle_intersections`` scaffold (shingle
+    inverted index + frequency cap + equi-join on the 60-bit shingle
+    hash): the intersection counts are ONE extra projection over the
+    same join, so the marginal cost of containment-vs-Jaccard is zero.
     """
-    sh = word_shingles(df, id_col, text, n).select(
-        F.col(id_col).alias("id"),
-        stable_hash64(F.col("shingle")).alias("shingle"),
-    )
-    sh = sh.localCheckpoint(eager=True)
-    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_"))
-    # corpus-derived side: no broadcast hint, AQE decides (see
-    # ngram_jaccard_pairs for the rationale).
-    sh = sh.join(
-        freq.filter(F.col("df_") <= max_shingle_df), "shingle"
-    ).select("id", "shingle")
-
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
     out = (
-        inter.join(
-            sizes.withColumnRenamed("id", "id_a").withColumnRenamed(
-                "sz", "sz_a"
-            ),
-            "id_a",
-        )
-        .join(
-            sizes.withColumnRenamed("id", "id_b").withColumnRenamed(
-                "sz", "sz_b"
-            ),
-            "id_b",
-        )
+        _shingle_intersections(df, id_col, text, n, max_shingle_df)
         .withColumn(
             "cont_a_in_b", F.col("inter").cast("double") / F.col("sz_a")
         )

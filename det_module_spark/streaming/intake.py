@@ -40,16 +40,10 @@ STATE_SCHEMA = T.StructType(
 )
 
 
-def track_request_completion(
-    item_events: DataFrame,
-    idle_timeout_ms: int = 0,
-) -> DataFrame:
-    """item_events: streaming DF with columns
-    (request_id string, expected_items int, item_done int).
-
-    Emits one row per state change; ``status='complete'`` exactly once
-    per request when done == expected.
-    """
+def _completion_update(idle_timeout_ms: int):
+    """Build the per-group state-update function (module-level so its
+    timeout/NULL semantics are unit-testable against a state stub
+    without driving a wall-clock stream)."""
 
     def update(
         key: tuple[Any, ...],
@@ -58,9 +52,25 @@ def track_request_completion(
     ) -> Iterator[pd.DataFrame]:
         (request_id,) = key
         expected, done = state.get if state.exists else (0, 0)
+        if state.hasTimedOut:
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "request_id": [request_id],
+                    "n_items": [done],
+                    "status": ["timeout"],
+                }
+            )
+            return
         for pdf in pdfs:
             if len(pdf):
-                expected = max(expected, int(pdf["expected_items"].max()))
+                # NULL expected_items must not kill the query:
+                # max() over an all-NULL batch is NaN and int(NaN)
+                # raises — skip the update instead (sum() already
+                # skips NaN per-row)
+                exp_max = pdf["expected_items"].max()
+                if pd.notna(exp_max):
+                    expected = max(expected, int(exp_max))
                 done += int(pdf["item_done"].sum())
         complete = expected > 0 and done >= expected
         if complete:
@@ -77,8 +87,25 @@ def track_request_completion(
             }
         )
 
+    return update
+
+
+def track_request_completion(
+    item_events: DataFrame,
+    idle_timeout_ms: int = 0,
+) -> DataFrame:
+    """item_events: streaming DF with columns
+    (request_id string, expected_items int, item_done int).
+
+    Emits one row per state change; ``status='complete'`` exactly once
+    per request when done == expected. With ``idle_timeout_ms`` set, a
+    request whose state times out is EVICTED and reported once with
+    ``status='timeout'`` (the docstring contract: state is bounded by
+    in-flight requests — re-arming the timer on the timeout callback
+    would leak every abandoned request's state forever).
+    """
     return item_events.groupBy("request_id").applyInPandasWithState(
-        update,
+        _completion_update(idle_timeout_ms),
         outputStructType=COMPLETION_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="append",

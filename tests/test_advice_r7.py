@@ -345,3 +345,65 @@ def test_salted_join_rejects_dim_preserving_types(spark):
     # fact-preserving types still work and never duplicate
     got = salted_join(f, d, "k", n_salts=4, how="left").collect()
     assert len(got) == 1
+
+
+# ---------------------------------------------------------------
+# streaming intake: timeout eviction + NULL expected_items guard
+# ---------------------------------------------------------------
+
+class _FakeState:
+    def __init__(self, value=None, timed_out=False):
+        self._v = value
+        self.hasTimedOut = timed_out
+        self.removed = False
+        self.timer_set = False
+
+    @property
+    def exists(self):
+        return self._v is not None and not self.removed
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+
+    def remove(self):
+        self.removed = True
+
+    def setTimeoutDuration(self, ms):
+        self.timer_set = True
+
+
+def test_intake_timeout_evicts_state():
+    import pandas as pd
+
+    from det_module_spark.streaming.intake import _completion_update
+
+    update = _completion_update(idle_timeout_ms=1000)
+    st = _FakeState(value=(5, 2), timed_out=True)
+    out = list(update(("r1",), iter([]), st))
+    assert st.removed and not st.timer_set  # evicted, NOT re-armed
+    assert len(out) == 1
+    assert out[0]["status"].iloc[0] == "timeout"
+    assert out[0]["n_items"].iloc[0] == 2
+
+
+def test_intake_null_expected_items_does_not_crash():
+    import pandas as pd
+
+    from det_module_spark.streaming.intake import _completion_update
+
+    update = _completion_update(idle_timeout_ms=0)
+    st = _FakeState()
+    batch = pd.DataFrame(
+        {
+            "expected_items": [None, None],
+            "item_done": [1, 1],
+        }
+    )
+    out = list(update(("r2",), iter([batch]), st))
+    assert out[0]["status"].iloc[0] == "pending"
+    assert out[0]["n_items"].iloc[0] == 2
+    assert st._v == (0, 2)  # progress kept, expected unknown
