@@ -154,9 +154,17 @@ def _solve_round(b: list[int], row) -> list[int]:
     """Newton update from the nine exact integer sums — the IDENTICAL
     IEEE expression sequence as the SQL solve in ``_round_ctes``
     (proven equal by tests/test_wave23_glm.py), evaluated on the
-    driver. Control plane: consumes one 1-row aggregate."""
+    driver. Control plane: consumes one 1-row aggregate.
+
+    Degenerate inputs fail loudly here instead of deep in
+    ``math.floor``: an empty feature frame aggregates to NULL sums,
+    and a singular Hessian (constant or collinear features, or an
+    all-0/all-1 label at an extreme β) has det = 0 — both would
+    otherwise surface as TypeError/OverflowError three frames down."""
     import math
 
+    if row["h00q"] is None:
+        raise ValueError("logreg fit: empty feature frame (no rows)")
     qt = float(Q_TERM)
     g0, g1, g2 = (row[k] / qt for k in ("g0q", "g1q", "g2q"))
     h00, h01, h02, h11, h12, h22 = (
@@ -170,6 +178,11 @@ def _solve_round(b: list[int], row) -> list[int]:
     a12 = h01 * h02 - h00 * h12
     a22 = h00 * h11 - h01 * h01
     det = h00 * a00 + h01 * a01 + h02 * a02
+    if det == 0.0:
+        raise ValueError(
+            "logreg fit: singular Hessian (constant or collinear "
+            "features); Newton step undefined"
+        )
     qb = float(Q_BETA)
     return [
         b[0] + math.floor((a00 * g0 + a01 * g1 + a02 * g2) / det * qb + 0.5),

@@ -15,7 +15,11 @@ integer floor-division of per-dimension sums (positive, so truncation
 == floor on every engine); assignment ties break to the lowest
 centroid id via min-struct. A fixed iteration count then yields
 identical assignments on any engine, partitioning, or thread count.
-Initial centroids are the first k vector ids — deterministic seeding.
+Initial centroids are the vectors with ``id < k`` — deterministic
+seeding that assumes ids start at 0 (the driver tables' contract);
+an id space that skips [0, k) seeds fewer than k clusters (and an
+id space disjoint from [0, k) yields an EMPTY result — the caller
+owns the id contract, mirrored in the oracle).
 
 Scale shape per iteration: the exploded points table joins the
 centroid table on the DIMENSION key (centroids: k·dims rows, bounded
