@@ -265,10 +265,15 @@ def main() -> None:
 
     # full per-query detail goes to a sidecar, never to the final line.
     # BENCH_FULL.json is the committed record of the HEADLINE SF
-    # (sf0.1): a smoke run at another SF writes a per-SF name instead
-    # of silently clobbering the record (it happened twice in r6).
+    # (sf0.1) measured by a FULL run (both passes): a smoke run at
+    # another SF writes a per-SF name (it clobbered the record twice in
+    # r6), and a mode-limited run writes a per-mode name — a
+    # concurrent-only run records zeroed sequential timings, which is
+    # just as destructive to the committed record (it happened in r7).
     sidecar_name = (
-        "BENCH_FULL.json" if sf == 0.1 else f"BENCH_FULL_sf{sf}.json"
+        "BENCH_FULL.json"
+        if sf == 0.1 and mode == "both"
+        else f"BENCH_FULL_sf{sf}{'' if mode == 'both' else '_' + mode}.json"
     )
     sidecar = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), sidecar_name
