@@ -83,13 +83,17 @@ def even_split_allocation(
     value: str = "total_commitments",
 ) -> DataFrame:
     """value ÷ n_locations per location. The location count is a
-    per-project aggregate joined back — at scale, project cardinality
-    ≪ location cardinality, so the count side is broadcast."""
+    per-project aggregate joined back. No broadcast hint: the count
+    table is corpus-derived (one row per project, grows with the
+    input), so a forced broadcast is an executor OOM at some scale —
+    un-hinted, AQE broadcasts it while it measures small and falls
+    back to a shuffle join when it doesn't (VERDICT r03 #3, the same
+    rule as every other corpus-derived build side in the repo)."""
     counts = locations.groupBy(project_key).agg(
         F.count(F.lit(1)).alias("n_locations")
     )
     return (
-        locations.join(F.broadcast(counts), project_key)
+        locations.join(counts, project_key)
         .withColumn("allocated", F.col(value) / F.col("n_locations"))
         .withColumn("potential", F.col(value))
     )

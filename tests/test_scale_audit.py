@@ -194,10 +194,6 @@ BROADCAST_WHITELIST = {
         "cardinality; chi_square grand-total and dof frames + "
         "mutual_information grand total: 1 row each",
     ),
-    "det_module_spark/operators/msr.py": (
-        1,
-        "per-project location counts: one row per project",
-    ),
     "det_module_spark/operators/similarity.py": (
         8,
         "query/anchor vectors (k rows, guarded) + IVF/PQ codebooks (fixed "
