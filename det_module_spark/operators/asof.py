@@ -52,6 +52,13 @@ def asof_join(
     """
     if direction not in ("backward", "forward"):
         raise ValueError("direction must be 'backward' or 'forward'")
+    # a build row with a NULL timestamp can never be "the nearest
+    # at-or-before/after" — and left in, it SORTS FIRST (window
+    # NULLS-FIRST asc), so its VALUE would be carried into probes
+    # while asof_ts comes from a different (real) build row: an
+    # inconsistent match whose tolerance gap is computed against the
+    # wrong timestamp. Exclude it at entry.
+    build = build.filter(F.col(ts).isNotNull())
     # deterministic build side: one row per (key, ts) — last writer
     # wins by max(value) so duplicate-timestamp behavior is defined
     build_agg = build.groupBy(key, ts).agg(

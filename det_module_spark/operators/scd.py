@@ -43,9 +43,18 @@ def cdc_apply(
     )
     s = snapshot.alias("s")
     c = latest.alias("c")
-    joined = s.join(c, key, "full_outer")
+    # null-safe key match, mirroring snapshot_diff: a plain equi-join
+    # never matches NULL keys, so a NULL-key change would coexist with
+    # (instead of replace/delete) the NULL-key snapshot row — breaking
+    # the documented identity that snapshot_diff's output replays old
+    # into new through cdc_apply (the property test's contract).
+    joined = s.join(
+        c, F.col(f"s.{key}").eqNullSafe(F.col(f"c.{key}")), "full_outer"
+    )
     # drop deleted keys; otherwise change values win over snapshot
-    out_cols = [F.col(key)] + [
+    out_cols = [
+        F.coalesce(F.col(f"s.{key}"), F.col(f"c.{key}")).alias(key)
+    ] + [
         F.when(F.col(f"c.{op}").isNotNull(), F.col(f"c.{v}"))
         .otherwise(F.col(f"s.{v}"))
         .alias(v)

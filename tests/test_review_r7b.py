@@ -150,3 +150,83 @@ def test_protofallback_reads_packed_repeated_varints():
     m3 = cls()
     m3.ParseFromString(m2.SerializeToString())
     assert list(m3.vals) == [5, 6]
+
+
+# ---------------------------------------------------------------
+# 5. asof_join: NULL-timestamp build rows are excluded
+# ---------------------------------------------------------------
+
+def test_asof_null_build_ts_not_carried(spark):
+    from det_module_spark.operators.asof import asof_join
+
+    probe = spark.createDataFrame(
+        [("k", 100)], "key string, ts long"
+    )
+    build = spark.createDataFrame(
+        [("k", None, 999), ("k", 50, 7)],
+        "key string, ts long, v long",
+    )
+    out = asof_join(probe, build, "key", "ts", ["v"]).collect()
+    assert len(out) == 1
+    # the NULL-ts build row (v=999) must NOT be the carried value;
+    # the real ts=50 row is the as-of match and its ts is reported
+    assert out[0]["asof_v"] == 7
+    assert out[0]["asof_ts"] == 50
+
+
+def test_asof_all_null_build_ts_means_no_match(spark):
+    from det_module_spark.operators.asof import asof_join
+
+    probe = spark.createDataFrame([("k", 100)], "key string, ts long")
+    build = spark.createDataFrame(
+        [("k", None, 999)], "key string, ts long, v long"
+    )
+    out = asof_join(probe, build, "key", "ts", ["v"]).collect()
+    assert len(out) == 1
+    assert out[0]["asof_v"] is None and out[0]["asof_ts"] is None
+
+
+# ---------------------------------------------------------------
+# 6. cdc_apply: NULL keys match null-safely (snapshot_diff replay)
+# ---------------------------------------------------------------
+
+def test_cdc_apply_null_key_update_and_delete(spark):
+    from det_module_spark.operators.scd import cdc_apply
+
+    snap = spark.createDataFrame(
+        [(None, 1), ("a", 2)], "k string, v long"
+    )
+    upd = spark.createDataFrame(
+        [(None, 10, 1, "U")], "k string, v long, seq long, op string"
+    )
+    out = {r.k: r.v for r in cdc_apply(snap, upd, "k", ["v"]).collect()}
+    assert out == {None: 10, "a": 2}
+
+    dele = spark.createDataFrame(
+        [(None, None, 1, "D")], "k string, v long, seq long, op string"
+    )
+    out2 = {r.k: r.v for r in cdc_apply(snap, dele, "k", ["v"]).collect()}
+    assert out2 == {"a": 2}
+
+
+def test_snapshot_diff_replays_through_cdc_apply_with_null_keys(spark):
+    from det_module_spark.operators.scd import cdc_apply, snapshot_diff
+
+    old = spark.createDataFrame(
+        [(None, 1), ("a", 2), ("b", 3)], "k string, v long"
+    )
+    new = spark.createDataFrame(
+        [(None, 9), ("a", 2), ("c", 4)], "k string, v long"
+    )
+    diff = snapshot_diff(old, new, "k", ["v"])
+    changes = diff.selectExpr(
+        "k",
+        "new_v AS v",
+        "CAST(1 AS LONG) AS seq",
+        "CASE change_op WHEN 'delete' THEN 'D' WHEN 'insert' THEN 'I'"
+        " ELSE 'U' END AS op",
+    )
+    replayed = {
+        r.k: r.v for r in cdc_apply(old, changes, "k", ["v"]).collect()
+    }
+    assert replayed == {None: 9, "a": 2, "c": 4}
