@@ -102,36 +102,45 @@ def asof_join(
         )
         pick = lambda col: F.first(col, ignorenulls=True).over(w)  # noqa: E731
 
-    carried = unioned.select(
-        "*",
-        *[
-            pick(F.col(f"{prefix}{c}")).alias(f"_carried_{c}")
-            for c in value_cols
-        ],
-        pick(F.when(F.col("_side") == 0, F.col(ts))).alias(f"{prefix}ts"),
+    # Carry ts + ALL value columns as ONE struct so the match is
+    # atomic: a build row whose value column is NULL must still be THE
+    # match (and carry its NULL), never skipped in favor of an older
+    # row's value while asof_ts reports the nearer row. The struct is
+    # non-NULL for every build row (its ts is non-NULL after the entry
+    # filter), so first/last(ignorenulls) lands on whole build rows.
+    payload = F.when(
+        F.col("_side") == 0,
+        F.struct(
+            F.col(ts).alias("__asof_ts__"),
+            *[F.col(f"{prefix}{c}").alias(c) for c in value_cols],
+        ),
     )
+    carried = unioned.select("*", pick(payload).alias("_match"))
     carried = carried.filter(F.col("_side") == 1)
+    # a probe row with a NULL timestamp has no defined before/after:
+    # it sorts NULLS-FIRST, so in the FORWARD direction its
+    # [0, unboundedFollowing) frame contains every build row and it
+    # would spuriously match the earliest one. DuckDB ASOF / pandas
+    # merge_asof leave it unmatched — null the match out explicitly.
+    carried = carried.withColumn(
+        "_match", F.when(F.col(ts).isNotNull(), F.col("_match"))
+    )
     if tolerance_seconds is not None:
         tol_us = int(round(tolerance_seconds * 1_000_000))
         # cast through TIMESTAMP so NTZ inputs work; any session-tz
         # shift applies to both operands and cancels in the difference
         us = lambda c: F.unix_micros(c.cast("timestamp"))  # noqa: E731
+        mts = F.col("_match.__asof_ts__")
         gap = (
-            us(F.col(ts)) - us(F.col(f"{prefix}ts"))
+            us(F.col(ts)) - us(mts)
             if direction == "backward"
-            else us(F.col(f"{prefix}ts")) - us(F.col(ts))
+            else us(mts) - us(F.col(ts))
         )
-        ok = F.col(f"{prefix}ts").isNotNull() & (gap <= F.lit(tol_us))
-        carried = carried.select(
-            *[c for c in carried.columns if not c.startswith("_carried_")
-              and c != f"{prefix}ts"],
-            F.when(ok, F.col(f"{prefix}ts")).alias(f"{prefix}ts"),
-            *[
-                F.when(ok, F.col(f"_carried_{c}")).alias(f"_carried_{c}")
-                for c in value_cols
-            ],
-        )
+        ok = mts.isNotNull() & (gap <= F.lit(tol_us))
+        carried = carried.withColumn("_match", F.when(ok, F.col("_match")))
     out_cols = [F.col(f"_p_{c}").alias(c) for c in probe.columns]
-    out_cols += [F.col(f"{prefix}ts")]
-    out_cols += [F.col(f"_carried_{c}").alias(f"{prefix}{c}") for c in value_cols]
+    out_cols += [F.col("_match.__asof_ts__").alias(f"{prefix}ts")]
+    out_cols += [
+        F.col(f"_match.{c}").alias(f"{prefix}{c}") for c in value_cols
+    ]
     return carried.select(*out_cols)

@@ -109,7 +109,16 @@ b{i} AS (
 def logreg_sql(feat_sql: str, rounds: int = 3) -> str:
     """Full fit as one dialect-free SQL text. ``feat_sql`` must
     produce columns (yd DOUBLE ∈ {0,1}, xd1 DOUBLE, xd2 DOUBLE).
-    Returns 3 rows (coef, beta_q) with β in 1e-9 units."""
+    Returns 3 rows (coef, beta_q) with β in 1e-9 units.
+
+    Degenerate-input contract (DIVERGES from the driver path, by
+    design): ``_solve_round`` raises ValueError on an empty feature
+    frame (NULL moment sums) or a singular Hessian (det = 0), because
+    the driver can fail loudly. This SQL text cannot raise — an empty
+    frame propagates NULL β through every round and returns 3 NULL
+    coefficient rows; a zero determinant divides by 0 (NULL in Spark
+    non-ANSI, an error in DuckDB). The identical-expression parity
+    guarantee applies to NON-degenerate inputs only."""
     sql = f"""WITH feat AS ({feat_sql}),
 b0 AS (SELECT CAST(0 AS BIGINT) AS b0, CAST(0 AS BIGINT) AS b1,
               CAST(0 AS BIGINT) AS b2)"""
