@@ -5327,17 +5327,26 @@ def q_blocking_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Jaccard truth pairs (threshold 0.12). The truth side is the
     # quadratic verifier — this is the offline eval you run at a
     # sampled SF before trusting the banding at full scale.
+    from det_module_spark.operators.text import word_shingles
+
     docs = load_table(spark, sf_dir, "documents")
     # truth and cand each feed TWO consumers (their count agg + the
     # hit join); a union's/join's branches are planned independently
     # (playbook #29), so materialize each expensive pair table once
-    # instead of re-running the quadratic verifier / banding per use
+    # instead of re-running the quadratic verifier / banding per use.
+    # Both sides also start from the SAME 3-gram shingle table —
+    # materialize it once and the documents scan + tokenize + explode
+    # runs once instead of twice (each side applies its own hash
+    # domain downstream, so values are unchanged).
+    sh3 = word_shingles(docs, "doc_id", "text", 3).localCheckpoint(
+        eager=False
+    )
     truth = (
-        ngram_jaccard_pairs(docs, n=3, threshold=0.12)
+        ngram_jaccard_pairs(docs, n=3, threshold=0.12, shingles=sh3)
         .select("id_a", "id_b")
         .localCheckpoint(eager=False)
     )
-    sigs = minhash_signatures(docs, num_hashes=16)
+    sigs = minhash_signatures(docs, num_hashes=16, shingles=sh3)
     cand = (
         minhash_lsh_pairs(sigs, bands=8, rows=2)
         .select("id_a", "id_b")
@@ -6678,80 +6687,41 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Driver-visibility rotation (VERDICT r03 #6 / r04 #1 / r05 #1 /
-# r06 #1): the driver's correctness artifact records only the FIRST
-# 50 registry entries. Round 7 continues the backlog drain: the
-# window is 5 changed-path RE-checks (media_ahash_pairs — bounded
-# top-k deliverable + multiprobe16 banding this round;
-# pack_sequences — NULL-text contract unified across branches;
-# dense_ids / layout_pruning / lorenz_deciles — the jvm rank strategy
-# is now the dense_ids default, no mapInPandas enumerator in any of
-# the three plans) + 8 changed-path queries that were ALSO never
-# driver-checked (retrieval_pipeline candidate materialization and
-# snb_pairs jvm ranks from r6; line_dedup / line_dedup_keep_first /
-# dsir_select / corpus_pipeline_v2 from the r6 latent sweep;
-# incremental_rollup / agg_delta_retract null-safe state merges this
-# round) + 37 of the oldest never-checked backlog in drain order.
-# First-time checks in the window: 45 -> cumulative driver coverage
-# 231 + 45 = 276/293 after this check. Everything after entry 50 is
-# the 17-entry R8 remainder (chi_square displaced by the
-# agg_delta_retract changed-path pull-forward).
-_ROTATION_R7 = [
-    # -- changed-path RE-checks (already driver-covered) --
-    "media_ahash_pairs",
-    "pack_sequences",
-    "dense_ids",
-    "layout_pruning",
-    "lorenz_deciles",
-    # -- changed-path, never driver-checked --
-    "retrieval_pipeline",
-    "snb_pairs",
-    "line_dedup",
-    "line_dedup_keep_first",
-    "dsir_select",
-    "corpus_pipeline_v2",
-    "incremental_rollup",
-    "agg_delta_retract",
-    # -- r4-era backlog remainder, drain order --
-    "bigram_next",
-    "distinctive_terms",
-    "label_centroids",
-    "seasonal_anomalies",
-    "concurrency_curve",
-    "weighted_sample",
-    "lm_score",
-    "pseudonymize_join",
-    "k_anonymity",
-    "event_transitions",
-    "psi_drift",
-    "trend_fit",
-    "mad_outliers",
-    "events_session",
-    # -- round-5-wave backlog, drain order --
-    "bootstrap_ci",
-    "partition_checksums",
-    "simpson_audit",
-    "rendezvous_shards",
-    "doc_entropy",
-    "kfold_balance",
-    "ewma_smooth",
-    "cusum_shift",
-    "random_walk_corpus",
-    "feature_hash",
-    "negative_sample",
-    "pattern_match",
-    "streak_days",
-    "interval_merge",
-    "precede_pairs",
-    "adamic_adar",
-    "sq8_error",
-    "unicode_normalize",
-    "rrf_fusion",
-    "sssp_dist",
-    "hits_scores",
-    "delta_dedup",
-    "acf_lags",
-    # ---- driver window boundary (first 50 above) ----
-    # R8 remainder (17), drain order
+# r06 #1 / r07 #1): the driver's correctness artifact records only
+# the FIRST 50 registry entries. Round 8 CLOSES the drain — after
+# this window every one of the 293 queries has a green driver hash
+# whose check postdates its current plan. Composition (exactly 50):
+#   - 11 changed-path re-checks: the asof struct-carry + NULL-probe
+#     fix this round (asof_join, asof_forward_tolerance), the r7
+#     scd NULL-key fixes (cdc_apply, snapshot_diff — also a first
+#     check, pit_enrich), the r7 msr even-split un-hint
+#     (msr_pipeline, request_lifecycle), the r7 glm degenerate-input
+#     guard (logreg_fit, logreg_calibration), and the two r8 perf
+#     items (entity_resolution, blocking_eval).
+#   - 16 never-driver-checked remainder (chi_square ...
+#     kmeans_clusters; snapshot_diff counted above).
+#   - 16 rolled-forward r6-wave changed-path survivors (t_closeness
+#     ... queue_timeline) whose last check predates the r6 latent
+#     fixes.
+#   - 7 events_* plans last checked r3/r4, touched by the r6
+#     null-guard/schedule work.
+# Known residual: markov_ksteps (r5-checked, r6 refactor was
+# plan-identical and its twin event_transitions re-checked green
+# r7) — next free slot.
+_ROTATION_R8 = [
+    # -- changed-path re-checks: this round's asof fix first --
+    "asof_join",
+    "asof_forward_tolerance",
+    "cdc_apply",
+    "snapshot_diff",
+    "pit_enrich",
+    "msr_pipeline",
+    "request_lifecycle",
+    "logreg_fit",
+    "logreg_calibration",
+    "entity_resolution",
+    "blocking_eval",
+    # -- never driver-checked (closes coverage to 293/293) --
     "chi_square",
     "attribution",
     "log_as_of",
@@ -6763,26 +6733,50 @@ _ROTATION_R7 = [
     "skyline_frontier",
     "bfs_reach",
     "bom_explode",
-    "snapshot_diff",
     "l_diversity",
     "dp_noisy_counts",
     "nb_classify",
     "bm25_retrieval",
     "kmeans_clusters",
+    # -- r6-wave changed-path re-checks (rolled forward) --
+    "t_closeness",
+    "mutual_info",
+    "domain_caps",
+    "knn_classify",
+    "gini_orders",
+    "itemsets3",
+    "basket_pairs",
+    "dedup_exact",
+    "kmv_set_ops",
+    "dedup_embedding_lsh",
+    "similarity_cosine_topk",
+    "similarity_lsh_topk",
+    "similarity_ivf_topk",
+    "similarity_pq_topk",
+    "raster_file_zonal",
+    "queue_timeline",
+    # -- stale events_* plans (last checked r3/r4) --
+    "events_quality_window",
+    "events_running_totals",
+    "events_topk_stream",
+    "events_bucket_stream",
+    "events_session_flush",
+    "events_tumbling",
+    "events_sliding",
+    # ---- driver window boundary (first 50 above) ----
 ]
 
 
-
 def _rotate(full: dict) -> dict:
-    head = {k: full[k] for k in _ROTATION_R7 if k in full}
+    head = {k: full[k] for k in _ROTATION_R8 if k in full}
     return head | {k: v for k, v in full.items() if k not in head}
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE: dict order is the driver's check order, and the driver's
     # correctness artifact records only the first 50 entries —
-    # _ROTATION_R7 entries go FIRST (changed-path re-checks + the
-    # oldest never-checked backlog); the literal below keeps its
+    # _ROTATION_R8 entries go FIRST (changed-path re-checks, then
+    # the drain-closing backlog); the literal below keeps its
     # grouping for readability.
     return _rotate({
         # --- round-5 additions ---

@@ -72,9 +72,20 @@ def exact_dedup(
 
 
 def shingle_hashes(
-    df: DataFrame, id_col: str = "doc_id", text: str = "text", n: int = 3
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text: str = "text",
+    n: int = 3,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
-    sh = word_shingles(df, id_col, text, n)
+    """``shingles`` (optional): a precomputed ``word_shingles(df,
+    id_col, text, n)`` frame — pass it when several detectors run
+    over the SAME corpus so the scan + tokenize + explode happens
+    once (each consumer's hash domain is applied here, downstream of
+    the shared table, so values are bit-identical either way)."""
+    sh = shingles if shingles is not None else word_shingles(
+        df, id_col, text, n
+    )
     return sh.select(
         id_col, (stable_hash64(F.col("shingle")) % MINHASH_P).alias("h")
     )
@@ -86,6 +97,7 @@ def _shingle_intersections(
     text: str,
     n: int,
     max_shingle_df: int,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Shared scaffold of the exact set-overlap detectors
     (``ngram_jaccard_pairs`` / ``containment_pairs``): shingle
@@ -103,7 +115,10 @@ def _shingle_intersections(
     (collision odds at 10⁹ distinct shingles: ~1e-4 — and identical
     in any engine that shares the hash, so results stay comparable).
     """
-    sh = word_shingles(df, id_col, text, n).select(
+    base = shingles if shingles is not None else word_shingles(
+        df, id_col, text, n
+    )
+    sh = base.select(
         F.col(id_col).alias("id"),
         stable_hash64(F.col("shingle")).alias("shingle"),
     )
@@ -153,11 +168,14 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     max_shingle_df: int = 1000,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Exact pairwise n-gram Jaccard ≥ threshold via shingle self-join
-    (see ``_shingle_intersections`` for the shared scale shape)."""
+    (see ``_shingle_intersections`` for the shared scale shape;
+    ``shingles`` as in ``shingle_hashes``)."""
     out = (
-        _shingle_intersections(df, id_col, text, n, max_shingle_df)
+        _shingle_intersections(df, id_col, text, n, max_shingle_df,
+                               shingles=shingles)
         .withColumn(
             "jaccard",
             F.col("inter").cast("double")
@@ -175,15 +193,17 @@ def minhash_signatures(
     text: str = "text",
     n: int = 3,
     num_hashes: int = 16,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """k-min signature per document: sig_j = min((a_j*h + b_j) mod P).
 
     One aggregation — k mins computed together in a single groupBy
     over the shingle-hash table; no per-hash passes, no Python.
+    ``shingles`` as in ``shingle_hashes``.
     """
     if num_hashes > len(MINHASH_A):
         raise ValueError(f"num_hashes <= {len(MINHASH_A)}")
-    hashed = shingle_hashes(df, id_col, text, n)
+    hashed = shingle_hashes(df, id_col, text, n, shingles=shingles)
     aggs = [
         F.min(
             (F.lit(MINHASH_A[j]) * F.col("h") + F.lit(MINHASH_B[j])) % MINHASH_P

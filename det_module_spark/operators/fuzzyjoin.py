@@ -58,8 +58,22 @@ def edit1_pairs(
 ) -> DataFrame:
     """All pairs (id_a < id_b) whose strings are within Levenshtein
     distance 1 (including exact duplicates of distinct ids). One
-    band-key shuffle + codegen'd refinement; no cross join."""
-    b = deletion_bands(df, id_col, text_col)
+    band-key shuffle + codegen'd refinement; no cross join.
+
+    Two measured trims on the candidate join (idle-host A/B, sf0.1
+    customer table, 4.21s -> 3.81s median):
+    - the band KEY is xxhash64(band), an 8-byte shuffle key instead
+      of a name-length string — a hash collision can only ADD a
+      candidate pair, which the exact levenshtein refine then
+      rejects, so the banding stays lossless;
+    - the banded table is materialized once (lazy localCheckpoint):
+      a self-join's sides are planned independently, so without the
+      cut the interpreted-HOF deletion explode runs twice."""
+    b = deletion_bands(df, id_col, text_col).select(
+        F.col(id_col),
+        F.col(text_col),
+        F.xxhash64("band").alias("band"),
+    ).localCheckpoint(eager=False)
     left = b.select(
         F.col(id_col).alias("id_a"),
         F.col(text_col).alias("name_a"),

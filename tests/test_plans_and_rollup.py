@@ -21,14 +21,6 @@ from det_module_spark.operators.rollup_time import (
 SF = "/root/testdata/sf0.001"
 
 
-def _plan(df) -> str:
-    return df._jdf.queryExecution().executedPlan().toString()
-
-
-def _optimized(df) -> str:
-    return df._jdf.queryExecution().optimizedPlan().toString()
-
-
 def test_release_filters_pushdown(spark):
     df = entry_mod.q_release_filters(spark, SF)
     explained = df._sc._jvm.PythonSQLUtils.explainString(

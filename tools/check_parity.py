@@ -16,7 +16,7 @@ import time
 sys.path.insert(0, "/root/repo")
 
 
-def canon(df, float_exact=True):
+def canon(df):
     """pandas frame -> sorted-rows, sorted-cols list of tuples.
 
     NULL canonicalization is DTYPE-AWARE (ADVICE r02): in float
@@ -80,6 +80,13 @@ def main():
 
     qs = mod.queries()
     oracles = mod.oracle_sql()
+    # a misspelled query name used to be silently skipped, so the run
+    # printed "all queries match the oracle" having checked NOTHING
+    # (ROUND_NOTES harness-facts) — fail loudly instead
+    unknown = sorted(only - set(qs))
+    if unknown:
+        print(f"unknown query names (not in queries()): {unknown}")
+        sys.exit(2)
     failures = []
     for name, fn in qs.items():
         if only and name not in only:

@@ -61,8 +61,7 @@ def main() -> None:
             re.findall(r"PushedFilters: \[(?!\])", plan)
         )
         report[name] = {
-            "exchanges": len(re.findall(r"\bExchange\b", plan))
-            + len(re.findall(r"\bAQEShuffleRead\b", plan)) * 0,
+            "exchanges": len(re.findall(r"\bExchange\b", plan)),
             "broadcasts": len(re.findall(r"BroadcastExchange", plan)),
             "bnlj": len(re.findall(r"BroadcastNestedLoopJoin", plan)),
             "cartesian": len(re.findall(r"CartesianProduct", plan)),
