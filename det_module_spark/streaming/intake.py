@@ -115,3 +115,128 @@ def track_request_completion(
             else GroupStateTimeout.NoTimeout
         ),
     )
+
+
+# ---------------------------------------------------------------------
+# TWS upgrade path (transformWithStateInPandas, Spark 4+)
+# ---------------------------------------------------------------------
+#
+# Same contract as track_request_completion, on the successor API the
+# rest of streaming/ already uses (state.py): per-request ValueState,
+# processing-time timers for idle eviction (state stays bounded by
+# in-flight requests), one status row per state change, 'complete'
+# exactly once. The legacy applyInPandasWithState entry point above is
+# kept — it is the API a Spark 3.x reader of this module expects — but
+# new code should take this one: TWS gives named state variables in
+# their own column families, composable timers, and the same processor
+# can later grow ListState/MapState without an output-schema rewrite.
+
+from det_module_spark.streaming.state import (  # noqa: E402
+    HAS_TWS,
+    StatefulProcessor,
+    StatefulProcessorHandle,
+    _ship_fallback,
+)
+
+_TWS_REQ_STATE = T.StructType(
+    [
+        T.StructField("expected", T.LongType()),
+        T.StructField("done", T.LongType()),
+        T.StructField("timer", T.LongType()),  # -1 = no live timer
+    ]
+)
+
+
+class RequestCompletionProcessor(StatefulProcessor):
+    """Per-request completion counter with idle-timeout eviction.
+
+    State: one (expected, done, live_timer) row per in-flight request.
+    A request is emitted 'complete' exactly once when done >= expected
+    (> 0) and its state cleared; with a timeout configured, a live
+    processing-time timer is (re)armed on every update and an expiry
+    EVICTS the state and reports the request once as 'timeout' —
+    never re-arms (the r7 intake fix's contract: re-arming leaks every
+    abandoned request's state forever).
+    """
+
+    def __init__(self, idle_timeout_ms: int = 0) -> None:
+        self._timeout = idle_timeout_ms
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._h = handle
+        self._s = handle.getValueState("req", _TWS_REQ_STATE)
+
+    def handleInputRows(self, key, rows, timerValues):
+        import pandas as pd
+
+        expected, done, timer = 0, 0, -1
+        if self._s.exists():
+            expected, done, timer = (int(x) for x in self._s.get())
+        for pdf in rows:
+            if len(pdf):
+                exp_max = pdf["expected_items"].max()
+                if pd.notna(exp_max):
+                    expected = max(expected, int(exp_max))
+                done += int(pdf["item_done"].sum())
+        complete = expected > 0 and done >= expected
+        if complete:
+            if timer >= 0:
+                self._h.deleteTimer(timer)
+            self._s.clear()
+        else:
+            new_timer = -1
+            if self._timeout:
+                if timer >= 0:
+                    self._h.deleteTimer(timer)
+                new_timer = (
+                    timerValues.getCurrentProcessingTimeInMs()
+                    + self._timeout
+                )
+                self._h.registerTimer(new_timer)
+            self._s.update((expected, done, new_timer))
+        yield pd.DataFrame(
+            {
+                "request_id": [key[0]],
+                "n_items": [done],
+                "status": ["complete" if complete else "pending"],
+            }
+        )
+
+    def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+        import pandas as pd
+
+        if self._s.exists():
+            done, timer = (
+                int(self._s.get()[1]),
+                int(self._s.get()[2]),
+            )
+            # only honor the timer the state believes is live (a
+            # deleted timer must not double-evict)
+            if expiredTimerInfo.getExpiryTimeInMs() == timer:
+                self._s.clear()
+                yield pd.DataFrame(
+                    {
+                        "request_id": [key[0]],
+                        "n_items": [done],
+                        "status": ["timeout"],
+                    }
+                )
+
+    def close(self) -> None:
+        pass
+
+
+def track_request_completion_tws(
+    item_events: DataFrame,
+    idle_timeout_ms: int = 0,
+) -> DataFrame:
+    """``track_request_completion`` on transformWithStateInPandas —
+    identical input/output contract (same COMPLETION_SCHEMA, same
+    emission rules; equivalence pinned by test_streaming_state.py)."""
+    _ship_fallback(item_events.sparkSession)
+    return item_events.groupBy("request_id").transformWithStateInPandas(
+        statefulProcessor=RequestCompletionProcessor(idle_timeout_ms),
+        outputStructType=COMPLETION_SCHEMA,
+        outputMode="Update",
+        timeMode="ProcessingTime" if idle_timeout_ms else "None",
+    )
