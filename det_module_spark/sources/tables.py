@@ -136,6 +136,133 @@ def write_bucketed(
     w.format("parquet").saveAsTable(table)
 
 
+def write_bucketed_spill_aware(
+    df: DataFrame,
+    table: str,
+    bucket_by: str,
+    target_bucket_bytes: int = 256 * 1024 * 1024,
+    sort_by: str | None = None,
+    mode: str = "overwrite",
+    skew_warn_ratio: float = 4.0,
+    max_buckets: int = 65536,
+) -> dict:
+    """``write_bucketed`` with the bucket COUNT sized from the data so
+    each bucket fits an executor's working memory — the knob that
+    decides whether the zero-shuffle sort-merge joins this layout
+    exists for sort in memory or spill to disk on every read.
+
+    Sizing: one aggregation pass estimates the IN-MEMORY bytes
+    (fixed per-type widths + measured average length of
+    string/binary/array columns — uncompressed, because spill
+    pressure is about memory, not parquet-encoded size), then
+    ``n_buckets = next power of two >= total / target_bucket_bytes``.
+    Power of two keeps bucket counts of independently-written tables
+    divisible into each other, the condition for Spark to still plan
+    a shuffle-free join when the counts differ.
+
+    Skew: a second aggregation measures per-bucket row counts under
+    the chosen count; ``skew_ratio = max/mean`` is returned and a
+    UserWarning fires above ``skew_warn_ratio`` — a hot key makes one
+    bucket a straggler at ANY bucket count (the fix is a composite
+    bucket key, not more buckets; surfacing it at write time is the
+    point). ``maxRecordsPerFile`` is pinned for the write so even a
+    skewed bucket splits into target-sized FILES (readers of a
+    bucketed table get one task per bucket, but compaction, vacuum,
+    and raw-file consumers keep bounded units).
+
+    Returns the sizing report:
+    ``{n_rows, est_row_bytes, est_total_bytes, n_buckets,
+    max_bucket_rows, skew_ratio}``.
+    """
+    import warnings
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    fixed = {
+        T.BooleanType: 1, T.ByteType: 1, T.ShortType: 2,
+        T.IntegerType: 4, T.FloatType: 4, T.DateType: 4,
+        T.LongType: 8, T.DoubleType: 8, T.TimestampType: 8,
+        T.TimestampNTZType: 8,
+    }
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    var_cols = []
+    width_fixed = 0
+    for f in df.schema.fields:
+        t = type(f.dataType)
+        if t in fixed:
+            width_fixed += fixed[t]
+        elif isinstance(f.dataType, (T.StringType, T.BinaryType)):
+            var_cols.append(f.name)
+            aggs.append(
+                F.avg(F.length(F.col(f.name))).alias(f"__w_{f.name}")
+            )
+        elif isinstance(f.dataType, T.ArrayType):
+            el = type(f.dataType.elementType)
+            per = fixed.get(el, 16)
+            var_cols.append(f.name)
+            aggs.append(
+                (F.avg(F.size(F.col(f.name))) * per).alias(
+                    f"__w_{f.name}"
+                )
+            )
+        else:  # struct/map/decimal: coarse default
+            width_fixed += 32
+    row = df.agg(*aggs).collect()[0]
+    n_rows = int(row["__n"])
+    est_row_bytes = width_fixed + sum(
+        float(row[f"__w_{c}"] or 0.0) for c in var_cols
+    )
+    est_total = int(n_rows * est_row_bytes)
+    n_buckets = 1
+    while n_buckets * target_bucket_bytes < est_total and n_buckets < max_buckets:
+        n_buckets *= 2
+
+    bucket_counts = (
+        df.groupBy(
+            F.pmod(F.hash(F.col(bucket_by)), F.lit(n_buckets)).alias("__b")
+        )
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .agg(F.max("__c").alias("mx"), F.avg("__c").alias("mean"))
+        .collect()[0]
+    )
+    max_bucket_rows = int(bucket_counts["mx"] or 0)
+    mean_rows = float(bucket_counts["mean"] or 0.0)
+    skew_ratio = (max_bucket_rows / mean_rows) if mean_rows else 0.0
+    if skew_ratio > skew_warn_ratio:
+        warnings.warn(
+            f"write_bucketed_spill_aware({table}): bucket key "
+            f"'{bucket_by}' is skewed (max/mean = {skew_ratio:.1f} at "
+            f"{n_buckets} buckets) — the hot bucket straggles at any "
+            f"count; bucket by a composite key instead",
+            UserWarning,
+            stacklevel=2,
+        )
+
+    spark = df.sparkSession
+    conf_key = "spark.sql.files.maxRecordsPerFile"
+    prev = spark.conf.get(conf_key, "0")
+    rows_per_file = max(
+        1, int(target_bucket_bytes // max(1.0, est_row_bytes))
+    )
+    spark.conf.set(conf_key, str(rows_per_file))
+    try:
+        write_bucketed(
+            df, table, bucket_by,
+            n_buckets=n_buckets, sort_by=sort_by, mode=mode,
+        )
+    finally:
+        spark.conf.set(conf_key, prev)
+    return {
+        "n_rows": n_rows,
+        "est_row_bytes": round(est_row_bytes, 1),
+        "est_total_bytes": est_total,
+        "n_buckets": n_buckets,
+        "max_bucket_rows": max_bucket_rows,
+        "skew_ratio": round(skew_ratio, 2),
+    }
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every table as a temp view so ``spark.sql`` sees the
     same names the DuckDB oracle does."""
