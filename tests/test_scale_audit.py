@@ -342,6 +342,11 @@ COLLECT_WHITELIST = {
         1,
         "1-row model scalars (joint V + per-model token totals)",
     ),
+    "det_module_spark/sources/tables.py": (
+        2,
+        "spill-aware sink sizing: two 1-row aggregates (row-width "
+        "estimate; per-bucket max/mean) — control plane, never data",
+    ),
     "det_module_spark/plans/cache.py": (
         4,
         "manifest log reads: one row per commit, compaction-bounded",
