@@ -116,6 +116,154 @@ def shard_plan(
     )
 
 
+def bucket_plan(
+    df: DataFrame,
+    key: Column,
+    var_len_cols: list[str],
+    fixed_bytes: int,
+    target_bucket_bytes: int,
+    seed: str = "bp0",
+) -> DataFrame:
+    """Cross-engine-exact bucketed-layout SIZING report — the
+    pure-plan sibling of ``sources.tables.write_bucketed_spill_aware``
+    (which measures with Spark-native hash/width and then writes).
+    Everything here is integer arithmetic on engine-independent
+    hashes, so a SQL twin reproduces it bit-for-bit:
+
+    - ``est_total_bytes = n_rows·fixed_bytes + Σ length(var cols)``
+      (caller supplies the fixed per-row width for the non-varlen
+      columns; lengths are summed exactly, no averages, no floats);
+    - ``n_buckets`` = smallest power of two with
+      ``n_buckets·target >= est_total`` — computed as
+      ``1 << length(bin(need-1))`` on the integer bucket need, no
+      log2 float edge at exact powers;
+    - bucket occupancy under ``stable_hash64(seed:key) % n_buckets``
+      (md5-based — same value in any engine, unlike Spark's hash());
+    - ``skew_ppm = max_bucket_rows · n_buckets · 1e6 div n_rows``
+      (1e6 = perfectly uniform; the write-time warn threshold in the
+      measuring sibling corresponds to 4e6 here).
+
+    Output: 1 row — (n_rows, est_total_bytes, n_buckets,
+    max_bucket_rows, skew_ppm), all BIGINT.
+
+    Scale shape: two hash aggregations (global sums; per-bucket
+    counts → 1-row max), no collect, no window. The two-phase plan —
+    size first, occupancy second — costs one extra scan; fusing them
+    would need the bucket count before the pass that computes it.
+    """
+    from det_module_spark.operators.dedup import stable_hash64
+
+    spark = df.sparkSession
+    sums = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.sum(
+                F.coalesce(F.length(F.col(c)), F.lit(0)).cast("long")
+            ).alias(f"len_{c}")
+            for c in var_len_cols
+        ],
+    )
+    sized = sums.select(
+        F.col("n").cast("long").alias("n_rows"),
+        (
+            F.col("n") * F.lit(fixed_bytes)
+            + sum(
+                (F.col(f"len_{c}") for c in var_len_cols), F.lit(0)
+            )
+        )
+        .cast("long")
+        .alias("est_total_bytes"),
+    ).select(
+        "n_rows",
+        "est_total_bytes",
+        # integer bucket need, then next power of two via bit length
+        # integer div + bit-length power of two (playbook #7: never
+        # floor a double quotient; no log2 float edge at exact powers).
+        # One SQL expression because python-API shiftleft wants a
+        # literal bit count.
+        F.expr(
+            f"CAST(CASE WHEN est_total_bytes <= {target_bucket_bytes} "
+            "THEN 1 ELSE shiftleft(CAST(1 AS BIGINT), length(bin("
+            f"(est_total_bytes + {target_bucket_bytes - 1}) "
+            f"div {target_bucket_bytes} - 1))) END AS BIGINT)"
+        ).alias("n_buckets"),
+    )
+    # occupancy pass needs n_buckets as a literal-free join: cross the
+    # 1-row plan into the per-row bucket assignment (broadcast of one
+    # row — AQE handles it; no collect, the plan stays lazy)
+    assigned = df.select(
+        stable_hash64(
+            F.concat(F.lit(f"{seed}:"), key.cast("string"))
+        ).alias("h")
+    ).crossJoin(F.broadcast(sized))
+    occupancy = (
+        assigned.groupBy(
+            "n_rows", "est_total_bytes", "n_buckets",
+            F.pmod(F.col("h"), F.col("n_buckets")).alias("b"),
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("n_rows", "est_total_bytes", "n_buckets")
+        .agg(F.max("c").cast("long").alias("max_bucket_rows"))
+    )
+    return occupancy.select(
+        "n_rows",
+        "est_total_bytes",
+        "n_buckets",
+        "max_bucket_rows",
+        F.when(
+            F.col("n_rows") > 0,
+            F.expr(
+                "max_bucket_rows * n_buckets * 1000000 div n_rows"
+            ),
+        )
+        .cast("long")
+        .alias("skew_ppm"),
+    )
+
+
+def bucket_plan_sql(
+    table: str,
+    key_expr: str,
+    var_len_exprs: list[str],
+    fixed_bytes: int,
+    target_bucket_bytes: int,
+    seed: str = "bp0",
+) -> str:
+    """DuckDB twin of :func:`bucket_plan` — identical integer algebra
+    (md5 hash, bit-length power of two, exact length sums)."""
+    len_sum = " + ".join(
+        f"COALESCE(SUM(CAST(length({e}) AS BIGINT)), 0)"
+        for e in var_len_exprs
+    ) or "0"
+    t = target_bucket_bytes
+    return f"""
+    WITH sums AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(COUNT(*) * {fixed_bytes} + {len_sum} AS BIGINT)
+               AS est_total_bytes
+      FROM {table}),
+    sized AS (
+      SELECT n_rows, est_total_bytes,
+             CAST(CASE WHEN est_total_bytes <= {t} THEN 1
+                  ELSE (CAST(1 AS BIGINT) << length(bin(
+                        (est_total_bytes + {t - 1}) // {t} - 1)))
+                  END AS BIGINT) AS n_buckets
+      FROM sums),
+    assigned AS (
+      SELECT CAST(concat('0x', substr(md5(concat('{seed}:',
+               CAST({key_expr} AS VARCHAR))), 1, 15)) AS BIGINT)
+               % (SELECT n_buckets FROM sized) AS b
+      FROM {table}),
+    occ AS (
+      SELECT CAST(MAX(c) AS BIGINT) AS max_bucket_rows
+      FROM (SELECT COUNT(*) AS c FROM assigned GROUP BY b))
+    SELECT s.n_rows, s.est_total_bytes, s.n_buckets,
+           o.max_bucket_rows,
+           CAST(o.max_bucket_rows * s.n_buckets * 1000000
+                // s.n_rows AS BIGINT) AS skew_ppm
+    FROM sized s CROSS JOIN occ o"""
+
+
 def rendezvous_assign(
     df: DataFrame, key: Column, shards: int, seed: str = "hrw"
 ) -> Column:
