@@ -284,7 +284,14 @@ def _binary_buffers(arr, n_rows: int):
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
     _, buf_off, buf_data = arr.buffers()
-    off = np.frombuffer(buf_off, dtype=np.int32)[
+    # binary carries int32 offsets, large_binary int64 — parsing the
+    # wrong width reads garbage offsets silently (Spark 4 sends
+    # binary today; spark.sql.execution.arrow.useLargeVarTypes flips
+    # it to large_binary)
+    off_dtype = (
+        np.int64 if pa.types.is_large_binary(arr.type) else np.int32
+    )
+    off = np.frombuffer(buf_off, dtype=off_dtype)[
         arr.offset : arr.offset + n_rows + 1
     ].astype(np.int64)
     data = (
