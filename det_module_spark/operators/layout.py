@@ -189,13 +189,15 @@ def bucket_plan(
         ).alias("n_buckets"),
     )
     # occupancy pass needs n_buckets as a literal-free join: cross the
-    # 1-row plan into the per-row bucket assignment (broadcast of one
-    # row — AQE handles it; no collect, the plan stays lazy)
+    # 1-row plan into the per-row bucket assignment. No broadcast
+    # hint (house rule: bounded frames stay un-hinted, the planner
+    # broadcasts a 1-row side on its own; same shape as
+    # blocking_eval's scalar cross joins)
     assigned = df.select(
         stable_hash64(
             F.concat(F.lit(f"{seed}:"), key.cast("string"))
         ).alias("h")
-    ).crossJoin(F.broadcast(sized))
+    ).crossJoin(sized)
     occupancy = (
         assigned.groupBy(
             "n_rows", "est_total_bytes", "n_buckets",
