@@ -45,7 +45,15 @@ VOCAB = [  # the exact 31-word vocabulary observed in the sf tables
 ]
 LANGS = ["en", "de", "es", "fr", "zh"]
 LANG_W = [0.41, 0.14, 0.15, 0.15, 0.15]
-WATCHLIST = ["fuzzy_name_pairs", "setsim_prefix", "media_ahash_pairs"]
+WATCHLIST = [
+    "fuzzy_name_pairs",
+    "setsim_prefix",
+    "media_ahash_pairs",
+    # r8: the top query of the cost bill — edit1 banding feeding
+    # pointer-jumping CC; true-pair count is bounded per name on the
+    # Customer#%09d law, so time should track input, not pairs
+    "entity_resolution",
+]
 
 
 def _generate(base_dir: str, scale: int = 3) -> None:
