@@ -1,0 +1,213 @@
+"""Bradley-Terry preference-strength fit — the pairwise-comparison
+model an RLHF data pipeline runs over human/AI preference labels
+(which completion wins) to grade annotators, rank models, or weight
+training pairs.
+
+Model: P(i beats j) = θ_i/(θ_i+θ_j). Fit by the classic MM
+(minorization-maximization) update
+
+    θ_i' = W_i / Σ_j n_ij/(θ_i+θ_j)
+
+with W_i = i's total wins and n_ij = games between i and j — a fixed
+number of rounds, each one join + one aggregation over the pair-count
+table (state = one θ row per player; same iterate-with-checkpoint
+shape as pagerank).
+
+Cross-engine exactness (ROUND_NOTES playbook #10): θ is quantized to
+integers (``Q`` units) and every per-pair term is quantized to an
+integer with INTEGER DIVISION before the per-player sum, so the sums
+are order-independent and the whole fit reproduces bit-for-bit in any
+engine with 64-bit integer div — no float enters the update at all:
+
+    tq_ij   = (n_ij·Q·QT) div (θq_i+θq_j)      [term ≈ tq/QT]
+    denomq_i = Σ_j tq_ij                        [exact int]
+    θq_i'   = max(1, (W_i·QT·Q) div denomq_i)   [θ ≈ θq/Q]
+
+Magnitudes: W·QT·Q ≤ 1e6·1e4·1e6 = 1e16 < 2^63 — exact BIGINT in
+Spark and DuckDB alike. The max(1, ·) clamp keeps an all-losing
+player's θ positive (the MM denominator needs θ_i+θ_j > 0); a zero
+denominator (every term underflowing QT) keeps the previous θ.
+
+The gauge (global scale of θ) is NOT normalized between rounds: a
+fixed-round quantized fit must be bit-reproducible, and any ratio
+θ_i/θ_j — the only thing the model defines — is gauge-free.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+Q = 1_000_000  # θ quantization: θ_real ≈ theta_q / Q
+QT = 10_000  # per-pair term quantization before the exact sum
+
+
+def bt_pair_stats(
+    comparisons: DataFrame, winner: str = "winner", loser: str = "loser"
+) -> tuple[DataFrame, DataFrame]:
+    """(games, wins) from a raw comparison log: ``games`` is one row
+    per unordered pair (lo < hi, n = total games), ``wins`` one row
+    per player (player, w). NULL participants are dropped (a
+    comparison without both sides is not a game)."""
+    c = comparisons.filter(
+        F.col(winner).isNotNull() & F.col(loser).isNotNull()
+    )
+    games = (
+        c.select(
+            F.least(F.col(winner), F.col(loser)).alias("lo"),
+            F.greatest(F.col(winner), F.col(loser)).alias("hi"),
+        )
+        .groupBy("lo", "hi")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    wins = (
+        c.groupBy(F.col(winner).alias("player"))
+        .agg(F.count(F.lit(1)).cast("long").alias("w"))
+    )
+    return games, wins
+
+
+def bt_strengths(
+    comparisons: DataFrame,
+    winner: str = "winner",
+    loser: str = "loser",
+    rounds: int = 3,
+) -> DataFrame:
+    """→ (player, theta_q BIGINT, wins BIGINT, games BIGINT), one row
+    per player appearing in any comparison, θ from ``rounds`` exact
+    integer MM updates (init θq = Q for everyone).
+
+    Scale shape per round: games ⋈ θ (twice, equi-joins on player),
+    a two-way union, one hash aggregation per player, θ re-joined —
+    shuffle ∝ distinct pairs, state ∝ players, localCheckpoint per
+    round to cut lineage (pagerank discipline). No collect, no
+    window, no float.
+    """
+    games, wins = bt_pair_stats(comparisons, winner, loser)
+    games = games.localCheckpoint(eager=True)
+    players = (
+        games.select(F.col("lo").alias("player"))
+        .unionByName(games.select(F.col("hi").alias("player")))
+        .distinct()
+    )
+    wins_full = (
+        players.join(wins, "player", "left")
+        .select("player", F.coalesce("w", F.lit(0)).alias("w"))
+        .localCheckpoint(eager=True)
+    )
+    n_games = (
+        games.select(F.col("lo").alias("player"), "n")
+        .unionByName(games.select(F.col("hi").alias("player"), "n"))
+        .groupBy("player")
+        .agg(F.sum("n").cast("long").alias("games"))
+    )
+    theta = wins_full.select(
+        "player", F.lit(Q).cast("long").alias("theta_q")
+    ).localCheckpoint(eager=True)
+
+    for _ in range(rounds):
+        t_lo = theta.select(
+            F.col("player").alias("lo"), F.col("theta_q").alias("th_lo")
+        )
+        t_hi = theta.select(
+            F.col("player").alias("hi"), F.col("theta_q").alias("th_hi")
+        )
+        terms = (
+            games.join(t_lo, "lo")
+            .join(t_hi, "hi")
+            .select(
+                "lo",
+                "hi",
+                F.expr(f"(n * {Q}L * {QT}L) div (th_lo + th_hi)").alias(
+                    "tq"
+                ),
+            )
+        )
+        denom = (
+            terms.select(F.col("lo").alias("player"), "tq")
+            .unionByName(terms.select(F.col("hi").alias("player"), "tq"))
+            .groupBy("player")
+            .agg(F.sum("tq").cast("long").alias("denomq"))
+        )
+        theta = (
+            theta.join(denom, "player")
+            .join(wins_full, "player")
+            .select(
+                "player",
+                F.when(F.col("denomq") > 0, F.greatest(
+                    F.lit(1).cast("long"),
+                    F.expr(f"(w * {QT}L * {Q}L) div denomq"),
+                ))
+                .otherwise(F.col("theta_q"))
+                .cast("long")
+                .alias("theta_q"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return (
+        theta.join(wins_full, "player")
+        .join(n_games, "player")
+        .select(
+            "player",
+            "theta_q",
+            F.col("w").alias("wins"),
+            "games",
+        )
+    )
+
+
+def bt_sql(comparisons_sql: str, rounds: int = 3) -> str:
+    """DuckDB twin of :func:`bt_strengths` — identical integer
+    algebra, the round chain unrolled as CTEs. ``comparisons_sql``
+    must produce columns (winner, loser)."""
+    sql = f"""WITH c AS (
+  SELECT winner, loser FROM ({comparisons_sql})
+  WHERE winner IS NOT NULL AND loser IS NOT NULL),
+games AS (
+  SELECT LEAST(winner, loser) AS lo, GREATEST(winner, loser) AS hi,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM c GROUP BY 1, 2),
+players AS (
+  SELECT lo AS player FROM games UNION SELECT hi FROM games),
+wins_full AS (
+  SELECT p.player, CAST(COALESCE(w.w, 0) AS BIGINT) AS w
+  FROM players p LEFT JOIN (
+    SELECT winner AS player, CAST(COUNT(*) AS BIGINT) AS w
+    FROM c GROUP BY 1) w ON w.player = p.player),
+n_games AS (
+  SELECT player, CAST(SUM(n) AS BIGINT) AS games
+  FROM (SELECT lo AS player, n FROM games
+        UNION ALL SELECT hi, n FROM games)
+  GROUP BY player),
+th0 AS (SELECT player, CAST({Q} AS BIGINT) AS theta_q FROM wins_full)"""
+    for r in range(1, rounds + 1):
+        p = r - 1
+        sql += f""",
+terms{r} AS (
+  SELECT g.lo, g.hi,
+         (g.n * {Q} * {QT}) // (tl.theta_q + th.theta_q) AS tq
+  FROM games g
+  JOIN th{p} tl ON tl.player = g.lo
+  JOIN th{p} th ON th.player = g.hi),
+denom{r} AS (
+  SELECT player, CAST(SUM(tq) AS BIGINT) AS denomq
+  FROM (SELECT lo AS player, tq FROM terms{r}
+        UNION ALL SELECT hi, tq FROM terms{r})
+  GROUP BY player),
+th{r} AS (
+  SELECT t.player,
+         CAST(CASE WHEN d.denomq > 0
+              THEN GREATEST(1, (w.w * {QT} * {Q}) // d.denomq)
+              ELSE t.theta_q END AS BIGINT) AS theta_q
+  FROM th{p} t
+  JOIN denom{r} d ON d.player = t.player
+  JOIN wins_full w ON w.player = t.player)"""
+    return (
+        sql
+        + f"""
+SELECT t.player, t.theta_q, w.w AS wins, g.games
+FROM th{rounds} t
+JOIN wins_full w ON w.player = t.player
+JOIN n_games g ON g.player = t.player
+ORDER BY t.player"""
+    )

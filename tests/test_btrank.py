@@ -1,0 +1,78 @@
+"""Bradley-Terry preference fit (r9-prep): exact integer MM — the
+DuckDB twin reproduces every theta_q bit-for-bit; the fit orders a
+dominant player first."""
+
+import duckdb
+from pyspark.sql import functions as F
+
+from det_module_spark.operators.btrank import Q, bt_sql, bt_strengths
+
+
+def _comparisons(spark):
+    # deterministic comparison log over 4 players: 1 beats everyone,
+    # 2 beats 3 and 4, 3 beats 4; plus upsets so no one is unbeaten
+    rows = []
+    for w, l, k in [(1, 2, 6), (1, 3, 5), (1, 4, 7), (2, 3, 5),
+                    (2, 4, 4), (3, 4, 6), (4, 1, 1), (3, 2, 2),
+                    (2, 1, 1)]:
+        rows += [(w, l)] * k
+    return spark.createDataFrame(rows, "winner long, loser long")
+
+
+def test_bt_matches_duckdb_twin(spark):
+    comps = _comparisons(spark)
+    got = {
+        r["player"]: (r["theta_q"], r["wins"], r["games"])
+        for r in bt_strengths(comps, rounds=3).collect()
+    }
+    con = duckdb.connect()
+    comps.toPandas().to_csv("/tmp/bt_comps.csv", index=False)
+    con.execute(
+        "CREATE VIEW comps AS SELECT * FROM read_csv_auto('/tmp/bt_comps.csv')"
+    )
+    oracle = con.execute(
+        bt_sql("SELECT winner, loser FROM comps", rounds=3)
+    ).fetchall()
+    assert got == {p: (t, w, g) for p, t, w, g in oracle}
+
+
+def test_bt_orders_dominant_player_first(spark):
+    comps = _comparisons(spark)
+    theta = {
+        r["player"]: r["theta_q"]
+        for r in bt_strengths(comps, rounds=3).collect()
+    }
+    assert theta[1] > theta[2] > theta[3] > theta[4]
+
+
+def test_bt_all_losing_player_clamped_positive(spark):
+    comps = spark.createDataFrame(
+        [(1, 2)] * 5, "winner long, loser long"
+    )
+    theta = {
+        r["player"]: r for r in bt_strengths(comps, rounds=2).collect()
+    }
+    assert theta[2]["theta_q"] >= 1 and theta[2]["wins"] == 0
+    assert theta[1]["theta_q"] > theta[2]["theta_q"]
+    assert theta[1]["games"] == 5 and theta[2]["games"] == 5
+
+
+def test_bt_null_participants_dropped(spark):
+    comps = spark.createDataFrame(
+        [(1, 2), (None, 2), (1, None)], "winner long, loser long"
+    )
+    out = bt_strengths(comps, rounds=1).collect()
+    assert {r["player"] for r in out} == {1, 2}
+    assert {r["games"] for r in out} == {1}
+
+
+def test_bt_symmetric_players_tie_exactly(spark):
+    # equal head-to-head record -> identical theta_q (exact integers)
+    comps = spark.createDataFrame(
+        [(1, 2)] * 3 + [(2, 1)] * 3, "winner long, loser long"
+    )
+    theta = {
+        r["player"]: r["theta_q"]
+        for r in bt_strengths(comps, rounds=4).collect()
+    }
+    assert theta[1] == theta[2]
