@@ -6680,6 +6680,101 @@ def q_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------
+# R9 registration queue — implemented and pytest-verified in r8, NOT
+# yet in queries()/oracle_sql() (the r8 window closes the driver
+# drain; these two enter at the r9 rotation head per the standing
+# discipline). tests/test_r9_queue.py runs the exact driver
+# comparison for both today.
+# --------------------------------------------------------------------
+
+
+def q_bt_strengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Bradley-Terry preference fit (operators/btrank.py): comparisons
+    # synthesized from lineitem — within each order, every pair of
+    # line numbers with distinct suppliers and distinct prices is one
+    # "game", won by the pricier line's supplier. 3 exact integer MM
+    # rounds; output one (player, theta_q, wins, games) per supplier.
+    from det_module_spark.operators.btrank import bt_strengths
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_suppkey", "l_extendedprice"
+    )
+    a = li.select(
+        F.col("l_orderkey").alias("ok"),
+        F.col("l_linenumber").alias("ln_a"),
+        F.col("l_suppkey").alias("sk_a"),
+        F.col("l_extendedprice").alias("pr_a"),
+    )
+    b = li.select(
+        F.col("l_orderkey").alias("ok"),
+        F.col("l_linenumber").alias("ln_b"),
+        F.col("l_suppkey").alias("sk_b"),
+        F.col("l_extendedprice").alias("pr_b"),
+    )
+    comps = (
+        a.join(b, "ok")
+        .filter(F.col("ln_a") < F.col("ln_b"))
+        .filter(
+            (F.col("sk_a") != F.col("sk_b"))
+            & (F.col("pr_a") != F.col("pr_b"))
+        )
+        .select(
+            F.when(F.col("pr_a") > F.col("pr_b"), F.col("sk_a"))
+            .otherwise(F.col("sk_b"))
+            .alias("winner"),
+            F.when(F.col("pr_a") > F.col("pr_b"), F.col("sk_b"))
+            .otherwise(F.col("sk_a"))
+            .alias("loser"),
+        )
+    )
+    return bt_strengths(comps, rounds=3).orderBy("player")
+
+
+def _bt_strengths_sql() -> str:
+    from det_module_spark.operators.btrank import bt_sql
+
+    comps = """
+      SELECT CASE WHEN a.l_extendedprice > b.l_extendedprice
+                  THEN a.l_suppkey ELSE b.l_suppkey END AS winner,
+             CASE WHEN a.l_extendedprice > b.l_extendedprice
+                  THEN b.l_suppkey ELSE a.l_suppkey END AS loser
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey
+       AND a.l_linenumber < b.l_linenumber
+      WHERE a.l_suppkey <> b.l_suppkey
+        AND a.l_extendedprice <> b.l_extendedprice"""
+    return bt_sql(comps, rounds=3)
+
+
+def q_bucket_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # cross-engine-exact bucketed-layout sizing of the documents
+    # table (operators/layout.py bucket_plan): exact integer widths,
+    # power-of-two bucket count, md5-bucket skew in ppm.
+    from det_module_spark.operators.layout import bucket_plan
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bucket_plan(
+        docs,
+        F.col("doc_id"),
+        ["text", "lang", "source"],
+        fixed_bytes=16,
+        target_bucket_bytes=8192,
+    )
+
+
+def _bucket_plan_sql() -> str:
+    from det_module_spark.operators.layout import bucket_plan_sql
+
+    return bucket_plan_sql(
+        "documents",
+        "doc_id",
+        ["text", "lang", "source"],
+        fixed_bytes=16,
+        target_bucket_bytes=8192,
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the reliability zonal extract (the aid-data triple) at
     sf0.001; driver checks rows>0."""
