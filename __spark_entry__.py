@@ -6775,6 +6775,41 @@ def _bucket_plan_sql() -> str:
     )
 
 
+def q_label_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # inter-annotator agreement QC (operators/agreement.py): two
+    # deterministic "labelers" of orders — priority-based urgency vs
+    # price-based urgency (fixed 150k threshold) — scored with
+    # exact-integer Cohen's kappa. The preference-label QC gate.
+    from det_module_spark.operators.agreement import cohens_kappa
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("item"),
+        F.when(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), "hot"
+        )
+        .otherwise("cold")
+        .alias("la"),
+        F.when(F.col("o_totalprice") > 150000.0, "hot")
+        .otherwise("cold")
+        .alias("lb"),
+    )
+    return cohens_kappa(orders, "item", "la", "lb")
+
+
+def _label_agreement_sql() -> str:
+    from det_module_spark.operators.agreement import cohens_kappa_sql
+
+    return cohens_kappa_sql(
+        """
+      SELECT o_orderkey AS item,
+             CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  THEN 'hot' ELSE 'cold' END AS la,
+             CASE WHEN o_totalprice > 150000.0
+                  THEN 'hot' ELSE 'cold' END AS lb
+      FROM orders"""
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the reliability zonal extract (the aid-data triple) at
     sf0.001; driver checks rows>0."""

@@ -1,0 +1,69 @@
+"""Cohen's kappa (r9-prep): exact-integer agreement QC — DuckDB twin
+bit-identical, classic hand values reproduced, negative and
+degenerate cases pinned."""
+
+import duckdb
+
+from det_module_spark.operators.agreement import (
+    cohens_kappa,
+    cohens_kappa_sql,
+)
+
+
+def _run(spark, rows):
+    df = spark.createDataFrame(rows, "item long, la string, lb string")
+    got = cohens_kappa(df, "item", "la", "lb").collect()[0].asDict()
+    con = duckdb.connect()
+    df.toPandas().to_csv("/tmp/kappa.csv", index=False)
+    con.execute(
+        "CREATE VIEW labels AS SELECT * FROM "
+        "read_csv_auto('/tmp/kappa.csv', all_varchar=false)"
+    )
+    oracle = con.execute(
+        cohens_kappa_sql("SELECT item, la, lb FROM labels")
+    ).fetchdf().iloc[0]
+    for k in got:
+        o = oracle[k]
+        o = None if o != o else int(o)  # NaN -> NULL
+        assert got[k] == o, (k, got[k], o)
+    return got
+
+
+def test_kappa_textbook_value(spark):
+    # classic 2x2: a=20 yes/yes, d=15 no/no, b=5, c=10 (n=50)
+    # po=0.7, pe=(25*30 + 25*20)/2500=0.5, kappa=0.4
+    rows = (
+        [(i, "y", "y") for i in range(20)]
+        + [(100 + i, "n", "n") for i in range(15)]
+        + [(200 + i, "y", "n") for i in range(5)]
+        + [(300 + i, "n", "y") for i in range(10)]
+    )
+    got = _run(spark, rows)
+    assert got["n_items"] == 50 and got["n_agree"] == 35
+    assert got["po_ppm"] == 700_000 and got["pe_ppm"] == 500_000
+    assert got["kappa_ppm"] == 400_000
+
+
+def test_kappa_negative_when_below_chance(spark):
+    rows = [(i, "y", "n") for i in range(10)] + [
+        (100 + i, "n", "y") for i in range(10)
+    ]
+    got = _run(spark, rows)
+    assert got["po_ppm"] == 0
+    assert got["kappa_ppm"] < 0
+
+
+def test_kappa_degenerate_constant_raters_null(spark):
+    rows = [(i, "y", "y") for i in range(8)]
+    got = _run(spark, rows)
+    assert got["pe_ppm"] == PPM_FULL
+    assert got["kappa_ppm"] is None
+
+
+PPM_FULL = 1_000_000
+
+
+def test_null_labels_dropped(spark):
+    rows = [(1, "y", "y"), (2, None, "y"), (3, "n", None)]
+    got = _run(spark, rows)
+    assert got["n_items"] == 1 and got["n_agree"] == 1

@@ -46,3 +46,15 @@ def test_bucket_plan_query_matches_oracle(spark, sf_dir):
     odf = _oracle(sf_dir, m._bucket_plan_sql())
     assert len(sdf) == 1
     _compare(sdf, odf)
+
+
+def test_label_agreement_query_matches_oracle(spark, sf_dir):
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW orders AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/orders.parquet')"
+    )
+    sdf = m.q_label_agreement(spark, sf_dir).toPandas()
+    odf = con.execute(m._label_agreement_sql()).fetchdf()
+    assert len(sdf) == 1
+    _compare(sdf, odf)
