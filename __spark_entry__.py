@@ -6810,6 +6810,62 @@ def _label_agreement_sql() -> str:
     )
 
 
+def q_rater_reliability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Dawid-Skene-lite annotator QC (operators/agreement.py): three
+    # deterministic "raters" label each order hot/cold (priority,
+    # price, order-key parity as the noisy third); per-rater accuracy
+    # against the majority consensus in exact ppm.
+    from det_module_spark.operators.agreement import rater_accuracy
+
+    o = load_table(spark, sf_dir, "orders")
+    hotcold = lambda c: F.when(c, "hot").otherwise("cold")  # noqa: E731
+    votes = (
+        o.select(
+            F.col("o_orderkey").alias("item"),
+            F.lit("priority").alias("rater"),
+            hotcold(
+                F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+            ).alias("label"),
+        )
+        .unionByName(
+            o.select(
+                F.col("o_orderkey").alias("item"),
+                F.lit("price").alias("rater"),
+                hotcold(F.col("o_totalprice") > 150000.0).alias("label"),
+            )
+        )
+        .unionByName(
+            o.select(
+                F.col("o_orderkey").alias("item"),
+                F.lit("parity").alias("rater"),
+                hotcold(F.col("o_orderkey") % 2 == 0).alias("label"),
+            )
+        )
+    )
+    return rater_accuracy(votes).orderBy("rater")
+
+
+def _rater_reliability_sql() -> str:
+    from det_module_spark.operators.agreement import rater_accuracy_sql
+
+    return rater_accuracy_sql(
+        """
+      SELECT o_orderkey AS item, 'priority' AS rater,
+             CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  THEN 'hot' ELSE 'cold' END AS label
+      FROM orders
+      UNION ALL
+      SELECT o_orderkey, 'price',
+             CASE WHEN o_totalprice > 150000.0
+                  THEN 'hot' ELSE 'cold' END
+      FROM orders
+      UNION ALL
+      SELECT o_orderkey, 'parity',
+             CASE WHEN o_orderkey % 2 = 0 THEN 'hot' ELSE 'cold' END
+      FROM orders"""
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the reliability zonal extract (the aid-data triple) at
     sf0.001; driver checks rows>0."""

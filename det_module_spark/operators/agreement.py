@@ -19,11 +19,11 @@ quantization loses < 1e-6 per ratio (far below any labeling noise);
 the division-free po/pe terms stay exact. pe_ppm = 1e6 (raters
 constant and equal — κ undefined, 0/0) returns NULL kappa_ppm.
 
-Magnitudes: po_ppm·1e6 ≤ 1e12 and pe's cross terms n_a,c·n_b,c ≤ n²
-≤ 8.4e37 at n = 2^63... no — n_a,c·n_b,c overflows BIGINT past
-n ≈ 3e9 per category. Guarded: pe is computed as
-Σ (n_a,c·1e6 div n)·n_b,c div n — two-step integer division keeps
-every intermediate ≤ n·1e6, exact to the same ppm contract.
+Magnitudes: po's product stays ≤ n·1e6, but pe's naive cross term
+n_a,c·n_b,c grows as n² and overflows BIGINT past n ≈ 3e9 rows per
+category — so pe is computed as Σ (n_a,c·1e6 div n)·n_b,c div n:
+the two-step integer division keeps every intermediate ≤ n·1e6 and
+is exact to the same ppm contract.
 """
 
 from __future__ import annotations
@@ -129,3 +129,120 @@ def cohens_kappa_sql(labels_sql: str) -> str:
                      // ({PPM} - pe.pe_ppm)
                 ELSE NULL END AS BIGINT) AS kappa_ppm
     FROM totals t CROSS JOIN pe"""
+
+
+def consensus_labels(
+    votes: DataFrame,
+    item: str = "item",
+    rater: str = "rater",
+    label: str = "label",
+) -> DataFrame:
+    """Majority-vote label aggregation over a LONG-format vote table
+    (one row per (item, rater, label); NULL labels dropped) →
+    (item, consensus, votes_for, votes_total). Ties break to the
+    lexicographically smallest label — deterministic in any engine.
+
+    Scale shape: one count aggregation per (item, label), then ONE
+    hash aggregation per item with the argmax encoded as
+    ``min(struct(-count, label))`` (the graph.py survivorship idiom —
+    no window, no per-item sort).
+    """
+    v = votes.filter(F.col(label).isNotNull()).select(
+        F.col(item).alias("item"),
+        F.col(rater).alias("rater"),
+        F.col(label).cast("string").alias("label"),
+    )
+    counts = v.groupBy("item", "label").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    return (
+        counts.groupBy("item")
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("c")).alias("neg"),
+                    F.col("label").alias("label"),
+                    F.col("c").alias("c"),
+                )
+            ).alias("best"),
+            F.sum("c").cast("long").alias("votes_total"),
+        )
+        .select(
+            "item",
+            F.col("best.label").alias("consensus"),
+            F.col("best.c").alias("votes_for"),
+            "votes_total",
+        )
+    )
+
+
+def rater_accuracy(
+    votes: DataFrame,
+    item: str = "item",
+    rater: str = "rater",
+    label: str = "label",
+) -> DataFrame:
+    """Per-rater reliability against the majority consensus —
+    (rater, n_votes, n_match, accuracy_ppm), exact integers (the
+    Dawid-Skene-lite annotator QC table; a rater systematically
+    below the pack is mislabeling or misreading the rubric).
+
+    Note the consensus INCLUDES each rater's own vote (standard for
+    the quick QC table; leave-one-out re-ranks ties and is a
+    different, more expensive contract).
+    """
+    v = votes.filter(F.col(label).isNotNull()).select(
+        F.col(item).alias("item"),
+        F.col(rater).alias("rater"),
+        F.col(label).cast("string").alias("label"),
+    )
+    cons = consensus_labels(v)
+    return (
+        v.join(cons.select("item", "consensus"), "item")
+        .groupBy("rater")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_votes"),
+            F.sum(
+                F.when(F.col("label") == F.col("consensus"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_match"),
+        )
+        .select(
+            "rater",
+            "n_votes",
+            "n_match",
+            F.expr(f"n_match * {PPM}L div n_votes").alias("accuracy_ppm"),
+        )
+    )
+
+
+def rater_accuracy_sql(votes_sql: str) -> str:
+    """DuckDB twin of :func:`rater_accuracy` (consensus via
+    ROW_NUMBER ordered (count DESC, label ASC) — same tie-break as
+    min(struct(-count, label))). ``votes_sql`` must produce columns
+    (item, rater, label)."""
+    return f"""
+    WITH v AS (
+      SELECT item, rater, CAST(label AS VARCHAR) AS label
+      FROM ({votes_sql}) WHERE label IS NOT NULL),
+    counts AS (
+      SELECT item, label, CAST(COUNT(*) AS BIGINT) AS c
+      FROM v GROUP BY 1, 2),
+    cons AS (
+      SELECT item, label AS consensus
+      FROM (SELECT item, label,
+                   ROW_NUMBER() OVER (PARTITION BY item
+                                      ORDER BY c DESC, label ASC) AS rn
+            FROM counts)
+      WHERE rn = 1)
+    SELECT v.rater,
+           CAST(COUNT(*) AS BIGINT) AS n_votes,
+           CAST(SUM(CASE WHEN v.label = cons.consensus
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_match,
+           CAST(SUM(CASE WHEN v.label = cons.consensus
+                    THEN 1 ELSE 0 END) * {PPM} // COUNT(*) AS BIGINT)
+             AS accuracy_ppm
+    FROM v JOIN cons USING (item)
+    GROUP BY v.rater
+    ORDER BY v.rater"""

@@ -67,3 +67,62 @@ def test_null_labels_dropped(spark):
     rows = [(1, "y", "y"), (2, None, "y"), (3, "n", None)]
     got = _run(spark, rows)
     assert got["n_items"] == 1 and got["n_agree"] == 1
+
+
+# ---------------------------------------------------------------
+# consensus + rater reliability (Dawid-Skene-lite QC table)
+# ---------------------------------------------------------------
+
+from det_module_spark.operators.agreement import (  # noqa: E402
+    consensus_labels,
+    rater_accuracy,
+    rater_accuracy_sql,
+)
+
+
+def _votes(spark, rows):
+    return spark.createDataFrame(
+        rows, "item long, rater string, label string"
+    )
+
+
+def test_consensus_majority_and_tiebreak(spark):
+    v = _votes(spark, [
+        (1, "r1", "y"), (1, "r2", "y"), (1, "r3", "n"),
+        (2, "r1", "a"), (2, "r2", "b"),  # tie -> lexicographic 'a'
+    ])
+    got = {r["item"]: r for r in consensus_labels(v).collect()}
+    assert got[1]["consensus"] == "y" and got[1]["votes_for"] == 2
+    assert got[1]["votes_total"] == 3
+    assert got[2]["consensus"] == "a" and got[2]["votes_for"] == 1
+
+
+def test_rater_accuracy_matches_duckdb_twin(spark):
+    rows = []
+    # r1 always right, r2 right 2/3, r3 contrarian on item 3
+    for i, true in [(1, "y"), (2, "n"), (3, "y")]:
+        rows.append((i, "r1", true))
+        rows.append((i, "r2", true if i != 2 else "y"))
+        rows.append((i, "r3", true if i != 3 else "n"))
+    v = _votes(spark, rows)
+    got = {
+        r["rater"]: (r["n_votes"], r["n_match"], r["accuracy_ppm"])
+        for r in rater_accuracy(v).collect()
+    }
+    assert got["r1"] == (3, 3, 1_000_000)
+    assert got["r2"][1] == 2 and got["r2"][2] == 666_666
+    con = duckdb.connect()
+    v.toPandas().to_csv("/tmp/votes.csv", index=False)
+    con.execute(
+        "CREATE VIEW votes AS SELECT * FROM read_csv_auto('/tmp/votes.csv')"
+    )
+    oracle = con.execute(
+        rater_accuracy_sql("SELECT item, rater, label FROM votes")
+    ).fetchall()
+    assert got == {r: (n, m, a) for r, n, m, a in oracle}
+
+
+def test_rater_accuracy_null_votes_dropped(spark):
+    v = _votes(spark, [(1, "r1", "y"), (1, "r2", None), (1, "r3", "y")])
+    got = {r["rater"] for r in rater_accuracy(v).collect()}
+    assert got == {"r1", "r3"}

@@ -58,3 +58,15 @@ def test_label_agreement_query_matches_oracle(spark, sf_dir):
     odf = con.execute(m._label_agreement_sql()).fetchdf()
     assert len(sdf) == 1
     _compare(sdf, odf)
+
+
+def test_rater_reliability_query_matches_oracle(spark, sf_dir):
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW orders AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/orders.parquet')"
+    )
+    sdf = m.q_rater_reliability(spark, sf_dir).toPandas()
+    odf = con.execute(m._rater_reliability_sql()).fetchdf()
+    assert len(sdf) == 3  # three deterministic raters
+    _compare(sdf, odf)
