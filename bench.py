@@ -52,6 +52,13 @@ from concurrent.futures import ThreadPoolExecutor
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+def _replay_retry_events() -> list[str]:
+    """The streaming replay harness's transient worker-spawn retry
+    audit trail (empty when the module was never imported)."""
+    mod = sys.modules.get("det_module_spark.streaming.replay")
+    return list(getattr(mod, "TRANSIENT_RETRY_EVENTS", []))
+
+
 def main() -> None:
     import __spark_entry__ as entry_mod
     from det_module_spark.session import get_spark
@@ -112,12 +119,32 @@ def main() -> None:
 
     qs = entry_mod.queries()
 
+    # Per-query bounded retry (VERDICT r08 #1): the round-8 driver
+    # bench died rc=1 because ONE transient "Python worker failed to
+    # connect back" in a TWS streaming replay propagated straight out
+    # of the executor. One retry per (query, invocation); every retry
+    # is counted here and recorded in the sidecar + final line, so a
+    # flaky query is visible in the round record and a retry can
+    # never silently mask a real regression (a deterministic failure
+    # fails the retry too and still kills the bench).
+    retries: dict[str, int] = {}
+
     def run_one(
         label: str, timings: dict, item: tuple[str, object], d: str = sf_dir
     ) -> None:
         name, fn = item
         t0 = time.time()
-        n = len(fn(spark, d).collect())
+        try:
+            n = len(fn(spark, d).collect())
+        except Exception as e:  # noqa: BLE001 - one bounded retry
+            retries[name] = retries.get(name, 0) + 1
+            print(
+                f"# [{label}] {name}: retry after "
+                f"{type(e).__name__}: {str(e)[:160]}",
+                file=sys.stderr,
+            )
+            t0 = time.time()
+            n = len(fn(spark, d).collect())
         dt = time.time() - t0
         timings[name] = round(dt, 3)
         print(f"# [{label}] {name}: {dt:.3f}s rows={n}", file=sys.stderr)
@@ -307,6 +334,11 @@ def main() -> None:
                 "stream_assignment": assignment,
                 "scaling_slope": slope,
                 "scaling_slope3": slope3,
+                # audit trail for the bounded retries: per-query retry
+                # counts (bench level) + the replay harness's own
+                # transient worker-spawn retries with messages
+                "retries": retries,
+                "replay_transient_retries": _replay_retry_events(),
             },
             f,
             indent=1,
@@ -341,6 +373,10 @@ def main() -> None:
             n: v.get("slope") for n, v in slope3.get("queries", {}).items()
         }
         summary["slope3_superlinear"] = slope3.get("superlinear", [])
+    total_retries = sum(retries.values()) + len(_replay_retry_events())
+    if total_retries:
+        summary["retries_total"] = total_retries
+        summary["retries"] = dict(sorted(retries.items())[:5])
     line = json.dumps(summary)
     # hard guarantee: the driver keeps a bounded stdout tail; stay small
     while len(line) > 1500 and summary["queries"]:

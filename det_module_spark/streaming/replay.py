@@ -80,6 +80,45 @@ def write_batch_files(df: DataFrame, batch_col: str, out_dir: str) -> int:
     return len(batches)
 
 
+# Transient worker-spawn failure signatures. Under heavy concurrent
+# load (12 bench streams on one JVM) a stateful streaming micro-batch
+# that needs a FRESH Python worker (TWS + RocksDB spawns its own) can
+# fail to establish the local socket back-connection within the
+# timeout — the round-8 driver bench died exactly this way
+# (BENCH_r08 rc=1, "Python worker failed to connect back" inside
+# events_session_flush's replay). These strings identify that class:
+# worker-STARTUP plumbing, never query semantics, so one bounded
+# retry on a fresh checkpoint cannot mask a plan or data bug (a real
+# regression fails deterministically on the retry too).
+TRANSIENT_WORKER_PATTERNS = (
+    "failed to connect back",
+    "Python worker exited unexpectedly",
+)
+
+# Audit trail: every transient retry taken, newest last. bench.py
+# folds the count + messages into its sidecar so a retry can never
+# silently hide flakiness from the round record.
+TRANSIENT_RETRY_EVENTS: list[str] = []
+
+
+def _is_transient_worker_failure(exc: BaseException) -> bool:
+    """True iff ``exc`` (or any exception in its cause/context chain)
+    carries a known transient worker-spawn signature."""
+    seen: set[int] = set()
+    stack: list[BaseException | None] = [exc]
+    while stack:
+        e = stack.pop()
+        if e is None or id(e) in seen:
+            continue
+        seen.add(id(e))
+        msg = str(e)
+        if any(p in msg for p in TRANSIENT_WORKER_PATTERNS):
+            return True
+        stack.append(e.__cause__)
+        stack.append(e.__context__)
+    return False
+
+
 def replay_stream(
     df: DataFrame,
     batch_col: str,
@@ -87,6 +126,7 @@ def replay_stream(
     output_mode: str = "append",
     extra_conf: dict[str, str] | None = None,
     no_data_batches: bool = True,
+    max_transient_retries: int = 1,
 ) -> DataFrame:
     """Replay ``df`` through a REAL streaming query, one micro-batch
     per ``batch_col`` value; ``build(stream_df)`` supplies the
@@ -104,7 +144,44 @@ def replay_stream(
     watermark-free processor it emits nothing and costs a full
     trigger (~30% of a 3-batch replay; rows verified identical).
     Watermarked replays (append windows, dropDuplicatesWithin
-    Watermark, event-time timers) MUST keep it."""
+    Watermark, event-time timers) MUST keep it.
+
+    ``max_transient_retries``: bounded retries (default 1) taken ONLY
+    when the failure matches a transient Python-worker-spawn
+    signature (``TRANSIENT_WORKER_PATTERNS``). Each attempt gets
+    FRESH source + checkpoint directories — the failed query may
+    have committed offsets, so resuming the old checkpoint could
+    skip batches. Every retry is appended to
+    ``TRANSIENT_RETRY_EVENTS`` for the bench sidecar; any other
+    exception, or a second consecutive transient failure, propagates
+    unchanged."""
+    for attempt in range(max_transient_retries + 1):
+        try:
+            return _replay_stream_once(
+                df, batch_col, build, output_mode, extra_conf,
+                no_data_batches,
+            )
+        except Exception as e:  # noqa: BLE001 - filtered just below
+            if (
+                attempt < max_transient_retries
+                and _is_transient_worker_failure(e)
+            ):
+                TRANSIENT_RETRY_EVENTS.append(
+                    f"{type(e).__name__}: {str(e)[:200]}"
+                )
+                continue
+            raise
+    raise AssertionError("unreachable")  # pragma: no cover
+
+
+def _replay_stream_once(
+    df: DataFrame,
+    batch_col: str,
+    build,
+    output_mode: str,
+    extra_conf: dict[str, str] | None,
+    no_data_batches: bool,
+) -> DataFrame:
     spark = df.sparkSession
     src = tempfile.mkdtemp(prefix="replay_src_")
     ckpt = tempfile.mkdtemp(prefix="replay_ckpt_")
