@@ -6872,89 +6872,90 @@ def entry(spark: SparkSession) -> DataFrame:
     return _zonal("reliability")(spark, "/root/testdata/sf0.001")
 
 
-# Driver-visibility rotation (VERDICT r03 #6 / r04 #1 / r05 #1 /
-# r06 #1 / r07 #1): the driver's correctness artifact records only
-# the FIRST 50 registry entries. Round 8 CLOSES the drain — after
-# this window every one of the 293 queries has a green driver hash
-# whose check postdates its current plan. Composition (exactly 50):
-#   - 11 changed-path re-checks: the asof struct-carry + NULL-probe
-#     fix this round (asof_join, asof_forward_tolerance), the r7
-#     scd NULL-key fixes (cdc_apply, snapshot_diff — also a first
-#     check, pit_enrich), the r7 msr even-split un-hint
-#     (msr_pipeline, request_lifecycle), the r7 glm degenerate-input
-#     guard (logreg_fit, logreg_calibration), and the two r8 perf
-#     items (entity_resolution, blocking_eval).
-#   - 16 never-driver-checked remainder (chi_square ...
-#     kmeans_clusters; snapshot_diff counted above).
-#   - 16 rolled-forward r6-wave changed-path survivors (t_closeness
-#     ... queue_timeline) whose last check predates the r6 latent
-#     fixes.
-#   - 7 events_* plans last checked r3/r4, touched by the r6
-#     null-guard/schedule work.
-# Known residual: markov_ksteps (r5-checked, r6 refactor was
-# plan-identical and its twin event_transitions re-checked green
-# r7) — next free slot.
-_ROTATION_R8 = [
-    # -- changed-path re-checks: this round's asof fix first --
-    "asof_join",
-    "asof_forward_tolerance",
-    "cdc_apply",
-    "snapshot_diff",
-    "pit_enrich",
-    "msr_pipeline",
-    "request_lifecycle",
-    "logreg_fit",
-    "logreg_calibration",
-    "entity_resolution",
-    "blocking_eval",
-    # -- never driver-checked (closes coverage to 293/293) --
-    "chi_square",
-    "attribution",
-    "log_as_of",
-    "quantile_norm",
-    "target_encode",
-    "mmr_select",
-    "phrase_search",
-    "k_core",
-    "skyline_frontier",
-    "bfs_reach",
-    "bom_explode",
-    "l_diversity",
-    "dp_noisy_counts",
-    "nb_classify",
-    "bm25_retrieval",
-    "kmeans_clusters",
-    # -- r6-wave changed-path re-checks (rolled forward) --
-    "t_closeness",
-    "mutual_info",
-    "domain_caps",
-    "knn_classify",
-    "gini_orders",
-    "itemsets3",
-    "basket_pairs",
-    "dedup_exact",
-    "kmv_set_ops",
-    "dedup_embedding_lsh",
-    "similarity_cosine_topk",
-    "similarity_lsh_topk",
-    "similarity_ivf_topk",
-    "similarity_pq_topk",
-    "raster_file_zonal",
-    "queue_timeline",
-    # -- stale events_* plans (last checked r3/r4) --
-    "events_quality_window",
-    "events_running_totals",
-    "events_topk_stream",
-    "events_bucket_stream",
-    "events_session_flush",
-    "events_tumbling",
-    "events_sliding",
+# Driver-visibility rotation (VERDICT r03 #6 ... r08 #2-#4): the
+# driver's correctness artifact records only the FIRST 50 registry
+# entries. Cumulative coverage closed at 293/293 in round 8; from
+# round 9 on the STANDING WINDOW POLICY is:
+#   1. queries NEW this round (first driver check) at the very head;
+#   2. changed-path re-checks — any query whose plan or shared code
+#      changed since its latest driver hash;
+#   3. remaining slots drain OLDEST-DRIVER-HASH-FIRST, which bounds
+#      worst-case staleness at ~3 rounds (50 slots / 293 queries).
+# Round-9 composition (exactly 50):
+#   - 4 new registrations (the r8-built preference/labeling ops,
+#     pre-verified with the driver's own comparison at sf0.001 +
+#     sf0.01, tests/test_r9_queue.py): bt_strengths, bucket_plan,
+#     label_agreement, rater_reliability.
+#   - 3 changed-path re-checks: fuzzy_name_pairs (drv r4) and
+#     snb_pairs (drv r7) consume the r8 edit1_pairs hashed-band
+#     rewrite (operators/fuzzyjoin.py); markov_ksteps (drv r5,
+#     r6 plan-identical refactor never re-hashed).
+#   - 13 queries whose latest driver hash is round 1, then 25 whose
+#     latest is round 2 (computed from the CORRECTNESS_r0* union),
+#     alphabetical within each age class.
+#   - 5 oldest round-3 hashes (alphabetical) fill the tail.
+_ROTATION_R9 = [
+    # -- new this round: first driver check --
+    "bt_strengths",
+    "bucket_plan",
+    "label_agreement",
+    "rater_reliability",
+    # -- changed-path re-checks --
+    "fuzzy_name_pairs",
+    "snb_pairs",
+    "markov_ksteps",
+    # -- oldest driver hashes: round 1 --
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "doc_fingerprint",
+    "minhash_signatures",
+    "multimodal_decode",
+    "multimodal_frame_sample",
+    "text_lang_id",
+    "text_quality",
+    "window_running",
+    "window_topk",
+    "zonal_salted_mean",
+    "zonal_spatial_join",
+    # -- round-2 driver hashes --
+    "cache_anti_join",
+    "catalog_join",
+    "except_distinct",
+    "intersect_distinct",
+    "point_lookup",
+    "queue_scan",
+    "release_filters",
+    "scalar_functions",
+    "semi_join",
+    "temporal_sort",
+    "two_phase_poll",
+    "union_distinct",
+    "wide_merge",
+    "zonal_categorical",
+    "zonal_majority",
+    "zonal_median",
+    "zonal_minority",
+    "zonal_mode",
+    "zonal_percentile_25",
+    "zonal_range",
+    "zonal_reliability",
+    "zonal_std",
+    "zonal_unique",
+    "zonal_var",
+    "zonal_weighted_sum",
+    # -- oldest round-3 hashes (tail fill) --
+    "approx_stats",
+    "bloom_semi_filter",
+    "bpe_merges",
+    "cms_heavy_hitters",
+    "containment_dedup",
     # ---- driver window boundary (first 50 above) ----
 ]
 
 
 def _rotate(full: dict) -> dict:
-    head = {k: full[k] for k in _ROTATION_R8 if k in full}
+    head = {k: full[k] for k in _ROTATION_R9 if k in full}
     return head | {k: v for k, v in full.items() if k not in head}
 
 
@@ -7063,6 +7064,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_clusters": q_kmeans_clusters,
         "corpus_pipeline_v2": q_corpus_pipeline_v2,
         "agg_delta_retract": q_agg_delta_retract,
+        # --- round-9 additions (preference/labeling QC, built r8) ---
+        "bt_strengths": q_bt_strengths,
+        "bucket_plan": q_bucket_plan,
+        "label_agreement": q_label_agreement,
+        "rater_reliability": q_rater_reliability,
         # --- round-4 additions ---
         "join_delta_retract": q_join_delta_retract,
         "events_running_totals": q_events_running_totals,
@@ -13114,6 +13120,12 @@ QUALIFY ROW_NUMBER() OVER (
           ON k.vec_id = s.doc_id
     """
     )
+    # round-9 registrations (preference/labeling QC, built + verified
+    # with the driver's own comparison in r8: tests/test_r9_queue.py)
+    out["bt_strengths"] = _bt_strengths_sql()
+    out["bucket_plan"] = _bucket_plan_sql()
+    out["label_agreement"] = _label_agreement_sql()
+    out["rater_reliability"] = _rater_reliability_sql()
     try:
         out["approx_stats"] = _approx_stats_sql()
     except ValueError:

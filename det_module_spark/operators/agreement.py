@@ -15,9 +15,12 @@ BIGINTs; the two ratios are reported in ppm via integer division, and
     kappa_ppm = (po_ppm - pe_ppm)·1e6 div (1e6 - pe_ppm)
 
 — one integer division of exact integers, no float anywhere. The ppm
-quantization loses < 1e-6 per ratio (far below any labeling noise);
-the division-free po/pe terms stay exact. pe_ppm = 1e6 (raters
-constant and equal — κ undefined, 0/0) returns NULL kappa_ppm.
+quantization of po loses < 1e-6; pe's two-step division (below)
+floors twice, so pe_ppm can sit up to ~1 ppm per CATEGORY below the
+real ratio (C ppm total) — far below any labeling noise, and
+cross-engine parity is unaffected since both engines evaluate the
+identical expression. pe_ppm = 1e6 (raters constant and equal — κ
+undefined, 0/0) returns NULL kappa_ppm.
 
 Magnitudes: po's product stays ≤ n·1e6, but pe's naive cross term
 n_a,c·n_b,c grows as n² and overflows BIGINT past n ≈ 3e9 rows per

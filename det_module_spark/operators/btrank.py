@@ -28,6 +28,14 @@ Spark and DuckDB alike. The max(1, ·) clamp keeps an all-losing
 player's θ positive (the MM denominator needs θ_i+θ_j > 0); a zero
 denominator (every term underflowing QT) keeps the previous θ.
 
+The precondition is ENFORCED, not just documented (ADVICE r8): any
+per-player win count or per-pair game count above
+``OVERFLOW_LIMIT = (2^63−1) div (Q·QT)`` (≈9.2e8) raises via a
+distributed ``raise_error`` guard in the plan — in non-ANSI Spark a
+BIGINT product wraps silently while DuckDB errors, so without the
+guard the two engines would silently diverge at scale instead of
+failing loudly.
+
 The gauge (global scale of θ) is NOT normalized between rounds: a
 fixed-round quantized fit must be bit-reproducible, and any ratio
 θ_i/θ_j — the only thing the model defines — is gauge-free.
@@ -40,6 +48,27 @@ from pyspark.sql import functions as F
 
 Q = 1_000_000  # θ quantization: θ_real ≈ theta_q / Q
 QT = 10_000  # per-pair term quantization before the exact sum
+
+# Largest per-player win count / per-pair game count for which the
+# W·QT·Q and n·Q·QT products stay exact BIGINT (≈9.2e8 games).
+OVERFLOW_LIMIT = (2**63 - 1) // (Q * QT)
+
+
+def _overflow_guard(col: str, what: str, limit: int):
+    """Pass ``col`` through unchanged, raising from the executors if
+    it exceeds ``limit`` — the magnitude past which the quantized MM
+    products would wrap BIGINT (silently, in non-ANSI Spark)."""
+    return F.when(
+        F.col(col) > F.lit(limit),
+        F.raise_error(
+            F.concat(
+                F.lit(f"bt_strengths: {what} overflow: "),
+                F.col(col).cast("string"),
+                F.lit(f" > {limit}; the quantized MM products would "
+                      "exceed BIGINT — reduce Q/QT or shard the fit"),
+            )
+        ).cast("long"),
+    ).otherwise(F.col(col))
 
 
 def bt_pair_stats(
@@ -72,10 +101,14 @@ def bt_strengths(
     winner: str = "winner",
     loser: str = "loser",
     rounds: int = 3,
+    overflow_limit: int = OVERFLOW_LIMIT,
 ) -> DataFrame:
     """→ (player, theta_q BIGINT, wins BIGINT, games BIGINT), one row
     per player appearing in any comparison, θ from ``rounds`` exact
     integer MM updates (init θq = Q for everyone).
+    ``overflow_limit`` (tests lower it) gates the BIGINT-exactness
+    precondition: wins/games-per-pair beyond it raise loudly instead
+    of wrapping.
 
     Scale shape per round: games ⋈ θ (twice, equi-joins on player),
     a two-way union, one hash aggregation per player, θ re-joined —
@@ -84,7 +117,12 @@ def bt_strengths(
     window, no float.
     """
     games, wins = bt_pair_stats(comparisons, winner, loser)
-    games = games.localCheckpoint(eager=True)
+    games = games.withColumn(
+        "n", _overflow_guard("n", "games-per-pair", overflow_limit)
+    ).localCheckpoint(eager=True)
+    wins = wins.withColumn(
+        "w", _overflow_guard("w", "wins", overflow_limit)
+    )
     players = (
         games.select(F.col("lo").alias("player"))
         .unionByName(games.select(F.col("hi").alias("player")))

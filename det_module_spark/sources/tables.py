@@ -124,15 +124,24 @@ def write_bucketed(
     n_buckets: int = 32,
     sort_by: str | None = None,
     mode: str = "overwrite",
+    max_records_per_file: int | None = None,
 ) -> None:
     """Bucketed table: pre-shuffles data by join key at write time so
     later joins/aggregations on that key are exchange-free (both sides
     bucketed by the same key and count -> zero-shuffle sort-merge
     join). This is the 'pay the shuffle once' strategy for fact-fact
-    joins repeated across a workload."""
+    joins repeated across a workload.
+
+    ``max_records_per_file`` caps file size via the PER-WRITE
+    ``maxRecordsPerFile`` option — scoped to this writer only, so
+    concurrent jobs sharing the SparkSession never observe it
+    (ADVICE r8: the previous session-conf round-trip raced under the
+    bench's concurrent streams)."""
     w = df.write.mode(mode).bucketBy(n_buckets, bucket_by)
     if sort_by:
         w = w.sortBy(sort_by)
+    if max_records_per_file is not None:
+        w = w.option("maxRecordsPerFile", str(max_records_per_file))
     w.format("parquet").saveAsTable(table)
 
 
@@ -239,20 +248,16 @@ def write_bucketed_spill_aware(
             stacklevel=2,
         )
 
-    spark = df.sparkSession
-    conf_key = "spark.sql.files.maxRecordsPerFile"
-    prev = spark.conf.get(conf_key, "0")
+    # per-write option, not session conf: a concurrent job in the same
+    # SparkSession must never race on (or pick up) this value
     rows_per_file = max(
         1, int(target_bucket_bytes // max(1.0, est_row_bytes))
     )
-    spark.conf.set(conf_key, str(rows_per_file))
-    try:
-        write_bucketed(
-            df, table, bucket_by,
-            n_buckets=n_buckets, sort_by=sort_by, mode=mode,
-        )
-    finally:
-        spark.conf.set(conf_key, prev)
+    write_bucketed(
+        df, table, bucket_by,
+        n_buckets=n_buckets, sort_by=sort_by, mode=mode,
+        max_records_per_file=rows_per_file,
+    )
     return {
         "n_rows": n_rows,
         "est_row_bytes": round(est_row_bytes, 1),

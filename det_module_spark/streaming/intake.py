@@ -232,7 +232,8 @@ def track_request_completion_tws(
 ) -> DataFrame:
     """``track_request_completion`` on transformWithStateInPandas —
     identical input/output contract (same COMPLETION_SCHEMA, same
-    emission rules; equivalence pinned by test_streaming_state.py)."""
+    emission rules; equivalence + timer-eviction semantics pinned by
+    tests/test_intake_tws.py)."""
     _ship_fallback(item_events.sparkSession)
     return item_events.groupBy("request_id").transformWithStateInPandas(
         statefulProcessor=RequestCompletionProcessor(idle_timeout_ms),

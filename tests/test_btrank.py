@@ -76,3 +76,22 @@ def test_bt_symmetric_players_tie_exactly(spark):
         for r in bt_strengths(comps, rounds=4).collect()
     }
     assert theta[1] == theta[2]
+
+
+def test_bt_overflow_guard_raises_loudly(spark):
+    # ADVICE r8: past the BIGINT-exactness precondition the fit must
+    # FAIL, not silently wrap (DuckDB would error; non-ANSI Spark
+    # wraps). Lower the limit so 5 games-per-pair trips it.
+    import pytest as _pytest
+
+    from det_module_spark.operators.btrank import OVERFLOW_LIMIT
+
+    assert OVERFLOW_LIMIT == (2**63 - 1) // (10**6 * 10**4)
+    comps = spark.createDataFrame(
+        [(1, 2)] * 5, "winner long, loser long"
+    )
+    with _pytest.raises(Exception, match="overflow"):
+        bt_strengths(comps, rounds=1, overflow_limit=4).collect()
+    # at the boundary itself the guard stays silent
+    out = bt_strengths(comps, rounds=1, overflow_limit=5).collect()
+    assert {r["player"] for r in out} == {1, 2}

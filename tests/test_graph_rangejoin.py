@@ -185,3 +185,30 @@ def test_connected_components_randomized_vs_union_find(spark):
         touched = {v for e in edges for v in e}
         want = {v: want_all[v] for v in touched}
         assert got == want, f"CC mismatch on case n={n_nodes}"
+
+
+@pytest.mark.parametrize("cadence", [2, 3])
+def test_connected_components_lazy_stride_equals_cadence1(spark, cadence):
+    # ADVICE r8: the checkpoint_every>1 lazy-stride path was never
+    # executed by CI (default cadence 1). A long chain forces multiple
+    # pointer-jumping rounds so strides actually span checkpoints, and
+    # the deeply self-referential lazy plans (labels ⋈ sym repeatedly)
+    # must neither trip analyzer self-join ambiguity nor change the
+    # fixpoint. A 16-node path has diameter 15 → ~4 doubling rounds.
+    chain = [(i, i + 1) for i in range(1, 16)]
+    extra = [(30, 31), (31, 32), (40, 41)]
+    edges = spark.createDataFrame(
+        [Row(id_a=a, id_b=b) for a, b in chain + extra]
+    )
+    base = {
+        r["id"]: r["component"]
+        for r in connected_components(edges, checkpoint_every=1).collect()
+    }
+    strided = {
+        r["id"]: r["component"]
+        for r in connected_components(
+            edges, checkpoint_every=cadence
+        ).collect()
+    }
+    assert strided == base
+    assert base[15] == 1 and base[32] == 30 and base[41] == 40
