@@ -6689,14 +6689,11 @@ def q_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------
 
 
-def q_bt_strengths(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Bradley-Terry preference fit (operators/btrank.py): comparisons
-    # synthesized from lineitem — within each order, every pair of
-    # line numbers with distinct suppliers and distinct prices is one
-    # "game", won by the pricier line's supplier. 3 exact integer MM
-    # rounds; output one (player, theta_q, wins, games) per supplier.
-    from det_module_spark.operators.btrank import bt_strengths
-
+def _supplier_comps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # preference "games" synthesized from lineitem — within each
+    # order, every pair of line numbers with distinct suppliers and
+    # distinct prices is one game, won by the pricier line's supplier
+    # (shared by bt_strengths and elo_ratings; SQL twin below)
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_linenumber", "l_suppkey", "l_extendedprice"
     )
@@ -6712,7 +6709,7 @@ def q_bt_strengths(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_suppkey").alias("sk_b"),
         F.col("l_extendedprice").alias("pr_b"),
     )
-    comps = (
+    return (
         a.join(b, "ok")
         .filter(F.col("ln_a") < F.col("ln_b"))
         .filter(
@@ -6728,13 +6725,9 @@ def q_bt_strengths(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("loser"),
         )
     )
-    return bt_strengths(comps, rounds=3).orderBy("player")
 
 
-def _bt_strengths_sql() -> str:
-    from det_module_spark.operators.btrank import bt_sql
-
-    comps = """
+_SUPPLIER_COMPS_SQL = """
       SELECT CASE WHEN a.l_extendedprice > b.l_extendedprice
                   THEN a.l_suppkey ELSE b.l_suppkey END AS winner,
              CASE WHEN a.l_extendedprice > b.l_extendedprice
@@ -6744,7 +6737,121 @@ def _bt_strengths_sql() -> str:
        AND a.l_linenumber < b.l_linenumber
       WHERE a.l_suppkey <> b.l_suppkey
         AND a.l_extendedprice <> b.l_extendedprice"""
-    return bt_sql(comps, rounds=3)
+
+
+def q_bt_strengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Bradley-Terry preference fit (operators/btrank.py) over the
+    # synthesized supplier games. 3 exact integer MM rounds; output
+    # one (player, theta_q, wins, games) per supplier.
+    from det_module_spark.operators.btrank import bt_strengths
+
+    comps = _supplier_comps(spark, sf_dir)
+    return bt_strengths(comps, rounds=3).orderBy("player")
+
+
+def _bt_strengths_sql() -> str:
+    from det_module_spark.operators.btrank import bt_sql
+
+    return bt_sql(_SUPPLIER_COMPS_SQL, rounds=3)
+
+
+def q_elo_ratings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # batched Elo (operators/btrank.py elo_ratings) over the same
+    # supplier games as bt_strengths — the online-rating sibling: two
+    # synchronous K=32 passes, BIGINT milli-point ratings, the
+    # logistic expectation quantized to basis points before any
+    # arithmetic (docstring has the 1-ulp analysis).
+    from det_module_spark.operators.btrank import elo_ratings
+
+    comps = _supplier_comps(spark, sf_dir)
+    return elo_ratings(comps, rounds=2).orderBy("player")
+
+
+def _elo_ratings_sql() -> str:
+    from det_module_spark.operators.btrank import elo_sql
+
+    return elo_sql(_SUPPLIER_COMPS_SQL, rounds=2)
+
+
+def q_krippendorff_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Krippendorff's alpha (operators/agreement.py) — kappa's
+    # missing-label generalization, over the three deterministic
+    # order "raters" WITH deterministic abstentions (priority rater
+    # skips o_orderkey%11=0, price skips %13=0, parity skips %7=0) so
+    # unpairable units and per-unit m in {1,2,3} all exercise; the
+    # price rater uses three categories (cold/warm/hot) so D_e sums
+    # over a real category distribution.
+    from det_module_spark.operators.agreement import krippendorff_alpha
+
+    o = load_table(spark, sf_dir, "orders")
+    item = F.col("o_orderkey").alias("item")
+    votes = (
+        o.select(
+            item,
+            F.when(
+                F.col("o_orderkey") % 11 == 0, F.lit(None).cast("string")
+            )
+            .when(
+                F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), "hot"
+            )
+            .otherwise("cold")
+            .alias("label"),
+        )
+        .unionByName(
+            o.select(
+                item,
+                F.when(
+                    F.col("o_orderkey") % 13 == 0,
+                    F.lit(None).cast("string"),
+                )
+                .when(F.col("o_totalprice") > 200000.0, "hot")
+                .when(F.col("o_totalprice") < 100000.0, "cold")
+                .otherwise("warm")
+                .alias("label"),
+            )
+        )
+        .unionByName(
+            o.select(
+                item,
+                F.when(
+                    F.col("o_orderkey") % 7 == 0,
+                    F.lit(None).cast("string"),
+                )
+                .when(F.col("o_orderkey") % 2 == 0, "hot")
+                .otherwise("cold")
+                .alias("label"),
+            )
+        )
+    )
+    return krippendorff_alpha(votes)
+
+
+def _krippendorff_alpha_sql() -> str:
+    from det_module_spark.operators.agreement import (
+        krippendorff_alpha_sql,
+    )
+
+    return krippendorff_alpha_sql(
+        """
+      SELECT o_orderkey AS item,
+             CASE WHEN o_orderkey % 11 = 0 THEN NULL
+                  WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  THEN 'hot' ELSE 'cold' END AS label
+      FROM orders
+      UNION ALL
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 13 = 0 THEN NULL
+                  WHEN o_totalprice > 200000.0 THEN 'hot'
+                  WHEN o_totalprice < 100000.0 THEN 'cold'
+                  ELSE 'warm' END
+      FROM orders
+      UNION ALL
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                  WHEN o_orderkey % 2 = 0 THEN 'hot'
+                  ELSE 'cold' END
+      FROM orders"""
+    )
 
 
 def q_bucket_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6900,6 +7007,8 @@ _ROTATION_R9 = [
     "bucket_plan",
     "label_agreement",
     "rater_reliability",
+    "elo_ratings",
+    "krippendorff_alpha",
     # -- changed-path re-checks --
     "fuzzy_name_pairs",
     "snb_pairs",
@@ -6948,8 +7057,6 @@ _ROTATION_R9 = [
     "approx_stats",
     "bloom_semi_filter",
     "bpe_merges",
-    "cms_heavy_hitters",
-    "containment_dedup",
     # ---- driver window boundary (first 50 above) ----
 ]
 
@@ -7069,6 +7176,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bucket_plan": q_bucket_plan,
         "label_agreement": q_label_agreement,
         "rater_reliability": q_rater_reliability,
+        # --- round-9 built: online rating + missing-label agreement ---
+        "elo_ratings": q_elo_ratings,
+        "krippendorff_alpha": q_krippendorff_alpha,
         # --- round-4 additions ---
         "join_delta_retract": q_join_delta_retract,
         "events_running_totals": q_events_running_totals,
@@ -13126,6 +13236,8 @@ QUALIFY ROW_NUMBER() OVER (
     out["bucket_plan"] = _bucket_plan_sql()
     out["label_agreement"] = _label_agreement_sql()
     out["rater_reliability"] = _rater_reliability_sql()
+    out["elo_ratings"] = _elo_ratings_sql()
+    out["krippendorff_alpha"] = _krippendorff_alpha_sql()
     try:
         out["approx_stats"] = _approx_stats_sql()
     except ValueError:

@@ -134,6 +134,129 @@ def cohens_kappa_sql(labels_sql: str) -> str:
     FROM totals t CROSS JOIN pe"""
 
 
+def krippendorff_alpha(
+    votes: DataFrame,
+    item: str = "item",
+    label: str = "label",
+) -> DataFrame:
+    """Krippendorff's alpha (nominal metric) over a LONG-format vote
+    table — the generalization of Cohen's kappa to ANY number of
+    raters with MISSING labels (the usual shape of a crowd/AI
+    labeling run: each item sees an arbitrary subset of raters).
+    NULL labels are dropped; units with < 2 labels are unpairable and
+    excluded, per the standard estimator. → one row, all BIGINT:
+    (n_units, n_pairable, do_ppm, de_ppm, alpha_ppm).
+
+        D_o = Σ_u Σ_c n_uc·(m_u − n_uc)/(m_u − 1) / n
+        D_e = Σ_c n_c·(n − n_c) / (n·(n − 1))
+        α   = 1 − D_o/D_e
+
+    with m_u = labels on unit u, n_uc = count of category c on u,
+    n = Σ m_u over pairable units, n_c = Σ_u n_uc. Exact-integer ppm
+    contract (ROUND_NOTES playbook #10): every ratio is a two-step
+    BIGINT division evaluated identically in Spark (``div``) and
+    DuckDB (``//``) — both truncate toward zero, verified for the
+    negative-α case (systematic disagreement) by test. Like
+    :func:`cohens_kappa`'s pe, the double flooring costs up to ~1 ppm
+    per category; D_e's n_c·(n−n_c) cross term is computed as
+    ((n_c·1e6 div n)·(n−n_c)) div (n−1) so every intermediate stays
+    ≤ n·1e6 (exact BIGINT to n ≈ 9e12 pairable labels). α = 1 means
+    do_ppm = 0; de_ppm = 0 (all labels one category — α undefined)
+    returns NULL alpha_ppm.
+
+    Scale shape: two hash aggregations per (item,label)→item, one
+    per category, 1-row scalar crossJoins — work ∝ items + distinct
+    labels; no window, no collect, no float.
+    """
+    v = votes.filter(F.col(label).isNotNull()).select(
+        F.col(item).alias("item"),
+        F.col(label).cast("string").alias("label"),
+    )
+    ucounts = v.groupBy("item", "label").agg(
+        F.count(F.lit(1)).cast("long").alias("nuc")
+    )
+    um = ucounts.groupBy("item").agg(
+        F.sum("nuc").cast("long").alias("m")
+    )
+    pair_lab = ucounts.join(um, "item").filter(F.col("m") >= 2)
+    totals = pair_lab.groupBy().agg(
+        F.count_distinct(F.col("item")).cast("long").alias("n_pairable"),
+        F.sum("nuc").cast("long").alias("n"),
+        F.sum(
+            F.expr(f"(nuc * (m - nuc) * {PPM}L) div (m - 1)")
+        ).cast("long").alias("do_num_ppm"),
+    )
+    all_units = v.select(
+        F.count_distinct(F.col("item")).cast("long").alias("n_units")
+    )
+    ncat = (
+        pair_lab.groupBy("label")
+        .agg(F.sum("nuc").cast("long").alias("nc"))
+        .crossJoin(totals.select("n"))
+        .agg(
+            F.sum(
+                F.expr(f"((nc * {PPM}L div n) * (n - nc)) div (n - 1)")
+            ).cast("long").alias("de_ppm")
+        )
+    )
+    return (
+        totals.crossJoin(ncat)
+        .crossJoin(all_units)
+        .select(
+            "n_units",
+            "n_pairable",
+            F.expr("do_num_ppm div n").alias("do_ppm"),
+            "de_ppm",
+            F.when(
+                F.col("de_ppm") > 0,
+                F.expr(
+                    f"(de_ppm - do_num_ppm div n) * {PPM}L div de_ppm"
+                ),
+            )
+            .cast("long")
+            .alias("alpha_ppm"),
+        )
+    )
+
+
+def krippendorff_alpha_sql(votes_sql: str) -> str:
+    """DuckDB twin — identical integer algebra. ``votes_sql`` must
+    produce columns (item, label)."""
+    return f"""
+    WITH v AS (
+      SELECT item, CAST(label AS VARCHAR) AS label
+      FROM ({votes_sql}) WHERE label IS NOT NULL),
+    ucounts AS (
+      SELECT item, label, CAST(COUNT(*) AS BIGINT) AS nuc
+      FROM v GROUP BY 1, 2),
+    um AS (SELECT item, CAST(SUM(nuc) AS BIGINT) AS m
+           FROM ucounts GROUP BY 1),
+    pair_lab AS (
+      SELECT u.item, u.label, u.nuc, m.m
+      FROM ucounts u JOIN um m USING (item) WHERE m.m >= 2),
+    totals AS (
+      SELECT CAST(COUNT(DISTINCT item) AS BIGINT) AS n_pairable,
+             CAST(SUM(nuc) AS BIGINT) AS n,
+             CAST(SUM((nuc * (m - nuc) * {PPM}) // (m - 1)) AS BIGINT)
+               AS do_num_ppm
+      FROM pair_lab),
+    all_units AS (
+      SELECT CAST(COUNT(DISTINCT item) AS BIGINT) AS n_units FROM v),
+    ncat AS (
+      SELECT CAST(SUM(((nc * {PPM} // n) * (n - nc)) // (n - 1))
+                  AS BIGINT) AS de_ppm
+      FROM (SELECT label, CAST(SUM(nuc) AS BIGINT) AS nc
+            FROM pair_lab GROUP BY 1) CROSS JOIN totals)
+    SELECT a.n_units, t.n_pairable,
+           CAST(t.do_num_ppm // t.n AS BIGINT) AS do_ppm,
+           c.de_ppm,
+           CAST(CASE WHEN c.de_ppm > 0
+                THEN (c.de_ppm - t.do_num_ppm // t.n) * {PPM}
+                     // c.de_ppm
+                ELSE NULL END AS BIGINT) AS alpha_ppm
+    FROM totals t CROSS JOIN ncat c CROSS JOIN all_units a"""
+
+
 def consensus_labels(
     votes: DataFrame,
     item: str = "item",

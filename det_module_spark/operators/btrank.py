@@ -194,6 +194,226 @@ def bt_strengths(
     )
 
 
+ELO_INIT_MILLI = 1_500_000  # 1500.000 rating points
+ELO_K_MILLI = 32_000  # classic K = 32, in milli-points
+
+
+def elo_ratings(
+    comparisons: DataFrame,
+    winner: str = "winner",
+    loser: str = "loser",
+    rounds: int = 2,
+    k_milli: int = ELO_K_MILLI,
+) -> DataFrame:
+    """Batched (mini-batch) Elo — the online sibling of
+    :func:`bt_strengths`: instead of the MM fixed point, ``rounds``
+    synchronous passes of the Elo update
+
+        Δ_i = K · Σ_j (w_ij − n_ij·E_ij),
+        E_ij = 1 / (1 + 10^((r_j − r_i)/400))
+
+    applied once per round from the round-START ratings (all players
+    init 1500). Sequential per-game Elo is a fold over the log —
+    inherently serial, un-distributable; the batched form is the
+    standard large-scale practice (one join + one aggregation per
+    round, work ∝ distinct pairs) and converges to the same ordering
+    on stationary data. → (player, rating_milli, wins, games), one
+    row per player; self-games (winner == loser) are dropped.
+
+    Numeric contract: ratings are BIGINT milli-points. The ONLY
+    float is the logistic expectation, immediately quantized to
+    basis points: e_bp = FLOOR(1e4/(1 + 10^(d_milli/400000.0)) + .5)
+    with d_milli an exact integer — the same double expression in
+    Spark and DuckDB. pow may differ by 1 ulp between libms, which
+    flips e_bp only when the logistic sits within ~1e-12 of a
+    half-basis-point boundary (probability ~1e-12 per pair-round;
+    parity-swept). Everything after e_bp is exact BIGINT:
+    Δ_milli = (K_milli·(w·1e4 − n·e_bp)) div 1e4. Per-pair deltas
+    are computed independently for each side (they differ by ≤ 1
+    milli from the flooring, not by sign convention).
+
+    Magnitudes: K_milli·n·1e4 ≤ 2^63 needs games-per-pair
+    n ≤ (2^63−1) div (K_milli·1e4) (≈2.9e10 at K=32) — enforced by
+    the same raise_error guard as bt_strengths. Rating drift is
+    bounded by K·rounds, so the d_milli exponent stays small.
+    """
+    c = comparisons.filter(
+        F.col(winner).isNotNull()
+        & F.col(loser).isNotNull()
+        & (F.col(winner) != F.col(loser))
+    )
+    limit = (2**63 - 1) // (k_milli * 10_000)
+    pairs = (
+        c.select(
+            F.least(F.col(winner), F.col(loser)).alias("lo"),
+            F.greatest(F.col(winner), F.col(loser)).alias("hi"),
+            F.when(F.col(winner) < F.col(loser), F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("lo_won"),
+        )
+        .groupBy("lo", "hi")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("lo_won").cast("long").alias("w_lo"),
+        )
+        .withColumn(
+            "n", _overflow_guard("n", "games-per-pair", limit)
+        )
+        .localCheckpoint(eager=True)
+    )
+    players = (
+        pairs.select(F.col("lo").alias("player"))
+        .unionByName(pairs.select(F.col("hi").alias("player")))
+        .distinct()
+    )
+    ratings = players.select(
+        "player", F.lit(ELO_INIT_MILLI).cast("long").alias("rating_milli")
+    ).localCheckpoint(eager=True)
+
+    e_bp = (
+        "CAST(FLOOR(10000.0 / (1.0 + POW(10.0, "
+        "(r_hi - r_lo) / 400000.0)) + 0.5) AS BIGINT)"
+    )
+    for _ in range(rounds):
+        r_lo = ratings.select(
+            F.col("player").alias("lo"), F.col("rating_milli").alias("r_lo")
+        )
+        r_hi = ratings.select(
+            F.col("player").alias("hi"), F.col("rating_milli").alias("r_hi")
+        )
+        terms = (
+            pairs.join(r_lo, "lo")
+            .join(r_hi, "hi")
+            .select(
+                "lo",
+                "hi",
+                "n",
+                "w_lo",
+                F.expr(e_bp).alias("e_lo_bp"),
+            )
+        )
+        deltas = (
+            terms.select(
+                F.col("lo").alias("player"),
+                F.expr(
+                    f"({k_milli}L * (w_lo * 10000L - n * e_lo_bp)) "
+                    "div 10000"
+                ).alias("d"),
+            )
+            .unionByName(
+                terms.select(
+                    F.col("hi").alias("player"),
+                    F.expr(
+                        f"({k_milli}L * ((n - w_lo) * 10000L - "
+                        "n * (10000L - e_lo_bp))) div 10000"
+                    ).alias("d"),
+                )
+            )
+            .groupBy("player")
+            .agg(F.sum("d").cast("long").alias("delta"))
+        )
+        ratings = (
+            ratings.join(deltas, "player", "left")
+            .select(
+                "player",
+                (
+                    F.col("rating_milli")
+                    + F.coalesce(F.col("delta"), F.lit(0))
+                )
+                .cast("long")
+                .alias("rating_milli"),
+            )
+            .localCheckpoint(eager=True)
+        )
+
+    wins = (
+        pairs.select(F.col("lo").alias("player"), F.col("w_lo").alias("w"))
+        .unionByName(
+            pairs.select(
+                F.col("hi").alias("player"),
+                (F.col("n") - F.col("w_lo")).alias("w"),
+            )
+        )
+        .groupBy("player")
+        .agg(F.sum("w").cast("long").alias("wins"))
+    )
+    games = (
+        pairs.select(F.col("lo").alias("player"), "n")
+        .unionByName(pairs.select(F.col("hi").alias("player"), "n"))
+        .groupBy("player")
+        .agg(F.sum("n").cast("long").alias("games"))
+    )
+    return ratings.join(wins, "player").join(games, "player").select(
+        "player", "rating_milli", "wins", "games"
+    )
+
+
+def elo_sql(
+    comparisons_sql: str, rounds: int = 2, k_milli: int = ELO_K_MILLI
+) -> str:
+    """DuckDB twin of :func:`elo_ratings` — identical algebra, rounds
+    unrolled as CTEs. ``comparisons_sql`` must produce columns
+    (winner, loser)."""
+    sql = f"""WITH c AS (
+  SELECT winner, loser FROM ({comparisons_sql})
+  WHERE winner IS NOT NULL AND loser IS NOT NULL
+    AND winner <> loser),
+pairs AS (
+  SELECT LEAST(winner, loser) AS lo, GREATEST(winner, loser) AS hi,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN winner < loser THEN 1 ELSE 0 END)
+              AS BIGINT) AS w_lo
+  FROM c GROUP BY 1, 2),
+players AS (
+  SELECT lo AS player FROM pairs UNION SELECT hi FROM pairs),
+r0 AS (SELECT player, CAST({ELO_INIT_MILLI} AS BIGINT)
+              AS rating_milli FROM players)"""
+    e_bp = (
+        "CAST(FLOOR(10000.0 / (1.0 + POW(10.0, "
+        "(rh.rating_milli - rl.rating_milli) / 400000.0)) + 0.5) "
+        "AS BIGINT)"
+    )
+    for r in range(1, rounds + 1):
+        p = r - 1
+        sql += f""",
+terms{r} AS (
+  SELECT g.lo, g.hi, g.n, g.w_lo, {e_bp} AS e_lo_bp
+  FROM pairs g
+  JOIN r{p} rl ON rl.player = g.lo
+  JOIN r{p} rh ON rh.player = g.hi),
+deltas{r} AS (
+  SELECT player, CAST(SUM(d) AS BIGINT) AS delta FROM (
+    SELECT lo AS player,
+           ({k_milli} * (w_lo * 10000 - n * e_lo_bp)) // 10000 AS d
+    FROM terms{r}
+    UNION ALL
+    SELECT hi,
+           ({k_milli} * ((n - w_lo) * 10000 -
+                         n * (10000 - e_lo_bp))) // 10000
+    FROM terms{r})
+  GROUP BY player),
+r{r} AS (
+  SELECT r.player,
+         CAST(r.rating_milli + COALESCE(d.delta, 0) AS BIGINT)
+           AS rating_milli
+  FROM r{p} r LEFT JOIN deltas{r} d ON d.player = r.player)"""
+    return (
+        sql
+        + f"""
+SELECT r.player, r.rating_milli, w.wins, g.games
+FROM r{rounds} r
+JOIN (SELECT player, CAST(SUM(w) AS BIGINT) AS wins FROM (
+        SELECT lo AS player, w_lo AS w FROM pairs
+        UNION ALL SELECT hi, n - w_lo FROM pairs)
+      GROUP BY player) w ON w.player = r.player
+JOIN (SELECT player, CAST(SUM(n) AS BIGINT) AS games FROM (
+        SELECT lo AS player, n FROM pairs
+        UNION ALL SELECT hi, n FROM pairs)
+      GROUP BY player) g ON g.player = r.player
+ORDER BY r.player"""
+    )
+
+
 def bt_sql(comparisons_sql: str, rounds: int = 3) -> str:
     """DuckDB twin of :func:`bt_strengths` — identical integer
     algebra, the round chain unrolled as CTEs. ``comparisons_sql``

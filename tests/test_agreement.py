@@ -126,3 +126,107 @@ def test_rater_accuracy_null_votes_dropped(spark):
     v = _votes(spark, [(1, "r1", "y"), (1, "r2", None), (1, "r3", "y")])
     got = {r["rater"] for r in rater_accuracy(v).collect()}
     assert got == {"r1", "r3"}
+
+
+# --- Krippendorff's alpha (round 9) ---
+
+
+def _alpha_rows(spark, rows):
+    from det_module_spark.operators.agreement import krippendorff_alpha
+
+    votes = spark.createDataFrame(
+        rows, "item long, rater string, label string"
+    )
+    return krippendorff_alpha(votes).collect()[0]
+
+
+def test_krippendorff_perfect_agreement(spark):
+    rows = [(i, r, "x" if i % 2 else "y")
+            for i in range(1, 7) for r in ("a", "b", "c")]
+    out = _alpha_rows(spark, rows)
+    assert out["alpha_ppm"] == 1_000_000 and out["do_ppm"] == 0
+    assert out["n_units"] == 6 and out["n_pairable"] == 6
+
+
+def test_krippendorff_missing_labels_vs_float_reference(spark):
+    # 4 raters, missing labels: unit a has a single label
+    # (unpairable). The ppm output must match an independent
+    # pure-Python float evaluation of the standard nominal estimator
+    # to within the documented ~per-category ppm flooring.
+    from collections import Counter, defaultdict
+
+    grid = {
+        "a": {2: "1"},
+        "b": {1: "1", 2: "2", 3: "3", 4: "3"},
+        "c": {1: "2", 2: "3", 3: "3", 4: "3"},
+        "d": {1: "3", 2: "3", 3: "3", 4: "3"},
+        "e": {1: "3", 2: "3", 3: "3", 4: "3"},
+        "f": {1: "2", 2: "2", 3: "2", 4: "2"},
+        "g": {1: "1", 2: "2", 3: "3", 4: "3"},
+        "h": {1: "4", 2: "4", 3: "4", 4: "4"},
+    }
+    rows = [
+        (ord(u) - ord("a"), str(r), lab)
+        for u, labs in grid.items()
+        for r, lab in labs.items()
+    ]
+    units = defaultdict(list)
+    for i, _, lab in rows:
+        units[i].append(lab)
+    pair = {u: ls for u, ls in units.items() if len(ls) >= 2}
+    n = sum(len(ls) for ls in pair.values())
+    do = sum(
+        nuc * (len(ls) - nuc) / (len(ls) - 1)
+        for ls in pair.values()
+        for nuc in Counter(ls).values()
+    ) / n
+    nc = Counter(lab for ls in pair.values() for lab in ls)
+    de = sum(v * (n - v) for v in nc.values()) / (n * (n - 1))
+    expected = 1 - do / de
+
+    out = _alpha_rows(spark, rows)
+    assert out["n_units"] == 8 and out["n_pairable"] == 7
+    assert abs(out["alpha_ppm"] / 1e6 - expected) < 20e-6
+
+
+def test_krippendorff_negative_alpha_matches_duckdb(spark):
+    # systematic disagreement -> negative alpha; pins that Spark div
+    # and DuckDB // agree on negative integer division (truncate
+    # toward zero) through the full expression
+    import duckdb
+
+    from det_module_spark.operators.agreement import (
+        krippendorff_alpha_sql,
+    )
+
+    rows = [(i, r, ("x" if (i + (r == "b")) % 2 else "y"))
+            for i in range(1, 9) for r in ("a", "b")]
+    out = _alpha_rows(spark, rows)
+    assert out["alpha_ppm"] is not None and out["alpha_ppm"] < 0
+    con = duckdb.connect()
+    vals = ", ".join(f"({i}, '{r}', '{l}')" for i, r, l in rows)
+    sql = krippendorff_alpha_sql(
+        f"SELECT * FROM (VALUES {vals}) t(item, rater, label)"
+    )
+    ref = con.execute(sql).fetchone()
+    assert (
+        out["n_units"], out["n_pairable"], out["do_ppm"],
+        out["de_ppm"], out["alpha_ppm"],
+    ) == ref
+
+
+def test_krippendorff_single_category_null_alpha(spark):
+    rows = [(i, r, "same") for i in range(3) for r in ("a", "b")]
+    out = _alpha_rows(spark, rows)
+    assert out["de_ppm"] == 0 and out["alpha_ppm"] is None
+
+
+def test_krippendorff_nulls_and_unpairable_dropped(spark):
+    rows = [
+        (1, "a", "x"), (1, "b", "x"),
+        (2, "a", None),               # null label: dropped
+        (2, "b", "y"),                # unit 2 left with 1 label
+        (3, "a", "y"),                # unpairable
+    ]
+    out = _alpha_rows(spark, rows)
+    assert out["n_units"] == 3 and out["n_pairable"] == 1

@@ -95,3 +95,77 @@ def test_bt_overflow_guard_raises_loudly(spark):
     # at the boundary itself the guard stays silent
     out = bt_strengths(comps, rounds=1, overflow_limit=5).collect()
     assert {r["player"] for r in out} == {1, 2}
+
+
+# --- batched Elo (round 9) ---
+
+
+def test_elo_single_round_hand_computed(spark):
+    # one pair, equal ratings: E = 0.5 exactly (5000 bp). 3 games,
+    # lo wins 2: d_lo = 32000*(2*10000 - 3*5000)//10000 = 16000,
+    # d_hi = 32000*(1*10000 - 3*5000)//10000 = -16000.
+    from det_module_spark.operators.btrank import elo_ratings
+
+    comps = spark.createDataFrame(
+        [(1, 2), (1, 2), (2, 1)], "winner long, loser long"
+    )
+    out = {r["player"]: r for r in elo_ratings(comps, rounds=1).collect()}
+    assert out[1]["rating_milli"] == 1_500_000 + 16_000
+    assert out[2]["rating_milli"] == 1_500_000 - 16_000
+    assert out[1]["wins"] == 2 and out[1]["games"] == 3
+    assert out[2]["wins"] == 1 and out[2]["games"] == 3
+
+
+def test_elo_self_games_dropped_and_nulls(spark):
+    from det_module_spark.operators.btrank import elo_ratings
+
+    comps = spark.createDataFrame(
+        [(1, 2), (3, 3), (None, 2), (1, None)],
+        "winner long, loser long",
+    )
+    out = elo_ratings(comps, rounds=1).collect()
+    assert {r["player"] for r in out} == {1, 2}
+
+
+def test_elo_matches_duckdb_twin(spark):
+    import duckdb
+
+    from det_module_spark.operators.btrank import elo_ratings, elo_sql
+
+    games = [(1, 2)] * 4 + [(2, 1)] * 1 + [(2, 3)] * 3 + [(3, 1)] * 2
+    comps = spark.createDataFrame(games, "winner long, loser long")
+    got = [
+        (r["player"], r["rating_milli"], r["wins"], r["games"])
+        for r in elo_ratings(comps, rounds=3).orderBy("player").collect()
+    ]
+    vals = ", ".join(f"({w}, {l})" for w, l in games)
+    ref = duckdb.connect().execute(
+        elo_sql(f"SELECT * FROM (VALUES {vals}) t(winner, loser)", rounds=3)
+    ).fetchall()
+    assert got == [tuple(r) for r in ref]
+
+
+def test_elo_winner_gains_loser_drops(spark):
+    from det_module_spark.operators.btrank import ELO_INIT_MILLI, elo_ratings
+
+    comps = spark.createDataFrame(
+        [(10, 20)] * 6 + [(20, 30)] * 6, "winner long, loser long"
+    )
+    r = {x["player"]: x["rating_milli"]
+         for x in elo_ratings(comps, rounds=2).collect()}
+    assert r[10] > ELO_INIT_MILLI > r[30]
+    assert r[10] > r[20] > r[30]
+
+
+def test_elo_overflow_guard(spark):
+    import pytest as _pytest
+
+    from det_module_spark.operators.btrank import elo_ratings
+
+    comps = spark.createDataFrame(
+        [(1, 2)] * 3, "winner long, loser long"
+    )
+    # k so large that 3 games-per-pair exceed (2^63-1)//(k*1e4)
+    big_k = (2**63 - 1) // (10_000 * 2)
+    with _pytest.raises(Exception, match="overflow"):
+        elo_ratings(comps, rounds=1, k_milli=big_k).collect()

@@ -96,6 +96,12 @@ ALLOWED_NESTED_LOOP = {
     "logrank_test": "1-row max-day scalar for the censoring edge",
     "rbo_compare": "10-row weight-literal table + 10-row prefix frames",
     "lorenz_deciles": "1-row total-revenue scalar crossed for shares",
+    "bucket_plan": "1-row width/total sizing scalars crossed for the "
+    "report row (layout.bucket_plan)",
+    "label_agreement": "1-row totals + 1-row pe scalar crossed for the "
+    "kappa report row (agreement.cohens_kappa)",
+    "krippendorff_alpha": "1-row totals/de/n_units scalars crossed for "
+    "the alpha report row (agreement.krippendorff_alpha)",
     "corpus_pipeline_v2": "top-k weight-threshold scalar (1 row, via dsir_select)",
 }
 
