@@ -6773,6 +6773,82 @@ def _elo_ratings_sql() -> str:
     return elo_sql(_SUPPLIER_COMPS_SQL, rounds=2)
 
 
+def q_win_rate_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # head-to-head leaderboard table (operators/prefstats.py) over
+    # the supplier games: per unordered pair, games, wins, exact ppm
+    # win rate and IEEE-exact Agresti-Coull (z=2) bounds — the
+    # descriptive table a preference pipeline reads before any
+    # rating fit. min_games=3 keeps 1-game noise rows out.
+    from det_module_spark.operators.prefstats import win_rate_matrix
+
+    comps = _supplier_comps(spark, sf_dir)
+    return win_rate_matrix(comps, min_games=3).orderBy("lo", "hi")
+
+
+def _win_rate_matrix_sql() -> str:
+    from det_module_spark.operators.prefstats import win_rate_matrix_sql
+
+    return win_rate_matrix_sql(_SUPPLIER_COMPS_SQL, min_games=3)
+
+
+def q_length_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # verbosity-bias audit (operators/prefstats.py length_bias):
+    # synthesize doc-vs-doc "preferences" — consecutive doc_ids
+    # compete, the one with more DISTINCT tokens wins (ties dropped)
+    # — then measure how often the longer text wins, by
+    # length-difference bucket. The RLHF QC that catches a
+    # length-correlated labeling artifact.
+    from det_module_spark.operators.prefstats import length_bias
+
+    dw = F.expr(
+        "size(array_distinct(filter(split(text, ' '), x -> x != '')))"
+    )
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.length("text").cast("long").alias("len"),
+        dw.cast("long").alias("dw"),
+    )
+    nxt = docs.select(
+        (F.col("doc_id") - 1).alias("doc_id"),
+        F.col("len").alias("len_b"),
+        F.col("dw").alias("dw_b"),
+    )
+    comps = (
+        docs.join(nxt, "doc_id")
+        .filter(F.col("dw") != F.col("dw_b"))
+        .select(
+            F.when(F.col("dw") > F.col("dw_b"), F.col("len"))
+            .otherwise(F.col("len_b"))
+            .alias("winner_len"),
+            F.when(F.col("dw") > F.col("dw_b"), F.col("len_b"))
+            .otherwise(F.col("len"))
+            .alias("loser_len"),
+        )
+    )
+    return length_bias(comps, bucket_width=50, max_bucket=5).orderBy(
+        "bucket"
+    )
+
+
+def _length_bias_sql() -> str:
+    from det_module_spark.operators.prefstats import length_bias_sql
+
+    comps = """
+      WITH d AS (
+        SELECT doc_id, CAST(LENGTH(text) AS BIGINT) AS len,
+               CAST((SELECT COUNT(DISTINCT t)
+                     FROM unnest(string_split(text, ' ')) AS u(t)
+                     WHERE LENGTH(t) > 0) AS BIGINT) AS dw
+        FROM documents)
+      SELECT CASE WHEN a.dw > b.dw THEN a.len ELSE b.len END
+               AS winner_len,
+             CASE WHEN a.dw > b.dw THEN b.len ELSE a.len END
+               AS loser_len
+      FROM d a JOIN d b ON b.doc_id = a.doc_id + 1
+      WHERE a.dw <> b.dw"""
+    return length_bias_sql(comps, bucket_width=50, max_bucket=5)
+
+
 def q_krippendorff_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Krippendorff's alpha (operators/agreement.py) — kappa's
     # missing-label generalization, over the three deterministic
@@ -6989,10 +7065,11 @@ def entry(spark: SparkSession) -> DataFrame:
 #   3. remaining slots drain OLDEST-DRIVER-HASH-FIRST, which bounds
 #      worst-case staleness at ~3 rounds (50 slots / 293 queries).
 # Round-9 composition (exactly 50):
-#   - 4 new registrations (the r8-built preference/labeling ops,
-#     pre-verified with the driver's own comparison at sf0.001 +
+#   - 8 new registrations: the 4 r8-built preference/labeling ops
+#     (pre-verified with the driver's own comparison at sf0.001 +
 #     sf0.01, tests/test_r9_queue.py): bt_strengths, bucket_plan,
-#     label_agreement, rater_reliability.
+#     label_agreement, rater_reliability; plus the 4 r9-built ones:
+#     elo_ratings, krippendorff_alpha, win_rate_matrix, length_bias.
 #   - 3 changed-path re-checks: fuzzy_name_pairs (drv r4) and
 #     snb_pairs (drv r7) consume the r8 edit1_pairs hashed-band
 #     rewrite (operators/fuzzyjoin.py); markov_ksteps (drv r5,
@@ -7000,7 +7077,7 @@ def entry(spark: SparkSession) -> DataFrame:
 #   - 13 queries whose latest driver hash is round 1, then 25 whose
 #     latest is round 2 (computed from the CORRECTNESS_r0* union),
 #     alphabetical within each age class.
-#   - 5 oldest round-3 hashes (alphabetical) fill the tail.
+#   - the oldest round-3 hash (approx_stats) fills the last slot.
 _ROTATION_R9 = [
     # -- new this round: first driver check --
     "bt_strengths",
@@ -7009,6 +7086,8 @@ _ROTATION_R9 = [
     "rater_reliability",
     "elo_ratings",
     "krippendorff_alpha",
+    "win_rate_matrix",
+    "length_bias",
     # -- changed-path re-checks --
     "fuzzy_name_pairs",
     "snb_pairs",
@@ -7055,8 +7134,6 @@ _ROTATION_R9 = [
     "zonal_weighted_sum",
     # -- oldest round-3 hashes (tail fill) --
     "approx_stats",
-    "bloom_semi_filter",
-    "bpe_merges",
     # ---- driver window boundary (first 50 above) ----
 ]
 
@@ -7179,6 +7256,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- round-9 built: online rating + missing-label agreement ---
         "elo_ratings": q_elo_ratings,
         "krippendorff_alpha": q_krippendorff_alpha,
+        "win_rate_matrix": q_win_rate_matrix,
+        "length_bias": q_length_bias,
         # --- round-4 additions ---
         "join_delta_retract": q_join_delta_retract,
         "events_running_totals": q_events_running_totals,
@@ -13238,6 +13317,8 @@ QUALIFY ROW_NUMBER() OVER (
     out["rater_reliability"] = _rater_reliability_sql()
     out["elo_ratings"] = _elo_ratings_sql()
     out["krippendorff_alpha"] = _krippendorff_alpha_sql()
+    out["win_rate_matrix"] = _win_rate_matrix_sql()
+    out["length_bias"] = _length_bias_sql()
     try:
         out["approx_stats"] = _approx_stats_sql()
     except ValueError:

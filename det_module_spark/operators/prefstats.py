@@ -1,0 +1,201 @@
+"""Preference-log analytics — the descriptive layer a pairwise-
+preference (RLHF) pipeline runs before and alongside the rating fits
+in operators/btrank.py: the head-to-head win-rate matrix with
+confidence bounds (the leaderboard table), and the length-bias audit
+(does the longer completion win more often — the classic verbosity
+bias check).
+
+Cross-engine exactness: counts and win rates are exact BIGINT/ppm as
+usual (ROUND_NOTES playbook #10). The confidence bound needs a
+square root; IEEE-754 requires +, −, ×, ÷ and sqrt to be CORRECTLY
+ROUNDED, so a bound built from integer inputs through an identical
+sequence of those five ops is bit-identical in Spark and DuckDB — no
+transcendental enters. We use the Agresti-Coull 95% interval at
+z = 2 exactly (z² = 4, integer), which keeps every intermediate a
+rational of the counts:
+
+    p~   = (w + 2) / (n + 4)
+    half = 2·sqrt(p~·(1 − p~) / (n + 4))
+    lo   = p~ − half,  hi = p~ + half
+
+The ppm quantization floor(x·1e6 + 0.5) is applied to the identical
+double on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+PPM = 1_000_000
+
+# identical double expression on both engines: every op is IEEE
+# correctly-rounded, inputs are exact integers, so the doubles (and
+# the ppm flooring of them) match bit-for-bit. CRITICAL: literals use
+# EXPONENT notation (2.0e0) — in Spark SQL a bare `2.0` is a DECIMAL
+# literal, and decimal division truncates at its result scale (a
+# ~1e-7-scale error that surfaced as 2-3 ppm drift vs DuckDB, which
+# reads `2.0` as double); `2.0e0` is a DOUBLE literal in both.
+_PTILDE = "((w_lo + 2.0e0) / (n + 4.0e0))"
+_HALF = f"(2.0e0 * SQRT({_PTILDE} * (1.0e0 - {_PTILDE}) / (n + 4.0e0)))"
+
+
+def _ppm(expr: str) -> str:
+    return f"CAST(FLOOR(({expr}) * 1.0e6 + 0.5e0) AS BIGINT)"
+
+
+def win_rate_matrix(
+    comparisons: DataFrame,
+    winner: str = "winner",
+    loser: str = "loser",
+    min_games: int = 1,
+) -> DataFrame:
+    """Head-to-head table: one row per unordered player pair
+    (lo < hi) with ``n`` games, ``w_lo`` wins by the smaller id,
+    the exact win rate in ppm, and the Agresti-Coull 95% bounds
+    (z = 2) on lo's true win probability, clamped to [0, 1e6] ppm.
+    Self-games and NULL participants are dropped; pairs with fewer
+    than ``min_games`` games are filtered (a 1-game "rate" is noise
+    in any leaderboard).
+
+    Scale shape: one hash aggregation over distinct pairs, then
+    scalar arithmetic — no join, no window, work ∝ comparisons.
+    """
+    c = comparisons.filter(
+        F.col(winner).isNotNull()
+        & F.col(loser).isNotNull()
+        & (F.col(winner) != F.col(loser))
+    )
+    pairs = (
+        c.select(
+            F.least(F.col(winner), F.col(loser)).alias("lo"),
+            F.greatest(F.col(winner), F.col(loser)).alias("hi"),
+            F.when(F.col(winner) < F.col(loser), F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("lo_won"),
+        )
+        .groupBy("lo", "hi")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("lo_won").cast("long").alias("w_lo"),
+        )
+        .filter(F.col("n") >= min_games)
+    )
+    return pairs.select(
+        "lo",
+        "hi",
+        "n",
+        "w_lo",
+        F.expr(f"w_lo * {PPM}L div n").alias("win_rate_lo_ppm"),
+        F.greatest(
+            F.lit(0).cast("long"),
+            F.expr(_ppm(f"{_PTILDE} - {_HALF}")),
+        ).alias("ci_lo_ppm"),
+        F.least(
+            F.lit(PPM).cast("long"),
+            F.expr(_ppm(f"{_PTILDE} + {_HALF}")),
+        ).alias("ci_hi_ppm"),
+    )
+
+
+def win_rate_matrix_sql(
+    comparisons_sql: str, min_games: int = 1
+) -> str:
+    """DuckDB twin — identical count algebra and the identical
+    IEEE-exact double sequence for the bounds. ``comparisons_sql``
+    must produce columns (winner, loser)."""
+    return f"""
+    WITH c AS (
+      SELECT winner, loser FROM ({comparisons_sql})
+      WHERE winner IS NOT NULL AND loser IS NOT NULL
+        AND winner <> loser),
+    pairs AS (
+      SELECT LEAST(winner, loser) AS lo,
+             GREATEST(winner, loser) AS hi,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN winner < loser THEN 1 ELSE 0 END)
+                  AS BIGINT) AS w_lo
+      FROM c GROUP BY 1, 2)
+    SELECT lo, hi, n, w_lo,
+           CAST(w_lo * {PPM} // n AS BIGINT) AS win_rate_lo_ppm,
+           GREATEST(CAST(0 AS BIGINT),
+                    {_ppm(f"{_PTILDE} - {_HALF}")}) AS ci_lo_ppm,
+           LEAST(CAST({PPM} AS BIGINT),
+                 {_ppm(f"{_PTILDE} + {_HALF}")}) AS ci_hi_ppm
+    FROM pairs WHERE n >= {min_games}
+    ORDER BY lo, hi"""
+
+
+def length_bias(
+    comparisons: DataFrame,
+    winner_len: str = "winner_len",
+    loser_len: str = "loser_len",
+    bucket_width: int = 200,
+    max_bucket: int = 5,
+) -> DataFrame:
+    """Verbosity-bias audit over a preference log carrying the two
+    sides' lengths: among comparisons whose sides differ in length,
+    how often does the LONGER side win, overall and by
+    length-difference bucket? A strong slope is the classic
+    longer-response bias that leaks into reward models.
+
+    Buckets: d = |winner_len − loser_len|, bucket =
+    min(d div bucket_width, max_bucket) — the top bucket absorbs the
+    tail. Equal-length comparisons are excluded (no longer side).
+    → (bucket, n, n_longer_won, longer_win_ppm), exact integers.
+
+    Scale shape: one projection + one hash aggregation over ≤
+    max_bucket+1 groups; no join, no window.
+    """
+    d = F.col(winner_len) - F.col(loser_len)
+    rows = comparisons.filter(
+        F.col(winner_len).isNotNull()
+        & F.col(loser_len).isNotNull()
+        & (d != 0)
+    ).select(
+        F.least(
+            F.expr(
+                f"abs({winner_len} - {loser_len}) div {bucket_width}"
+            ),
+            F.lit(max_bucket).cast("long"),
+        ).alias("bucket"),
+        F.when(d > 0, F.lit(1)).otherwise(F.lit(0)).alias("longer_won"),
+    )
+    return (
+        rows.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("longer_won").cast("long").alias("n_longer_won"),
+        )
+        .select(
+            "bucket",
+            "n",
+            "n_longer_won",
+            F.expr(f"n_longer_won * {PPM}L div n").alias(
+                "longer_win_ppm"
+            ),
+        )
+    )
+
+
+def length_bias_sql(
+    comparisons_sql: str, bucket_width: int = 200, max_bucket: int = 5
+) -> str:
+    """DuckDB twin. ``comparisons_sql`` must produce columns
+    (winner_len, loser_len)."""
+    return f"""
+    WITH rows_ AS (
+      SELECT LEAST(ABS(winner_len - loser_len) // {bucket_width},
+                   {max_bucket}) AS bucket,
+             CASE WHEN winner_len > loser_len THEN 1 ELSE 0 END
+               AS longer_won
+      FROM ({comparisons_sql})
+      WHERE winner_len IS NOT NULL AND loser_len IS NOT NULL
+        AND winner_len <> loser_len)
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(longer_won) AS BIGINT) AS n_longer_won,
+           CAST(SUM(longer_won) * {PPM} // COUNT(*) AS BIGINT)
+             AS longer_win_ppm
+    FROM rows_ GROUP BY bucket
+    ORDER BY bucket"""

@@ -1,0 +1,93 @@
+"""Preference-log analytics (operators/prefstats.py)."""
+
+import duckdb
+from pyspark.sql import functions as F  # noqa: F401
+
+from det_module_spark.operators.prefstats import (
+    length_bias,
+    length_bias_sql,
+    win_rate_matrix,
+    win_rate_matrix_sql,
+)
+
+
+def test_win_rate_matrix_counts_and_rate(spark):
+    comps = spark.createDataFrame(
+        [(1, 2)] * 3 + [(2, 1)] * 1 + [(3, 3)] + [(None, 1)],
+        "winner long, loser long",
+    )
+    out = win_rate_matrix(comps).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["lo"], r["hi"], r["n"], r["w_lo"]) == (1, 2, 4, 3)
+    assert r["win_rate_lo_ppm"] == 750_000
+    # Agresti-Coull z=2: p~ = 5/8, half = 2*sqrt((5/8)(3/8)/8)
+    import math
+
+    pt = 5 / 8
+    half = 2 * math.sqrt(pt * (1 - pt) / 8)
+    assert r["ci_lo_ppm"] == math.floor((pt - half) * 1e6 + 0.5)
+    assert r["ci_hi_ppm"] == math.floor((pt + half) * 1e6 + 0.5)
+    assert 0 <= r["ci_lo_ppm"] < r["win_rate_lo_ppm"] < r["ci_hi_ppm"]
+
+
+def test_win_rate_matrix_clamps_and_min_games(spark):
+    comps = spark.createDataFrame(
+        [(1, 2)] * 40 + [(3, 4)], "winner long, loser long"
+    )
+    rows = {(r["lo"], r["hi"]): r for r in win_rate_matrix(comps).collect()}
+    assert rows[(1, 2)]["ci_hi_ppm"] <= 1_000_000  # clamped
+    assert (3, 4) in rows
+    filtered = win_rate_matrix(comps, min_games=2).collect()
+    assert {(r["lo"], r["hi"]) for r in filtered} == {(1, 2)}
+
+
+def test_win_rate_matrix_matches_duckdb(spark):
+    games = (
+        [(1, 2)] * 7 + [(2, 1)] * 2 + [(2, 3)] * 5 + [(3, 1)] * 4
+        + [(1, 3)] * 1
+    )
+    comps = spark.createDataFrame(games, "winner long, loser long")
+    got = sorted(
+        tuple(r) for r in win_rate_matrix(comps).collect()
+    )
+    vals = ", ".join(f"({w}, {l})" for w, l in games)
+    ref = duckdb.connect().execute(
+        win_rate_matrix_sql(
+            f"SELECT * FROM (VALUES {vals}) t(winner, loser)"
+        )
+    ).fetchall()
+    assert got == sorted(tuple(r) for r in ref)
+
+
+def test_length_bias_buckets_and_rates(spark):
+    rows = [
+        (500, 100),   # longer (winner) won, d=400 -> bucket 2
+        (100, 500),   # shorter won, d=400 -> bucket 2
+        (500, 100),   # bucket 2 again, longer won
+        (150, 100),   # bucket 0, longer won
+        (100, 100),   # tie: excluded
+        (5000, 100),  # d=4900 -> clamped to bucket 5
+        (None, 100),  # null: excluded
+    ]
+    comps = spark.createDataFrame(rows, "winner_len long, loser_len long")
+    out = {r["bucket"]: r for r in length_bias(comps).collect()}
+    assert set(out) == {0, 2, 5}
+    assert out[2]["n"] == 3 and out[2]["n_longer_won"] == 2
+    assert out[2]["longer_win_ppm"] == 666_666
+    assert out[0]["longer_win_ppm"] == 1_000_000
+    assert out[5]["n"] == 1
+
+
+def test_length_bias_matches_duckdb(spark):
+    rows = [(100 + 37 * i % 900, 100 + 53 * i % 700) for i in range(50)]
+    rows = [(a, b) for a, b in rows if True]
+    comps = spark.createDataFrame(rows, "winner_len long, loser_len long")
+    got = sorted(tuple(r) for r in length_bias(comps).collect())
+    vals = ", ".join(f"({a}, {b})" for a, b in rows)
+    ref = duckdb.connect().execute(
+        length_bias_sql(
+            f"SELECT * FROM (VALUES {vals}) t(winner_len, loser_len)"
+        )
+    ).fetchall()
+    assert got == sorted(tuple(r) for r in ref)
