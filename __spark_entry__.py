@@ -6849,6 +6849,36 @@ def _length_bias_sql() -> str:
     return length_bias_sql(comps, bucket_width=50, max_bucket=5)
 
 
+def q_rank_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # do the two rating systems agree? Spearman rank correlation
+    # (operators/prefstats.spearman_rho — tie-corrected via exact
+    # doubled average ranks, distributed two-phase prefix sums from
+    # ids.global_cumsum, BIGINT moments with an enforced n-bound)
+    # between the Bradley-Terry θ and the batched-Elo rating over the
+    # same supplier games. The ranker-agreement QC an eval pipeline
+    # runs when swapping rating systems.
+    from det_module_spark.operators.btrank import bt_strengths, elo_ratings
+    from det_module_spark.operators.prefstats import spearman_rho
+
+    comps = _supplier_comps(spark, sf_dir).localCheckpoint(eager=True)
+    bt = bt_strengths(comps, rounds=3).select("player", "theta_q")
+    elo = elo_ratings(comps, rounds=2).select("player", "rating_milli")
+    both = bt.join(elo, "player")
+    return spearman_rho(both, "theta_q", "rating_milli")
+
+
+def _rank_agreement_sql() -> str:
+    from det_module_spark.operators.btrank import bt_sql, elo_sql
+    from det_module_spark.operators.prefstats import spearman_rho_sql
+
+    pairs = f"""
+      SELECT bt.theta_q AS x, elo.rating_milli AS y
+      FROM ({bt_sql(_SUPPLIER_COMPS_SQL, rounds=3)}) bt
+      JOIN ({elo_sql(_SUPPLIER_COMPS_SQL, rounds=2)}) elo
+        ON elo.player = bt.player"""
+    return spearman_rho_sql(pairs)
+
+
 def q_krippendorff_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Krippendorff's alpha (operators/agreement.py) — kappa's
     # missing-label generalization, over the three deterministic
@@ -7069,7 +7099,8 @@ def entry(spark: SparkSession) -> DataFrame:
 #     (pre-verified with the driver's own comparison at sf0.001 +
 #     sf0.01, tests/test_r9_queue.py): bt_strengths, bucket_plan,
 #     label_agreement, rater_reliability; plus the 4 r9-built ones:
-#     elo_ratings, krippendorff_alpha, win_rate_matrix, length_bias.
+#     elo_ratings, krippendorff_alpha, win_rate_matrix, length_bias,
+#     rank_agreement.
 #   - 3 changed-path re-checks: fuzzy_name_pairs (drv r4) and
 #     snb_pairs (drv r7) consume the r8 edit1_pairs hashed-band
 #     rewrite (operators/fuzzyjoin.py); markov_ksteps (drv r5,
@@ -7077,7 +7108,8 @@ def entry(spark: SparkSession) -> DataFrame:
 #   - 13 queries whose latest driver hash is round 1, then 25 whose
 #     latest is round 2 (computed from the CORRECTNESS_r0* union),
 #     alphabetical within each age class.
-#   - the oldest round-3 hash (approx_stats) fills the last slot.
+#   (9 new registrations total with rank_agreement — the Spearman
+#   capstone — which takes the last slot instead of a round-3 drain.)
 _ROTATION_R9 = [
     # -- new this round: first driver check --
     "bt_strengths",
@@ -7088,6 +7120,7 @@ _ROTATION_R9 = [
     "krippendorff_alpha",
     "win_rate_matrix",
     "length_bias",
+    "rank_agreement",
     # -- changed-path re-checks --
     "fuzzy_name_pairs",
     "snb_pairs",
@@ -7132,8 +7165,6 @@ _ROTATION_R9 = [
     "zonal_unique",
     "zonal_var",
     "zonal_weighted_sum",
-    # -- oldest round-3 hashes (tail fill) --
-    "approx_stats",
     # ---- driver window boundary (first 50 above) ----
 ]
 
@@ -7258,6 +7289,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "krippendorff_alpha": q_krippendorff_alpha,
         "win_rate_matrix": q_win_rate_matrix,
         "length_bias": q_length_bias,
+        "rank_agreement": q_rank_agreement,
         # --- round-4 additions ---
         "join_delta_retract": q_join_delta_retract,
         "events_running_totals": q_events_running_totals,
@@ -13319,6 +13351,7 @@ QUALIFY ROW_NUMBER() OVER (
     out["krippendorff_alpha"] = _krippendorff_alpha_sql()
     out["win_rate_matrix"] = _win_rate_matrix_sql()
     out["length_bias"] = _length_bias_sql()
+    out["rank_agreement"] = _rank_agreement_sql()
     try:
         out["approx_stats"] = _approx_stats_sql()
     except ValueError:

@@ -204,21 +204,29 @@ def elo_ratings(
     loser: str = "loser",
     rounds: int = 2,
     k_milli: int = ELO_K_MILLI,
+    overflow_limit: int = (2**63 - 1) // 10_000,
 ) -> DataFrame:
     """Batched (mini-batch) Elo — the online sibling of
     :func:`bt_strengths`: instead of the MM fixed point, ``rounds``
-    synchronous passes of the Elo update
+    synchronous passes of the per-opponent-AVERAGED Elo update
 
-        Δ_i = K · Σ_j (w_ij − n_ij·E_ij),
+        Δ_i = K · mean_j (p̂_ij − E_ij),
+        p̂_ij = w_ij / n_ij,
         E_ij = 1 / (1 + 10^((r_j − r_i)/400))
 
     applied once per round from the round-START ratings (all players
     init 1500). Sequential per-game Elo is a fold over the log —
-    inherently serial, un-distributable; the batched form is the
-    standard large-scale practice (one join + one aggregation per
-    round, work ∝ distinct pairs) and converges to the same ordering
-    on stationary data. → (player, rating_milli, wins, games), one
-    row per player; self-games (winner == loser) are dropped.
+    inherently serial, un-distributable; the batched form is one
+    join + one aggregation per round, work ∝ distinct pairs. The
+    averaging is LOAD-BEARING: the naive sum form
+    Δ = K·Σ_j (w_ij − n_ij·E_ij) moves a player by up to K·games per
+    round — measured on the sf0.001 supplier log (~1900 games/pair)
+    it DIVERGED to ±25,000 rating points in two rounds with the
+    ranking sign-inverted (rank-correlation −0.99 vs the BT fit).
+    The mean bounds every round's move by ±K, so ratings stay in the
+    logistic's live range and successive rounds contract.
+    → (player, rating_milli, wins, games), one row per player;
+    self-games (winner == loser) are dropped.
 
     Numeric contract: ratings are BIGINT milli-points. The ONLY
     float is the logistic expectation, immediately quantized to
@@ -227,22 +235,22 @@ def elo_ratings(
     Spark and DuckDB. pow may differ by 1 ulp between libms, which
     flips e_bp only when the logistic sits within ~1e-12 of a
     half-basis-point boundary (probability ~1e-12 per pair-round;
-    parity-swept). Everything after e_bp is exact BIGINT:
-    Δ_milli = (K_milli·(w·1e4 − n·e_bp)) div 1e4. Per-pair deltas
-    are computed independently for each side (they differ by ≤ 1
-    milli from the flooring, not by sign convention).
+    parity-swept). Everything else is exact BIGINT with truncating
+    division mirrored by DuckDB ``//``:
+    s_ij_bp = (w_ij·1e4) div n_ij − e_ij_bp, and
+    Δ_i_milli = (K_milli · Σ_j s_ij_bp) div (1e4 · J_i) with J_i the
+    opponent count — |Δ| ≤ K_milli by construction.
 
-    Magnitudes: K_milli·n·1e4 ≤ 2^63 needs games-per-pair
-    n ≤ (2^63−1) div (K_milli·1e4) (≈2.9e10 at K=32) — enforced by
-    the same raise_error guard as bt_strengths. Rating drift is
-    bounded by K·rounds, so the d_milli exponent stays small.
+    Magnitudes: the largest product is w_ij·1e4, so games-per-pair
+    above (2^63−1) div 1e4 (≈9.2e14) raise via the shared
+    raise_error guard instead of wrapping.
     """
     c = comparisons.filter(
         F.col(winner).isNotNull()
         & F.col(loser).isNotNull()
         & (F.col(winner) != F.col(loser))
     )
-    limit = (2**63 - 1) // (k_milli * 10_000)
+    limit = overflow_limit
     pairs = (
         c.select(
             F.least(F.col(winner), F.col(loser)).alias("lo"),
@@ -265,6 +273,14 @@ def elo_ratings(
         pairs.select(F.col("lo").alias("player"))
         .unionByName(pairs.select(F.col("hi").alias("player")))
         .distinct()
+    )
+    # J_i: opponents per player (round-invariant)
+    opp = (
+        pairs.select(F.col("lo").alias("player"))
+        .unionByName(pairs.select(F.col("hi").alias("player")))
+        .groupBy("player")
+        .agg(F.count(F.lit(1)).cast("long").alias("j"))
+        .localCheckpoint(eager=True)
     )
     ratings = players.select(
         "player", F.lit(ELO_INIT_MILLI).cast("long").alias("rating_milli")
@@ -296,21 +312,27 @@ def elo_ratings(
             terms.select(
                 F.col("lo").alias("player"),
                 F.expr(
-                    f"({k_milli}L * (w_lo * 10000L - n * e_lo_bp)) "
-                    "div 10000"
-                ).alias("d"),
+                    "(w_lo * 10000L) div n - e_lo_bp"
+                ).alias("s_bp"),
             )
             .unionByName(
                 terms.select(
                     F.col("hi").alias("player"),
                     F.expr(
-                        f"({k_milli}L * ((n - w_lo) * 10000L - "
-                        "n * (10000L - e_lo_bp))) div 10000"
-                    ).alias("d"),
+                        "((n - w_lo) * 10000L) div n "
+                        "- (10000L - e_lo_bp)"
+                    ).alias("s_bp"),
                 )
             )
             .groupBy("player")
-            .agg(F.sum("d").cast("long").alias("delta"))
+            .agg(F.sum("s_bp").cast("long").alias("s_sum"))
+            .join(opp, "player")
+            .select(
+                "player",
+                F.expr(
+                    f"({k_milli}L * s_sum) div (10000L * j)"
+                ).alias("delta"),
+            )
         )
         ratings = (
             ratings.join(deltas, "player", "left")
@@ -354,11 +376,11 @@ def elo_sql(
     """DuckDB twin of :func:`elo_ratings` — identical algebra, rounds
     unrolled as CTEs. ``comparisons_sql`` must produce columns
     (winner, loser)."""
-    sql = f"""WITH c AS (
+    sql = f"""WITH c AS MATERIALIZED (
   SELECT winner, loser FROM ({comparisons_sql})
   WHERE winner IS NOT NULL AND loser IS NOT NULL
     AND winner <> loser),
-pairs AS (
+pairs AS MATERIALIZED (
   SELECT LEAST(winner, loser) AS lo, GREATEST(winner, loser) AS hi,
          CAST(COUNT(*) AS BIGINT) AS n,
          CAST(SUM(CASE WHEN winner < loser THEN 1 ELSE 0 END)
@@ -366,6 +388,11 @@ pairs AS (
   FROM c GROUP BY 1, 2),
 players AS (
   SELECT lo AS player FROM pairs UNION SELECT hi FROM pairs),
+opp AS (
+  SELECT player, CAST(COUNT(*) AS BIGINT) AS j FROM (
+    SELECT lo AS player FROM pairs
+    UNION ALL SELECT hi FROM pairs)
+  GROUP BY player),
 r0 AS (SELECT player, CAST({ELO_INIT_MILLI} AS BIGINT)
               AS rating_milli FROM players)"""
     e_bp = (
@@ -382,16 +409,19 @@ terms{r} AS (
   JOIN r{p} rl ON rl.player = g.lo
   JOIN r{p} rh ON rh.player = g.hi),
 deltas{r} AS (
-  SELECT player, CAST(SUM(d) AS BIGINT) AS delta FROM (
-    SELECT lo AS player,
-           ({k_milli} * (w_lo * 10000 - n * e_lo_bp)) // 10000 AS d
-    FROM terms{r}
-    UNION ALL
-    SELECT hi,
-           ({k_milli} * ((n - w_lo) * 10000 -
-                         n * (10000 - e_lo_bp))) // 10000
-    FROM terms{r})
-  GROUP BY player),
+  SELECT s.player,
+         CAST(({k_milli} * s.s_sum) // (10000 * o.j) AS BIGINT)
+           AS delta
+  FROM (SELECT player, CAST(SUM(s_bp) AS BIGINT) AS s_sum FROM (
+          SELECT lo AS player,
+                 (w_lo * 10000) // n - e_lo_bp AS s_bp
+          FROM terms{r}
+          UNION ALL
+          SELECT hi,
+                 ((n - w_lo) * 10000) // n - (10000 - e_lo_bp)
+          FROM terms{r})
+        GROUP BY player) s
+  JOIN opp o ON o.player = s.player),
 r{r} AS (
   SELECT r.player,
          CAST(r.rating_milli + COALESCE(d.delta, 0) AS BIGINT)
@@ -418,10 +448,10 @@ def bt_sql(comparisons_sql: str, rounds: int = 3) -> str:
     """DuckDB twin of :func:`bt_strengths` — identical integer
     algebra, the round chain unrolled as CTEs. ``comparisons_sql``
     must produce columns (winner, loser)."""
-    sql = f"""WITH c AS (
+    sql = f"""WITH c AS MATERIALIZED (
   SELECT winner, loser FROM ({comparisons_sql})
   WHERE winner IS NOT NULL AND loser IS NOT NULL),
-games AS (
+games AS MATERIALIZED (
   SELECT LEAST(winner, loser) AS lo, GREATEST(winner, loser) AS hi,
          CAST(COUNT(*) AS BIGINT) AS n
   FROM c GROUP BY 1, 2),

@@ -206,3 +206,65 @@ def global_ntile(
         f"END AS INT)"
     )
     return staged.withColumn(out, bucket).drop("__r")
+
+
+def global_cumsum(
+    df: DataFrame,
+    order_cols: list[str],
+    value_col: str,
+    out: str = "cumsum",
+    num_partitions: int = 32,
+    inclusive: bool = True,
+) -> DataFrame:
+    """``SUM(value) OVER (ORDER BY ...)`` without the single-partition
+    global window — the distributed exact prefix sum, same two-phase
+    recipe as :func:`dense_ids`/:func:`global_ntile`:
+
+    1. range-partition on ``order_cols`` (a total order — unique
+       composite), sort within partitions, PIN the layout;
+    2. per-partition value totals → driver-side exclusive offsets
+       (#partitions scalars — control plane);
+    3. a window partitioned by the MATERIALIZED partition id (never
+       an empty partition spec — each window partition is one range
+       partition, bounded by the layout) gives the within-partition
+       prefix; offset + prefix is the global cumulative sum.
+
+    ``inclusive=False`` returns the exclusive prefix (sum of strictly
+    earlier rows). ``value_col`` must be integral for an exact
+    result (the contract of this module); the per-partition window
+    sum is long arithmetic.
+    """
+    parted = df.repartitionByRange(
+        num_partitions, *[F.col(c) for c in order_cols]
+    ).sortWithinPartitions(*order_cols)
+    parted = parted.localCheckpoint(eager=True).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    per_part = (
+        parted.groupBy("__pid")
+        .agg(F.sum(value_col).cast("long").alias("s"))
+        .collect()
+    )  # control plane: #partitions scalar rows
+    sums = {r["__pid"]: r["s"] or 0 for r in per_part}
+    offsets: dict[int, int] = {}
+    acc = 0
+    for pid in range(num_partitions):
+        offsets[pid] = acc
+        acc += sums.get(pid, 0)
+    off_arr = F.array(
+        *[F.lit(offsets.get(p, 0)) for p in range(num_partitions)]
+    )
+    from pyspark.sql import Window
+
+    frame = (
+        Window.partitionBy("__pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, 0 if inclusive else -1)
+    )
+    local = F.coalesce(
+        F.sum(F.col(value_col)).over(frame).cast("long"), F.lit(0)
+    )
+    return parted.withColumn(
+        out,
+        (F.element_at(off_arr, F.col("__pid") + 1) + local).cast("long"),
+    ).drop("__pid")

@@ -199,3 +199,156 @@ def length_bias_sql(
              AS longer_win_ppm
     FROM rows_ GROUP BY bucket
     ORDER BY bucket"""
+
+
+# exact BIGINT moment bound for spearman_rho: doubled average ranks
+# reach 2n, so sum(r2x*r2y) <= n*(2n)^2 = 4n^3 must stay < 2^63
+SPEARMAN_N_LIMIT = 1_290_000
+
+
+def spearman_rho(
+    df: DataFrame,
+    x: str,
+    y: str,
+    num_partitions: int = 32,
+    n_limit: int = SPEARMAN_N_LIMIT,
+) -> DataFrame:
+    """Spearman rank correlation between two columns — the ranker-
+    agreement metric an eval pipeline runs to compare two rating
+    systems (e.g. Bradley-Terry θ vs Elo) or a reward model against
+    human preference ranks. → one row (n BIGINT, rho_ppm BIGINT;
+    NULL rho when either column is constant). NULL rows in either
+    column are dropped.
+
+    Ties use average ranks (Pearson over average ranks IS the
+    tie-corrected Spearman). Exactness: average ranks are stored
+    DOUBLED — r2(v) = 2·#smaller + #equal + 1, an exact integer —
+    and the ranks come from one hash aggregation per column plus
+    :func:`det_module_spark.operators.ids.global_cumsum` over the
+    DISTINCT-value frame (the two-phase prefix sum; no global
+    window, no per-row Python). Moments Σr2x, Σr2x², Σr2x·r2y are
+    exact BIGINTs (order-independent), valid while 4n³ < 2^63, i.e.
+    n ≤ ``SPEARMAN_N_LIMIT`` ≈ 1.29e6 ranked rows — ENFORCED by a
+    raise_error guard (past it the sums would wrap silently in
+    non-ANSI Spark while DuckDB errors; shard or pre-bucket beyond).
+    The final Pearson combination runs in doubles from those exact
+    integers through correctly-rounded ×,−,÷,sqrt only — identical
+    expression, bit-identical across engines (module header).
+
+    Scale shape: 2 hash aggregations (distinct values), 2 range
+    prefix-sums over the distinct-value frames, 2 equi-joins back,
+    one 1-row moment aggregate. Work ∝ rows + distinct values.
+    """
+    from det_module_spark.operators.ids import global_cumsum
+
+    rows = df.filter(
+        F.col(x).isNotNull() & F.col(y).isNotNull()
+    ).select(F.col(x).alias("__x"), F.col(y).alias("__y"))
+
+    def r2(col: str, out: str) -> DataFrame:
+        counts = rows.groupBy(F.col(col).alias("v")).agg(
+            F.count(F.lit(1)).cast("long").alias("c")
+        )
+        pref = global_cumsum(
+            counts,
+            ["v"],
+            "c",
+            out="smaller",
+            num_partitions=num_partitions,
+            inclusive=False,
+        )
+        return pref.select(
+            F.col("v").alias(col),
+            (2 * F.col("smaller") + F.col("c") + 1)
+            .cast("long")
+            .alias(out),
+        )
+
+    ranked = rows.join(r2("__x", "r2x"), "__x").join(
+        r2("__y", "r2y"), "__y"
+    )
+    m = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("r2x").cast("long").alias("sx"),
+        F.sum("r2y").cast("long").alias("sy"),
+        F.sum(F.expr("r2x * r2x")).cast("long").alias("sxx"),
+        F.sum(F.expr("r2y * r2y")).cast("long").alias("syy"),
+        F.sum(F.expr("r2x * r2y")).cast("long").alias("sxy"),
+    ).select(
+        F.when(
+            F.col("n") > n_limit,
+            F.raise_error(
+                F.concat(
+                    F.lit("spearman_rho: n = "),
+                    F.col("n").cast("string"),
+                    F.lit(
+                        f" > {n_limit}; the BIGINT rank "
+                        "moments would overflow — shard the input "
+                        "or pre-bucket the values"
+                    ),
+                )
+            ).cast("long"),
+        )
+        .otherwise(F.col("n"))
+        .alias("n"),
+        "sx", "sy", "sxx", "syy", "sxy",
+    )
+    # doubles from exact integers, identical expression both engines
+    num = "(n * 1.0e0 * sxy - sx * 1.0e0 * sy)"
+    dx = "(n * 1.0e0 * sxx - sx * 1.0e0 * sx)"
+    dy = "(n * 1.0e0 * syy - sy * 1.0e0 * sy)"
+    return m.select(
+        "n",
+        F.when(
+            (F.expr(dx) > 0) & (F.expr(dy) > 0),
+            F.expr(
+                "CAST(FLOOR(" + num + f" / (SQRT({dx}) * SQRT({dy}))"
+                " * 1.0e6 + 0.5e0) AS BIGINT)"
+            ),
+        )
+        .cast("long")
+        .alias("rho_ppm"),
+    )
+
+
+def spearman_rho_sql(pairs_sql: str) -> str:
+    """DuckDB twin — identical rank construction (cumulative count
+    over distinct values) and the identical double combination.
+    ``pairs_sql`` must produce columns (x, y)."""
+    num = "(n * 1.0e0 * sxy - sx * 1.0e0 * sy)"
+    dx = "(n * 1.0e0 * sxx - sx * 1.0e0 * sx)"
+    dy = "(n * 1.0e0 * syy - sy * 1.0e0 * sy)"
+    return f"""
+    WITH rows_ AS (
+      SELECT x AS xv, y AS yv FROM ({pairs_sql})
+      WHERE x IS NOT NULL AND y IS NOT NULL),
+    cx AS (SELECT xv AS v, CAST(COUNT(*) AS BIGINT) AS c
+           FROM rows_ GROUP BY 1),
+    rx AS (SELECT v,
+                  CAST(2 * (SUM(c) OVER (ORDER BY v) - c) + c + 1
+                       AS BIGINT) AS r2x
+           FROM cx),
+    cy AS (SELECT yv AS v, CAST(COUNT(*) AS BIGINT) AS c
+           FROM rows_ GROUP BY 1),
+    ry AS (SELECT v,
+                  CAST(2 * (SUM(c) OVER (ORDER BY v) - c) + c + 1
+                       AS BIGINT) AS r2y
+           FROM cy),
+    ranked AS (
+      SELECT rx.r2x, ry.r2y
+      FROM rows_ JOIN rx ON rx.v = rows_.xv
+      JOIN ry ON ry.v = rows_.yv),
+    m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(r2x) AS BIGINT) AS sx,
+             CAST(SUM(r2y) AS BIGINT) AS sy,
+             CAST(SUM(r2x * r2x) AS BIGINT) AS sxx,
+             CAST(SUM(r2y * r2y) AS BIGINT) AS syy,
+             CAST(SUM(r2x * r2y) AS BIGINT) AS sxy
+      FROM ranked)
+    SELECT n,
+           CAST(CASE WHEN {dx} > 0 AND {dy} > 0
+                THEN FLOOR({num} / (SQRT({dx}) * SQRT({dy}))
+                           * 1.0e6 + 0.5e0)
+                ELSE NULL END AS BIGINT) AS rho_ppm
+    FROM m"""

@@ -102,16 +102,19 @@ def test_bt_overflow_guard_raises_loudly(spark):
 
 def test_elo_single_round_hand_computed(spark):
     # one pair, equal ratings: E = 0.5 exactly (5000 bp). 3 games,
-    # lo wins 2: d_lo = 32000*(2*10000 - 3*5000)//10000 = 16000,
-    # d_hi = 32000*(1*10000 - 3*5000)//10000 = -16000.
+    # lo wins 2 (p-hat = 2/3, one opponent):
+    # s_lo = (2*10000) div 3 - 5000 = 1666
+    #   -> d_lo = (32000*1666) div (10000*1) = 5331
+    # s_hi = (1*10000) div 3 - 5000 = -1667
+    #   -> d_hi = (32000*-1667) div 10000 = -5334 (toward zero)
     from det_module_spark.operators.btrank import elo_ratings
 
     comps = spark.createDataFrame(
         [(1, 2), (1, 2), (2, 1)], "winner long, loser long"
     )
     out = {r["player"]: r for r in elo_ratings(comps, rounds=1).collect()}
-    assert out[1]["rating_milli"] == 1_500_000 + 16_000
-    assert out[2]["rating_milli"] == 1_500_000 - 16_000
+    assert out[1]["rating_milli"] == 1_500_000 + 5_331
+    assert out[2]["rating_milli"] == 1_500_000 - 5_334
     assert out[1]["wins"] == 2 and out[1]["games"] == 3
     assert out[2]["wins"] == 1 and out[2]["games"] == 3
 
@@ -165,7 +168,6 @@ def test_elo_overflow_guard(spark):
     comps = spark.createDataFrame(
         [(1, 2)] * 3, "winner long, loser long"
     )
-    # k so large that 3 games-per-pair exceed (2^63-1)//(k*1e4)
-    big_k = (2**63 - 1) // (10_000 * 2)
     with _pytest.raises(Exception, match="overflow"):
-        elo_ratings(comps, rounds=1, k_milli=big_k).collect()
+        elo_ratings(comps, rounds=1, overflow_limit=2).collect()
+    assert len(elo_ratings(comps, rounds=1, overflow_limit=3).collect()) == 2

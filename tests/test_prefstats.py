@@ -91,3 +91,131 @@ def test_length_bias_matches_duckdb(spark):
         )
     ).fetchall()
     assert got == sorted(tuple(r) for r in ref)
+
+
+# --- global_cumsum + spearman_rho (round 9) ---
+
+
+def test_global_cumsum_matches_global_window(spark):
+    from pyspark.sql import Window
+
+    from det_module_spark.operators.ids import global_cumsum
+
+    df = spark.createDataFrame(
+        [(i * 7 % 23, (i * 13) % 5 + 1) for i in range(23)],
+        "k long, v long",
+    ).repartition(8)
+    got = {
+        r["k"]: r["cs"]
+        for r in global_cumsum(df, ["k"], "v", out="cs").collect()
+    }
+    w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, 0)
+    import pyspark.sql.functions as F
+
+    ref = {
+        r["k"]: r["cs"]
+        for r in df.select("k", F.sum("v").over(w).alias("cs")).collect()
+    }
+    assert got == ref
+    # exclusive prefix
+    got_ex = {
+        r["k"]: r["cs"]
+        for r in global_cumsum(
+            df, ["k"], "v", out="cs", inclusive=False
+        ).collect()
+    }
+    assert all(got_ex[k] == ref[k] - v for k, v in
+               ((r["k"], r["v"]) for r in df.collect()))
+
+
+def test_spearman_perfect_and_inverse(spark):
+    from det_module_spark.operators.prefstats import spearman_rho
+
+    df = spark.createDataFrame(
+        [(float(i), float(i * 3 + 1)) for i in range(1, 8)],
+        "x double, y double",
+    )
+    assert spearman_rho(df, "x", "y").collect()[0]["rho_ppm"] == 1_000_000
+    inv = spark.createDataFrame(
+        [(float(i), float(-i)) for i in range(1, 8)],
+        "x double, y double",
+    )
+    assert spearman_rho(inv, "x", "y").collect()[0]["rho_ppm"] == -1_000_000
+
+
+def test_spearman_ties_vs_python_reference(spark):
+    from det_module_spark.operators.prefstats import spearman_rho
+
+    rows = [(i % 4, (i * 7) % 6) for i in range(24)]  # heavy ties
+    df = spark.createDataFrame(rows, "x long, y long")
+    out = spearman_rho(df, "x", "y").collect()[0]
+
+    # pure-Python tie-corrected Spearman = Pearson on average ranks
+    import math
+
+    def avg_ranks(vals):
+        order = sorted(range(len(vals)), key=lambda i: vals[i])
+        ranks = [0.0] * len(vals)
+        i = 0
+        while i < len(order):
+            j = i
+            while (j + 1 < len(order)
+                   and vals[order[j + 1]] == vals[order[i]]):
+                j += 1
+            r = (i + j) / 2 + 1
+            for k in range(i, j + 1):
+                ranks[order[k]] = r
+            i = j + 1
+        return ranks
+
+    xs = avg_ranks([r[0] for r in rows])
+    ys = avg_ranks([r[1] for r in rows])
+    n = len(rows)
+    mx, my = sum(xs) / n, sum(ys) / n
+    cov = sum((a - mx) * (b - my) for a, b in zip(xs, ys))
+    vx = sum((a - mx) ** 2 for a in xs)
+    vy = sum((b - my) ** 2 for b in ys)
+    ref = cov / math.sqrt(vx * vy)
+    assert out["n"] == n
+    assert abs(out["rho_ppm"] / 1e6 - ref) < 2e-6
+
+
+def test_spearman_matches_duckdb(spark):
+    import duckdb as _dd
+
+    from det_module_spark.operators.prefstats import (
+        spearman_rho,
+        spearman_rho_sql,
+    )
+
+    rows = [((i * 11) % 9, (i * 5) % 7) for i in range(40)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    got = tuple(spearman_rho(df, "x", "y").collect()[0])
+    vals = ", ".join(f"({a}, {b})" for a, b in rows)
+    ref = _dd.connect().execute(
+        spearman_rho_sql(f"SELECT * FROM (VALUES {vals}) t(x, y)")
+    ).fetchone()
+    assert got == tuple(ref)
+
+
+def test_spearman_constant_column_null(spark):
+    from det_module_spark.operators.prefstats import spearman_rho
+
+    df = spark.createDataFrame(
+        [(1, i) for i in range(5)], "x long, y long"
+    )
+    out = spearman_rho(df, "x", "y").collect()[0]
+    assert out["n"] == 5 and out["rho_ppm"] is None
+
+
+def test_spearman_n_limit_guard(spark):
+    import pytest as _pytest
+
+    from det_module_spark.operators.prefstats import spearman_rho
+
+    df = spark.createDataFrame(
+        [(i, i) for i in range(10)], "x long, y long"
+    )
+    with _pytest.raises(Exception, match="overflow"):
+        spearman_rho(df, "x", "y", n_limit=9).collect()
+    assert spearman_rho(df, "x", "y", n_limit=10).collect()[0]["n"] == 10

@@ -311,9 +311,10 @@ COLLECT_WHITELIST = {
         "top-k heavy-hitter candidates: k rows",
     ),
     "det_module_spark/operators/ids.py": (
-        1,
+        2,
         "per-partition counts for dense-id / global-ntile offsets "
-        "(shared _range_enumerated helper): #partitions rows",
+        "(shared _range_enumerated helper) and per-partition value "
+        "totals for global_cumsum offsets: #partitions rows each",
     ),
     "det_module_spark/operators/sequence.py": (
         1,
