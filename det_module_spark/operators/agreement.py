@@ -164,16 +164,24 @@ def krippendorff_alpha(
     do_ppm = 0; de_ppm = 0 (all labels one category — α undefined)
     returns NULL alpha_ppm.
 
-    Scale shape: two hash aggregations per (item,label)→item, one
-    per category, 1-row scalar crossJoins — work ∝ items + distinct
-    labels; no window, no collect, no float.
+    Scale shape: ONE corpus-touching aggregation — the (item, label)
+    count table, materialized via localCheckpoint so every derived
+    aggregate (per-unit m, totals, category marginals, unit count)
+    reads the compact count table instead of re-scanning the vote
+    corpus (without the cut, Catalyst re-evaluates the scan+agg
+    subtree per consumer: 14 corpus scans for this 1-row answer at
+    any scale). Then per-item and per-category hash aggregations and
+    1-row scalar crossJoins — work ∝ items + distinct labels; no
+    window, no collect, no float.
     """
     v = votes.filter(F.col(label).isNotNull()).select(
         F.col(item).alias("item"),
         F.col(label).cast("string").alias("label"),
     )
-    ucounts = v.groupBy("item", "label").agg(
-        F.count(F.lit(1)).cast("long").alias("nuc")
+    ucounts = (
+        v.groupBy("item", "label")
+        .agg(F.count(F.lit(1)).cast("long").alias("nuc"))
+        .localCheckpoint(eager=True)
     )
     um = ucounts.groupBy("item").agg(
         F.sum("nuc").cast("long").alias("m")
@@ -186,7 +194,9 @@ def krippendorff_alpha(
             F.expr(f"(nuc * (m - nuc) * {PPM}L) div (m - 1)")
         ).cast("long").alias("do_num_ppm"),
     )
-    all_units = v.select(
+    # distinct items with >= 1 non-null label == distinct items in
+    # the count table — derived from the checkpoint, not the corpus
+    all_units = ucounts.select(
         F.count_distinct(F.col("item")).cast("long").alias("n_units")
     )
     ncat = (
