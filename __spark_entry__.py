@@ -6444,10 +6444,13 @@ def q_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     wdf = spark.createDataFrame(_ndcg_weights(), ["rnk", "wq"])
     outs = []
     for qid, terms in _NDCG_QUERIES:
+        # 10-row frame consumed twice (dcg AND idcg) — checkpoint so
+        # the BM25 corpus scoring runs once per query, not twice
         top = (
             bm25_scores(docs, list(terms))
             .orderBy(F.desc("scoreq"), F.asc("doc_id"))
             .limit(10)
+            .localCheckpoint(eager=True)
         )
         ranked = top.select(
             (F.col("doc_id") % 4).alias("rel"),
@@ -7121,7 +7124,14 @@ _ROTATION_R9 = [
     "win_rate_matrix",
     "length_bias",
     "rank_agreement",
-    # -- changed-path re-checks --
+    # -- changed-path re-checks (r9 corpus-rescan materialization
+    #    fixes: chi_square/degree_assort/kmeans+dsir/ndcg) --
+    "chi_square",
+    "degree_assort",
+    "kmeans_clusters",
+    "dsir_select",
+    "ndcg_eval",
+    # -- changed-path re-checks (pre-r9 staleness) --
     "fuzzy_name_pairs",
     "snb_pairs",
     "markov_ksteps",
@@ -7160,11 +7170,8 @@ _ROTATION_R9 = [
     "zonal_mode",
     "zonal_percentile_25",
     "zonal_range",
-    "zonal_reliability",
-    "zonal_std",
-    "zonal_unique",
-    "zonal_var",
-    "zonal_weighted_sum",
+    # (zonal_reliability/std/unique/var/weighted_sum displaced to the
+    #  r10 drain by the five changed-path re-checks above)
     # ---- driver window boundary (first 50 above) ----
 ]
 

@@ -213,14 +213,23 @@ def chi_square_independence(
 
     One scan: cell counts via groupBy(a, b); row/col/grand totals are
     re-aggregations of that (tiny) cell table, joined back — no second
-    pass over the data, no windows, no collects.
+    pass over the data, no windows, no collects. The cell table is
+    localCheckpoint-ed to make the one-scan claim TRUE in the
+    executed plan: its five consumers (row/col/grand marginals, the
+    joined per-cell frame, dof) each re-evaluated the scan+groupBy
+    subtree otherwise (measured 20 static scans for this 1-row-per-
+    cell answer).
     """
     # categorical labels travel as strings so the grand-total row's
     # NULL markers union cleanly for any input type
-    cells = df.groupBy(
-        F.col(col_a).cast("string").alias("a"),
-        F.col(col_b).cast("string").alias("b"),
-    ).agg(F.count(F.lit(1)).alias("o"))
+    cells = (
+        df.groupBy(
+            F.col(col_a).cast("string").alias("a"),
+            F.col(col_b).cast("string").alias("b"),
+        )
+        .agg(F.count(F.lit(1)).alias("o"))
+        .localCheckpoint(eager=True)
+    )
     # marginals re-attach with NULL-SAFE keys: a NULL category is a
     # legitimate level (it is counted in r_tot/c_tot/n_tot), and a
     # plain equi-join would drop its cells from the per-cell output
