@@ -6882,6 +6882,94 @@ def _rank_agreement_sql() -> str:
     return spearman_rho_sql(pairs)
 
 
+def q_weighted_consensus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # R10 QUEUE (UNREGISTERED): one hard-EM round of accuracy-weighted
+    # relabeling (operators/agreement.weighted_consensus) over the
+    # same three abstaining order "raters" as krippendorff_alpha
+    # (derivation duplicated verbatim so the registered query's plan
+    # stays untouched this round; factor a shared helper when both
+    # re-enter the window together). With abstentions, 1-1
+    # disagreements between raters of unequal accuracy flip from the
+    # lexicographic tie-break to the better rater ("changed" rows).
+    # Gated by tests/test_r10_queue.py with the driver's own
+    # comparison; registration = two dict lines at the r10 head.
+    from det_module_spark.operators.agreement import weighted_consensus
+
+    o = load_table(spark, sf_dir, "orders")
+    item = F.col("o_orderkey").alias("item")
+    votes = (
+        o.select(
+            item,
+            F.lit("priority").alias("rater"),
+            F.when(
+                F.col("o_orderkey") % 11 == 0, F.lit(None).cast("string")
+            )
+            .when(
+                F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), "hot"
+            )
+            .otherwise("cold")
+            .alias("label"),
+        )
+        .unionByName(
+            o.select(
+                item,
+                F.lit("price").alias("rater"),
+                F.when(
+                    F.col("o_orderkey") % 13 == 0,
+                    F.lit(None).cast("string"),
+                )
+                .when(F.col("o_totalprice") > 200000.0, "hot")
+                .when(F.col("o_totalprice") < 100000.0, "cold")
+                .otherwise("warm")
+                .alias("label"),
+            )
+        )
+        .unionByName(
+            o.select(
+                item,
+                F.lit("parity").alias("rater"),
+                F.when(
+                    F.col("o_orderkey") % 7 == 0,
+                    F.lit(None).cast("string"),
+                )
+                .when(F.col("o_orderkey") % 2 == 0, "hot")
+                .otherwise("cold")
+                .alias("label"),
+            )
+        )
+    )
+    return weighted_consensus(votes).orderBy("item")
+
+
+_WEIGHTED_CONSENSUS_VOTES_SQL = """
+      SELECT o_orderkey AS item, 'priority' AS rater,
+             CASE WHEN o_orderkey % 11 = 0 THEN NULL
+                  WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  THEN 'hot' ELSE 'cold' END AS label
+      FROM orders
+      UNION ALL
+      SELECT o_orderkey, 'price',
+             CASE WHEN o_orderkey % 13 = 0 THEN NULL
+                  WHEN o_totalprice > 200000.0 THEN 'hot'
+                  WHEN o_totalprice < 100000.0 THEN 'cold'
+                  ELSE 'warm' END
+      FROM orders
+      UNION ALL
+      SELECT o_orderkey, 'parity',
+             CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                  WHEN o_orderkey % 2 = 0 THEN 'hot'
+                  ELSE 'cold' END
+      FROM orders"""
+
+
+def _weighted_consensus_sql() -> str:
+    from det_module_spark.operators.agreement import (
+        weighted_consensus_sql,
+    )
+
+    return weighted_consensus_sql(_WEIGHTED_CONSENSUS_VOTES_SQL)
+
+
 def q_krippendorff_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Krippendorff's alpha (operators/agreement.py) — kappa's
     # missing-label generalization, over the three deterministic

@@ -382,3 +382,120 @@ def rater_accuracy_sql(votes_sql: str) -> str:
     FROM v JOIN cons USING (item)
     GROUP BY v.rater
     ORDER BY v.rater"""
+
+
+def weighted_consensus(
+    votes: DataFrame,
+    item: str = "item",
+    rater: str = "rater",
+    label: str = "label",
+) -> DataFrame:
+    """One hard-EM round of Dawid-Skene-lite relabeling: majority
+    consensus → per-rater accuracy against it (:func:`rater_accuracy`)
+    → re-vote with each rater's ballot weighted by their accuracy_ppm.
+    The standard crowd-labeling upgrade when raters differ in quality:
+    a reliable minority can overrule a noisy majority, and 1-1 ties
+    between raters of unequal accuracy resolve to the better rater
+    instead of lexicographically.
+
+    → (item, consensus, weight_for, weight_total, majority, changed),
+    exact integers/strings/bool: ``consensus`` is the
+    accuracy-weighted argmax (ties → lexicographically smallest
+    label, the min(struct(-weight, label)) idiom), ``majority`` the
+    unweighted round-0 consensus, ``changed`` their disagreement
+    flag. NULL labels are dropped.
+
+    Weights are BIGINT ppm (Σ over ≤ raters-per-item ballots — no
+    overflow concern below 9e12 raters per item). Deterministic in
+    any engine: weights derive from exact counts, the argmax is
+    order-free.
+
+    Scale shape: the vote table joins the per-rater weight table
+    (rater-cardinality — a broadcast dim), then two hash
+    aggregations per (item,label)→item; no window, no collect.
+    """
+    v = votes.filter(F.col(label).isNotNull()).select(
+        F.col(item).alias("item"),
+        F.col(rater).alias("rater"),
+        F.col(label).cast("string").alias("label"),
+    )
+    acc = rater_accuracy(v).select("rater", "accuracy_ppm")
+    maj = consensus_labels(v).select(
+        "item", F.col("consensus").alias("majority")
+    )
+    wcounts = (
+        v.join(F.broadcast(acc), "rater")
+        .groupBy("item", "label")
+        .agg(F.sum("accuracy_ppm").cast("long").alias("w"))
+    )
+    return (
+        wcounts.groupBy("item")
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("w")).alias("neg"),
+                    F.col("label").alias("label"),
+                    F.col("w").alias("w"),
+                )
+            ).alias("best"),
+            F.sum("w").cast("long").alias("weight_total"),
+        )
+        .select(
+            "item",
+            F.col("best.label").alias("consensus"),
+            F.col("best.w").alias("weight_for"),
+            "weight_total",
+        )
+        .join(maj, "item")
+        .withColumn("changed", F.col("consensus") != F.col("majority"))
+    )
+
+
+def weighted_consensus_sql(votes_sql: str) -> str:
+    """DuckDB twin of :func:`weighted_consensus` (same tie-breaks:
+    weighted argmax via ROW_NUMBER (w DESC, label ASC); majority via
+    (count DESC, label ASC)). ``votes_sql`` must produce columns
+    (item, rater, label)."""
+    return f"""
+    WITH v AS (
+      SELECT item, rater, CAST(label AS VARCHAR) AS label
+      FROM ({votes_sql}) WHERE label IS NOT NULL),
+    counts AS (
+      SELECT item, label, CAST(COUNT(*) AS BIGINT) AS c
+      FROM v GROUP BY 1, 2),
+    cons AS (
+      SELECT item, label AS consensus
+      FROM (SELECT item, label,
+                   ROW_NUMBER() OVER (PARTITION BY item
+                                      ORDER BY c DESC, label ASC) AS rn
+            FROM counts)
+      WHERE rn = 1),
+    acc AS (
+      SELECT v.rater,
+             CAST(SUM(CASE WHEN v.label = cons.consensus
+                      THEN 1 ELSE 0 END) * {PPM} // COUNT(*) AS BIGINT)
+               AS accuracy_ppm
+      FROM v JOIN cons USING (item)
+      GROUP BY v.rater),
+    wcounts AS (
+      SELECT v.item, v.label,
+             CAST(SUM(acc.accuracy_ppm) AS BIGINT) AS w
+      FROM v JOIN acc ON acc.rater = v.rater
+      GROUP BY v.item, v.label),
+    best AS (
+      SELECT item, label AS consensus, w AS weight_for
+      FROM (SELECT item, label, w,
+                   ROW_NUMBER() OVER (PARTITION BY item
+                                      ORDER BY w DESC, label ASC) AS rn
+            FROM wcounts)
+      WHERE rn = 1),
+    tot AS (
+      SELECT item, CAST(SUM(w) AS BIGINT) AS weight_total
+      FROM wcounts GROUP BY item)
+    SELECT b.item, b.consensus, b.weight_for, t.weight_total,
+           c.consensus AS majority,
+           b.consensus <> c.consensus AS changed
+    FROM best b
+    JOIN tot t USING (item)
+    JOIN cons c USING (item)
+    ORDER BY b.item"""
