@@ -6970,6 +6970,48 @@ def _weighted_consensus_sql() -> str:
     return weighted_consensus_sql(_WEIGHTED_CONSENSUS_VOTES_SQL)
 
 
+def q_supplier_rank_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # R10 QUEUE (UNREGISTERED): Kendall tau-b between two supplier
+    # rankings — financial standing (account balance) vs sales volume
+    # (total lineitem revenue). The bounded-leaderboard rank
+    # correlation (operators/prefstats.kendall_tau: all-pairs with a
+    # loud quadratic guard; suppliers are a dimension, |S| = 100·SF).
+    # Gated by tests/test_r10_queue.py with the driver's comparison.
+    from det_module_spark.operators.prefstats import kendall_tau
+
+    sup = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("k"),
+        F.expr("CAST(FLOOR(s_acctbal * 100 + 0.5) AS BIGINT)").alias("x"),
+    )
+    rev = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_suppkey").alias("k"))
+        .agg(
+            F.expr(
+                "CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) "
+                "AS BIGINT)) AS BIGINT)"
+            ).alias("y")
+        )
+    )
+    return kendall_tau(sup.join(rev, "k"), "x", "y")
+
+
+def _supplier_rank_tau_sql() -> str:
+    from det_module_spark.operators.prefstats import kendall_tau_sql
+
+    return kendall_tau_sql(
+        """
+      SELECT CAST(FLOOR(s.s_acctbal * 100 + 0.5) AS BIGINT) AS x,
+             r.y
+      FROM supplier s
+      JOIN (SELECT l_suppkey,
+                   CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5)
+                                 AS BIGINT)) AS BIGINT) AS y
+            FROM lineitem GROUP BY l_suppkey) r
+        ON r.l_suppkey = s.s_suppkey"""
+    )
+
+
 def q_krippendorff_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Krippendorff's alpha (operators/agreement.py) — kappa's
     # missing-label generalization, over the three deterministic

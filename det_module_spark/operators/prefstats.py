@@ -352,3 +352,153 @@ def spearman_rho_sql(pairs_sql: str) -> str:
                            * 1.0e6 + 0.5e0)
                 ELSE NULL END AS BIGINT) AS rho_ppm
     FROM m"""
+
+
+KENDALL_MAX_ROWS = 5_000  # n(n-1)/2 pairs: 5k rows = 12.5M pairs
+
+
+def kendall_tau(
+    df: DataFrame,
+    x: str,
+    y: str,
+    max_rows: int = KENDALL_MAX_ROWS,
+) -> DataFrame:
+    """Kendall tau-b between two columns over a BOUNDED frame — the
+    pair-concordance rank correlation (more robust than Spearman to
+    a few wild ranks; the other standard ranker-agreement number).
+    → one row (n, concordant, discordant, tie_x, tie_y, tau_b_ppm;
+    NULL tau when either column is constant). NULL rows dropped.
+
+        tau_b = (C − D) / sqrt((C + D + Tx)·(C + D + Ty))
+
+    with Tx/Ty the single-sided tie pair counts (both-tied pairs are
+    excluded from both radicands, per the standard estimator).
+
+    INHERENTLY QUADRATIC: every unordered row pair is examined, so
+    this is a leaderboard-frame operator (model rankings, supplier
+    tables, eval slices), NOT a corpus operator — ``max_rows``
+    (default 5000 → 12.5M pairs) is enforced by a raise_error guard
+    attached to every row BEFORE pairing, so an over-limit input
+    fails on its first row instead of shuffling n² pairs. For
+    corpus-scale rank agreement use :func:`spearman_rho` (linear +
+    two prefix sums).
+
+    Pairing uses monotonically_increasing_id solely for uniqueness
+    (id_a < id_b enumerates each unordered pair once); the counts —
+    and therefore the output — are independent of the id assignment.
+    The final ratio runs in doubles from exact BIGINT counts through
+    IEEE correctly-rounded ops (module header); ties in the pair
+    counts make C, D, Tx, Ty exact integers in any engine.
+    """
+    rows = (
+        df.filter(F.col(x).isNotNull() & F.col(y).isNotNull())
+        .select(F.col(x).alias("xv"), F.col(y).alias("yv"))
+        .localCheckpoint(eager=True)  # pin ids + count once
+    )
+    n_df = rows.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    # the guard is folded into n itself (which flows to the output),
+    # so column pruning can never eliminate the raise_error; it fires
+    # per-row BEFORE pairing, killing an over-limit run at row one
+    guarded = rows.crossJoin(F.broadcast(n_df)).select(
+        "xv",
+        "yv",
+        F.when(
+            F.col("n") > max_rows,
+            F.raise_error(
+                F.concat(
+                    F.lit("kendall_tau: n = "),
+                    F.col("n").cast("string"),
+                    F.lit(
+                        f" > {max_rows} rows; the all-pairs shape is "
+                        "quadratic — slice the frame or use "
+                        "spearman_rho"
+                    ),
+                )
+            ).cast("long"),
+        )
+        .otherwise(F.col("n"))
+        .alias("n"),
+    )
+    ids = guarded.select(
+        "xv", "yv", "n", F.monotonically_increasing_id().alias("__id")
+    )
+    a = ids.select(
+        F.col("xv").alias("xa"), F.col("yv").alias("ya"),
+        F.col("__id").alias("ia"), "n",
+    )
+    b = ids.select(
+        F.col("xv").alias("xb"), F.col("yv").alias("yb"),
+        F.col("__id").alias("ib"),
+    )
+    pairs = a.join(b, F.col("ia") < F.col("ib")).select(
+        "n",
+        F.signum((F.col("xa") - F.col("xb")).cast("double")).alias("sx"),
+        F.signum((F.col("ya") - F.col("yb")).cast("double")).alias("sy"),
+    )
+    m = pairs.groupBy("n").agg(
+        F.sum(F.when(F.col("sx") * F.col("sy") > 0, 1).otherwise(0))
+        .cast("long").alias("concordant"),
+        F.sum(F.when(F.col("sx") * F.col("sy") < 0, 1).otherwise(0))
+        .cast("long").alias("discordant"),
+        F.sum(
+            F.when((F.col("sx") == 0) & (F.col("sy") != 0), 1).otherwise(0)
+        ).cast("long").alias("tie_x"),
+        F.sum(
+            F.when((F.col("sy") == 0) & (F.col("sx") != 0), 1).otherwise(0)
+        ).cast("long").alias("tie_y"),
+    )
+    dx = "((concordant + discordant + tie_x) * 1.0e0)"
+    dy = "((concordant + discordant + tie_y) * 1.0e0)"
+    return m.select(
+        "n",
+        "concordant",
+        "discordant",
+        "tie_x",
+        "tie_y",
+        F.when(
+            (F.expr(dx) > 0) & (F.expr(dy) > 0),
+            F.expr(
+                "CAST(FLOOR((concordant - discordant) * 1.0e0"
+                f" / (SQRT({dx}) * SQRT({dy})) * 1.0e6 + 0.5e0)"
+                " AS BIGINT)"
+            ),
+        )
+        .cast("long")
+        .alias("tau_b_ppm"),
+    )
+
+
+def kendall_tau_sql(pairs_sql: str) -> str:
+    """DuckDB twin — identical pair algebra (ROW_NUMBER ids; the
+    counts are id-assignment independent) and the identical IEEE
+    double combination. ``pairs_sql`` must produce columns (x, y)."""
+    dx = "((concordant + discordant + tie_x) * 1.0e0)"
+    dy = "((concordant + discordant + tie_y) * 1.0e0)"
+    return f"""
+    WITH rows_ AS (
+      SELECT x AS xv, y AS yv,
+             ROW_NUMBER() OVER () AS id
+      FROM ({pairs_sql})
+      WHERE x IS NOT NULL AND y IS NOT NULL),
+    n_t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM rows_),
+    pairs AS (
+      SELECT n_t.n,
+             SIGN(a.xv - b.xv) AS sx, SIGN(a.yv - b.yv) AS sy
+      FROM rows_ a JOIN rows_ b ON a.id < b.id CROSS JOIN n_t),
+    m AS (
+      SELECT n,
+             CAST(SUM(CASE WHEN sx * sy > 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS concordant,
+             CAST(SUM(CASE WHEN sx * sy < 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS discordant,
+             CAST(SUM(CASE WHEN sx = 0 AND sy <> 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS tie_x,
+             CAST(SUM(CASE WHEN sy = 0 AND sx <> 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS tie_y
+      FROM pairs GROUP BY n)
+    SELECT n, concordant, discordant, tie_x, tie_y,
+           CAST(CASE WHEN {dx} > 0 AND {dy} > 0
+                THEN FLOOR((concordant - discordant) * 1.0e0
+                           / (SQRT({dx}) * SQRT({dy})) * 1.0e6 + 0.5e0)
+                ELSE NULL END AS BIGINT) AS tau_b_ppm
+    FROM m"""

@@ -219,3 +219,81 @@ def test_spearman_n_limit_guard(spark):
     with _pytest.raises(Exception, match="overflow"):
         spearman_rho(df, "x", "y", n_limit=9).collect()
     assert spearman_rho(df, "x", "y", n_limit=10).collect()[0]["n"] == 10
+
+
+# --- kendall_tau (r10 queue) ---
+
+
+def test_kendall_hand_computed_and_perfect(spark):
+    from det_module_spark.operators.prefstats import kendall_tau
+
+    df = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 30), (4, 25)], "x long, y long"
+    )
+    out = kendall_tau(df, "x", "y").collect()[0]
+    # pairs: (1,2)C (1,3)C (1,4)C (2,3)C (2,4)C (3,4)D
+    assert (out["concordant"], out["discordant"]) == (5, 1)
+    assert out["tie_x"] == 0 and out["tie_y"] == 0
+    import math
+    exp = (5 - 1) / math.sqrt(6 * 6)
+    assert out["tau_b_ppm"] == math.floor(exp * 1e6 + 0.5)
+    perfect = kendall_tau(
+        spark.createDataFrame([(i, i * 2) for i in range(5)], "x long, y long"),
+        "x", "y",
+    ).collect()[0]
+    assert perfect["tau_b_ppm"] == 1_000_000
+
+
+def test_kendall_ties_vs_python_reference(spark):
+    import math
+
+    from det_module_spark.operators.prefstats import kendall_tau
+
+    rows = [(i % 4, (i * 7) % 6) for i in range(20)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    out = kendall_tau(df, "x", "y").collect()[0]
+    C = D = Tx = Ty = 0
+    for i in range(len(rows)):
+        for j in range(i + 1, len(rows)):
+            sx = (rows[i][0] > rows[j][0]) - (rows[i][0] < rows[j][0])
+            sy = (rows[i][1] > rows[j][1]) - (rows[i][1] < rows[j][1])
+            if sx * sy > 0: C += 1
+            elif sx * sy < 0: D += 1
+            elif sx == 0 and sy != 0: Tx += 1
+            elif sy == 0 and sx != 0: Ty += 1
+    assert (out["concordant"], out["discordant"], out["tie_x"],
+            out["tie_y"]) == (C, D, Tx, Ty)
+    exp = (C - D) / math.sqrt((C + D + Tx) * (C + D + Ty))
+    assert out["tau_b_ppm"] == math.floor(exp * 1e6 + 0.5)
+
+
+def test_kendall_matches_duckdb(spark):
+    import duckdb as _dd
+
+    from det_module_spark.operators.prefstats import (
+        kendall_tau,
+        kendall_tau_sql,
+    )
+
+    rows = [((i * 11) % 9, (i * 5) % 7) for i in range(35)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    got = tuple(kendall_tau(df, "x", "y").collect()[0])
+    vals = ", ".join(f"({a}, {b})" for a, b in rows)
+    ref = _dd.connect().execute(
+        kendall_tau_sql(f"SELECT * FROM (VALUES {vals}) t(x, y)")
+    ).fetchone()
+    assert got == tuple(ref)
+
+
+def test_kendall_guard_and_constant(spark):
+    import pytest as _pytest
+
+    from det_module_spark.operators.prefstats import kendall_tau
+
+    df = spark.createDataFrame([(i, i) for i in range(10)], "x long, y long")
+    with _pytest.raises(Exception, match="quadratic"):
+        kendall_tau(df, "x", "y", max_rows=9).collect()
+    assert kendall_tau(df, "x", "y", max_rows=10).collect()[0]["n"] == 10
+    const = spark.createDataFrame([(1, i) for i in range(4)], "x long, y long")
+    out = kendall_tau(const, "x", "y").collect()[0]
+    assert out["tau_b_ppm"] is None and out["concordant"] == 0

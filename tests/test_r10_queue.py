@@ -88,3 +88,16 @@ def test_weighted_consensus_query_matches_oracle(spark, sf_dir):
     assert len(sdf) > 100  # one row per order with >= 1 label
     assert sdf["changed"].any()  # the abstention 1-1 ties flip
     _compare(sdf, odf)
+
+
+def test_supplier_rank_tau_query_matches_oracle(spark, sf_dir):
+    con = duckdb.connect()
+    for t in ("supplier", "lineitem"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    sdf = m.q_supplier_rank_tau(spark, sf_dir).toPandas()
+    odf = con.execute(m._supplier_rank_tau_sql()).fetchdf()
+    assert len(sdf) == 1 and int(sdf["n"][0]) >= 10
+    _compare(sdf, odf)
