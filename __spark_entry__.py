@@ -7012,6 +7012,26 @@ def _supplier_rank_tau_sql() -> str:
     )
 
 
+def q_preference_cycles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # R10 QUEUE (UNREGISTERED): transitivity audit of the supplier
+    # preference log (operators/prefstats.preference_cycles) — the
+    # share of circular triads among decisive head-to-head triples,
+    # the consistency check that justifies (or indicts) the scalar
+    # bt_strengths/elo_ratings fits over the same games. Gated by
+    # tests/test_r10_queue.py with the driver's comparison.
+    from det_module_spark.operators.prefstats import preference_cycles
+
+    return preference_cycles(_supplier_comps(spark, sf_dir))
+
+
+def _preference_cycles_sql() -> str:
+    from det_module_spark.operators.prefstats import (
+        preference_cycles_sql,
+    )
+
+    return preference_cycles_sql(_SUPPLIER_COMPS_SQL)
+
+
 def q_krippendorff_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Krippendorff's alpha (operators/agreement.py) — kappa's
     # missing-label generalization, over the three deterministic

@@ -502,3 +502,174 @@ def kendall_tau_sql(pairs_sql: str) -> str:
                            / (SQRT({dx}) * SQRT({dy})) * 1.0e6 + 0.5e0)
                 ELSE NULL END AS BIGINT) AS tau_b_ppm
     FROM m"""
+
+
+CYCLES_MAX_PLAYERS = 2_000
+
+
+def preference_cycles(
+    comparisons: DataFrame,
+    winner: str = "winner",
+    loser: str = "loser",
+    max_players: int = CYCLES_MAX_PLAYERS,
+) -> DataFrame:
+    """Transitivity audit of a preference log — Kendall's circular
+    triads: among player triples whose three head-to-head records
+    are all DECISIVE (strict majority winner), how many are cyclic
+    (A beats B beats C beats A)? A high cyclic share means the
+    pairwise data contradicts ANY total ordering, and a
+    Bradley-Terry/Elo scalar fit will paper over real inconsistency
+    (rubric drift, mixed populations). → one row, exact BIGINT:
+    (n_players, n_decisive_edges, n_triads, n_cyclic, cyclic_ppm;
+    NULL ppm when no complete triads exist).
+
+    Leaderboard-frame operator: triad enumeration is a 3-way
+    self-join of the decisive-edge set (players are a model/supplier
+    dimension, never a corpus) — guarded loudly at ``max_players``
+    via raise_error folded into an output-flowing column. Each
+    directed 3-cycle is counted once (anchored at its smallest
+    vertex); each complete triple once (x < y < z on the undirected
+    edge set). Everything is counts — deterministic in any engine.
+    """
+    c = comparisons.filter(
+        F.col(winner).isNotNull()
+        & F.col(loser).isNotNull()
+        & (F.col(winner) != F.col(loser))
+    )
+    pairs = (
+        c.select(
+            F.least(F.col(winner), F.col(loser)).alias("lo"),
+            F.greatest(F.col(winner), F.col(loser)).alias("hi"),
+            F.when(F.col(winner) < F.col(loser), F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("lo_won"),
+        )
+        .groupBy("lo", "hi")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("lo_won").cast("long").alias("w_lo"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    n_players_df = (
+        pairs.select(F.col("lo").alias("p"))
+        .unionByName(pairs.select(F.col("hi").alias("p")))
+        .agg(F.count_distinct("p").cast("long").alias("n_players"))
+    )
+    # decisive directed edges, with the guard folded into a column
+    # that flows through every downstream count (prune-proof)
+    dec = (
+        pairs.filter(2 * F.col("w_lo") != F.col("n"))
+        .crossJoin(F.broadcast(n_players_df))
+        .select(
+            F.when(2 * F.col("w_lo") > F.col("n"), F.col("lo"))
+            .otherwise(F.col("hi"))
+            .alias("src"),
+            F.when(2 * F.col("w_lo") > F.col("n"), F.col("hi"))
+            .otherwise(F.col("lo"))
+            .alias("dst"),
+            F.when(
+                F.col("n_players") > max_players,
+                F.raise_error(
+                    F.concat(
+                        F.lit("preference_cycles: "),
+                        F.col("n_players").cast("string"),
+                        F.lit(
+                            f" players > {max_players}; triad "
+                            "enumeration is a bounded-leaderboard "
+                            "operation — slice the player set"
+                        ),
+                    )
+                ).cast("long"),
+            )
+            .otherwise(F.col("n_players"))
+            .alias("n_players"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    n_edges = dec.agg(
+        F.count(F.lit(1)).cast("long").alias("n_decisive_edges"),
+        F.max("n_players").alias("n_players"),
+    )
+    # undirected decisive pairs for complete-triple counting
+    und = dec.select(
+        F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+    )
+    e1 = und.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = und.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    e3 = und.select(F.col("a").alias("x"), F.col("b").alias("z"))
+    triads = (
+        e1.join(e2, "y")
+        .join(e3, ["x", "z"])
+        .agg(F.count(F.lit(1)).cast("long").alias("n_triads"))
+    )
+    # directed 3-cycles, each counted once at its smallest vertex
+    d1 = dec.select(F.col("src").alias("x"), F.col("dst").alias("y"))
+    d2 = dec.select(F.col("src").alias("y"), F.col("dst").alias("z"))
+    d3 = dec.select(F.col("src").alias("z"), F.col("dst").alias("x"))
+    cyc = (
+        d1.join(d2, "y")
+        .join(d3, ["z", "x"])
+        .filter((F.col("x") < F.col("y")) & (F.col("x") < F.col("z")))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_cyclic"))
+    )
+    return (
+        n_edges.crossJoin(triads)
+        .crossJoin(cyc)
+        .select(
+            "n_players",
+            "n_decisive_edges",
+            "n_triads",
+            "n_cyclic",
+            F.when(
+                F.col("n_triads") > 0,
+                F.expr(f"n_cyclic * {PPM}L div n_triads"),
+            )
+            .cast("long")
+            .alias("cyclic_ppm"),
+        )
+    )
+
+
+def preference_cycles_sql(comparisons_sql: str) -> str:
+    """DuckDB twin — identical edge derivation and triad joins.
+    ``comparisons_sql`` must produce columns (winner, loser)."""
+    return f"""
+    WITH c AS MATERIALIZED (
+      SELECT winner, loser FROM ({comparisons_sql})
+      WHERE winner IS NOT NULL AND loser IS NOT NULL
+        AND winner <> loser),
+    pairs AS MATERIALIZED (
+      SELECT LEAST(winner, loser) AS lo, GREATEST(winner, loser) AS hi,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN winner < loser THEN 1 ELSE 0 END)
+                  AS BIGINT) AS w_lo
+      FROM c GROUP BY 1, 2),
+    np AS (SELECT CAST(COUNT(DISTINCT p) AS BIGINT) AS n_players
+           FROM (SELECT lo AS p FROM pairs
+                 UNION ALL SELECT hi FROM pairs)),
+    dec AS MATERIALIZED (
+      SELECT CASE WHEN 2 * w_lo > n THEN lo ELSE hi END AS src,
+             CASE WHEN 2 * w_lo > n THEN hi ELSE lo END AS dst
+      FROM pairs WHERE 2 * w_lo <> n),
+    ne AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_decisive_edges
+           FROM dec),
+    und AS MATERIALIZED (
+      SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b FROM dec),
+    triads AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_triads
+      FROM und e1
+      JOIN und e2 ON e2.a = e1.b
+      JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+    cyc AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_cyclic
+      FROM dec d1
+      JOIN dec d2 ON d2.src = d1.dst
+      JOIN dec d3 ON d3.src = d2.dst AND d3.dst = d1.src
+      WHERE d1.src < d1.dst AND d1.src < d2.dst)
+    SELECT np.n_players, ne.n_decisive_edges, triads.n_triads,
+           cyc.n_cyclic,
+           CAST(CASE WHEN triads.n_triads > 0
+                THEN cyc.n_cyclic * {PPM} // triads.n_triads
+                ELSE NULL END AS BIGINT) AS cyclic_ppm
+    FROM np CROSS JOIN ne CROSS JOIN triads CROSS JOIN cyc"""

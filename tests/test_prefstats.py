@@ -297,3 +297,81 @@ def test_kendall_guard_and_constant(spark):
     const = spark.createDataFrame([(1, i) for i in range(4)], "x long, y long")
     out = kendall_tau(const, "x", "y").collect()[0]
     assert out["tau_b_ppm"] is None and out["concordant"] == 0
+
+
+# --- preference_cycles (r10 queue) ---
+
+
+def test_preference_cycles_cyclic_and_transitive(spark):
+    from det_module_spark.operators.prefstats import preference_cycles
+
+    # rock-paper-scissors: pure 3-cycle
+    rps = spark.createDataFrame(
+        [(1, 2)] * 2 + [(2, 3)] * 2 + [(3, 1)] * 2,
+        "winner long, loser long",
+    )
+    out = preference_cycles(rps).collect()[0]
+    assert (out["n_players"], out["n_decisive_edges"]) == (3, 3)
+    assert (out["n_triads"], out["n_cyclic"]) == (1, 1)
+    assert out["cyclic_ppm"] == 1_000_000
+
+    # transitive: 1 beats 2 and 3; 2 beats 3
+    trans = spark.createDataFrame(
+        [(1, 2)] * 2 + [(1, 3)] * 2 + [(2, 3)] * 2,
+        "winner long, loser long",
+    )
+    out = preference_cycles(trans).collect()[0]
+    assert (out["n_triads"], out["n_cyclic"]) == (1, 0)
+    assert out["cyclic_ppm"] == 0
+
+
+def test_preference_cycles_ties_break_triads(spark):
+    from det_module_spark.operators.prefstats import preference_cycles
+
+    # 1-2 record is 1-1 (indecisive) -> no complete triple
+    rows = [(1, 2), (2, 1), (2, 3), (3, 1)]
+    df = spark.createDataFrame(rows, "winner long, loser long")
+    out = preference_cycles(df).collect()[0]
+    assert out["n_decisive_edges"] == 2
+    assert out["n_triads"] == 0 and out["cyclic_ppm"] is None
+
+
+def test_preference_cycles_matches_duckdb(spark):
+    import duckdb as _dd
+
+    from det_module_spark.operators.prefstats import (
+        preference_cycles,
+        preference_cycles_sql,
+    )
+
+    # dense head-to-head log over 6 players: lo beats hi (a+b)%3+2
+    # times, hi beats lo (a*b)%2+1 times — most pairs decisive (a few
+    # 2-2 ties exercise the indecisive-edge path), complete triads
+    # exist (asserted below)
+    games = []
+    for a in range(1, 7):
+        for b in range(a + 1, 7):
+            games += [(a, b)] * ((a + b) % 3 + 2) + [(b, a)] * ((a * b) % 2 + 1)
+    df = spark.createDataFrame(games, "winner long, loser long")
+    got = tuple(preference_cycles(df).collect()[0])
+    vals = ", ".join(f"({w}, {l})" for w, l in games)
+    ref = _dd.connect().execute(
+        preference_cycles_sql(
+            f"SELECT * FROM (VALUES {vals}) t(winner, loser)"
+        )
+    ).fetchone()
+    assert got == tuple(ref)
+    assert got[2] > 0  # complete triads exist in this log
+
+
+def test_preference_cycles_guard(spark):
+    import pytest as _pytest
+
+    from det_module_spark.operators.prefstats import preference_cycles
+
+    df = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 6)] * 2, "winner long, loser long"
+    )
+    with _pytest.raises(Exception, match="players"):
+        preference_cycles(df, max_players=5).collect()
+    assert preference_cycles(df, max_players=6).collect()[0]["n_players"] == 6

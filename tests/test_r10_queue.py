@@ -101,3 +101,15 @@ def test_supplier_rank_tau_query_matches_oracle(spark, sf_dir):
     odf = con.execute(m._supplier_rank_tau_sql()).fetchdf()
     assert len(sdf) == 1 and int(sdf["n"][0]) >= 10
     _compare(sdf, odf)
+
+
+def test_preference_cycles_query_matches_oracle(spark, sf_dir):
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW lineitem AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/lineitem.parquet')"
+    )
+    sdf = m.q_preference_cycles(spark, sf_dir).toPandas()
+    odf = con.execute(m._preference_cycles_sql()).fetchdf()
+    assert len(sdf) == 1 and int(sdf["n_triads"][0]) > 0
+    _compare(sdf, odf)
