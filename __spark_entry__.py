@@ -1582,14 +1582,29 @@ def q_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     # estimate AND its error are deterministic and hash-checked
     from det_module_spark.operators.sketch import kmv_set_estimates
 
-    orders = load_table(spark, sf_dir, "orders")
-    a = orders.filter(F.col("o_orderpriority") == "1-URGENT")
-    b = orders.filter(F.col("o_orderpriority") == "5-LOW")
+    # ONE corpus pass: distinct (priority, custkey) for the two
+    # priorities, materialized — the KMV sketches operate on distinct
+    # values (sketch(multiset) == sketch(distinct set)), and the
+    # exact-answer paths reuse the same compact key sets, instead of
+    # Catalyst re-scanning orders per consumer (sketch-a, sketch-b,
+    # exact-union, exact-intersection ×2: 8 scans for a 1-row answer
+    # at any scale — VERDICT r09 #4)
+    keys = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+        .select("o_orderpriority", "o_custkey")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    ka = keys.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_custkey"
+    )
+    kb = keys.filter(F.col("o_orderpriority") == "5-LOW").select(
+        "o_custkey"
+    )
     est = kmv_set_estimates(
-        a, b, F.col("o_custkey"), F.col("o_custkey"), k=64
+        ka, kb, F.col("o_custkey"), F.col("o_custkey"), k=64
     ).select("est_union", "est_intersection")
-    ka = a.select("o_custkey").distinct()
-    kb = b.select("o_custkey").distinct()
     exact = (
         ka.unionByName(kb)
         .distinct()
@@ -6882,22 +6897,17 @@ def _rank_agreement_sql() -> str:
     return spearman_rho_sql(pairs)
 
 
-def q_weighted_consensus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # R10 QUEUE (UNREGISTERED): one hard-EM round of accuracy-weighted
-    # relabeling (operators/agreement.weighted_consensus) over the
-    # same three abstaining order "raters" as krippendorff_alpha
-    # (derivation duplicated verbatim so the registered query's plan
-    # stays untouched this round; factor a shared helper when both
-    # re-enter the window together). With abstentions, 1-1
-    # disagreements between raters of unequal accuracy flip from the
-    # lexicographic tie-break to the better rater ("changed" rows).
-    # Gated by tests/test_r10_queue.py with the driver's own
-    # comparison; registration = two dict lines at the r10 head.
-    from det_module_spark.operators.agreement import weighted_consensus
-
+def _abstaining_votes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The three deterministic abstaining order "raters" shared by
+    # q_krippendorff_alpha and q_weighted_consensus (VERDICT r9 #2:
+    # one derivation, both queries re-check together): priority rater
+    # skips o_orderkey%11=0, price skips %13=0 (three categories),
+    # parity skips %7=0 — unpairable units and per-unit m in {1,2,3}
+    # all exercise. → (item, rater, label); krippendorff selects only
+    # (item, label) internally.
     o = load_table(spark, sf_dir, "orders")
     item = F.col("o_orderkey").alias("item")
-    votes = (
+    return (
         o.select(
             item,
             F.lit("priority").alias("rater"),
@@ -6938,10 +6948,25 @@ def q_weighted_consensus(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    return weighted_consensus(votes).orderBy("item")
 
 
-_WEIGHTED_CONSENSUS_VOTES_SQL = """
+def q_weighted_consensus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # One hard-EM round of accuracy-weighted relabeling
+    # (operators/agreement.weighted_consensus) over the same three
+    # abstaining order "raters" as krippendorff_alpha (shared
+    # _abstaining_votes derivation). With abstentions, 1-1
+    # disagreements between raters of unequal accuracy flip from the
+    # lexicographic tie-break to the better rater ("changed" rows).
+    # Gated by tests/test_r10_queue.py with the driver's own
+    # comparison before registration.
+    from det_module_spark.operators.agreement import weighted_consensus
+
+    return weighted_consensus(_abstaining_votes(spark, sf_dir)).orderBy(
+        "item"
+    )
+
+
+_ABSTAINING_VOTES_SQL = """
       SELECT o_orderkey AS item, 'priority' AS rater,
              CASE WHEN o_orderkey % 11 = 0 THEN NULL
                   WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
@@ -6967,7 +6992,7 @@ def _weighted_consensus_sql() -> str:
         weighted_consensus_sql,
     )
 
-    return weighted_consensus_sql(_WEIGHTED_CONSENSUS_VOTES_SQL)
+    return weighted_consensus_sql(_ABSTAINING_VOTES_SQL)
 
 
 def q_supplier_rank_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7034,55 +7059,15 @@ def _preference_cycles_sql() -> str:
 
 def q_krippendorff_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Krippendorff's alpha (operators/agreement.py) — kappa's
-    # missing-label generalization, over the three deterministic
-    # order "raters" WITH deterministic abstentions (priority rater
-    # skips o_orderkey%11=0, price skips %13=0, parity skips %7=0) so
-    # unpairable units and per-unit m in {1,2,3} all exercise; the
-    # price rater uses three categories (cold/warm/hot) so D_e sums
-    # over a real category distribution.
+    # missing-label generalization, over the shared _abstaining_votes
+    # raters (VERDICT r9 #2: one derivation with q_weighted_consensus;
+    # the extra rater column is dropped by krippendorff's internal
+    # (item, label) projection). Unpairable units and per-unit m in
+    # {1,2,3} all exercise; the price rater's three categories give
+    # D_e a real category distribution.
     from det_module_spark.operators.agreement import krippendorff_alpha
 
-    o = load_table(spark, sf_dir, "orders")
-    item = F.col("o_orderkey").alias("item")
-    votes = (
-        o.select(
-            item,
-            F.when(
-                F.col("o_orderkey") % 11 == 0, F.lit(None).cast("string")
-            )
-            .when(
-                F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), "hot"
-            )
-            .otherwise("cold")
-            .alias("label"),
-        )
-        .unionByName(
-            o.select(
-                item,
-                F.when(
-                    F.col("o_orderkey") % 13 == 0,
-                    F.lit(None).cast("string"),
-                )
-                .when(F.col("o_totalprice") > 200000.0, "hot")
-                .when(F.col("o_totalprice") < 100000.0, "cold")
-                .otherwise("warm")
-                .alias("label"),
-            )
-        )
-        .unionByName(
-            o.select(
-                item,
-                F.when(
-                    F.col("o_orderkey") % 7 == 0,
-                    F.lit(None).cast("string"),
-                )
-                .when(F.col("o_orderkey") % 2 == 0, "hot")
-                .otherwise("cold")
-                .alias("label"),
-            )
-        )
-    )
-    return krippendorff_alpha(votes)
+    return krippendorff_alpha(_abstaining_votes(spark, sf_dir))
 
 
 def _krippendorff_alpha_sql() -> str:
@@ -7090,27 +7075,7 @@ def _krippendorff_alpha_sql() -> str:
         krippendorff_alpha_sql,
     )
 
-    return krippendorff_alpha_sql(
-        """
-      SELECT o_orderkey AS item,
-             CASE WHEN o_orderkey % 11 = 0 THEN NULL
-                  WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                  THEN 'hot' ELSE 'cold' END AS label
-      FROM orders
-      UNION ALL
-      SELECT o_orderkey,
-             CASE WHEN o_orderkey % 13 = 0 THEN NULL
-                  WHEN o_totalprice > 200000.0 THEN 'hot'
-                  WHEN o_totalprice < 100000.0 THEN 'cold'
-                  ELSE 'warm' END
-      FROM orders
-      UNION ALL
-      SELECT o_orderkey,
-             CASE WHEN o_orderkey % 7 = 0 THEN NULL
-                  WHEN o_orderkey % 2 = 0 THEN 'hot'
-                  ELSE 'cold' END
-      FROM orders"""
-    )
+    return krippendorff_alpha_sql(_ABSTAINING_VOTES_SQL)
 
 
 def q_bucket_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7247,87 +7212,84 @@ def entry(spark: SparkSession) -> DataFrame:
 #      changed since its latest driver hash;
 #   3. remaining slots drain OLDEST-DRIVER-HASH-FIRST, which bounds
 #      worst-case staleness at ~3 rounds (50 slots / 293 queries).
-# Round-9 composition (exactly 50):
-#   - 8 new registrations: the 4 r8-built preference/labeling ops
-#     (pre-verified with the driver's own comparison at sf0.001 +
-#     sf0.01, tests/test_r9_queue.py): bt_strengths, bucket_plan,
-#     label_agreement, rater_reliability; plus the 4 r9-built ones:
-#     elo_ratings, krippendorff_alpha, win_rate_matrix, length_bias,
-#     rank_agreement.
-#   - 3 changed-path re-checks: fuzzy_name_pairs (drv r4) and
-#     snb_pairs (drv r7) consume the r8 edit1_pairs hashed-band
-#     rewrite (operators/fuzzyjoin.py); markov_ksteps (drv r5,
-#     r6 plan-identical refactor never re-hashed).
-#   - 13 queries whose latest driver hash is round 1, then 25 whose
-#     latest is round 2 (computed from the CORRECTNESS_r0* union),
-#     alphabetical within each age class.
-#   (9 new registrations total with rank_agreement — the Spearman
-#   capstone — which takes the last slot instead of a round-3 drain.)
-_ROTATION_R9 = [
+# Round-10 composition (exactly 50, verified by
+# tests/test_rotation_r10.py against the CORRECTNESS_r0* union):
+#   - 3 new registrations (built + gated in r9 with the driver's own
+#     comparison, tests/test_r10_queue.py): weighted_consensus,
+#     supplier_rank_tau, preference_cycles.
+#   - 6 changed-path re-checks: krippendorff_alpha (r10 per-unit-m
+#     overflow guard + shared _abstaining_votes derivation) and the 5
+#     r10 rescan-materialization fixes (VERDICT r09 #4):
+#     kmv_set_ops, dsir_select, corpus_pipeline_v2 (via importance.py),
+#     adamic_adar (graph.py edge-list checkpoint), matryoshka_audit
+#     (similarity.py single segment-dot pass).
+#   - 5 queries whose latest driver hash is round 2 (displaced from
+#     the r9 window): zonal_reliability/std/unique/var/weighted_sum.
+#   - ALL 32 queries whose latest hash is round 3 (the full r3 class
+#     drains this round), alphabetical.
+#   - 4 oldest round-4 queries, alphabetical — the r4 drain begins.
+_ROTATION_R10 = [
     # -- new this round: first driver check --
-    "bt_strengths",
-    "bucket_plan",
-    "label_agreement",
-    "rater_reliability",
-    "elo_ratings",
+    "weighted_consensus",
+    "supplier_rank_tau",
+    "preference_cycles",
+    # -- changed-path re-checks --
     "krippendorff_alpha",
-    "win_rate_matrix",
-    "length_bias",
-    "rank_agreement",
-    # -- changed-path re-checks (r9 corpus-rescan materialization
-    #    fixes: chi_square/degree_assort/kmeans+dsir/ndcg) --
-    "chi_square",
-    "degree_assort",
-    "kmeans_clusters",
+    "kmv_set_ops",
     "dsir_select",
-    "ndcg_eval",
-    # -- changed-path re-checks (pre-r9 staleness) --
-    "fuzzy_name_pairs",
-    "snb_pairs",
-    "markov_ksteps",
-    # -- oldest driver hashes: round 1 --
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "doc_fingerprint",
-    "minhash_signatures",
-    "multimodal_decode",
-    "multimodal_frame_sample",
-    "text_lang_id",
-    "text_quality",
-    "window_running",
-    "window_topk",
-    "zonal_salted_mean",
-    "zonal_spatial_join",
-    # -- round-2 driver hashes --
-    "cache_anti_join",
-    "catalog_join",
-    "except_distinct",
-    "intersect_distinct",
-    "point_lookup",
-    "queue_scan",
-    "release_filters",
-    "scalar_functions",
-    "semi_join",
-    "temporal_sort",
-    "two_phase_poll",
-    "union_distinct",
-    "wide_merge",
-    "zonal_categorical",
-    "zonal_majority",
-    "zonal_median",
-    "zonal_minority",
-    "zonal_mode",
-    "zonal_percentile_25",
-    "zonal_range",
-    # (zonal_reliability/std/unique/var/weighted_sum displaced to the
-    #  r10 drain by the five changed-path re-checks above)
+    "corpus_pipeline_v2",
+    "adamic_adar",
+    "matryoshka_audit",
+    # -- oldest driver hashes: round 2 --
+    "zonal_reliability",
+    "zonal_std",
+    "zonal_unique",
+    "zonal_var",
+    "zonal_weighted_sum",
+    # -- round-3 driver hashes (full class) --
+    "approx_stats",
+    "bloom_semi_filter",
+    "bpe_merges",
+    "cms_heavy_hitters",
+    "containment_dedup",
+    "expectations_report",
+    "hard_negatives",
+    "join_delta",
+    "kmv_distinct",
+    "leakage_safe_split",
+    "lpa_communities",
+    "polygon_metrics",
+    "raster_downsample",
+    "raster_trend",
+    "sample_k_per_group",
+    "semantic_dedup",
+    "source_overlap",
+    "span_dedup",
+    "span_strip",
+    "spatial_nearest",
+    "temperature_mixture",
+    "time_fill_linear",
+    "tokenizer_stats",
+    "zonal_count",
+    "zonal_max",
+    "zonal_mean",
+    "zonal_min",
+    "zonal_sum",
+    "zonal_weighted_count",
+    "zonal_weighted_mean",
+    "zonal_weighted_polygon",
+    "zonal_weighted_triangle",
+    # -- round-4 driver hashes (drain begins, alphabetical) --
+    "cluster_representatives",
+    "cohort_retention",
+    "corpus_pipeline",
+    "cube_agg",
     # ---- driver window boundary (first 50 above) ----
 ]
 
 
 def _rotate(full: dict) -> dict:
-    head = {k: full[k] for k in _ROTATION_R9 if k in full}
+    head = {k: full[k] for k in _ROTATION_R10 if k in full}
     return head | {k: v for k, v in full.items() if k not in head}
 
 
@@ -7447,6 +7409,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "win_rate_matrix": q_win_rate_matrix,
         "length_bias": q_length_bias,
         "rank_agreement": q_rank_agreement,
+        # --- round-10 registrations (built + gated in r9:
+        #     tests/test_r10_queue.py, driver's own comparison) ---
+        "weighted_consensus": q_weighted_consensus,
+        "supplier_rank_tau": q_supplier_rank_tau,
+        "preference_cycles": q_preference_cycles,
         # --- round-4 additions ---
         "join_delta_retract": q_join_delta_retract,
         "events_running_totals": q_events_running_totals,
@@ -13509,6 +13476,10 @@ QUALIFY ROW_NUMBER() OVER (
     out["win_rate_matrix"] = _win_rate_matrix_sql()
     out["length_bias"] = _length_bias_sql()
     out["rank_agreement"] = _rank_agreement_sql()
+    # round-10 registrations (built + gated in r9, test_r10_queue.py)
+    out["weighted_consensus"] = _weighted_consensus_sql()
+    out["supplier_rank_tau"] = _supplier_rank_tau_sql()
+    out["preference_cycles"] = _preference_cycles_sql()
     try:
         out["approx_stats"] = _approx_stats_sql()
     except ValueError:

@@ -122,11 +122,16 @@ def main() -> None:
     # Per-query bounded retry (VERDICT r08 #1): the round-8 driver
     # bench died rc=1 because ONE transient "Python worker failed to
     # connect back" in a TWS streaming replay propagated straight out
-    # of the executor. One retry per (query, invocation); every retry
-    # is counted here and recorded in the sidecar + final line, so a
-    # flaky query is visible in the round record and a retry can
-    # never silently mask a real regression (a deterministic failure
-    # fails the retry too and still kills the bench).
+    # of the executor. One retry per (query, invocation), gated on
+    # the SAME transient-signature predicate replay_stream uses
+    # (ADVICE r9: a broad retry could let a nondeterministic real
+    # regression pass on its second attempt); every retry is counted
+    # here and recorded in the sidecar + final line. A deterministic
+    # or non-transient failure propagates immediately.
+    from det_module_spark.streaming.replay import (
+        _is_transient_worker_failure,
+    )
+
     retries: dict[str, int] = {}
 
     def run_one(
@@ -137,6 +142,8 @@ def main() -> None:
         try:
             n = len(fn(spark, d).collect())
         except Exception as e:  # noqa: BLE001 - one bounded retry
+            if not _is_transient_worker_failure(e):
+                raise
             retries[name] = retries.get(name, 0) + 1
             print(
                 f"# [{label}] {name}: retry after "

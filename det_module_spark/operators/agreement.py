@@ -36,6 +36,12 @@ from pyspark.sql import functions as F
 
 PPM = 1_000_000
 
+# Largest per-unit label count m for which the krippendorff_alpha D_o
+# term nuc·(m−nuc)·PPM stays exact BIGINT: the product peaks at
+# (m²/4)·PPM, so m ≤ 2·sqrt((2^63−1)/PPM) ≈ 6.07e6. Enforced via a
+# distributed raise_error guard (ADVICE r9).
+KRIPP_UNIT_LIMIT = 6_000_000
+
 
 def cohens_kappa(
     labels: DataFrame,
@@ -160,7 +166,11 @@ def krippendorff_alpha(
     :func:`cohens_kappa`'s pe, the double flooring costs up to ~1 ppm
     per category; D_e's n_c·(n−n_c) cross term is computed as
     ((n_c·1e6 div n)·(n−n_c)) div (n−1) so every intermediate stays
-    ≤ n·1e6 (exact BIGINT to n ≈ 9e12 pairable labels). α = 1 means
+    ≤ n·1e6 — exact BIGINT to n ≈ 9e12 pairable labels for D_e. D_o's
+    nuc·(m−nuc)·1e6 term instead bounds the PER-UNIT label count m at
+    ``KRIPP_UNIT_LIMIT`` ≈ 6.07e6 — ENFORCED by a distributed
+    raise_error guard on m (past it, non-ANSI Spark wraps silently
+    where DuckDB errors). α = 1 means
     do_ppm = 0; de_ppm = 0 (all labels one category — α undefined)
     returns NULL alpha_ppm.
 
@@ -183,8 +193,31 @@ def krippendorff_alpha(
         .agg(F.count(F.lit(1)).cast("long").alias("nuc"))
         .localCheckpoint(eager=True)
     )
+    # Enforced, not just documented (ADVICE r9): the D_o term
+    # nuc·(m−nuc)·1e6 peaks at (m²/4)·1e6, which wraps BIGINT silently
+    # (non-ANSI Spark) once a single unit carries m > ~6.07e6 labels —
+    # DuckDB would error while Spark returned garbage. Guard m per
+    # unit; the guarded column flows into every downstream aggregate.
     um = ucounts.groupBy("item").agg(
-        F.sum("nuc").cast("long").alias("m")
+        F.sum("nuc").cast("long").alias("m_raw")
+    ).select(
+        "item",
+        F.when(
+            F.col("m_raw") > F.lit(KRIPP_UNIT_LIMIT),
+            F.raise_error(
+                F.concat(
+                    F.lit("krippendorff_alpha: unit label count "),
+                    F.col("m_raw").cast("string"),
+                    F.lit(
+                        f" > {KRIPP_UNIT_LIMIT}; nuc*(m-nuc)*1e6 "
+                        "would exceed BIGINT — shard or subsample "
+                        "the unit's labels"
+                    ),
+                )
+            ).cast("long"),
+        )
+        .otherwise(F.col("m_raw"))
+        .alias("m"),
     )
     pair_lab = ucounts.join(um, "item").filter(F.col("m") >= 2)
     totals = pair_lab.groupBy().agg(

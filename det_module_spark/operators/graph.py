@@ -834,9 +834,15 @@ def adamic_adar(
     BEFORE the pair sum, so aa_q is order-independent; ln over exact
     small ints is libm-stable across engines (playbook #9).
     """
-    e = edges.select(
-        F.col(src).alias("a"), F.col(dst).alias("n")
-    ).distinct()
+    # the distinct edge list feeds THREE consumers (the degree table
+    # and both sides of the pair self-join) — materialize it once, or
+    # Catalyst re-evaluates the upstream corpus join/distinct per
+    # consumer (VERDICT r09 #4: 3 extra corpus passes at any scale)
+    e = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("n"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     deg = e.groupBy("n").agg(F.count(F.lit(1)).alias("deg"))
     wq = F.floor(
         F.lit(float(w_scale)) / F.log(F.col("deg").cast("double")) + F.lit(0.5)

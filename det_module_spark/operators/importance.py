@@ -64,6 +64,11 @@ def dsir_weights(
     cr = _unigram_counts(raw, text)
     # joint vocabulary: full-outer merge; a term absent from one model
     # counts 0 there (its +1 smoothing survives in the delta)
+    # vocab-sized model table with TWO consumers (the totals scalar
+    # below and the per-token scoring join) — materialize once, or
+    # Catalyst re-evaluates the full target+raw scan/explode/agg
+    # subtree per consumer: 2 extra corpus passes for the same rows
+    # at any scale (VERDICT r09 #4, the krippendorff-fix shape)
     delta = (
         ct.withColumnRenamed("cnt", "cnt_t")
         .join(cr.withColumnRenamed("cnt", "cnt_r"), "term", "full_outer")
@@ -76,6 +81,7 @@ def dsir_weights(
             F.coalesce("cnt_t", F.lit(0)).alias("cnt_t"),
             F.coalesce("cnt_r", F.lit(0)).alias("cnt_r"),
         )
+        .localCheckpoint(eager=True)
     )
     # control-plane scalars: V (joint vocab), per-model token totals
     totals = delta.agg(
@@ -124,7 +130,14 @@ def dsir_select(
     """Flag the top-``k`` documents by weight (ties at the threshold
     all selected — deterministic without a global window). The
     threshold is TakeOrdered over (weightq desc, id) — k rows on the
-    driver, control plane — re-joined as a 1-row scalar."""
+    driver, control plane — re-joined as a 1-row scalar.
+
+    The weights table has two consumers (the threshold scalar and the
+    flagging pass); it is compact — one (id, n_toks, weightq) row per
+    raw document — so materialize it once instead of letting Catalyst
+    re-run the whole upstream corpus scan + vocab join per consumer
+    (VERDICT r09 #4)."""
+    weights = weights.localCheckpoint(eager=True)
     thresh = (
         weights.orderBy(F.col("weightq").desc(), F.col(id_col))
         .limit(k)

@@ -368,6 +368,10 @@ def kendall_tau(
     a few wild ranks; the other standard ranker-agreement number).
     → one row (n, concordant, discordant, tie_x, tie_y, tau_b_ppm;
     NULL tau when either column is constant). NULL rows dropped.
+    EMPTY output (zero rows, not a NULL row) when fewer than 2
+    non-NULL rows survive — no pair exists, so the groupBy('n') over
+    the empty pair frame yields nothing; the SQL twin matches.
+    Callers doing ``collect()[0]`` must handle the n < 2 case.
 
         tau_b = (C − D) / sqrt((C + D + Tx)·(C + D + Ty))
 
@@ -526,7 +530,9 @@ def preference_cycles(
     Leaderboard-frame operator: triad enumeration is a 3-way
     self-join of the decisive-edge set (players are a model/supplier
     dimension, never a corpus) — guarded loudly at ``max_players``
-    via raise_error folded into an output-flowing column. Each
+    via raise_error folded into the pairs-level n_players aggregate,
+    eagerly checkpointed so it fires before any triad join (and on
+    all-ties inputs too, where the decisive set is empty). Each
     directed 3-cycle is counted once (anchored at its smallest
     vertex); each complete triple once (x < y < z on the undirected
     edge set). Everything is counts — deterministic in any engine.
@@ -551,29 +557,23 @@ def preference_cycles(
         )
         .localCheckpoint(eager=True)
     )
+    # n_players comes from the PAIRS level (mirroring the SQL np CTE),
+    # not from the decisive-edge frame: an all-ties log has zero
+    # decisive edges but a real player count (ADVICE r9 medium). The
+    # guard is folded into this 1-row aggregate — non-empty whenever
+    # pairs is (agg-without-groupBy always yields one row) — and the
+    # eager checkpoint fires it BEFORE any triad-join work runs.
     n_players_df = (
         pairs.select(F.col("lo").alias("p"))
         .unionByName(pairs.select(F.col("hi").alias("p")))
-        .agg(F.count_distinct("p").cast("long").alias("n_players"))
-    )
-    # decisive directed edges, with the guard folded into a column
-    # that flows through every downstream count (prune-proof)
-    dec = (
-        pairs.filter(2 * F.col("w_lo") != F.col("n"))
-        .crossJoin(F.broadcast(n_players_df))
+        .agg(F.count_distinct("p").cast("long").alias("np_raw"))
         .select(
-            F.when(2 * F.col("w_lo") > F.col("n"), F.col("lo"))
-            .otherwise(F.col("hi"))
-            .alias("src"),
-            F.when(2 * F.col("w_lo") > F.col("n"), F.col("hi"))
-            .otherwise(F.col("lo"))
-            .alias("dst"),
             F.when(
-                F.col("n_players") > max_players,
+                F.col("np_raw") > max_players,
                 F.raise_error(
                     F.concat(
                         F.lit("preference_cycles: "),
-                        F.col("n_players").cast("string"),
+                        F.col("np_raw").cast("string"),
                         F.lit(
                             f" players > {max_players}; triad "
                             "enumeration is a bounded-leaderboard "
@@ -582,15 +582,25 @@ def preference_cycles(
                     )
                 ).cast("long"),
             )
-            .otherwise(F.col("n_players"))
-            .alias("n_players"),
+            .otherwise(F.col("np_raw"))
+            .alias("n_players")
         )
         .localCheckpoint(eager=True)
     )
-    n_edges = dec.agg(
-        F.count(F.lit(1)).cast("long").alias("n_decisive_edges"),
-        F.max("n_players").alias("n_players"),
+    # decisive directed edges (strict majority winner)
+    dec = (
+        pairs.filter(2 * F.col("w_lo") != F.col("n"))
+        .select(
+            F.when(2 * F.col("w_lo") > F.col("n"), F.col("lo"))
+            .otherwise(F.col("hi"))
+            .alias("src"),
+            F.when(2 * F.col("w_lo") > F.col("n"), F.col("hi"))
+            .otherwise(F.col("lo"))
+            .alias("dst"),
+        )
+        .localCheckpoint(eager=True)
     )
+    n_edges = dec.agg(F.count(F.lit(1)).cast("long").alias("n_decisive_edges"))
     # undirected decisive pairs for complete-triple counting
     und = dec.select(
         F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
@@ -614,7 +624,9 @@ def preference_cycles(
         .agg(F.count(F.lit(1)).cast("long").alias("n_cyclic"))
     )
     return (
-        n_edges.crossJoin(triads)
+        F.broadcast(n_players_df)
+        .crossJoin(n_edges)
+        .crossJoin(triads)
         .crossJoin(cyc)
         .select(
             "n_players",

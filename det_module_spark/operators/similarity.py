@@ -1019,10 +1019,15 @@ def matryoshka_audit(
     arithmetic: dots are quantized-int over the prefix slice, top-k
     ties break on id, overlap is a set intersection count.
 
-    Shape per budget: one brute-force scored pass (the oracle-able
-    baseline; compose the IVF/LSH path in front at corpus scale), a
-    k-row TakeOrdered, and a k×k semi-join against the full-dim
-    top-k. |dims| passes total, unioned.
+    Shape: ONE brute-force scored corpus pass (the oracle-able
+    baseline; compose the IVF/LSH path in front at corpus scale)
+    computing the per-SEGMENT integer dots between consecutive
+    budgets — prefix dot at budget d_j is the exact sum of segments
+    1..j (integer addition, order-free) — materialized as a compact
+    (id, s_1..s_|dims|) table. Every budget's k-row TakeOrdered and
+    k×k semi-join then reads the segment table, not the corpus
+    (VERDICT r09 #4: the per-budget re-scan was |dims| corpus passes
+    for the same vectors).
     """
     from det_module_spark.operators.mmr import int_dot, quantize_vec
 
@@ -1036,12 +1041,29 @@ def matryoshka_audit(
     )
     scored = cand.crossJoin(F.broadcast(qv))
 
+    budgets = sorted(set(dims))
+    segs = []  # (start, length) of each inter-budget slice, 1-based
+    prev = 0
+    for d in budgets:
+        segs.append((prev + 1, d - prev))
+        prev = d
+    parts = scored.select(
+        "id",
+        *[
+            int_dot(
+                F.slice(F.col("cv"), s, ln), F.slice(F.col("qv"), s, ln)
+            ).alias(f"s{j}")
+            for j, (s, ln) in enumerate(segs)
+        ],
+    ).localCheckpoint(eager=True)
+
     def topk(d: int):
-        dot = int_dot(
-            F.slice(F.col("cv"), 1, d), F.slice(F.col("qv"), 1, d)
-        )
+        j = budgets.index(d)
+        dot = F.col("s0")
+        for i in range(1, j + 1):
+            dot = dot + F.col(f"s{i}")
         return (
-            scored.select("id", dot.alias("dot"))
+            parts.select("id", dot.alias("dot"))
             .orderBy(F.desc("dot"), "id")
             .limit(k)
             .select("id")

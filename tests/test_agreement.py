@@ -221,6 +221,28 @@ def test_krippendorff_single_category_null_alpha(spark):
     assert out["de_ppm"] == 0 and out["alpha_ppm"] is None
 
 
+def test_krippendorff_unit_overflow_guard_trips(spark, monkeypatch):
+    """ADVICE r9: the D_o term nuc·(m−nuc)·1e6 wraps BIGINT silently
+    past m ≈ 6.07e6 labels on one unit — the guard must raise, and
+    must pass through untouched below the limit. Tested by lowering
+    the limit rather than building a 6M-row unit."""
+    import pytest as _pytest
+
+    from det_module_spark.operators import agreement as ag
+
+    rows = [(1, f"r{k}", "x" if k % 2 else "y") for k in range(6)] + [
+        (2, "a", "x"), (2, "b", "y"),
+    ]
+    monkeypatch.setattr(ag, "KRIPP_UNIT_LIMIT", 5)
+    votes = spark.createDataFrame(
+        rows, "item long, rater string, label string"
+    )
+    with _pytest.raises(Exception, match="unit label count"):
+        ag.krippendorff_alpha(votes).collect()
+    monkeypatch.setattr(ag, "KRIPP_UNIT_LIMIT", 6)
+    assert ag.krippendorff_alpha(votes).collect()[0]["n_pairable"] == 2
+
+
 def test_krippendorff_nulls_and_unpairable_dropped(spark):
     rows = [
         (1, "a", "x"), (1, "b", "x"),

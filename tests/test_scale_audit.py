@@ -103,6 +103,10 @@ ALLOWED_NESTED_LOOP = {
     "krippendorff_alpha": "1-row totals/de/n_units scalars crossed for "
     "the alpha report row (agreement.krippendorff_alpha)",
     "corpus_pipeline_v2": "top-k weight-threshold scalar (1 row, via dsir_select)",
+    "supplier_rank_tau": "1-row n scalar folded with the quadratic "
+    "guard (prefstats.kendall_tau) + 1-row metric crossJoins",
+    "preference_cycles": "1-row n_players/edges/triads/cycles scalars "
+    "crossed for the report row (prefstats.preference_cycles)",
 }
 
 
@@ -217,6 +221,18 @@ BROADCAST_WHITELIST = {
     "det_module_spark/operators/anomaly.py": (
         1,
         "seasonal baseline: one row per (key, hour-of-week) bucket",
+    ),
+    "det_module_spark/operators/prefstats.py": (
+        2,
+        "kendall_tau guard frame + preference_cycles n_players frame: "
+        "1-row aggregate scalars each (same class as the quality.py "
+        "grand-total sites)",
+    ),
+    "det_module_spark/operators/agreement.py": (
+        1,
+        "weighted_consensus per-rater accuracy table: one row per "
+        "rater, raters are a bounded dim (same class as text.py "
+        "per-group totals)",
     ),
     "det_module_spark/operators/survival.py": (
         2,

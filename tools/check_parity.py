@@ -78,6 +78,26 @@ def main():
             f"SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
 
+    # Bounded transient retry (VERDICT r09 #5): a loaded-host sweep
+    # can hit the same transient worker-spawn / NIO-selector failures
+    # the bench retries; one retry per query, gated on the SAME
+    # signature predicate, logged so a flaky query stays visible.
+    from det_module_spark.streaming.replay import (
+        _is_transient_worker_failure,
+    )
+
+    retry_log: list[str] = []
+
+    def run_spark(name, fn):
+        try:
+            return fn(spark, sf_dir).toPandas()
+        except Exception as e:  # noqa: BLE001 - one gated retry
+            if not _is_transient_worker_failure(e):
+                raise
+            retry_log.append(f"{name}: {type(e).__name__}: {str(e)[:160]}")
+            print(f"retry {name}: transient {type(e).__name__}")
+            return fn(spark, sf_dir).toPandas()
+
     qs = mod.queries()
     oracles = mod.oracle_sql()
     # a misspelled query name used to be silently skipped, so the run
@@ -93,7 +113,7 @@ def main():
             continue
         t0 = time.time()
         try:
-            sdf = fn(spark, sf_dir).toPandas()
+            sdf = run_spark(name, fn)
         except Exception as e:
             failures.append(name)
             print(f"FAIL  {name}: spark error: {e}")
@@ -143,6 +163,8 @@ def main():
             print(f"ok    {name} ({dt:.1f}s, rows={len(sdf)})")
 
     print()
+    if retry_log:
+        print(f"{len(retry_log)} transient retries: {retry_log}")
     if failures:
         print(f"{len(failures)} FAILURES: {failures}")
         sys.exit(1)
