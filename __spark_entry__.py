@@ -7057,6 +7057,75 @@ def _preference_cycles_sql() -> str:
     return preference_cycles_sql(_SUPPLIER_COMPS_SQL)
 
 
+def q_elo_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Rating-scale calibration (prefstats.rating_calibration): bucket
+    # the supplier pairs by fitted-Elo gap and compare the favorite's
+    # ACTUAL win share with the logistic's PREDICTED one — the
+    # post-fit audit that tells you whether elo_ratings' scale can be
+    # read as win probabilities. Composes the elo_ratings fit output
+    # (player-dim bounded) with the shared pair_counts aggregation.
+    from det_module_spark.operators.btrank import elo_ratings
+    from det_module_spark.operators.prefstats import rating_calibration
+
+    comps = _supplier_comps(spark, sf_dir)
+    ratings = elo_ratings(comps).select("player", "rating_milli")
+    # 1-point buckets: the 2-round K=32 fit spreads ratings only a
+    # few points on this log, so the default 10-point bucket would
+    # collapse the curve to one row
+    return rating_calibration(comps, ratings, bucket_width=1_000).orderBy(
+        "gap_bucket"
+    )
+
+
+def _elo_calibration_sql() -> str:
+    from det_module_spark.operators.btrank import elo_sql
+    from det_module_spark.operators.prefstats import (
+        rating_calibration_sql,
+    )
+
+    return rating_calibration_sql(
+        _SUPPLIER_COMPS_SQL, elo_sql(_SUPPLIER_COMPS_SQL), bucket_width=1_000
+    )
+
+
+def q_copeland_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Copeland pairwise leaderboard (prefstats.copeland_ranking) over
+    # the supplier games: majority-of-head-to-heads scoring, the
+    # game-count-robust companion to bt_strengths/elo_ratings —
+    # exact BIGINT (copeland2 = 2*wins + ties), one hash agg over the
+    # shared pair_counts table.
+    from det_module_spark.operators.prefstats import copeland_ranking
+
+    return copeland_ranking(_supplier_comps(spark, sf_dir)).orderBy(
+        "player"
+    )
+
+
+def _copeland_ranking_sql() -> str:
+    from det_module_spark.operators.prefstats import copeland_ranking_sql
+
+    return copeland_ranking_sql(_SUPPLIER_COMPS_SQL)
+
+
+def q_cycles_by_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Gap-conditioned transitivity (prefstats.cycles_by_gap): the
+    # preference_cycles cyclic share broken down by Copeland-score
+    # closeness — is the supplier log's intransitivity concentrated
+    # in near-tied triples (benign) or flat across gaps (rubric
+    # noise)? Exact integer counts per gap bucket.
+    from det_module_spark.operators.prefstats import cycles_by_gap
+
+    return cycles_by_gap(_supplier_comps(spark, sf_dir)).orderBy(
+        "gap_bucket"
+    )
+
+
+def _cycles_by_gap_sql() -> str:
+    from det_module_spark.operators.prefstats import cycles_by_gap_sql
+
+    return cycles_by_gap_sql(_SUPPLIER_COMPS_SQL)
+
+
 def q_krippendorff_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Krippendorff's alpha (operators/agreement.py) — kappa's
     # missing-label generalization, over the shared _abstaining_votes
@@ -7214,9 +7283,12 @@ def entry(spark: SparkSession) -> DataFrame:
 #      worst-case staleness at ~3 rounds (50 slots / 293 queries).
 # Round-10 composition (exactly 50, verified by
 # tests/test_rotation_r10.py against the CORRECTNESS_r0* union):
-#   - 3 new registrations (built + gated in r9 with the driver's own
-#     comparison, tests/test_r10_queue.py): weighted_consensus,
-#     supplier_rank_tau, preference_cycles.
+#   - 6 new registrations: the 3 r9-built, gated queue queries
+#     (tests/test_r10_queue.py, the driver's own comparison):
+#     weighted_consensus, supplier_rank_tau, preference_cycles; plus
+#     the 3 r10-built preference operators copeland_ranking,
+#     cycles_by_gap and elo_calibration (tests/test_prefstats.py
+#     hand computations + DuckDB twins).
 #   - 6 changed-path re-checks: krippendorff_alpha (r10 per-unit-m
 #     overflow guard + shared _abstaining_votes derivation) and the 5
 #     r10 rescan-materialization fixes (VERDICT r09 #4):
@@ -7227,12 +7299,15 @@ def entry(spark: SparkSession) -> DataFrame:
 #     the r9 window): zonal_reliability/std/unique/var/weighted_sum.
 #   - ALL 32 queries whose latest hash is round 3 (the full r3 class
 #     drains this round), alphabetical.
-#   - 4 oldest round-4 queries, alphabetical — the r4 drain begins.
+#   - 1 oldest round-4 query, alphabetical — the r4 drain begins.
 _ROTATION_R10 = [
     # -- new this round: first driver check --
     "weighted_consensus",
     "supplier_rank_tau",
     "preference_cycles",
+    "copeland_ranking",
+    "cycles_by_gap",
+    "elo_calibration",
     # -- changed-path re-checks --
     "krippendorff_alpha",
     "kmv_set_ops",
@@ -7281,9 +7356,6 @@ _ROTATION_R10 = [
     "zonal_weighted_triangle",
     # -- round-4 driver hashes (drain begins, alphabetical) --
     "cluster_representatives",
-    "cohort_retention",
-    "corpus_pipeline",
-    "cube_agg",
     # ---- driver window boundary (first 50 above) ----
 ]
 
@@ -7414,6 +7486,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_consensus": q_weighted_consensus,
         "supplier_rank_tau": q_supplier_rank_tau,
         "preference_cycles": q_preference_cycles,
+        "copeland_ranking": q_copeland_ranking,
+        "cycles_by_gap": q_cycles_by_gap,
+        "elo_calibration": q_elo_calibration,
         # --- round-4 additions ---
         "join_delta_retract": q_join_delta_retract,
         "events_running_totals": q_events_running_totals,
@@ -13480,6 +13555,9 @@ QUALIFY ROW_NUMBER() OVER (
     out["weighted_consensus"] = _weighted_consensus_sql()
     out["supplier_rank_tau"] = _supplier_rank_tau_sql()
     out["preference_cycles"] = _preference_cycles_sql()
+    out["copeland_ranking"] = _copeland_ranking_sql()
+    out["cycles_by_gap"] = _cycles_by_gap_sql()
+    out["elo_calibration"] = _elo_calibration_sql()
     try:
         out["approx_stats"] = _approx_stats_sql()
     except ValueError:

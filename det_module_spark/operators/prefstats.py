@@ -511,6 +511,139 @@ def kendall_tau_sql(pairs_sql: str) -> str:
 CYCLES_MAX_PLAYERS = 2_000
 
 
+def pair_counts(
+    comparisons: DataFrame,
+    winner: str = "winner",
+    loser: str = "loser",
+) -> DataFrame:
+    """Unordered head-to-head records from a raw comparison log →
+    (lo, hi, n, w_lo) with lo < hi, n total games, w_lo wins by the
+    smaller id. NULL participants and self-games dropped. ONE corpus
+    aggregation, materialized (eager localCheckpoint): every consumer
+    (player counts, decisive edges, Copeland scores, triad joins)
+    reads the compact pair table instead of re-scanning the log.
+    Shared by :func:`preference_cycles`, :func:`copeland_ranking`
+    and :func:`cycles_by_gap`."""
+    c = comparisons.filter(
+        F.col(winner).isNotNull()
+        & F.col(loser).isNotNull()
+        & (F.col(winner) != F.col(loser))
+    )
+    return (
+        c.select(
+            F.least(F.col(winner), F.col(loser)).alias("lo"),
+            F.greatest(F.col(winner), F.col(loser)).alias("hi"),
+            F.when(F.col(winner) < F.col(loser), F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("lo_won"),
+        )
+        .groupBy("lo", "hi")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("lo_won").cast("long").alias("w_lo"),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+
+PAIR_COUNTS_SQL = """
+      SELECT LEAST(winner, loser) AS lo, GREATEST(winner, loser) AS hi,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN winner < loser THEN 1 ELSE 0 END)
+                  AS BIGINT) AS w_lo
+      FROM ({comparisons_sql})
+      WHERE winner IS NOT NULL AND loser IS NOT NULL
+        AND winner <> loser
+      GROUP BY 1, 2"""
+
+
+def copeland_ranking(
+    comparisons: DataFrame,
+    winner: str = "winner",
+    loser: str = "loser",
+) -> DataFrame:
+    """Copeland pairwise ranking — the Condorcet-consistent
+    leaderboard score that needs NO iterative fit: each unordered
+    pair's head-to-head record awards the strict-majority winner 2
+    points, the loser 0, and 1 each on a tie. → one row per player:
+    (player, pairs_played, pairs_won, pairs_lost, pairs_tied,
+    copeland2) with copeland2 = 2·wins + ties (kept doubled so it
+    stays an exact BIGINT — no halves). Descending copeland2 is the
+    ranking; consumers order (copeland2 DESC, player) for the
+    deterministic leaderboard.
+
+    Why alongside bt_strengths/elo_ratings: Copeland depends only on
+    pairwise MAJORITIES, so it is immune to game-count imbalance
+    between pairs (a pair played 1000× counts exactly once), the
+    standard robustness companion to magnitude-sensitive fits.
+
+    Scale shape: one corpus aggregation (the shared
+    :func:`pair_counts` table), then a pairs→players unpivot and a
+    per-player hash agg — work ∝ distinct pairs; no window, no
+    collect, no float, no guard needed (nothing quadratic)."""
+    pairs = pair_counts(comparisons, winner, loser)
+    lo_side = pairs.select(
+        F.col("lo").alias("player"),
+        F.when(2 * F.col("w_lo") > F.col("n"), F.lit(2))
+        .when(2 * F.col("w_lo") == F.col("n"), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("pts"),
+    )
+    hi_side = pairs.select(
+        F.col("hi").alias("player"),
+        F.when(2 * F.col("w_lo") < F.col("n"), F.lit(2))
+        .when(2 * F.col("w_lo") == F.col("n"), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("pts"),
+    )
+    return (
+        lo_side.unionByName(hi_side)
+        .groupBy("player")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("pairs_played"),
+            F.sum((F.col("pts") == 2).cast("long"))
+            .cast("long")
+            .alias("pairs_won"),
+            F.sum((F.col("pts") == 0).cast("long"))
+            .cast("long")
+            .alias("pairs_lost"),
+            F.sum((F.col("pts") == 1).cast("long"))
+            .cast("long")
+            .alias("pairs_tied"),
+            F.sum("pts").cast("long").alias("copeland2"),
+        )
+    )
+
+
+def copeland_ranking_sql(comparisons_sql: str) -> str:
+    """DuckDB twin — identical pair derivation and point algebra."""
+    pairs = PAIR_COUNTS_SQL.format(comparisons_sql=comparisons_sql)
+    return f"""
+    WITH pairs AS MATERIALIZED ({pairs}),
+    sides AS (
+      SELECT lo AS player,
+             CASE WHEN 2 * w_lo > n THEN 2
+                  WHEN 2 * w_lo = n THEN 1 ELSE 0 END AS pts
+      FROM pairs
+      UNION ALL
+      SELECT hi,
+             CASE WHEN 2 * w_lo < n THEN 2
+                  WHEN 2 * w_lo = n THEN 1 ELSE 0 END
+      FROM pairs)
+    SELECT player,
+           CAST(COUNT(*) AS BIGINT) AS pairs_played,
+           CAST(SUM(CASE WHEN pts = 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS pairs_won,
+           CAST(SUM(CASE WHEN pts = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS pairs_lost,
+           CAST(SUM(CASE WHEN pts = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS pairs_tied,
+           CAST(SUM(pts) AS BIGINT) AS copeland2
+    FROM sides GROUP BY player"""
+
+
 def preference_cycles(
     comparisons: DataFrame,
     winner: str = "winner",
@@ -537,26 +670,7 @@ def preference_cycles(
     vertex); each complete triple once (x < y < z on the undirected
     edge set). Everything is counts — deterministic in any engine.
     """
-    c = comparisons.filter(
-        F.col(winner).isNotNull()
-        & F.col(loser).isNotNull()
-        & (F.col(winner) != F.col(loser))
-    )
-    pairs = (
-        c.select(
-            F.least(F.col(winner), F.col(loser)).alias("lo"),
-            F.greatest(F.col(winner), F.col(loser)).alias("hi"),
-            F.when(F.col(winner) < F.col(loser), F.lit(1))
-            .otherwise(F.lit(0))
-            .alias("lo_won"),
-        )
-        .groupBy("lo", "hi")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n"),
-            F.sum("lo_won").cast("long").alias("w_lo"),
-        )
-        .localCheckpoint(eager=True)
-    )
+    pairs = pair_counts(comparisons, winner, loser)
     # n_players comes from the PAIRS level (mirroring the SQL np CTE),
     # not from the decisive-edge frame: an all-ties log has zero
     # decisive edges but a real player count (ADVICE r9 medium). The
@@ -685,3 +799,352 @@ def preference_cycles_sql(comparisons_sql: str) -> str:
                 THEN cyc.n_cyclic * {PPM} // triads.n_triads
                 ELSE NULL END AS BIGINT) AS cyclic_ppm
     FROM np CROSS JOIN ne CROSS JOIN triads CROSS JOIN cyc"""
+
+
+def cycles_by_gap(
+    comparisons: DataFrame,
+    winner: str = "winner",
+    loser: str = "loser",
+    bucket_width: int = 2,
+    max_players: int = CYCLES_MAX_PLAYERS,
+) -> DataFrame:
+    """Gap-conditioned transitivity — WHERE the circular triads live:
+    :func:`preference_cycles`' scalar cyclic rate, broken down by how
+    CLOSE the three players are on the Copeland scale. For each
+    complete decisive triple, gap = min pairwise |copeland2_i −
+    copeland2_j| (the doubled Copeland score of
+    :func:`copeland_ranking` — exact BIGINT), bucketed as
+    gap_bucket = gap div ``bucket_width``. → one row per non-empty
+    bucket: (gap_bucket, n_triads, n_cyclic, cyclic_ppm), ascending
+    gap_bucket.
+
+    The question it answers: a 20-30% global cyclic share can mean
+    "preferences are noise" OR "close pairs are coin flips while the
+    ordering is globally sound" — those demand opposite responses
+    (re-rubric vs accept). Intransitivity concentrated in bucket 0
+    (players within one decisive win of each other) is the benign
+    reading; a flat profile across gaps indicts the rubric.
+
+    Scale shape: the shared :func:`pair_counts` corpus aggregation,
+    then triad enumeration over decisive edges (same 3-way self-join
+    and ``max_players`` raise_error guard as preference_cycles —
+    players are a bounded leaderboard dimension, enforced before any
+    triad join runs) with the per-triple cyclic test evaluated from
+    the three directed edges: for x < y < z, cyclic ⟺
+    (x→y ∧ y→z ∧ z→x) ∨ (y→x ∧ z→y ∧ x→z). Copeland scores join on
+    the bounded player dim. Everything is exact integer counts —
+    deterministic in any engine.
+    """
+    pairs = pair_counts(comparisons, winner, loser)
+    n_players_df = (
+        pairs.select(F.col("lo").alias("p"))
+        .unionByName(pairs.select(F.col("hi").alias("p")))
+        .agg(F.count_distinct("p").cast("long").alias("np_raw"))
+        .select(
+            F.when(
+                F.col("np_raw") > max_players,
+                F.raise_error(
+                    F.concat(
+                        F.lit("cycles_by_gap: "),
+                        F.col("np_raw").cast("string"),
+                        F.lit(
+                            f" players > {max_players}; triad "
+                            "enumeration is a bounded-leaderboard "
+                            "operation — slice the player set"
+                        ),
+                    )
+                ).cast("long"),
+            )
+            .otherwise(F.col("np_raw"))
+            .alias("n_players")
+        )
+        .localCheckpoint(eager=True)  # guard fires BEFORE triad work
+    )
+    del n_players_df  # only the eager guard evaluation is needed
+    # undirected decisive edges with the direction flag (a < b,
+    # a_won = 1 iff the smaller id holds the strict majority)
+    und = (
+        pairs.filter(2 * F.col("w_lo") != F.col("n"))
+        .select(
+            F.col("lo").alias("a"),
+            F.col("hi").alias("b"),
+            (2 * F.col("w_lo") > F.col("n")).cast("int").alias("a_won"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    e1 = und.select(
+        F.col("a").alias("x"), F.col("b").alias("y"),
+        F.col("a_won").alias("wxy"),
+    )
+    e2 = und.select(
+        F.col("a").alias("y"), F.col("b").alias("z"),
+        F.col("a_won").alias("wyz"),
+    )
+    e3 = und.select(
+        F.col("a").alias("x"), F.col("b").alias("z"),
+        F.col("a_won").alias("wxz"),
+    )
+    triples = (
+        e1.join(e2, "y")
+        .join(e3, ["x", "z"])
+        .select(
+            "x",
+            "y",
+            "z",
+            (
+                (
+                    (F.col("wxy") == 1)
+                    & (F.col("wyz") == 1)
+                    & (F.col("wxz") == 0)
+                )
+                | (
+                    (F.col("wxy") == 0)
+                    & (F.col("wyz") == 0)
+                    & (F.col("wxz") == 1)
+                )
+            )
+            .cast("long")
+            .alias("cyclic"),
+        )
+    )
+    # Copeland scores from the SAME materialized pair table (calling
+    # copeland_ranking() here would run pair_counts' corpus
+    # aggregation a second time)
+    cop = (
+        pairs.select(
+            F.col("lo").alias("player"),
+            F.when(2 * F.col("w_lo") > F.col("n"), F.lit(2))
+            .when(2 * F.col("w_lo") == F.col("n"), F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("pts"),
+        )
+        .unionByName(
+            pairs.select(
+                F.col("hi").alias("player"),
+                F.when(2 * F.col("w_lo") < F.col("n"), F.lit(2))
+                .when(2 * F.col("w_lo") == F.col("n"), F.lit(1))
+                .otherwise(F.lit(0))
+                .cast("long")
+                .alias("pts"),
+            )
+        )
+        .groupBy("player")
+        .agg(F.sum("pts").cast("long").alias("copeland2"))
+    )
+    cx = cop.select(F.col("player").alias("x"), F.col("copeland2").alias("cx"))
+    cy = cop.select(F.col("player").alias("y"), F.col("copeland2").alias("cy"))
+    cz = cop.select(F.col("player").alias("z"), F.col("copeland2").alias("cz"))
+    gapped = (
+        triples.join(cx, "x")
+        .join(cy, "y")
+        .join(cz, "z")
+        .select(
+            "cyclic",
+            F.least(
+                F.abs(F.col("cx") - F.col("cy")),
+                F.abs(F.col("cy") - F.col("cz")),
+                F.abs(F.col("cx") - F.col("cz")),
+            ).alias("gap"),
+        )
+    )
+    w = int(bucket_width)
+    return (
+        gapped.groupBy(
+            F.expr(f"gap div {w}L").cast("long").alias("gap_bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_triads"),
+            F.sum("cyclic").cast("long").alias("n_cyclic"),
+        )
+        .select(
+            "gap_bucket",
+            "n_triads",
+            "n_cyclic",
+            F.expr(f"n_cyclic * {PPM}L div n_triads")
+            .cast("long")
+            .alias("cyclic_ppm"),
+        )
+    )
+
+
+def rating_calibration(
+    comparisons: DataFrame,
+    ratings: DataFrame,
+    winner: str = "winner",
+    loser: str = "loser",
+    player_col: str = "player",
+    rating_col: str = "rating_milli",
+    bucket_width: int = 10_000,
+) -> DataFrame:
+    """Rating-scale calibration curve — does a fitted rating table
+    actually PREDICT game outcomes at every rating gap? For each
+    head-to-head pair, the FAVORITE is the higher-rated player
+    (rating tie → smaller id, deterministic); pairs are bucketed by
+    gap_bucket = |r_a − r_b| div ``bucket_width`` (milli-points;
+    default 10 rating points per bucket) and each bucket compares
+
+        actual_fav_ppm    = favorite wins / games
+        predicted_fav_ppm = game-weighted mean of the Elo logistic
+                            E_fav = 1/(1 + 10^(−gap/400))
+
+    → one row per non-empty bucket: (gap_bucket, n_pairs, n_games,
+    fav_wins, actual_fav_ppm, predicted_fav_ppm), ascending. A
+    calibrated scale tracks the diagonal; actual ≪ predicted at
+    large gaps means the fit overstates separation (the standard
+    post-fit audit before a leaderboard ships).
+
+    Composes with :func:`~det_module_spark.operators.btrank.
+    elo_ratings` (rating_milli) or any BIGINT rating table. Numeric
+    contract: identical to elo_ratings — the ONLY float is the
+    logistic, immediately quantized to basis points with the same
+    double expression in both engines (pow 1-ulp caveat,
+    btrank.py:233); everything else exact BIGINT with truncating
+    division. predicted keeps Σ n·e_bp ≤ total_games·1e4 — exact to
+    ~9.2e14 games; actual's fav_wins·1e6 is exact to ~9.2e12 wins.
+
+    Scale shape: the shared :func:`pair_counts` corpus aggregation,
+    two equi-joins against the bounded player-dim rating table, one
+    hash agg per bucket. No window, no collect, nothing quadratic.
+    """
+    pairs = pair_counts(comparisons, winner, loser)
+    r_lo = ratings.select(
+        F.col(player_col).alias("lo"), F.col(rating_col).alias("r_lo")
+    )
+    r_hi = ratings.select(
+        F.col(player_col).alias("hi"), F.col(rating_col).alias("r_hi")
+    )
+    w = int(bucket_width)
+    scored = (
+        pairs.join(r_lo, "lo")
+        .join(r_hi, "hi")
+        .select(
+            "n",
+            F.expr("abs(r_lo - r_hi)").alias("gap_milli"),
+            # favorite = higher rating, tie -> lo (smaller id)
+            F.when(F.col("r_hi") > F.col("r_lo"), F.col("n") - F.col("w_lo"))
+            .otherwise(F.col("w_lo"))
+            .cast("long")
+            .alias("fav_w"),
+        )
+        .select(
+            "n",
+            "fav_w",
+            F.expr(f"gap_milli div {w}L").cast("long").alias("gap_bucket"),
+            F.expr(
+                "CAST(FLOOR(10000.0 / (1.0 + POW(10.0, "
+                "-gap_milli / 400000.0)) + 0.5) AS BIGINT)"
+            ).alias("e_fav_bp"),
+        )
+    )
+    return (
+        scored.groupBy("gap_bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum("n").cast("long").alias("n_games"),
+            F.sum("fav_w").cast("long").alias("fav_wins"),
+            F.sum(F.col("n") * F.col("e_fav_bp"))
+            .cast("long")
+            .alias("pred_bp_games"),
+        )
+        .select(
+            "gap_bucket",
+            "n_pairs",
+            "n_games",
+            "fav_wins",
+            F.expr(f"fav_wins * {PPM}L div n_games")
+            .cast("long")
+            .alias("actual_fav_ppm"),
+            F.expr("pred_bp_games * 100L div n_games")
+            .cast("long")
+            .alias("predicted_fav_ppm"),
+        )
+    )
+
+
+def rating_calibration_sql(
+    comparisons_sql: str, ratings_sql: str, bucket_width: int = 10_000
+) -> str:
+    """DuckDB twin — identical pair derivation, favorite convention,
+    logistic quantization and bucket algebra. ``ratings_sql`` must
+    produce columns (player, rating_milli)."""
+    pairs = PAIR_COUNTS_SQL.format(comparisons_sql=comparisons_sql)
+    w = int(bucket_width)
+    return f"""
+    WITH cal_pairs AS MATERIALIZED ({pairs}),
+    cal_ratings AS MATERIALIZED (
+      SELECT player, rating_milli FROM ({ratings_sql})),
+    cal_scored AS (
+      SELECT p.n,
+             CASE WHEN rh.rating_milli > rl.rating_milli
+                  THEN p.n - p.w_lo ELSE p.w_lo END AS fav_w,
+             ABS(rl.rating_milli - rh.rating_milli) // {w}
+               AS gap_bucket,
+             CAST(FLOOR(10000.0 / (1.0 + POW(10.0,
+                  -ABS(rl.rating_milli - rh.rating_milli)
+                  / 400000.0)) + 0.5) AS BIGINT) AS e_fav_bp
+      FROM cal_pairs p
+      JOIN cal_ratings rl ON rl.player = p.lo
+      JOIN cal_ratings rh ON rh.player = p.hi)
+    SELECT CAST(gap_bucket AS BIGINT) AS gap_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(n) AS BIGINT) AS n_games,
+           CAST(SUM(fav_w) AS BIGINT) AS fav_wins,
+           CAST((CAST(SUM(fav_w) AS BIGINT) * {PPM})
+                // CAST(SUM(n) AS BIGINT) AS BIGINT)
+             AS actual_fav_ppm,
+           CAST((CAST(SUM(n * e_fav_bp) AS BIGINT) * 100)
+                // CAST(SUM(n) AS BIGINT) AS BIGINT)
+             AS predicted_fav_ppm
+    FROM cal_scored GROUP BY gap_bucket"""
+
+
+def cycles_by_gap_sql(comparisons_sql: str, bucket_width: int = 2) -> str:
+    """DuckDB twin — identical pair/edge/triple derivation, Copeland
+    gap algebra and bucketing."""
+    pairs = PAIR_COUNTS_SQL.format(comparisons_sql=comparisons_sql)
+    w = int(bucket_width)
+    return f"""
+    WITH pairs AS MATERIALIZED ({pairs}),
+    und AS MATERIALIZED (
+      SELECT lo AS a, hi AS b,
+             CASE WHEN 2 * w_lo > n THEN 1 ELSE 0 END AS a_won
+      FROM pairs WHERE 2 * w_lo <> n),
+    sides AS (
+      SELECT lo AS player,
+             CASE WHEN 2 * w_lo > n THEN 2
+                  WHEN 2 * w_lo = n THEN 1 ELSE 0 END AS pts
+      FROM pairs
+      UNION ALL
+      SELECT hi,
+             CASE WHEN 2 * w_lo < n THEN 2
+                  WHEN 2 * w_lo = n THEN 1 ELSE 0 END
+      FROM pairs),
+    cop AS MATERIALIZED (
+      SELECT player, CAST(SUM(pts) AS BIGINT) AS copeland2
+      FROM sides GROUP BY player),
+    triples AS (
+      SELECT e1.a AS x, e1.b AS y, e2.b AS z,
+             CASE WHEN (e1.a_won = 1 AND e2.a_won = 1
+                        AND e3.a_won = 0)
+                    OR (e1.a_won = 0 AND e2.a_won = 0
+                        AND e3.a_won = 1)
+                  THEN 1 ELSE 0 END AS cyclic
+      FROM und e1
+      JOIN und e2 ON e2.a = e1.b
+      JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+    gapped AS (
+      SELECT t.cyclic,
+             LEAST(ABS(cx.copeland2 - cy.copeland2),
+                   ABS(cy.copeland2 - cz.copeland2),
+                   ABS(cx.copeland2 - cz.copeland2)) AS gap
+      FROM triples t
+      JOIN cop cx ON cx.player = t.x
+      JOIN cop cy ON cy.player = t.y
+      JOIN cop cz ON cz.player = t.z)
+    SELECT CAST(gap // {w} AS BIGINT) AS gap_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_triads,
+           CAST(SUM(cyclic) AS BIGINT) AS n_cyclic,
+           CAST((CAST(SUM(cyclic) AS BIGINT) * {PPM})
+                // COUNT(*) AS BIGINT) AS cyclic_ppm
+    FROM gapped GROUP BY 1"""

@@ -408,3 +408,186 @@ def test_preference_cycles_guard(spark):
     with _pytest.raises(Exception, match="players"):
         preference_cycles(df, max_players=5).collect()
     assert preference_cycles(df, max_players=6).collect()[0]["n_players"] == 6
+
+
+# --- copeland_ranking / cycles_by_gap (r10) ---
+
+
+def test_copeland_ranking_hand_computed(spark):
+    from det_module_spark.operators.prefstats import copeland_ranking
+
+    # 1 beats 2 (2-1), 1 ties 3 (1-1), 2 beats 3 (1-0)
+    rows = [(1, 2), (1, 2), (2, 1), (1, 3), (3, 1), (2, 3)]
+    df = spark.createDataFrame(rows, "winner long, loser long")
+    out = {r["player"]: r for r in copeland_ranking(df).collect()}
+    assert out[1]["copeland2"] == 3  # win + tie
+    assert out[2]["copeland2"] == 2  # loss + win
+    assert out[3]["copeland2"] == 1  # tie + loss
+    assert (out[1]["pairs_won"], out[1]["pairs_tied"]) == (1, 1)
+    assert out[2]["pairs_played"] == 2 and out[2]["pairs_lost"] == 1
+
+
+def test_copeland_matches_duckdb(spark):
+    import duckdb as _dd
+
+    from det_module_spark.operators.prefstats import (
+        copeland_ranking,
+        copeland_ranking_sql,
+    )
+
+    games = []
+    for a in range(1, 7):
+        for b in range(a + 1, 7):
+            games += [(a, b)] * ((a + b) % 3 + 2) + [(b, a)] * ((a * b) % 2 + 1)
+    df = spark.createDataFrame(games, "winner long, loser long")
+    got = sorted(tuple(r) for r in copeland_ranking(df).collect())
+    vals = ", ".join(f"({w}, {l})" for w, l in games)
+    ref = sorted(
+        tuple(r)
+        for r in _dd.connect()
+        .execute(
+            copeland_ranking_sql(
+                f"SELECT * FROM (VALUES {vals}) t(winner, loser)"
+            )
+        )
+        .fetchall()
+    )
+    assert got == ref
+
+
+def test_cycles_by_gap_rps_and_transitive(spark):
+    from det_module_spark.operators.prefstats import cycles_by_gap
+
+    # rock-paper-scissors: all copeland2 == 2, gap 0, 1 cyclic triad
+    rps = spark.createDataFrame(
+        [(1, 2)] * 2 + [(2, 3)] * 2 + [(3, 1)] * 2,
+        "winner long, loser long",
+    )
+    out = cycles_by_gap(rps).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["gap_bucket"], r["n_triads"], r["n_cyclic"]) == (0, 1, 1)
+    assert r["cyclic_ppm"] == 1_000_000
+
+    # transitive chain: copeland2 = 4/2/0, min gap 2 -> bucket 1
+    trans = spark.createDataFrame(
+        [(1, 2)] * 2 + [(1, 3)] * 2 + [(2, 3)] * 2,
+        "winner long, loser long",
+    )
+    out = cycles_by_gap(trans).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["gap_bucket"], r["n_triads"], r["n_cyclic"]) == (1, 1, 0)
+    assert r["cyclic_ppm"] == 0
+
+
+def test_cycles_by_gap_matches_duckdb(spark):
+    import duckdb as _dd
+
+    from det_module_spark.operators.prefstats import (
+        cycles_by_gap,
+        cycles_by_gap_sql,
+    )
+
+    games = []
+    for a in range(1, 8):
+        for b in range(a + 1, 8):
+            games += [(a, b)] * ((a + b) % 3 + 1) + [(b, a)] * ((a * b) % 4)
+    df = spark.createDataFrame(games, "winner long, loser long")
+    got = sorted(tuple(r) for r in cycles_by_gap(df).collect())
+    vals = ", ".join(f"({w}, {l})" for w, l in games)
+    ref = sorted(
+        tuple(r)
+        for r in _dd.connect()
+        .execute(
+            cycles_by_gap_sql(
+                f"SELECT * FROM (VALUES {vals}) t(winner, loser)"
+            )
+        )
+        .fetchall()
+    )
+    assert got == ref
+    assert sum(r[1] for r in got) > 0  # complete triads exist
+    assert len(got) >= 2  # at least two gap buckets exercised
+
+
+def test_cycles_by_gap_guard(spark):
+    import pytest as _pytest
+
+    from det_module_spark.operators.prefstats import cycles_by_gap
+
+    df = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 6)] * 2, "winner long, loser long"
+    )
+    with _pytest.raises(Exception, match="players"):
+        cycles_by_gap(df, max_players=5)
+    assert cycles_by_gap(df, max_players=6).count() >= 0
+
+
+# --- rating_calibration (r10) ---
+
+
+def test_rating_calibration_hand_computed(spark):
+    from det_module_spark.operators.prefstats import rating_calibration
+
+    comps = spark.createDataFrame(
+        [(2, 1)] * 8 + [(1, 2)] * 2, "winner long, loser long"
+    )
+    ratings = spark.createDataFrame(
+        [(1, 1_500_000), (2, 1_700_000)], "player long, rating_milli long"
+    )
+    out = rating_calibration(comps, ratings).collect()
+    assert len(out) == 1
+    r = out[0]
+    # gap 200 points -> bucket 20; favorite (player 2) won 8/10
+    assert (r["gap_bucket"], r["n_pairs"], r["n_games"]) == (20, 1, 10)
+    assert r["fav_wins"] == 8 and r["actual_fav_ppm"] == 800_000
+    # E_fav = 1/(1+10^-0.5) = 0.7597469...; e_bp = 7597
+    assert r["predicted_fav_ppm"] == 759_700
+
+
+def test_rating_calibration_tie_rating_favors_smaller_id(spark):
+    from det_module_spark.operators.prefstats import rating_calibration
+
+    comps = spark.createDataFrame(
+        [(1, 2)] * 3 + [(2, 1)], "winner long, loser long"
+    )
+    ratings = spark.createDataFrame(
+        [(1, 1_500_000), (2, 1_500_000)], "player long, rating_milli long"
+    )
+    r = rating_calibration(comps, ratings).collect()[0]
+    assert r["gap_bucket"] == 0 and r["fav_wins"] == 3  # lo is favorite
+    assert r["predicted_fav_ppm"] == 500_000  # logistic at gap 0
+
+
+def test_rating_calibration_matches_duckdb(spark):
+    import duckdb as _dd
+
+    from det_module_spark.operators.prefstats import (
+        rating_calibration,
+        rating_calibration_sql,
+    )
+
+    games, ratings = [], []
+    for a in range(1, 7):
+        ratings.append((a, 1_500_000 + (a * 37_000) % 250_000))
+        for b in range(a + 1, 7):
+            games += [(a, b)] * ((a + b) % 4 + 1) + [(b, a)] * ((a * b) % 3)
+    df = spark.createDataFrame(games, "winner long, loser long")
+    rdf = spark.createDataFrame(ratings, "player long, rating_milli long")
+    got = sorted(tuple(r) for r in rating_calibration(df, rdf).collect())
+    gv = ", ".join(f"({w}, {l})" for w, l in games)
+    rv = ", ".join(f"({p}, {m})" for p, m in ratings)
+    ref = sorted(
+        tuple(r)
+        for r in _dd.connect()
+        .execute(
+            rating_calibration_sql(
+                f"SELECT * FROM (VALUES {gv}) t(winner, loser)",
+                f"SELECT * FROM (VALUES {rv}) t(player, rating_milli)",
+            )
+        )
+        .fetchall()
+    )
+    assert got == ref
+    assert len(got) >= 2  # multiple gap buckets exercised

@@ -22,7 +22,14 @@ from pathlib import Path
 
 REPO = Path(__file__).resolve().parent.parent
 
-NEW_IN_R10 = {"weighted_consensus", "supplier_rank_tau", "preference_cycles"}
+NEW_IN_R10 = {
+    "weighted_consensus",
+    "supplier_rank_tau",
+    "preference_cycles",
+    "copeland_ranking",
+    "cycles_by_gap",
+    "elo_calibration",
+}
 CHANGED_PATH_R10 = {
     "krippendorff_alpha",   # per-unit-m guard + shared votes derivation
     "kmv_set_ops",          # single-scan key materialization
