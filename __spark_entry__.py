@@ -7088,6 +7088,45 @@ def _elo_calibration_sql() -> str:
     )
 
 
+def q_pairwise_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # R11 QUEUE (UNREGISTERED): comparison-matrix completeness audit
+    # (prefstats.pairwise_coverage) over the supplier games — how
+    # much of the C(n,2) head-to-head matrix the log actually
+    # sampled, and how much of it with >= 5 games. Gated by
+    # tests/test_r11_queue.py with the driver's own comparison;
+    # registration = two dict lines at the r11 head.
+    from det_module_spark.operators.prefstats import pairwise_coverage
+
+    return pairwise_coverage(_supplier_comps(spark, sf_dir), min_games=5)
+
+
+def _pairwise_coverage_sql() -> str:
+    from det_module_spark.operators.prefstats import pairwise_coverage_sql
+
+    return pairwise_coverage_sql(_SUPPLIER_COMPS_SQL, min_games=5)
+
+
+def q_player_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # R11 QUEUE (UNREGISTERED): per-player upset profile
+    # (prefstats.player_consistency) — the share of each supplier's
+    # decisive head-to-heads that contradict the Copeland ordering,
+    # the per-player drill-down of preference_cycles' global number.
+    # Gated by tests/test_r11_queue.py.
+    from det_module_spark.operators.prefstats import player_consistency
+
+    return player_consistency(_supplier_comps(spark, sf_dir)).orderBy(
+        "player"
+    )
+
+
+def _player_consistency_sql() -> str:
+    from det_module_spark.operators.prefstats import (
+        player_consistency_sql,
+    )
+
+    return player_consistency_sql(_SUPPLIER_COMPS_SQL)
+
+
 def q_copeland_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Copeland pairwise leaderboard (prefstats.copeland_ranking) over
     # the supplier games: majority-of-head-to-heads scoring, the

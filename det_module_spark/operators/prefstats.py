@@ -968,6 +968,268 @@ def cycles_by_gap(
     )
 
 
+def pairwise_coverage(
+    comparisons: DataFrame,
+    winner: str = "winner",
+    loser: str = "loser",
+    min_games: int = 5,
+) -> DataFrame:
+    """Comparison-matrix completeness audit — BEFORE trusting any
+    rating fit, how much of the head-to-head matrix was actually
+    sampled? → one row, exact BIGINT: (n_players, n_games,
+    n_possible_pairs, n_pairs_observed, n_pairs_min_games,
+    coverage_ppm, wellsampled_ppm) with n_possible_pairs =
+    C(n_players, 2) over the players that appear in ≥1 game,
+    coverage_ppm = observed/possible and wellsampled_ppm counting
+    only pairs with ≥ ``min_games`` games (a 1-game pair tells a
+    rating fit almost nothing).
+
+    The failure mode it catches: a leaderboard fit on a 3%-sampled
+    matrix is mostly prior; BT/Elo will happily emit confident
+    numbers either way. n_players·(n_players−1) stays exact BIGINT
+    to ~3e9 players — far past any leaderboard.
+
+    Scale shape: the shared :func:`pair_counts` corpus aggregation,
+    then two 1-row scalars crossed; no window, no collect.
+    """
+    pairs = pair_counts(comparisons, winner, loser)
+    np_df = (
+        pairs.select(F.col("lo").alias("p"))
+        .unionByName(pairs.select(F.col("hi").alias("p")))
+        .agg(F.count_distinct("p").cast("long").alias("n_players"))
+    )
+    stats = pairs.agg(
+        F.sum("n").cast("long").alias("n_games"),
+        F.count(F.lit(1)).cast("long").alias("n_pairs_observed"),
+        F.sum((F.col("n") >= min_games).cast("long"))
+        .cast("long")
+        .alias("n_pairs_min_games"),
+    )
+    return (
+        np_df.crossJoin(stats)
+        .select(
+            "n_players",
+            F.coalesce("n_games", F.lit(0)).cast("long").alias("n_games"),
+            F.expr("(n_players * (n_players - 1)) div 2")
+            .cast("long")
+            .alias("n_possible_pairs"),
+            "n_pairs_observed",
+            F.coalesce("n_pairs_min_games", F.lit(0))
+            .cast("long")
+            .alias("n_pairs_min_games"),
+        )
+        .select(
+            "n_players",
+            "n_games",
+            "n_possible_pairs",
+            "n_pairs_observed",
+            "n_pairs_min_games",
+            F.when(
+                F.col("n_possible_pairs") > 0,
+                F.expr(f"n_pairs_observed * {PPM}L div n_possible_pairs"),
+            )
+            .cast("long")
+            .alias("coverage_ppm"),
+            F.when(
+                F.col("n_possible_pairs") > 0,
+                F.expr(
+                    f"n_pairs_min_games * {PPM}L div n_possible_pairs"
+                ),
+            )
+            .cast("long")
+            .alias("wellsampled_ppm"),
+        )
+    )
+
+
+def pairwise_coverage_sql(comparisons_sql: str, min_games: int = 5) -> str:
+    """DuckDB twin — identical pair derivation and count algebra."""
+    pairs = PAIR_COUNTS_SQL.format(comparisons_sql=comparisons_sql)
+    return f"""
+    WITH pairs AS MATERIALIZED ({pairs}),
+    np AS (SELECT CAST(COUNT(DISTINCT p) AS BIGINT) AS n_players
+           FROM (SELECT lo AS p FROM pairs
+                 UNION ALL SELECT hi FROM pairs)),
+    st AS (SELECT CAST(COALESCE(SUM(n), 0) AS BIGINT) AS n_games,
+                  CAST(COUNT(*) AS BIGINT) AS n_pairs_observed,
+                  CAST(COALESCE(SUM(CASE WHEN n >= {min_games}
+                                    THEN 1 ELSE 0 END), 0) AS BIGINT)
+                    AS n_pairs_min_games
+           FROM pairs),
+    base AS (
+      SELECT np.n_players, st.n_games,
+             CAST((np.n_players * (np.n_players - 1)) // 2 AS BIGINT)
+               AS n_possible_pairs,
+             st.n_pairs_observed, st.n_pairs_min_games
+      FROM np CROSS JOIN st)
+    SELECT n_players, n_games, n_possible_pairs, n_pairs_observed,
+           n_pairs_min_games,
+           CAST(CASE WHEN n_possible_pairs > 0
+                THEN n_pairs_observed * {PPM} // n_possible_pairs
+                ELSE NULL END AS BIGINT) AS coverage_ppm,
+           CAST(CASE WHEN n_possible_pairs > 0
+                THEN n_pairs_min_games * {PPM} // n_possible_pairs
+                ELSE NULL END AS BIGINT) AS wellsampled_ppm
+    FROM base"""
+
+
+def player_consistency(
+    comparisons: DataFrame,
+    winner: str = "winner",
+    loser: str = "loser",
+) -> DataFrame:
+    """Per-player upset profile — which players' results contradict
+    the overall ordering? A decisive pair (strict majority winner) is
+    an UPSET when the pair-winner's Copeland score is strictly below
+    the pair-loser's (score tie → neither upset nor expected;
+    reported separately). → one row per player appearing in ≥1
+    decisive pair, exact BIGINT: (player, dec_pairs, wins_dec,
+    upset_wins, upset_losses, score_ties, upset_ppm) with upset_ppm =
+    (upset_wins + upset_losses)·1e6 div dec_pairs — the share of the
+    player's decisive pairs that came out "wrong".
+
+    The read: a player with HIGH upset_ppm is mis-ranked by any
+    scalar fit (its games disagree with where the ordering puts it)
+    — the per-player drill-down of :func:`preference_cycles`' global
+    transitivity number.
+
+    Scale shape: the shared :func:`pair_counts` corpus aggregation,
+    Copeland scores from the SAME materialized pair table, one
+    equi-join per pair side on the bounded player dim, one hash agg.
+    No window, no collect, nothing quadratic.
+    """
+    pairs = pair_counts(comparisons, winner, loser)
+    cop = (
+        pairs.select(
+            F.col("lo").alias("player"),
+            F.when(2 * F.col("w_lo") > F.col("n"), F.lit(2))
+            .when(2 * F.col("w_lo") == F.col("n"), F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("pts"),
+        )
+        .unionByName(
+            pairs.select(
+                F.col("hi").alias("player"),
+                F.when(2 * F.col("w_lo") < F.col("n"), F.lit(2))
+                .when(2 * F.col("w_lo") == F.col("n"), F.lit(1))
+                .otherwise(F.lit(0))
+                .cast("long")
+                .alias("pts"),
+            )
+        )
+        .groupBy("player")
+        .agg(F.sum("pts").cast("long").alias("copeland2"))
+    )
+    dec = pairs.filter(2 * F.col("w_lo") != F.col("n")).select(
+        F.when(2 * F.col("w_lo") > F.col("n"), F.col("lo"))
+        .otherwise(F.col("hi"))
+        .alias("pw"),
+        F.when(2 * F.col("w_lo") > F.col("n"), F.col("hi"))
+        .otherwise(F.col("lo"))
+        .alias("pl"),
+    )
+    cw = cop.select(F.col("player").alias("pw"), F.col("copeland2").alias("cw"))
+    cl = cop.select(F.col("player").alias("pl"), F.col("copeland2").alias("cl"))
+    flagged = (
+        dec.join(cw, "pw")
+        .join(cl, "pl")
+        .select(
+            "pw",
+            "pl",
+            (F.col("cw") < F.col("cl")).cast("long").alias("upset"),
+            (F.col("cw") == F.col("cl")).cast("long").alias("stie"),
+        )
+    )
+    side_w = flagged.select(
+        F.col("pw").alias("player"),
+        F.lit(1).cast("long").alias("won"),
+        F.col("upset").alias("upset_win"),
+        F.lit(0).cast("long").alias("upset_loss"),
+        "stie",
+    )
+    side_l = flagged.select(
+        F.col("pl").alias("player"),
+        F.lit(0).cast("long").alias("won"),
+        F.lit(0).cast("long").alias("upset_win"),
+        F.col("upset").alias("upset_loss"),
+        "stie",
+    )
+    return (
+        side_w.unionByName(side_l)
+        .groupBy("player")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("dec_pairs"),
+            F.sum("won").cast("long").alias("wins_dec"),
+            F.sum("upset_win").cast("long").alias("upset_wins"),
+            F.sum("upset_loss").cast("long").alias("upset_losses"),
+            F.sum("stie").cast("long").alias("score_ties"),
+        )
+        .select(
+            "player",
+            "dec_pairs",
+            "wins_dec",
+            "upset_wins",
+            "upset_losses",
+            "score_ties",
+            F.expr(
+                f"(upset_wins + upset_losses) * {PPM}L div dec_pairs"
+            )
+            .cast("long")
+            .alias("upset_ppm"),
+        )
+    )
+
+
+def player_consistency_sql(comparisons_sql: str) -> str:
+    """DuckDB twin — identical pair/Copeland/upset algebra."""
+    pairs = PAIR_COUNTS_SQL.format(comparisons_sql=comparisons_sql)
+    return f"""
+    WITH pairs AS MATERIALIZED ({pairs}),
+    sides AS (
+      SELECT lo AS player,
+             CASE WHEN 2 * w_lo > n THEN 2
+                  WHEN 2 * w_lo = n THEN 1 ELSE 0 END AS pts
+      FROM pairs
+      UNION ALL
+      SELECT hi,
+             CASE WHEN 2 * w_lo < n THEN 2
+                  WHEN 2 * w_lo = n THEN 1 ELSE 0 END
+      FROM pairs),
+    cop AS MATERIALIZED (
+      SELECT player, CAST(SUM(pts) AS BIGINT) AS copeland2
+      FROM sides GROUP BY player),
+    dec AS (
+      SELECT CASE WHEN 2 * w_lo > n THEN lo ELSE hi END AS pw,
+             CASE WHEN 2 * w_lo > n THEN hi ELSE lo END AS pl
+      FROM pairs WHERE 2 * w_lo <> n),
+    flagged AS (
+      SELECT d.pw, d.pl,
+             CASE WHEN w.copeland2 < l.copeland2 THEN 1 ELSE 0 END
+               AS upset,
+             CASE WHEN w.copeland2 = l.copeland2 THEN 1 ELSE 0 END
+               AS stie
+      FROM dec d
+      JOIN cop w ON w.player = d.pw
+      JOIN cop l ON l.player = d.pl),
+    persides AS (
+      SELECT pw AS player, 1 AS won, upset AS upset_win,
+             0 AS upset_loss, stie
+      FROM flagged
+      UNION ALL
+      SELECT pl, 0, 0, upset, stie FROM flagged)
+    SELECT player,
+           CAST(COUNT(*) AS BIGINT) AS dec_pairs,
+           CAST(SUM(won) AS BIGINT) AS wins_dec,
+           CAST(SUM(upset_win) AS BIGINT) AS upset_wins,
+           CAST(SUM(upset_loss) AS BIGINT) AS upset_losses,
+           CAST(SUM(stie) AS BIGINT) AS score_ties,
+           CAST((CAST(SUM(upset_win) AS BIGINT)
+                 + CAST(SUM(upset_loss) AS BIGINT)) * {PPM}
+                // COUNT(*) AS BIGINT) AS upset_ppm
+    FROM persides GROUP BY player"""
+
+
 def rating_calibration(
     comparisons: DataFrame,
     ratings: DataFrame,
