@@ -7305,6 +7305,124 @@ def _rater_reliability_sql() -> str:
     )
 
 
+def q_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # R11 QUEUE (UNREGISTERED): Fleiss' multi-rater kappa
+    # (agreement.fleiss_kappa) over the SAME shared _abstaining_votes
+    # derivation krippendorff_alpha and weighted_consensus read — the
+    # third agreement lens (per-item pairwise agreement vs squared
+    # prevalences), variable-m generalization. Gated by
+    # tests/test_r11_queue.py with the driver's own comparison.
+    from det_module_spark.operators.agreement import fleiss_kappa
+
+    return fleiss_kappa(_abstaining_votes(spark, sf_dir))
+
+
+def _fleiss_kappa_sql() -> str:
+    from det_module_spark.operators.agreement import fleiss_kappa_sql
+
+    return fleiss_kappa_sql(_ABSTAINING_VOTES_SQL)
+
+
+def _eval_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Sample-level eval log synthesized from lineitem: each line is
+    # one attempt at task l_partkey, "correct" iff l_quantity >= 30
+    # (~42% base rate; n per task ≈ 30 at any SF — the HumanEval
+    # shape). Shared by pass_at_k; the per-(task, model) variants
+    # below aggregate it. SQL twin: _EVAL_SAMPLES_SQL.
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        F.col("l_partkey").alias("task"),
+        F.col("l_suppkey").alias("model"),
+        (F.col("l_quantity") >= 30).cast("long").alias("correct"),
+    )
+
+
+_EVAL_SAMPLES_SQL = """
+      SELECT l_partkey AS task, l_suppkey AS model,
+             CASE WHEN l_quantity >= 30 THEN 1 ELSE 0 END AS correct
+      FROM lineitem"""
+
+
+def _eval_attempts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Per-(task, model) eval matrix: a (part, supplier) pair may ship
+    # several lines; the model "solves" the task if ANY of its
+    # attempts is correct (max) — unique per (task, model), the
+    # McNemar / item-analysis contract. SQL twin: _EVAL_ATTEMPTS_SQL.
+    return (
+        _eval_samples(spark, sf_dir)
+        .groupBy("task", "model")
+        .agg(F.max("correct").cast("long").alias("correct"))
+    )
+
+
+_EVAL_ATTEMPTS_SQL = f"""
+      SELECT task, model, CAST(MAX(correct) AS BIGINT) AS correct
+      FROM ({_EVAL_SAMPLES_SQL}) GROUP BY task, model"""
+
+
+def q_pass_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # R11 QUEUE (UNREGISTERED): unbiased pass@k estimator
+    # (evalstats.pass_at_k, the Chen et al. 2021 HumanEval
+    # estimator) at k in {1,2,4,8} over the sample-level eval log —
+    # exact stepwise-integer binomial ratios, one corpus pass.
+    # Gated by tests/test_r11_queue.py.
+    from det_module_spark.operators.evalstats import pass_at_k
+
+    return pass_at_k(_eval_samples(spark, sf_dir), ks=(1, 2, 4, 8))
+
+
+def _pass_at_k_sql() -> str:
+    from det_module_spark.operators.evalstats import pass_at_k_sql
+
+    return pass_at_k_sql(_EVAL_SAMPLES_SQL, ks=(1, 2, 4, 8))
+
+
+def q_mcnemar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # R11 QUEUE (UNREGISTERED): McNemar's paired test
+    # (evalstats.mcnemar_pairs) over every supplier-model pair on
+    # their COMMON tasks — the discordant-cell significance check
+    # behind "is A actually better than B?". Bounded to suppliers
+    # 1..25 so the pair matrix stays ≤ 300 rows (the full 100-model
+    # matrix is win_rate_matrix's job; McNemar reads the matrix
+    # diagonal-free). Gated by tests/test_r11_queue.py.
+    from det_module_spark.operators.evalstats import mcnemar_pairs
+
+    att = _eval_attempts(spark, sf_dir).filter(F.col("model") <= 25)
+    return mcnemar_pairs(att)
+
+
+def _mcnemar_pairs_sql() -> str:
+    from det_module_spark.operators.evalstats import mcnemar_pairs_sql
+
+    return mcnemar_pairs_sql(
+        f"SELECT * FROM ({_EVAL_ATTEMPTS_SQL}) WHERE model <= 25"
+    )
+
+
+def q_item_discrimination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # R11 QUEUE (UNREGISTERED): classical-test-theory item analysis
+    # (evalstats.item_discrimination) — per-task difficulty +
+    # point-biserial discrimination against model ability, the
+    # eval-curation "drop the noise items" primitive. Bounded to
+    # tasks 1..200 for a stable small output; moments are exact
+    # BIGINT, only the final sqrt is (deterministic) IEEE.
+    # Gated by tests/test_r11_queue.py.
+    from det_module_spark.operators.evalstats import item_discrimination
+
+    att = _eval_attempts(spark, sf_dir).filter(F.col("task") <= 200)
+    return item_discrimination(att)
+
+
+def _item_discrimination_sql() -> str:
+    from det_module_spark.operators.evalstats import (
+        item_discrimination_sql,
+    )
+
+    return item_discrimination_sql(
+        f"SELECT * FROM ({_EVAL_ATTEMPTS_SQL}) WHERE task <= 200"
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the reliability zonal extract (the aid-data triple) at
     sf0.001; driver checks rows>0."""

@@ -532,3 +532,182 @@ def weighted_consensus_sql(votes_sql: str) -> str:
     JOIN tot t USING (item)
     JOIN cons c USING (item)
     ORDER BY b.item"""
+
+
+# Largest per-unit label count m for which fleiss_kappa's per-item
+# observed-agreement numerator Σ_c n_uc·(n_uc−1)·PPM stays exact
+# BIGINT: the sum peaks at m·(m−1) (one category takes every label),
+# so m·(m−1)·PPM ≤ 2^63−1 → m ≤ ~3.03e6. Enforced like
+# KRIPP_UNIT_LIMIT via a distributed raise_error guard.
+FLEISS_UNIT_LIMIT = 3_000_000
+
+
+def fleiss_kappa(
+    votes: DataFrame,
+    item: str = "item",
+    label: str = "label",
+) -> DataFrame:
+    """Fleiss' kappa (generalized to a variable number of raters per
+    item, Fleiss 1971 / Gwet's variable-m form) over the same
+    LONG-format vote table :func:`krippendorff_alpha` reads — the
+    third chance-corrected agreement lens: Cohen's fixes TWO raters,
+    Krippendorff weighs label PAIRS, Fleiss averages PER-ITEM
+    agreement and compares it against the squared label prevalences.
+    NULL labels are dropped; items with < 2 labels are unpairable and
+    excluded from both P_o and the prevalence terms (they still count
+    in n_units). → one row, all BIGINT:
+    (n_units, n_pairable, po_ppm, pe_ppm, fleiss_kappa_ppm).
+
+        P_o  = (1/N) Σ_u [ Σ_c n_uc·(n_uc−1) / (m_u·(m_u−1)) ]
+        π_c  = (1/N) Σ_u n_uc / m_u
+        P_e  = Σ_c π_c²
+        κ    = (P_o − P_e) / (1 − P_e)
+
+    Exact-integer ppm contract (ROUND_NOTES playbook #10): each
+    per-item ratio floors once to ppm (≤ 1 ppm error per item,
+    averaged so ≤ ~2 ppm on P_o / per category on P_e after the
+    second floor) and both engines evaluate the identical expression
+    (Spark ``div`` / DuckDB ``//``, both truncate toward zero — the
+    κ numerator po−pe CAN be negative, same verified case as
+    :func:`cohens_kappa`). The per-item numerator
+    Σ_c n_uc·(n_uc−1)·1e6 peaks at m·(m−1)·1e6, wrapping BIGINT past
+    m ≈ 3.03e6 labels on ONE item — ENFORCED by a raise_error guard
+    on m at ``FLEISS_UNIT_LIMIT``. P_e sums squares of ppm-scaled
+    prevalences (≤ 1e12 each, ≤ C·1e12 total) — exact BIGINT to
+    ~9e6 distinct labels. pe_ppm = 1e6 (every pairable label one
+    category) returns NULL kappa_ppm (0/0).
+
+    Scale shape: ONE corpus-touching aggregation — the (item, label)
+    count table, localCheckpoint'ed so the per-item, global, and
+    per-category aggregates all read the compact count table (the
+    krippendorff_alpha materialization pattern, d3177e0). Work ∝
+    items + distinct labels; no window, no collect, no float.
+    """
+    v = votes.filter(F.col(label).isNotNull()).select(
+        F.col(item).alias("item"),
+        F.col(label).cast("string").alias("label"),
+    )
+    ucounts = (
+        v.groupBy("item", "label")
+        .agg(F.count(F.lit(1)).cast("long").alias("nuc"))
+        .localCheckpoint(eager=True)
+    )
+    um = ucounts.groupBy("item").agg(
+        F.sum("nuc").cast("long").alias("m_raw")
+    ).select(
+        "item",
+        F.when(
+            F.col("m_raw") > F.lit(FLEISS_UNIT_LIMIT),
+            F.raise_error(
+                F.concat(
+                    F.lit("fleiss_kappa: unit label count "),
+                    F.col("m_raw").cast("string"),
+                    F.lit(
+                        f" > {FLEISS_UNIT_LIMIT}; "
+                        "sum(nuc*(nuc-1))*1e6 would exceed BIGINT "
+                        "— shard or subsample the unit's labels"
+                    ),
+                )
+            ).cast("long"),
+        )
+        .otherwise(F.col("m_raw"))
+        .alias("m"),
+    )
+    pair_lab = ucounts.join(um, "item").filter(F.col("m") >= 2)
+    # per-item observed agreement and per-item prevalence shares,
+    # each floored once to ppm
+    per_item = pair_lab.groupBy("item").agg(
+        F.expr(
+            f"sum(nuc * (nuc - 1)) * {PPM}L div (max(m) * (max(m) - 1))"
+        ).cast("long").alias("poi_ppm"),
+    )
+    totals = per_item.groupBy().agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairable"),
+        F.sum("poi_ppm").cast("long").alias("po_sum_ppm"),
+    )
+    all_units = ucounts.select(
+        F.count_distinct(F.col("item")).cast("long").alias("n_units")
+    )
+    # prevalence π_c: per-(item,label) share floored to ppm, summed,
+    # then averaged over pairable items; P_e = Σ_c (π_c ppm)² // 1e6
+    pe = (
+        pair_lab.groupBy("label")
+        .agg(
+            F.sum(F.expr(f"nuc * {PPM}L div m"))
+            .cast("long")
+            .alias("pic_sum_ppm")
+        )
+        .crossJoin(totals.select("n_pairable"))
+        .agg(
+            F.sum(
+                F.expr(
+                    "(pic_sum_ppm div n_pairable) * "
+                    "(pic_sum_ppm div n_pairable)"
+                )
+            ).cast("long").alias("pe_num"),
+        )
+        .select(F.expr(f"pe_num div {PPM}L").alias("pe_ppm"))
+    )
+    return (
+        totals.crossJoin(pe)
+        .crossJoin(all_units)
+        .select(
+            "n_units",
+            "n_pairable",
+            F.expr("po_sum_ppm div n_pairable").alias("po_ppm"),
+            "pe_ppm",
+            F.when(
+                F.col("pe_ppm") < F.lit(PPM),
+                F.expr(
+                    f"(po_sum_ppm div n_pairable - pe_ppm) * {PPM}L "
+                    f"div ({PPM}L - pe_ppm)"
+                ),
+            )
+            .cast("long")
+            .alias("fleiss_kappa_ppm"),
+        )
+    )
+
+
+def fleiss_kappa_sql(votes_sql: str) -> str:
+    """DuckDB twin — identical integer algebra. ``votes_sql`` must
+    produce columns (item, label)."""
+    return f"""
+    WITH v AS (
+      SELECT item, CAST(label AS VARCHAR) AS label
+      FROM ({votes_sql}) WHERE label IS NOT NULL),
+    ucounts AS (
+      SELECT item, label, CAST(COUNT(*) AS BIGINT) AS nuc
+      FROM v GROUP BY 1, 2),
+    um AS (SELECT item, CAST(SUM(nuc) AS BIGINT) AS m
+           FROM ucounts GROUP BY 1),
+    pair_lab AS (
+      SELECT u.item, u.label, u.nuc, m.m
+      FROM ucounts u JOIN um m USING (item) WHERE m.m >= 2),
+    per_item AS (
+      SELECT item,
+             CAST(SUM(nuc * (nuc - 1)) * {PPM}
+                  // (MAX(m) * (MAX(m) - 1)) AS BIGINT) AS poi_ppm
+      FROM pair_lab GROUP BY 1),
+    totals AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_pairable,
+             CAST(SUM(poi_ppm) AS BIGINT) AS po_sum_ppm
+      FROM per_item),
+    all_units AS (
+      SELECT CAST(COUNT(DISTINCT item) AS BIGINT) AS n_units FROM v),
+    pe AS (
+      SELECT CAST(SUM((pic_sum_ppm // n_pairable) *
+                      (pic_sum_ppm // n_pairable)) // {PPM}
+                  AS BIGINT) AS pe_ppm
+      FROM (SELECT label,
+                   CAST(SUM(nuc * {PPM} // m) AS BIGINT)
+                     AS pic_sum_ppm
+            FROM pair_lab GROUP BY 1) CROSS JOIN totals)
+    SELECT a.n_units, t.n_pairable,
+           CAST(t.po_sum_ppm // t.n_pairable AS BIGINT) AS po_ppm,
+           p.pe_ppm,
+           CAST(CASE WHEN p.pe_ppm < {PPM}
+                THEN (t.po_sum_ppm // t.n_pairable - p.pe_ppm)
+                     * {PPM} // ({PPM} - p.pe_ppm)
+                ELSE NULL END AS BIGINT) AS fleiss_kappa_ppm
+    FROM totals t CROSS JOIN pe p CROSS JOIN all_units a"""

@@ -234,6 +234,13 @@ BROADCAST_WHITELIST = {
         "rater, raters are a bounded dim (same class as text.py "
         "per-group totals)",
     ),
+    "det_module_spark/operators/evalstats.py": (
+        2,
+        "pass_at_k ks frame: len(ks) literal rows, parameter-bounded; "
+        "item_discrimination ability table: one row per model, models "
+        "are a bounded dim (same class as agreement.py's per-rater "
+        "accuracy table)",
+    ),
     "det_module_spark/operators/survival.py": (
         2,
         "kaplan_meier/logrank global max-day: 1-row aggregate scalars",
