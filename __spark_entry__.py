@@ -6757,6 +6757,63 @@ _SUPPLIER_COMPS_SQL = """
         AND a.l_extendedprice <> b.l_extendedprice"""
 
 
+def _board_comps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Fixed leaderboard slice of the supplier games: suppliers 1..100
+    # (an SF-INDEPENDENT board — TPC-H grows the supplier dim with
+    # SF, but a triad/transitivity audit is a bounded-leaderboard
+    # operation: work must scale with the GAMES a fixed board played,
+    # not with how many other players exist). The suppkey filter sits
+    # BEFORE the order self-join so it reaches both parquet scans.
+    # Used by the triad queries (preference_cycles, cycles_by_gap),
+    # whose enumeration is inherently ~C(board, 3).
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_suppkey") <= 100
+    ).select(
+        "l_orderkey", "l_linenumber", "l_suppkey", "l_extendedprice"
+    )
+    a = li.select(
+        F.col("l_orderkey").alias("ok"),
+        F.col("l_linenumber").alias("ln_a"),
+        F.col("l_suppkey").alias("sk_a"),
+        F.col("l_extendedprice").alias("pr_a"),
+    )
+    b = li.select(
+        F.col("l_orderkey").alias("ok"),
+        F.col("l_linenumber").alias("ln_b"),
+        F.col("l_suppkey").alias("sk_b"),
+        F.col("l_extendedprice").alias("pr_b"),
+    )
+    return (
+        a.join(b, "ok")
+        .filter(F.col("ln_a") < F.col("ln_b"))
+        .filter(
+            (F.col("sk_a") != F.col("sk_b"))
+            & (F.col("pr_a") != F.col("pr_b"))
+        )
+        .select(
+            F.when(F.col("pr_a") > F.col("pr_b"), F.col("sk_a"))
+            .otherwise(F.col("sk_b"))
+            .alias("winner"),
+            F.when(F.col("pr_a") > F.col("pr_b"), F.col("sk_b"))
+            .otherwise(F.col("sk_a"))
+            .alias("loser"),
+        )
+    )
+
+
+_BOARD_COMPS_SQL = """
+      SELECT CASE WHEN a.l_extendedprice > b.l_extendedprice
+                  THEN a.l_suppkey ELSE b.l_suppkey END AS winner,
+             CASE WHEN a.l_extendedprice > b.l_extendedprice
+                  THEN b.l_suppkey ELSE a.l_suppkey END AS loser
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey
+       AND a.l_linenumber < b.l_linenumber
+      WHERE a.l_suppkey <> b.l_suppkey
+        AND a.l_extendedprice <> b.l_extendedprice
+        AND a.l_suppkey <= 100 AND b.l_suppkey <= 100"""
+
+
 def q_bt_strengths(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Bradley-Terry preference fit (operators/btrank.py) over the
     # synthesized supplier games. 3 exact integer MM rounds; output
@@ -7043,10 +7100,13 @@ def q_preference_cycles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # share of circular triads among decisive head-to-head triples,
     # the consistency check that justifies (or indicts) the scalar
     # bt_strengths/elo_ratings fits over the same games. Gated by
-    # tests/test_r10_queue.py with the driver's comparison.
+    # tests/test_r10_queue.py with the driver's comparison. Runs on
+    # the FIXED 100-supplier board (_board_comps): triad work is
+    # ~C(board, 3) by nature, and the board must not grow with SF —
+    # the corpus pass over the games stays full-size.
     from det_module_spark.operators.prefstats import preference_cycles
 
-    return preference_cycles(_supplier_comps(spark, sf_dir))
+    return preference_cycles(_board_comps(spark, sf_dir))
 
 
 def _preference_cycles_sql() -> str:
@@ -7054,7 +7114,7 @@ def _preference_cycles_sql() -> str:
         preference_cycles_sql,
     )
 
-    return preference_cycles_sql(_SUPPLIER_COMPS_SQL)
+    return preference_cycles_sql(_BOARD_COMPS_SQL)
 
 
 def q_elo_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7151,10 +7211,13 @@ def q_cycles_by_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
     # preference_cycles cyclic share broken down by Copeland-score
     # closeness — is the supplier log's intransitivity concentrated
     # in near-tied triples (benign) or flat across gaps (rubric
-    # noise)? Exact integer counts per gap bucket.
+    # noise)? Exact integer counts per gap bucket. Runs on the FIXED
+    # 100-supplier board (_board_comps): per-triad gap classification
+    # is inherently an enumeration (~C(board, 3)), so the board must
+    # not grow with SF — the corpus pass over the games stays full.
     from det_module_spark.operators.prefstats import cycles_by_gap
 
-    return cycles_by_gap(_supplier_comps(spark, sf_dir)).orderBy(
+    return cycles_by_gap(_board_comps(spark, sf_dir)).orderBy(
         "gap_bucket"
     )
 
@@ -7162,7 +7225,7 @@ def q_cycles_by_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _cycles_by_gap_sql() -> str:
     from det_module_spark.operators.prefstats import cycles_by_gap_sql
 
-    return cycles_by_gap_sql(_SUPPLIER_COMPS_SQL)
+    return cycles_by_gap_sql(_BOARD_COMPS_SQL)
 
 
 def q_krippendorff_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:

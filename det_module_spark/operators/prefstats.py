@@ -715,33 +715,60 @@ def preference_cycles(
         .localCheckpoint(eager=True)
     )
     n_edges = dec.agg(F.count(F.lit(1)).cast("long").alias("n_decisive_edges"))
-    # undirected decisive pairs for complete-triple counting
+    # ONE triad enumeration carrying the direction flag (the
+    # cycles_by_gap shape): undirected decisive edges (a < b, a_won)
+    # self-joined once as x<y<z; the cyclic test reads the three
+    # flags. Halves the enumeration cost vs the original two separate
+    # 3-way joins (one over und for n_triads, one over dec for
+    # n_cyclic) — same exact counts, measured 2x at sf0.1.
     und = dec.select(
-        F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        F.least("src", "dst").alias("a"),
+        F.greatest("src", "dst").alias("b"),
+        (F.col("src") < F.col("dst")).cast("int").alias("a_won"),
     )
-    e1 = und.select(F.col("a").alias("x"), F.col("b").alias("y"))
-    e2 = und.select(F.col("a").alias("y"), F.col("b").alias("z"))
-    e3 = und.select(F.col("a").alias("x"), F.col("b").alias("z"))
-    triads = (
+    e1 = und.select(
+        F.col("a").alias("x"), F.col("b").alias("y"),
+        F.col("a_won").alias("wxy"),
+    )
+    e2 = und.select(
+        F.col("a").alias("y"), F.col("b").alias("z"),
+        F.col("a_won").alias("wyz"),
+    )
+    e3 = und.select(
+        F.col("a").alias("x"), F.col("b").alias("z"),
+        F.col("a_won").alias("wxz"),
+    )
+    # for x < y < z: cyclic ⟺ x→y→z→x or x←y←z←x
+    counts = (
         e1.join(e2, "y")
         .join(e3, ["x", "z"])
-        .agg(F.count(F.lit(1)).cast("long").alias("n_triads"))
-    )
-    # directed 3-cycles, each counted once at its smallest vertex
-    d1 = dec.select(F.col("src").alias("x"), F.col("dst").alias("y"))
-    d2 = dec.select(F.col("src").alias("y"), F.col("dst").alias("z"))
-    d3 = dec.select(F.col("src").alias("z"), F.col("dst").alias("x"))
-    cyc = (
-        d1.join(d2, "y")
-        .join(d3, ["z", "x"])
-        .filter((F.col("x") < F.col("y")) & (F.col("x") < F.col("z")))
-        .agg(F.count(F.lit(1)).cast("long").alias("n_cyclic"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_triads"),
+            # coalesce: zero complete triples must report 0 cyclic
+            # (the twin's COUNT(*) semantics), not NULL-from-empty-sum
+            F.coalesce(
+                F.sum(
+                    (
+                        (
+                            (F.col("wxy") == 1)
+                            & (F.col("wyz") == 1)
+                            & (F.col("wxz") == 0)
+                        )
+                        | (
+                            (F.col("wxy") == 0)
+                            & (F.col("wyz") == 0)
+                            & (F.col("wxz") == 1)
+                        )
+                    ).cast("long")
+                ),
+                F.lit(0),
+            ).cast("long").alias("n_cyclic"),
+        )
     )
     return (
         F.broadcast(n_players_df)
         .crossJoin(n_edges)
-        .crossJoin(triads)
-        .crossJoin(cyc)
+        .crossJoin(counts)
         .select(
             "n_players",
             "n_decisive_edges",
