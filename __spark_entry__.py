@@ -7486,6 +7486,63 @@ def _item_discrimination_sql() -> str:
     )
 
 
+_AUC_SCORED_SQL = """
+      SELECT CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)
+               AS score,
+             CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS label
+      FROM lineitem"""
+
+
+def q_auc_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # R11 QUEUE (UNREGISTERED): exact rank-sum ROC-AUC
+    # (evalstats.auc_roc) of "price predicts returned" over lineitem
+    # — score = integer cents, label = returnflag R. Mann-Whitney
+    # identity over the distinct-score count table + the
+    # global_cumsum two-phase prefix (no corpus sort, no global
+    # window). Gated by tests/test_evalrank.py.
+    from det_module_spark.operators.evalstats import auc_roc
+
+    li = load_table(spark, sf_dir, "lineitem")
+    scored = li.select(
+        _cents("l_extendedprice").alias("score"),
+        (F.col("l_returnflag") == "R").cast("long").alias("label"),
+    )
+    return auc_roc(scored)
+
+
+def _auc_roc_sql() -> str:
+    from det_module_spark.operators.evalstats import auc_roc_sql
+
+    return auc_roc_sql(_AUC_SCORED_SQL)
+
+
+def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # R11 QUEUE (UNREGISTERED): two-sample Kolmogorov-Smirnov drift
+    # statistic (evalstats.ks_test) — returned vs kept lineitem price
+    # distributions, exact integer D over the common n_a*n_b
+    # denominator. Gated by tests/test_evalrank.py.
+    from det_module_spark.operators.evalstats import ks_test
+
+    li = load_table(spark, sf_dir, "lineitem")
+    samples = li.select(
+        _cents("l_extendedprice").alias("value"),
+        (F.col("l_returnflag") == "R").cast("long").alias("flag"),
+    )
+    return ks_test(samples)
+
+
+def _ks_test_sql() -> str:
+    from det_module_spark.operators.evalstats import ks_test_sql
+
+    return ks_test_sql(
+        """
+      SELECT CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)
+               AS value,
+             CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS flag
+      FROM lineitem"""
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the reliability zonal extract (the aid-data triple) at
     sf0.001; driver checks rows>0."""

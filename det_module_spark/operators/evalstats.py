@@ -413,3 +413,220 @@ def item_discrimination_sql(attempts_sql: str) -> str:
                             * CAST(n * syy - sy * sy AS DOUBLE))
                 ELSE NULL END AS discrimination
     FROM m ORDER BY task"""
+
+
+# auc_roc's final u2*1e6 div (2*n_pos*n_neg): u2 <= 2*n_pos*n_neg, so
+# exact BIGINT needs n_pos*n_neg <= ~4.6e12 — enforced. An eval set
+# beyond that has > 2e6 of EACH class; subsample first.
+AUC_PAIRS_LIMIT = 4_000_000_000_000
+
+# ks_test's d_num*1e6 with d_num <= n_a*n_b: exact BIGINT to ~9.2e12
+# cross pairs — enforced.
+KS_PAIRS_LIMIT = 9_000_000_000_000
+
+
+def auc_roc(
+    scored: DataFrame,
+    score: str = "score",
+    label: str = "label",
+) -> DataFrame:
+    """Exact ROC-AUC for a binary classifier from the rank-sum (the
+    Mann-Whitney U identity): AUC = P(score⁺ > score⁻) + ½·P(tie).
+    ``score`` must be integral (quantize floats to a fixed decimal
+    first — the module contract); ``label`` ∈ {0,1}. → one row:
+    (n_pos, n_neg, u2, auc_ppm), all BIGINT — u2 is 2·U (doubled so
+    half-credit ties stay integer), auc_ppm NULL when either class is
+    empty.
+
+    Identity on the per-distinct-score count table (p_s positives,
+    n_s negatives at score s, N_s = negatives strictly below s):
+
+        2U = Σ_s p_s · (2·N_s + n_s)        (ties at s count ½ each)
+        AUC = 2U / (2·n_pos·n_neg)
+
+    Exact-integer contract: one floor in the final ppm division;
+    u2·1e6 stays BIGINT while n_pos·n_neg ≤ AUC_PAIRS_LIMIT —
+    enforced via raise_error folded into the output.
+
+    Scale shape: ONE corpus aggregation (the distinct-score count
+    table, localCheckpoint'ed), then :func:`~det_module_spark.
+    operators.ids.global_cumsum` for the negatives-below prefix (the
+    two-phase range-partition recipe — no empty-partition-spec
+    window, no sort of the corpus, work ∝ distinct scores) and a
+    1-row total. No float anywhere.
+    """
+    from det_module_spark.operators.ids import global_cumsum
+
+    g = (
+        scored.groupBy(F.col(score).cast("long").alias("s"))
+        .agg(
+            F.sum(F.col(label).cast("long")).cast("long").alias("pos"),
+            F.sum(1 - F.col(label).cast("long"))
+            .cast("long")
+            .alias("neg"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    cum = global_cumsum(
+        g, ["s"], "neg", out="neg_below", inclusive=False
+    )
+    u2 = cum.agg(
+        F.sum(
+            F.col("pos") * (2 * F.col("neg_below") + F.col("neg"))
+        ).cast("long").alias("u2"),
+    )
+    tot = g.agg(
+        F.sum("pos").cast("long").alias("n_pos"),
+        F.sum("neg").cast("long").alias("n_neg"),
+    )
+    return tot.crossJoin(u2).select(
+        "n_pos",
+        "n_neg",
+        F.coalesce(F.col("u2"), F.lit(0)).cast("long").alias("u2"),
+        F.when(
+            F.expr(f"n_pos * n_neg > {AUC_PAIRS_LIMIT}"),
+            F.raise_error(
+                F.lit(
+                    "auc_roc: n_pos*n_neg > "
+                    f"{AUC_PAIRS_LIMIT}; u2*1e6 would exceed BIGINT "
+                    "— subsample the eval set"
+                )
+            ).cast("long"),
+        )
+        .when(
+            (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+            F.expr(f"u2 * {PPM}L div (2 * n_pos * n_neg)"),
+        )
+        .cast("long")
+        .alias("auc_ppm"),
+    )
+
+
+def auc_roc_sql(scored_sql: str) -> str:
+    """DuckDB twin — identical rank-sum algebra via a window
+    cumulative sum (the oracle side may use the plain window; the
+    Spark side's two-phase prefix sum is the distributed shape).
+    ``scored_sql`` must produce columns (score, label)."""
+    return f"""
+    WITH g AS (
+      SELECT CAST(score AS BIGINT) AS s,
+             CAST(SUM(label) AS BIGINT) AS pos,
+             CAST(SUM(1 - label) AS BIGINT) AS neg
+      FROM ({scored_sql}) GROUP BY 1),
+    cum AS (
+      SELECT s, pos, neg,
+             CAST(COALESCE(SUM(neg) OVER (ORDER BY s
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS BIGINT) AS neg_below
+      FROM g),
+    u AS (SELECT CAST(COALESCE(SUM(pos * (2 * neg_below + neg)), 0)
+                      AS BIGINT) AS u2 FROM cum),
+    tot AS (SELECT CAST(SUM(pos) AS BIGINT) AS n_pos,
+                   CAST(SUM(neg) AS BIGINT) AS n_neg FROM g)
+    SELECT tot.n_pos, tot.n_neg, u.u2,
+           CAST(CASE WHEN tot.n_pos > 0 AND tot.n_neg > 0
+                THEN u.u2 * {PPM} // (2 * tot.n_pos * tot.n_neg)
+                ELSE NULL END AS BIGINT) AS auc_ppm
+    FROM tot CROSS JOIN u"""
+
+
+def ks_test(
+    samples: DataFrame,
+    value: str = "value",
+    flag: str = "flag",
+) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic — THE nonparametric
+    drift detector between two empirical distributions (sample A =
+    rows with ``flag`` 0, sample B = ``flag`` 1; ``value`` must be
+    integral — quantize first). → one row, all BIGINT:
+    (n_a, n_b, d_num, ks_ppm) where
+
+        D = max_v |F_A(v) − F_B(v)|
+        d_num = max_v |cumA(v)·n_b − cumB(v)·n_a|   (= D·n_a·n_b)
+
+    so d_num is EXACT (the CDF difference over the common denominator
+    n_a·n_b) and ks_ppm = d_num·1e6 div (n_a·n_b) floors once. Exact
+    BIGINT while n_a·n_b ≤ KS_PAIRS_LIMIT — enforced via raise_error
+    folded into the output. NULL ks_ppm when either sample is empty.
+
+    Scale shape: ONE corpus aggregation (per-distinct-value counts of
+    both samples, localCheckpoint'ed), two two-phase prefix sums over
+    the compact count table (:func:`global_cumsum` — no global
+    window, no corpus sort), one max. No float anywhere.
+    """
+    from det_module_spark.operators.ids import global_cumsum
+
+    g = (
+        samples.groupBy(F.col(value).cast("long").alias("v"))
+        .agg(
+            F.sum(1 - F.col(flag).cast("long"))
+            .cast("long")
+            .alias("ca"),
+            F.sum(F.col(flag).cast("long")).cast("long").alias("cb"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    ga = global_cumsum(g, ["v"], "ca", out="cum_a", inclusive=True)
+    gb = global_cumsum(
+        g.select("v", "cb"), ["v"], "cb", out="cum_b", inclusive=True
+    )
+    cum = ga.select("v", "cum_a").join(gb.select("v", "cum_b"), "v")
+    tot = g.agg(
+        F.sum("ca").cast("long").alias("n_a"),
+        F.sum("cb").cast("long").alias("n_b"),
+    )
+    d = cum.crossJoin(F.broadcast(tot)).agg(
+        F.max(
+            F.abs(
+                F.col("cum_a") * F.col("n_b")
+                - F.col("cum_b") * F.col("n_a")
+            )
+        ).cast("long").alias("d_raw"),
+    )
+    return tot.crossJoin(d).select(
+        "n_a",
+        "n_b",
+        F.coalesce(F.col("d_raw"), F.lit(0)).cast("long").alias("d_num"),
+        F.when(
+            F.expr(f"n_a * n_b > {KS_PAIRS_LIMIT}"),
+            F.raise_error(
+                F.lit(
+                    f"ks_test: n_a*n_b > {KS_PAIRS_LIMIT}; "
+                    "d_num*1e6 would exceed BIGINT — subsample"
+                )
+            ).cast("long"),
+        )
+        .when(
+            (F.col("n_a") > 0) & (F.col("n_b") > 0),
+            F.expr(f"d_raw * {PPM}L div (n_a * n_b)"),
+        )
+        .cast("long")
+        .alias("ks_ppm"),
+    )
+
+
+def ks_test_sql(samples_sql: str) -> str:
+    """DuckDB twin — identical CDF algebra via window cumulative
+    sums. ``samples_sql`` must produce columns (value, flag)."""
+    return f"""
+    WITH g AS (
+      SELECT CAST(value AS BIGINT) AS v,
+             CAST(SUM(1 - flag) AS BIGINT) AS ca,
+             CAST(SUM(flag) AS BIGINT) AS cb
+      FROM ({samples_sql}) GROUP BY 1),
+    cum AS (
+      SELECT v,
+             CAST(SUM(ca) OVER (ORDER BY v) AS BIGINT) AS cum_a,
+             CAST(SUM(cb) OVER (ORDER BY v) AS BIGINT) AS cum_b
+      FROM g),
+    tot AS (SELECT CAST(SUM(ca) AS BIGINT) AS n_a,
+                   CAST(SUM(cb) AS BIGINT) AS n_b FROM g),
+    d AS (SELECT CAST(COALESCE(MAX(ABS(cum_a * tot.n_b
+                                       - cum_b * tot.n_a)), 0)
+                      AS BIGINT) AS d_num
+          FROM cum CROSS JOIN tot)
+    SELECT tot.n_a, tot.n_b, d.d_num,
+           CAST(CASE WHEN tot.n_a > 0 AND tot.n_b > 0
+                THEN d.d_num * {PPM} // (tot.n_a * tot.n_b)
+                ELSE NULL END AS BIGINT) AS ks_ppm
+    FROM tot CROSS JOIN d"""

@@ -235,11 +235,11 @@ BROADCAST_WHITELIST = {
         "per-group totals)",
     ),
     "det_module_spark/operators/evalstats.py": (
-        2,
+        3,
         "pass_at_k ks frame: len(ks) literal rows, parameter-bounded; "
         "item_discrimination ability table: one row per model, models "
         "are a bounded dim (same class as agreement.py's per-rater "
-        "accuracy table)",
+        "accuracy table); ks_test totals: 1-row aggregate scalar",
     ),
     "det_module_spark/operators/survival.py": (
         2,
