@@ -443,14 +443,25 @@ def weighted_consensus(
     any engine: weights derive from exact counts, the argmax is
     order-free.
 
-    Scale shape: the vote table joins the per-rater weight table
-    (rater-cardinality — a broadcast dim), then two hash
-    aggregations per (item,label)→item; no window, no collect.
+    Scale shape: the cleaned vote table is materialized ONCE
+    (eager localCheckpoint — the krippendorff_alpha/kmeans rescan
+    treatment, d3177e0/e93e7e4): four consumers read it (the round-0
+    consensus inside rater_accuracy, the accuracy counts, the
+    majority column, the weighted re-vote), and without the cut
+    Catalyst replans the vote-derivation subtree per consumer — 24
+    static corpus scans for this output at any scale. Then the
+    per-rater weight table joins broadcast (rater-cardinality dim)
+    and two hash aggregations per (item,label)→item; no window, no
+    collect.
     """
-    v = votes.filter(F.col(label).isNotNull()).select(
-        F.col(item).alias("item"),
-        F.col(rater).alias("rater"),
-        F.col(label).cast("string").alias("label"),
+    v = (
+        votes.filter(F.col(label).isNotNull())
+        .select(
+            F.col(item).alias("item"),
+            F.col(rater).alias("rater"),
+            F.col(label).cast("string").alias("label"),
+        )
+        .localCheckpoint(eager=True)
     )
     acc = rater_accuracy(v).select("rater", "accuracy_ppm")
     maj = consensus_labels(v).select(
