@@ -1,0 +1,62 @@
+"""Dump .explain('formatted') for registered queries to
+plans/r10/<query>_<tag>.txt (guide §1 / §7.2: keep the plan evidence
+next to the claim).
+
+Usage:
+    python tools/dump_plans.py --tag before q1 q2 ...
+    python tools/dump_plans.py --tag after --all
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("queries", nargs="*")
+    ap.add_argument("--tag", required=True)
+    ap.add_argument("--all", action="store_true")
+    ap.add_argument("--sf", default="/root/testdata/sf0.1")
+    ap.add_argument("--outdir", default="/root/repo/plans/r10")
+    args = ap.parse_args()
+
+    os.environ["SPARK_GRAFT_SF_DIR"] = args.sf
+    import __spark_entry__ as mod
+    from det_module_spark.session import get_spark
+
+    spark = get_spark("dump-plans")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = mod.queries()
+    names = sorted(qs) if args.all else args.queries
+    unknown = [q for q in names if q not in qs]
+    if unknown:
+        print(f"unknown queries: {unknown}")
+        sys.exit(2)
+    os.makedirs(args.outdir, exist_ok=True)
+    for name in names:
+        try:
+            plan = qs[name](spark, args.sf)._sc._jvm.PythonSQLUtils.explainString(
+                qs[name](spark, args.sf)._jdf.queryExecution(), "formatted"
+            )
+        except Exception:
+            # public API fallback: capture explain() output
+            import contextlib
+            import io
+
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                qs[name](spark, args.sf).explain("formatted")
+            plan = buf.getvalue()
+        path = os.path.join(args.outdir, f"{name}_{args.tag}.txt")
+        with open(path, "w") as f:
+            f.write(plan)
+        print(f"wrote {path} ({len(plan)} bytes)")
+
+
+if __name__ == "__main__":
+    main()
