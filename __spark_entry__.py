@@ -6933,11 +6933,22 @@ def q_rank_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     # same supplier games. The ranker-agreement QC an eval pipeline
     # runs when swapping rating systems.
     from det_module_spark.operators.btrank import bt_strengths, elo_ratings
-    from det_module_spark.operators.prefstats import spearman_rho
+    from det_module_spark.operators.prefstats import pair_counts, spearman_rho
 
-    comps = _supplier_comps(spark, sf_dir).localCheckpoint(eager=True)
-    bt = bt_strengths(comps, rounds=3).select("player", "theta_q")
-    elo = elo_ratings(comps, rounds=2).select("player", "rating_milli")
+    # ONE corpus aggregation feeds both fits (optimization r10, guide
+    # §2.4): pair_counts materializes the (lo, hi, n, w_lo) table once
+    # where the old shape checkpointed the raw games and let each fit
+    # re-aggregate them (3 corpus-scale scans → 1). Sharing is exact
+    # here because _supplier_comps filters sk_a != sk_b, so the log
+    # has no self-games (bt_strengths' pair_table contract).
+    comps = _supplier_comps(spark, sf_dir)
+    pc = pair_counts(comps)
+    bt = bt_strengths(comps, rounds=3, pair_table=pc).select(
+        "player", "theta_q"
+    )
+    elo = elo_ratings(comps, rounds=2, pair_table=pc).select(
+        "player", "rating_milli"
+    )
     both = bt.join(elo, "player")
     return spearman_rho(both, "theta_q", "rating_milli")
 
@@ -7125,16 +7136,26 @@ def q_elo_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     # read as win probabilities. Composes the elo_ratings fit output
     # (player-dim bounded) with the shared pair_counts aggregation.
     from det_module_spark.operators.btrank import elo_ratings
-    from det_module_spark.operators.prefstats import rating_calibration
+    from det_module_spark.operators.prefstats import (
+        pair_counts,
+        rating_calibration,
+    )
 
+    # ONE corpus aggregation serves the fit AND the audit
+    # (optimization r10, guide §2.4): the old shape ran the lineitem
+    # self-join + pair aggregation twice — once inside elo_ratings,
+    # once inside rating_calibration's pair_counts.
     comps = _supplier_comps(spark, sf_dir)
-    ratings = elo_ratings(comps).select("player", "rating_milli")
+    pc = pair_counts(comps)
+    ratings = elo_ratings(comps, pair_table=pc).select(
+        "player", "rating_milli"
+    )
     # 1-point buckets: the 2-round K=32 fit spreads ratings only a
     # few points on this log, so the default 10-point bucket would
     # collapse the curve to one row
-    return rating_calibration(comps, ratings, bucket_width=1_000).orderBy(
-        "gap_bucket"
-    )
+    return rating_calibration(
+        comps, ratings, bucket_width=1_000, pair_table=pc
+    ).orderBy("gap_bucket")
 
 
 def _elo_calibration_sql() -> str:

@@ -46,6 +46,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+
 Q = 1_000_000  # θ quantization: θ_real ≈ theta_q / Q
 QT = 10_000  # per-pair term quantization before the exact sum
 
@@ -102,6 +103,7 @@ def bt_strengths(
     loser: str = "loser",
     rounds: int = 3,
     overflow_limit: int = OVERFLOW_LIMIT,
+    pair_table: DataFrame | None = None,
 ) -> DataFrame:
     """→ (player, theta_q BIGINT, wins BIGINT, games BIGINT), one row
     per player appearing in any comparison, θ from ``rounds`` exact
@@ -110,38 +112,100 @@ def bt_strengths(
     precondition: wins/games-per-pair beyond it raise loudly instead
     of wrapping.
 
+    ``pair_table``: optional precomputed, already-materialized
+    (lo, hi, n, w_lo) unordered pair-count table (the
+    ``prefstats.pair_counts`` shape: lo < hi, NULL participants
+    dropped). When a caller fits several rating systems over the SAME
+    comparison log (rank_agreement, elo_calibration), passing the
+    shared table means ONE corpus aggregation feeds them all instead
+    of one per fit (guide §2.4: remove duplicate passes outright).
+    Caller contract: if the log can contain self-games
+    (winner == loser), the table must include them as lo == hi rows
+    (``pair_counts`` drops them — only share a table when the input
+    provably has none, e.g. the supplier games whose generator
+    filters sk_a != sk_b).
+
     Scale shape per round: games ⋈ θ (twice, equi-joins on player),
     a two-way union, one hash aggregation per player, θ re-joined —
     shuffle ∝ distinct pairs, state ∝ players, localCheckpoint per
     round to cut lineage (pagerank discipline). No collect, no
-    window, no float.
+    window, no float. The (games, wins) base is ONE corpus
+    aggregation — wins derive from the pair table's w_lo split
+    (w_lo to lo, n − w_lo to hi; a lo == hi self-pair row credits
+    its player 0 + n = n, exactly the direct per-winner count), so
+    the log is scanned once, not twice (optimization r10).
     """
-    games, wins = bt_pair_stats(comparisons, winner, loser)
-    games = games.withColumn(
-        "n", _overflow_guard("n", "games-per-pair", overflow_limit)
-    ).localCheckpoint(eager=True)
-    wins = wins.withColumn(
-        "w", _overflow_guard("w", "wins", overflow_limit)
-    )
-    players = (
-        games.select(F.col("lo").alias("player"))
-        .unionByName(games.select(F.col("hi").alias("player")))
-        .distinct()
-    )
-    wins_full = (
-        players.join(wins, "player", "left")
-        .select("player", F.coalesce("w", F.lit(0)).alias("w"))
+    if pair_table is None:
+        c = comparisons.filter(
+            F.col(winner).isNotNull() & F.col(loser).isNotNull()
+        )
+        pt = (
+            c.select(
+                F.least(F.col(winner), F.col(loser)).alias("lo"),
+                F.greatest(F.col(winner), F.col(loser)).alias("hi"),
+                F.when(F.col(winner) < F.col(loser), F.lit(1))
+                .otherwise(F.lit(0))
+                .alias("lo_won"),
+            )
+            .groupBy("lo", "hi")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum("lo_won").cast("long").alias("w_lo"),
+            )
+            .withColumn(
+                "n", _overflow_guard("n", "games-per-pair", overflow_limit)
+            )
+            .localCheckpoint(eager=True)
+        )
+    else:
+        pt = pair_table.withColumn(
+            "n", _overflow_guard("n", "games-per-pair", overflow_limit)
+        )
+    games = pt.select("lo", "hi", "n")
+    # per-player stats in ONE explode pass over the pair table
+    # (optimization r10): the old shape ran three separate
+    # union-the-two-endpoints aggregations (players distinct, wins,
+    # n_games), each re-scanning both pair-table branches, plus a
+    # players ⋈ wins backfill join — one explode-both-endpoints pass
+    # (a union's branches are planned/executed independently; explode
+    # reads the table once) produces all of them and materializes a
+    # player-dim table every later join reads.
+    # Values are unchanged: wins = Σ(w_lo to lo, n−w_lo to hi) is the
+    # per-winner count (a lo == hi self-pair credits 0 + n = n), a
+    # player with no wins sums to 0 (the old coalesce(w, 0)), and
+    # games = Σ n over both endpoint branches (a self-pair counts 2n
+    # in both shapes).
+    stats = (
+        pt.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("lo").alias("player"),
+                        F.col("n").alias("n"),
+                        F.col("w_lo").alias("w"),
+                    ),
+                    F.struct(
+                        F.col("hi").alias("player"),
+                        F.col("n").alias("n"),
+                        (F.col("n") - F.col("w_lo")).alias("w"),
+                    ),
+                )
+            ).alias("e")
+        )
+        .select("e.player", "e.n", "e.w")
+        .groupBy("player")
+        .agg(
+            F.sum("n").cast("long").alias("games"),
+            F.sum("w").cast("long").alias("w"),
+        )
+        .withColumn("w", _overflow_guard("w", "wins", overflow_limit))
         .localCheckpoint(eager=True)
     )
-    n_games = (
-        games.select(F.col("lo").alias("player"), "n")
-        .unionByName(games.select(F.col("hi").alias("player"), "n"))
-        .groupBy("player")
-        .agg(F.sum("n").cast("long").alias("games"))
-    )
-    theta = wins_full.select(
+    wins_full = stats.select("player", "w")
+    n_games = stats.select("player", "games")
+    theta = stats.select(
         "player", F.lit(Q).cast("long").alias("theta_q")
-    ).localCheckpoint(eager=True)
+    )
 
     for _ in range(rounds):
         t_lo = theta.select(
@@ -161,9 +225,22 @@ def bt_strengths(
                 ),
             )
         )
+        # explode-both-endpoints instead of a union of two projections
+        # of ``terms`` (optimization r10): a union's branches are
+        # planned independently, so the old shape computed the
+        # games ⋈ θ ⋈ θ probe — and exchanged the pair table — TWICE
+        # per round; the explode computes it once. Same multiset of
+        # (player, tq) rows, same exact-integer sum.
         denom = (
-            terms.select(F.col("lo").alias("player"), "tq")
-            .unionByName(terms.select(F.col("hi").alias("player"), "tq"))
+            terms.select(
+                F.explode(
+                    F.array(
+                        F.struct(F.col("lo").alias("player"), F.col("tq")),
+                        F.struct(F.col("hi").alias("player"), F.col("tq")),
+                    )
+                ).alias("e")
+            )
+            .select("e.player", "e.tq")
             .groupBy("player")
             .agg(F.sum("tq").cast("long").alias("denomq"))
         )
@@ -205,6 +282,7 @@ def elo_ratings(
     rounds: int = 2,
     k_milli: int = ELO_K_MILLI,
     overflow_limit: int = (2**63 - 1) // 10_000,
+    pair_table: DataFrame | None = None,
 ) -> DataFrame:
     """Batched (mini-batch) Elo — the online sibling of
     :func:`bt_strengths`: instead of the MM fixed point, ``rounds``
@@ -244,47 +322,80 @@ def elo_ratings(
     Magnitudes: the largest product is w_ij·1e4, so games-per-pair
     above (2^63−1) div 1e4 (≈9.2e14) raise via the shared
     raise_error guard instead of wrapping.
+
+    ``pair_table``: optional precomputed, already-materialized
+    (lo, hi, n, w_lo) pair-count table with lo < hi, NULL
+    participants AND self-games dropped — exactly
+    ``prefstats.pair_counts``. Lets rank_agreement/elo_calibration
+    run ONE corpus aggregation for all their fits instead of one per
+    fit (guide §2.4); the overflow guard is still applied here.
     """
-    c = comparisons.filter(
-        F.col(winner).isNotNull()
-        & F.col(loser).isNotNull()
-        & (F.col(winner) != F.col(loser))
-    )
     limit = overflow_limit
-    pairs = (
-        c.select(
-            F.least(F.col(winner), F.col(loser)).alias("lo"),
-            F.greatest(F.col(winner), F.col(loser)).alias("hi"),
-            F.when(F.col(winner) < F.col(loser), F.lit(1))
-            .otherwise(F.lit(0))
-            .alias("lo_won"),
+    if pair_table is None:
+        c = comparisons.filter(
+            F.col(winner).isNotNull()
+            & F.col(loser).isNotNull()
+            & (F.col(winner) != F.col(loser))
         )
-        .groupBy("lo", "hi")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n"),
-            F.sum("lo_won").cast("long").alias("w_lo"),
+        pairs = (
+            c.select(
+                F.least(F.col(winner), F.col(loser)).alias("lo"),
+                F.greatest(F.col(winner), F.col(loser)).alias("hi"),
+                F.when(F.col(winner) < F.col(loser), F.lit(1))
+                .otherwise(F.lit(0))
+                .alias("lo_won"),
+            )
+            .groupBy("lo", "hi")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum("lo_won").cast("long").alias("w_lo"),
+            )
+            .withColumn(
+                "n", _overflow_guard("n", "games-per-pair", limit)
+            )
+            .localCheckpoint(eager=True)
         )
-        .withColumn(
+    else:
+        pairs = pair_table.withColumn(
             "n", _overflow_guard("n", "games-per-pair", limit)
         )
-        .localCheckpoint(eager=True)
-    )
-    players = (
-        pairs.select(F.col("lo").alias("player"))
-        .unionByName(pairs.select(F.col("hi").alias("player")))
-        .distinct()
-    )
-    # J_i: opponents per player (round-invariant)
-    opp = (
-        pairs.select(F.col("lo").alias("player"))
-        .unionByName(pairs.select(F.col("hi").alias("player")))
+    # per-player stats in ONE explode pass over the pair table
+    # (optimization r10): players, J_i (opponents, round-invariant),
+    # wins and games all come from the same two-endpoint expansion —
+    # the old shape ran four separate union aggregations, each
+    # re-scanning both pair-table branches (a union's branches are
+    # planned/executed independently; explode reads the table once).
+    # Values unchanged.
+    stats = (
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("lo").alias("player"),
+                        F.col("n").alias("n"),
+                        F.col("w_lo").alias("w"),
+                    ),
+                    F.struct(
+                        F.col("hi").alias("player"),
+                        F.col("n").alias("n"),
+                        (F.col("n") - F.col("w_lo")).alias("w"),
+                    ),
+                )
+            ).alias("e")
+        )
+        .select("e.player", "e.n", "e.w")
         .groupBy("player")
-        .agg(F.count(F.lit(1)).cast("long").alias("j"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("j"),
+            F.sum("n").cast("long").alias("games"),
+            F.sum("w").cast("long").alias("wins"),
+        )
         .localCheckpoint(eager=True)
     )
-    ratings = players.select(
+    opp = stats.select("player", "j")
+    ratings = stats.select(
         "player", F.lit(ELO_INIT_MILLI).cast("long").alias("rating_milli")
-    ).localCheckpoint(eager=True)
+    )
 
     e_bp = (
         "CAST(FLOOR(10000.0 / (1.0 + POW(10.0, "
@@ -308,22 +419,31 @@ def elo_ratings(
                 F.expr(e_bp).alias("e_lo_bp"),
             )
         )
+        # explode-both-endpoints instead of a union of two projections
+        # of ``terms`` (optimization r10): the old shape computed the
+        # pairs ⋈ r ⋈ r probe — and exchanged the pair table — TWICE
+        # per round. Same multiset of (player, s_bp) rows.
         deltas = (
             terms.select(
-                F.col("lo").alias("player"),
-                F.expr(
-                    "(w_lo * 10000L) div n - e_lo_bp"
-                ).alias("s_bp"),
+                F.explode(
+                    F.array(
+                        F.struct(
+                            F.col("lo").alias("player"),
+                            F.expr(
+                                "(w_lo * 10000L) div n - e_lo_bp"
+                            ).alias("s_bp"),
+                        ),
+                        F.struct(
+                            F.col("hi").alias("player"),
+                            F.expr(
+                                "((n - w_lo) * 10000L) div n "
+                                "- (10000L - e_lo_bp)"
+                            ).alias("s_bp"),
+                        ),
+                    )
+                ).alias("e")
             )
-            .unionByName(
-                terms.select(
-                    F.col("hi").alias("player"),
-                    F.expr(
-                        "((n - w_lo) * 10000L) div n "
-                        "- (10000L - e_lo_bp)"
-                    ).alias("s_bp"),
-                )
-            )
+            .select("e.player", "e.s_bp")
             .groupBy("player")
             .agg(F.sum("s_bp").cast("long").alias("s_sum"))
             .join(opp, "player")
@@ -348,26 +468,9 @@ def elo_ratings(
             .localCheckpoint(eager=True)
         )
 
-    wins = (
-        pairs.select(F.col("lo").alias("player"), F.col("w_lo").alias("w"))
-        .unionByName(
-            pairs.select(
-                F.col("hi").alias("player"),
-                (F.col("n") - F.col("w_lo")).alias("w"),
-            )
-        )
-        .groupBy("player")
-        .agg(F.sum("w").cast("long").alias("wins"))
-    )
-    games = (
-        pairs.select(F.col("lo").alias("player"), "n")
-        .unionByName(pairs.select(F.col("hi").alias("player"), "n"))
-        .groupBy("player")
-        .agg(F.sum("n").cast("long").alias("games"))
-    )
-    return ratings.join(wins, "player").join(games, "player").select(
-        "player", "rating_milli", "wins", "games"
-    )
+    return ratings.join(
+        stats.select("player", "wins", "games"), "player"
+    ).select("player", "rating_milli", "wins", "games")
 
 
 def elo_sql(

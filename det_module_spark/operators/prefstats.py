@@ -27,6 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+
 PPM = 1_000_000
 
 # identical double expression on both engines: every op is IEEE
@@ -1265,6 +1266,7 @@ def rating_calibration(
     player_col: str = "player",
     rating_col: str = "rating_milli",
     bucket_width: int = 10_000,
+    pair_table: DataFrame | None = None,
 ) -> DataFrame:
     """Rating-scale calibration curve — does a fitted rating table
     actually PREDICT game outcomes at every rating gap? For each
@@ -1295,8 +1297,18 @@ def rating_calibration(
     Scale shape: the shared :func:`pair_counts` corpus aggregation,
     two equi-joins against the bounded player-dim rating table, one
     hash agg per bucket. No window, no collect, nothing quadratic.
+
+    ``pair_table``: optional precomputed, already-materialized
+    :func:`pair_counts` output for the same log — when the caller
+    also fitted the ratings from it (elo_calibration), passing it in
+    means ONE corpus aggregation serves both the fit and the audit
+    instead of one each (guide §2.4).
     """
-    pairs = pair_counts(comparisons, winner, loser)
+    pairs = (
+        pair_table
+        if pair_table is not None
+        else pair_counts(comparisons, winner, loser)
+    )
     r_lo = ratings.select(
         F.col(player_col).alias("lo"), F.col(rating_col).alias("r_lo")
     )
