@@ -785,12 +785,17 @@ def semantic_dedup(
     S = ivf_fit_centroids(
         corpus, k=n_cells, id_col=id_col, vec_col=vec_col
     )
+    # materialize the assignment once (optimization r10, guide §4):
+    # three consumers read it (both self-join sides + the kept-rows
+    # base) and Catalyst replans the subtree per consumer, so without
+    # the cut the Arrow-batched assignment kernel — a full
+    # JVM→Python→JVM pass over the corpus — runs three times.
     assigned = ivf_assign(
         corpus, S, "vec_id", id_col, vec_col, n_probe=1
     ).select(
         F.col("vec_id"), F.col("vec_id_v").alias("v"),
         F.col("vec_id_n").alias("nrm"), "cell",
-    )
+    ).localCheckpoint(eager=True)
     a = assigned.select(
         F.col("cell"),
         F.col("vec_id").alias("id_a"),

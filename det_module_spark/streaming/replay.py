@@ -230,10 +230,26 @@ def _replay_stream_once(
         q.processAllAvailable()
         q.stop()
         q.awaitTermination(60)
-        # materialize before the source files are removed; hand the
-        # result back in the CALLER's session
-        rows = run.table(name).collect()
-        return spark.createDataFrame(rows, run.table(name).schema)
+        # Hand the result back in the CALLER's session WITHOUT a
+        # driver row roundtrip (optimization r10, guide §5: the driver
+        # should do almost no data work): the old shape collect()ed
+        # the memory-sink table into Python Row objects and re-uploaded
+        # them via createDataFrame — a pickled per-row double crossing
+        # that dominated the big replays (events_dedup_stream returns
+        # ~100k rows). A parquet spill-and-rescan keeps the transfer
+        # columnar and type-exact; the eager localCheckpoint pins the
+        # rows in the block manager before the temp dir is removed.
+        out = tempfile.mkdtemp(prefix="replay_out_")
+        try:
+            result = run.table(name)
+            result.write.mode("overwrite").parquet(out)
+            return (
+                spark.read.schema(result.schema)
+                .parquet(out)
+                .localCheckpoint(eager=True)
+            )
+        finally:
+            shutil.rmtree(out, ignore_errors=True)
     finally:
         shutil.rmtree(src, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
