@@ -3437,10 +3437,14 @@ def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = docs.filter(F.col("doc_id") % 50 != 0)
     bench = docs.filter(F.col("doc_id") % 50 == 0)  # held-out eval set
 
-    # 1. exact dedup on full-text hash: canonical doc carries the group
+    # 1. exact dedup on full-text hash: canonical doc carries the group.
+    # The keep table is materialized once (optimization r10): d1 feeds
+    # two consumers (repetition_features and the quality-gate join),
+    # and without the cut each replans — and re-runs — the full-text
+    # md5 dedup aggregation.
     keep = exact_dedup(corpus, F.md5("text"), "doc_id").select(
         F.col("keep_id").alias("doc_id"), "n_dups"
-    )
+    ).localCheckpoint(eager=True)
     d1 = corpus.join(keep, "doc_id")
 
     # 2. quality gate: length window + repetition thresholds
@@ -6943,13 +6947,32 @@ def q_rank_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     # has no self-games (bt_strengths' pair_table contract).
     comps = _supplier_comps(spark, sf_dir)
     pc = pair_counts(comps)
-    bt = bt_strengths(comps, rounds=3, pair_table=pc).select(
-        "player", "theta_q"
-    )
-    elo = elo_ratings(comps, rounds=2, pair_table=pc).select(
-        "player", "rating_milli"
-    )
-    both = bt.join(elo, "player")
+    # The two fits are INDEPENDENT chains of small per-round jobs over
+    # the same materialized pair table; built sequentially their eager
+    # per-round checkpoints serialize ~10 tiny stages end-to-end.
+    # Overlap them on two driver threads (guide §2.6: actions are only
+    # sequential because the driver calls them sequentially) — wall is
+    # max(bt, elo) instead of bt + elo. Each fit's result is
+    # deterministic regardless of scheduling.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_bt = pool.submit(
+            lambda: bt_strengths(comps, rounds=3, pair_table=pc).select(
+                "player", "theta_q"
+            )
+        )
+        f_elo = pool.submit(
+            lambda: elo_ratings(comps, rounds=2, pair_table=pc).select(
+                "player", "rating_milli"
+            )
+        )
+        bt, elo = f_bt.result(), f_elo.result()
+    # player-dim frame consumed four times inside spearman_rho (two
+    # rank-count aggs + two rank joins back) — materialize it once so
+    # the bt⋈elo stitch joins don't replan per consumer (optimization
+    # r10, guide §2.4)
+    both = bt.join(elo, "player").localCheckpoint(eager=True)
     return spearman_rho(both, "theta_q", "rating_milli")
 
 
