@@ -5357,20 +5357,32 @@ def q_blocking_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     # materialize it once and the documents scan + tokenize + explode
     # runs once instead of twice (each side applies its own hash
     # domain downstream, so values are unchanged).
+    # eager so the two independent consumers below don't race to
+    # compute it; truth and candidate pipelines then overlap on two
+    # driver threads (guide §2.6) — wall = max, not sum
     sh3 = word_shingles(docs, "doc_id", "text", 3).localCheckpoint(
-        eager=False
+        eager=True
     )
-    truth = (
-        ngram_jaccard_pairs(docs, n=3, threshold=0.12, shingles=sh3)
-        .select("id_a", "id_b")
-        .localCheckpoint(eager=False)
-    )
-    sigs = minhash_signatures(docs, num_hashes=16, shingles=sh3)
-    cand = (
-        minhash_lsh_pairs(sigs, bands=8, rows=2)
-        .select("id_a", "id_b")
-        .localCheckpoint(eager=False)
-    )
+    from concurrent.futures import ThreadPoolExecutor
+
+    def build_truth():
+        return (
+            ngram_jaccard_pairs(docs, n=3, threshold=0.12, shingles=sh3)
+            .select("id_a", "id_b")
+            .localCheckpoint(eager=True)
+        )
+
+    def build_cand():
+        sigs = minhash_signatures(docs, num_hashes=16, shingles=sh3)
+        return (
+            minhash_lsh_pairs(sigs, bands=8, rows=2)
+            .select("id_a", "id_b")
+            .localCheckpoint(eager=True)
+        )
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_t, f_c = pool.submit(build_truth), pool.submit(build_cand)
+        truth, cand = f_t.result(), f_c.result()
     t = truth.agg(F.count(F.lit(1)).alias("n_truth"))
     c = cand.agg(F.count(F.lit(1)).alias("n_cand"))
     h = truth.join(cand, ["id_a", "id_b"]).agg(
@@ -6156,18 +6168,25 @@ def q_layout_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "xsort": pts.withColumn("k", F.col("x").cast("long")),
     }
-    for name, df in keyed.items():
+    # the three layout evaluations are independent chains of blocking
+    # jobs (dense_ids enumeration + count per layout) — overlap them
+    # on driver threads (guide §2.6), wall = max instead of sum
+    from concurrent.futures import ThreadPoolExecutor
+
+    def eval_layout(item):
+        name, df = item
         okeyed = df.select(
             "x",
             "y",
             (F.col("k") * 100000000 + F.col("p_partkey")).alias("okey"),
         )
-        outs.append(
-            layout_pruning_eval(
-                okeyed, "okey", "x", "y", n_buckets=32,
-                probes=_PRUNE_PROBES,
-            ).select(F.lit(name).alias("layout"), "*")
-        )
+        return layout_pruning_eval(
+            okeyed, "okey", "x", "y", n_buckets=32,
+            probes=_PRUNE_PROBES,
+        ).select(F.lit(name).alias("layout"), "*")
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        outs = list(pool.map(eval_layout, keyed.items()))
     out = outs[0]
     for o in outs[1:]:
         out = out.unionByName(o)

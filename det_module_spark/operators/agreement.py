@@ -350,6 +350,7 @@ def rater_accuracy(
     item: str = "item",
     rater: str = "rater",
     label: str = "label",
+    consensus: DataFrame | None = None,
 ) -> DataFrame:
     """Per-rater reliability against the majority consensus —
     (rater, n_votes, n_match, accuracy_ppm), exact integers (the
@@ -359,13 +360,19 @@ def rater_accuracy(
     Note the consensus INCLUDES each rater's own vote (standard for
     the quick QC table; leave-one-out re-ranks ties and is a
     different, more expensive contract).
+
+    ``consensus``: optional precomputed :func:`consensus_labels`
+    output for the SAME cleaned vote table — callers that also need
+    the consensus themselves (weighted_consensus) pass it so the
+    per-(item,label) count + argmax aggregation runs once, not twice
+    (optimization r10, guide §2.4).
     """
     v = votes.filter(F.col(label).isNotNull()).select(
         F.col(item).alias("item"),
         F.col(rater).alias("rater"),
         F.col(label).cast("string").alias("label"),
     )
-    cons = consensus_labels(v)
+    cons = consensus if consensus is not None else consensus_labels(v)
     return (
         v.join(cons.select("item", "consensus"), "item")
         .groupBy("rater")
@@ -463,10 +470,15 @@ def weighted_consensus(
         )
         .localCheckpoint(eager=True)
     )
-    acc = rater_accuracy(v).select("rater", "accuracy_ppm")
-    maj = consensus_labels(v).select(
-        "item", F.col("consensus").alias("majority")
+    # ONE consensus aggregation (optimization r10): rater_accuracy and
+    # the majority column both need consensus_labels(v) — materialize
+    # it once instead of running the per-(item,label) count + argmax
+    # agg twice (guide §2.4).
+    cons = consensus_labels(v).localCheckpoint(eager=True)
+    acc = rater_accuracy(v, consensus=cons).select(
+        "rater", "accuracy_ppm"
     )
+    maj = cons.select("item", F.col("consensus").alias("majority"))
     wcounts = (
         v.join(F.broadcast(acc), "rater")
         .groupBy("item", "label")
