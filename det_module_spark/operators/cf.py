@@ -48,10 +48,14 @@ def item_item_cf(
         F.col(user).alias("u"), F.col(item).cast("string").alias("i")
     ).distinct()
     wcap = Window.partitionBy("u").orderBy(F.md5(F.col("i")), F.col("i"))
+    # materialized once (optimization r10): the capped incidence feeds
+    # THREE consumers (item counts + both self-join sides) and the
+    # distinct + cap window replanned per consumer (guide §2.4)
     capped = (
         inc.withColumn("_r", F.row_number().over(wcap))
         .where(F.col("_r") <= max_items_per_user)
         .drop("_r")
+        .localCheckpoint(eager=True)
     )
     item_n = capped.groupBy("i").agg(F.count(F.lit(1)).alias("n"))
     a = capped.alias("a")
@@ -62,14 +66,26 @@ def item_item_cf(
         .groupBy(F.col("a.i").alias("ia"), F.col("b.i").alias("ib"))
         .agg(F.count(F.lit(1)).alias("n_both"))
     )
-    # orient both directions so every item ranks its own neighbors
-    sym = pairs.unionByName(
-        pairs.select(
-            F.col("ib").alias("ia"),
-            F.col("ia").alias("ib"),
-            "n_both",
-        )
-    )
+    # orient both directions so every item ranks its own neighbors —
+    # explode-both-directions in ONE pass (optimization r10): a
+    # union's branches are planned independently, so the old shape ran
+    # the per-user self-join + pair aggregation twice (guide §2.4)
+    sym = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("ia").alias("ia"),
+                    F.col("ib").alias("ib"),
+                    F.col("n_both").alias("n_both"),
+                ),
+                F.struct(
+                    F.col("ib").alias("ia"),
+                    F.col("ia").alias("ib"),
+                    F.col("n_both").alias("n_both"),
+                ),
+            )
+        ).alias("e")
+    ).select("e.ia", "e.ib", "e.n_both")
     scored = (
         sym.join(item_n.withColumnRenamed("i", "ia"), "ia")
         .withColumnRenamed("n", "n_a")
