@@ -389,10 +389,9 @@ COLLECT_WHITELIST = {
         1,
         "distinct spec hashes within one micro-batch: batch-bounded",
     ),
-    "det_module_spark/streaming/replay.py": (
-        1,
-        "replay harness materializes the in-memory sink table (test/oracle surface)",
-    ),
+    # optimization r10: replay.py's sink-table collect() was REMOVED —
+    # results now hand off via a columnar parquet spill + rescan, no
+    # driver row roundtrip — so it no longer appears here.
 }
 
 _COLLECT_RE = re.compile(r"\.collect\(\)|\.toPandas\(\)|\.collectAsMap\(")
