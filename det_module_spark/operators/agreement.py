@@ -473,7 +473,13 @@ def weighted_consensus(
     # ONE consensus aggregation (optimization r10): rater_accuracy and
     # the majority column both need consensus_labels(v) — materialize
     # it once instead of running the per-(item,label) count + argmax
-    # agg twice (guide §2.4).
+    # agg twice (guide §2.4). The r10-verdict "wcounts fold" (derive
+    # the re-vote from one (item, label, count, collect_list(rater))
+    # aggregation) was BUILT AND MEASURED in r11: 3.8 s vs 2.7 s warm —
+    # the rater arrays through the exchange plus two explodes cost
+    # more than the one corpus agg they save at any tested floor, so
+    # the three-pass shape stays (honest negative result,
+    # OPTIMIZATION_r11.md).
     cons = consensus_labels(v).localCheckpoint(eager=True)
     acc = rater_accuracy(v, consensus=cons).select(
         "rater", "accuracy_ppm"

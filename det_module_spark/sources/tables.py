@@ -76,10 +76,60 @@ def _ts_unit(path: str) -> str | None:
         return None
 
 
+# Free-text corpora: operators over these (tokenization, shingling,
+# n-gram explodes) spend an order of magnitude more CPU per input byte
+# than numeric/categorical scans, so their unsplittable-input floor
+# uses a finer per-partition byte target.
+TEXT_TABLES = {"documents"}
+
+
+def _scan_floor_partitions(spark: SparkSession, path: str, name: str) -> int:
+    """Parallelism floor for unsplittable inputs (optimization guide
+    §2.5 "one huge unsplittable file ... repartition immediately after
+    the read"): the driver testdata ships each table as ONE parquet
+    file with ONE row group, which Spark cannot split below one task —
+    every corpus map stage then runs 1-3-way parallel on a 32-core
+    executor. Target = one partition per ``SPARK_GRAFT_SCAN_PART_BYTES``
+    of on-disk bytes (``..._TEXT`` for free-text corpora, whose
+    per-byte CPU is far higher), capped at the core count — derived
+    from INPUT SIZE, not a constant: dims (region, supplier) stay at
+    1 partition, and at production scale the scan already yields
+    ≥ cores partitions so the floor never fires."""
+    import glob
+
+    default = 64 * 1024 if name in TEXT_TABLES else 1024 * 1024
+    env = (
+        "SPARK_GRAFT_SCAN_PART_BYTES_TEXT"
+        if name in TEXT_TABLES
+        else "SPARK_GRAFT_SCAN_PART_BYTES"
+    )
+    target = int(os.environ.get(env, str(default)))
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    files = (
+        [path]
+        if os.path.isfile(path)
+        else glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+    )
+    total = sum(os.path.getsize(f) for f in files if os.path.exists(f))
+    return max(1, min(cpus, total // target))
+
+
 def _load_table_uncached(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     single = os.path.join(sf_dir, f"{name}.parquet")
     root = os.path.join(sf_dir, name)
     path = single if os.path.exists(single) else root
+    df = _read_table(spark, path, name)
+    floor = _scan_floor_partitions(spark, path, name)
+    if floor > 1 and df.rdd.getNumPartitions() < floor:
+        # round-robin repartition right after the read; filters and
+        # column pruning still push through to the parquet scan
+        # (Catalyst commutes them past Repartition), and the bench's
+        # untimed persist absorbs the one-time shuffle
+        df = df.repartition(floor)
+    return df
+
+
+def _read_table(spark: SparkSession, path: str, name: str) -> DataFrame:
     if name == "events":
         # TIMESTAMP(NANOS) parquet needs the legacy nanosAsLong conf —
         # which is SESSION-WIDE and consulted again at task execution,
