@@ -7621,95 +7621,86 @@ def entry(spark: SparkSession) -> DataFrame:
 #      changed since its latest driver hash;
 #   3. remaining slots drain OLDEST-DRIVER-HASH-FIRST, which bounds
 #      worst-case staleness at ~3 rounds (50 slots / 293 queries).
-# Round-10 composition (exactly 50, verified by
-# tests/test_rotation_r10.py against the CORRECTNESS_r0* union):
-#   - 6 new registrations: the 3 r9-built, gated queue queries
-#     (tests/test_r10_queue.py, the driver's own comparison):
-#     weighted_consensus, supplier_rank_tau, preference_cycles; plus
-#     the 3 r10-built preference operators copeland_ranking,
-#     cycles_by_gap and elo_calibration (tests/test_prefstats.py
-#     hand computations + DuckDB twins).
-#   - 6 changed-path re-checks: krippendorff_alpha (r10 per-unit-m
-#     overflow guard + shared _abstaining_votes derivation) and the 5
-#     r10 rescan-materialization fixes (VERDICT r09 #4):
-#     kmv_set_ops, dsir_select, corpus_pipeline_v2 (via importance.py),
-#     adamic_adar (graph.py edge-list checkpoint), matryoshka_audit
-#     (similarity.py single segment-dot pass).
-#   - 5 queries whose latest driver hash is round 2 (displaced from
-#     the r9 window): zonal_reliability/std/unique/var/weighted_sum.
-#   - ALL 32 queries whose latest hash is round 3 (the full r3 class
-#     drains this round), alphabetical.
-#   - 1 oldest round-4 query, alphabetical — the r4 drain begins.
-_ROTATION_R10 = [
-    # -- new this round: first driver check --
-    "weighted_consensus",
-    "supplier_rank_tau",
-    "preference_cycles",
-    "copeland_ranking",
-    "cycles_by_gap",
-    "elo_calibration",
-    # -- changed-path re-checks --
-    "krippendorff_alpha",
-    "kmv_set_ops",
-    "dsir_select",
-    "corpus_pipeline_v2",
-    "adamic_adar",
-    "matryoshka_audit",
-    # -- oldest driver hashes: round 2 --
-    "zonal_reliability",
-    "zonal_std",
-    "zonal_unique",
-    "zonal_var",
-    "zonal_weighted_sum",
-    # -- round-3 driver hashes (full class) --
-    "approx_stats",
-    "bloom_semi_filter",
-    "bpe_merges",
-    "cms_heavy_hitters",
-    "containment_dedup",
-    "expectations_report",
-    "hard_negatives",
-    "join_delta",
-    "kmv_distinct",
-    "leakage_safe_split",
-    "lpa_communities",
-    "polygon_metrics",
-    "raster_downsample",
-    "raster_trend",
-    "sample_k_per_group",
+# Round-11 composition (exactly 50, verified by
+# tests/test_rotation_r11.py against the CORRECTNESS_r* union):
+#   - 0 new registrations (optimization round — no new features).
+#   - 16 changed-path re-checks at the head (VERDICT r10 #3: every
+#     r10-optimization-touched query whose last driver hash predates
+#     its change, plus this round's TWS-memo removal and replay-path
+#     users): bt_strengths, elo_ratings, rank_agreement, item_cf,
+#     semantic_dedup (r10-rewritten; semantic_dedup re-checked), and
+#     all 11 events_* replay queries (r10 replay handoff + r11
+#     per-invocation single-purpose replays).
+#   - 34 slots drain OLDEST-DRIVER-HASH-FIRST: the round-4 class
+#     continues alphabetically after r10's cluster_representatives
+#     (cohort_retention .. tpch_q3); tpch_q4..q9 remain for r12.
+_ROTATION_R11 = [
+    # -- changed-path re-checks (r10/r11 optimization paths) --
+    "bt_strengths",
+    "elo_ratings",
+    "rank_agreement",
+    "item_cf",
     "semantic_dedup",
-    "source_overlap",
-    "span_dedup",
-    "span_strip",
-    "spatial_nearest",
-    "temperature_mixture",
-    "time_fill_linear",
-    "tokenizer_stats",
-    "zonal_count",
-    "zonal_max",
-    "zonal_mean",
-    "zonal_min",
-    "zonal_sum",
-    "zonal_weighted_count",
-    "zonal_weighted_mean",
-    "zonal_weighted_polygon",
-    "zonal_weighted_triangle",
-    # -- round-4 driver hashes (drain begins, alphabetical) --
-    "cluster_representatives",
+    "events_running_totals",
+    "events_topk_stream",
+    "events_bucket_stream",
+    "events_session_flush",
+    "events_dedup_stream",
+    "events_watermark",
+    "events_quality_window",
+    "events_json_extract",
+    "events_tumbling",
+    "events_sliding",
+    "events_session",
+    # -- round-4 driver hashes (drain continues, alphabetical) --
+    "cohort_retention",
+    "corpus_pipeline",
+    "cube_agg",
+    "dedup_clusters",
+    "dedup_report",
+    "funnel_conversion",
+    "grouping_sets",
+    "hypertable_rollup",
+    "join_delta_retract",
+    "kv_records",
+    "pagerank",
+    "range_join",
+    "rollup_agg",
+    "sessionize_events",
+    "shard_plan",
+    "skew_join_agg",
+    "skew_salted_join",
+    "text_tfidf",
+    "tpch_q1",
+    "tpch_q10",
+    "tpch_q11",
+    "tpch_q12",
+    "tpch_q13",
+    "tpch_q14",
+    "tpch_q15",
+    "tpch_q16",
+    "tpch_q17",
+    "tpch_q18",
+    "tpch_q19",
+    "tpch_q2",
+    "tpch_q20",
+    "tpch_q21",
+    "tpch_q22",
+    "tpch_q3",
     # ---- driver window boundary (first 50 above) ----
 ]
 
 
 def _rotate(full: dict) -> dict:
-    head = {k: full[k] for k in _ROTATION_R10 if k in full}
+    head = {k: full[k] for k in _ROTATION_R11 if k in full}
     return head | {k: v for k, v in full.items() if k not in head}
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE: dict order is the driver's check order, and the driver's
     # correctness artifact records only the first 50 entries —
-    # _ROTATION_R8 entries go FIRST (changed-path re-checks, then
-    # the drain-closing backlog); the literal below keeps its
+    # _ROTATION_R11 entries go FIRST (changed-path re-checks, then
+    # the oldest-hash drain); the literal below keeps its
     # grouping for readability.
     return _rotate({
         # --- round-5 additions ---

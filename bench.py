@@ -114,8 +114,15 @@ def main() -> None:
     # caching is the standard warehouse answer, and buffer-pool warmup
     # is untimed in every standard benchmark harness (per-query numbers
     # should measure steady-state query compute, not first-touch I/O).
-    for t in TABLES:
-        load_table(spark, sf_dir, t).persist().count()
+    # SPARK_GRAFT_BENCH_NOCACHE=1 (VERDICT r10 #7) skips the persist so
+    # a sequential pass exercises the COLD parquet scan path per query
+    # (pushdown/pruning regressions become measurable); it writes a
+    # "_nocache"-suffixed sidecar and must never replace the committed
+    # cached-pass record.
+    nocache = os.environ.get("SPARK_GRAFT_BENCH_NOCACHE", "0") == "1"
+    if not nocache:
+        for t in TABLES:
+            load_table(spark, sf_dir, t).persist().count()
 
     qs = entry_mod.queries()
 
@@ -306,8 +313,11 @@ def main() -> None:
     # just as destructive to the committed record (it happened in r7).
     sidecar_name = (
         "BENCH_FULL.json"
-        if sf == 0.1 and mode == "both"
-        else f"BENCH_FULL_sf{sf}{'' if mode == 'both' else '_' + mode}.json"
+        if sf == 0.1 and mode == "both" and not nocache
+        else (
+            f"BENCH_FULL_sf{sf}{'' if mode == 'both' else '_' + mode}"
+            f"{'_nocache' if nocache else ''}.json"
+        )
     )
     sidecar = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), sidecar_name

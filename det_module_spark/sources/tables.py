@@ -76,11 +76,13 @@ def _ts_unit(path: str) -> str | None:
         return None
 
 
-# Free-text corpora: operators over these (tokenization, shingling,
-# n-gram explodes) spend an order of magnitude more CPU per input byte
-# than numeric/categorical scans, so their unsplittable-input floor
-# uses a finer per-partition byte target.
-TEXT_TABLES = {"documents"}
+# String-derivation corpora: operators over these (tokenization,
+# shingling, n-gram/deletion-neighborhood explodes over text and name
+# payloads) spend an order of magnitude more CPU per input byte than
+# numeric/categorical scans, so their unsplittable-input floor uses a
+# finer per-partition byte target (measured: the edit1 neighborhood
+# over customer names ran as ONE 2.1 s task at the default floor).
+TEXT_TABLES = {"documents", "customer"}
 
 
 def _scan_floor_partitions(spark: SparkSession, path: str, name: str) -> int:

@@ -1,5 +1,5 @@
 """Dump .explain('formatted') for registered queries to
-plans/r10/<query>_<tag>.txt (guide §1 / §7.2: keep the plan evidence
+plans/<round>/<query>_<tag>.txt (guide §1 / §7.2: keep the plan evidence
 next to the claim).
 
 Usage:
@@ -22,7 +22,7 @@ def main() -> None:
     ap.add_argument("--tag", required=True)
     ap.add_argument("--all", action="store_true")
     ap.add_argument("--sf", default="/root/testdata/sf0.1")
-    ap.add_argument("--outdir", default="/root/repo/plans/r10")
+    ap.add_argument("--outdir", default="/root/repo/plans/r11")
     args = ap.parse_args()
 
     os.environ["SPARK_GRAFT_SF_DIR"] = args.sf
@@ -39,19 +39,19 @@ def main() -> None:
         sys.exit(2)
     os.makedirs(args.outdir, exist_ok=True)
     for name in names:
-        try:
-            plan = qs[name](spark, args.sf)._sc._jvm.PythonSQLUtils.explainString(
-                qs[name](spark, args.sf)._jdf.queryExecution(), "formatted"
-            )
-        except Exception:
-            # public API fallback: capture explain() output
-            import contextlib
-            import io
+        # build the DataFrame ONCE (ADVICE r10: the old primary path
+        # called the builder twice in one expression — re-running every
+        # eager localCheckpoint — through a _jvm alias that never
+        # resolved, so the fallback always did the work anyway) and
+        # capture the public explain() output
+        import contextlib
+        import io
 
-            buf = io.StringIO()
-            with contextlib.redirect_stdout(buf):
-                qs[name](spark, args.sf).explain("formatted")
-            plan = buf.getvalue()
+        df = qs[name](spark, args.sf)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        plan = buf.getvalue()
         path = os.path.join(args.outdir, f"{name}_{args.tag}.txt")
         with open(path, "w") as f:
             f.write(plan)
